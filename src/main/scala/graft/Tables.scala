@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Schema-checked readers for the driver-generated test tables
+  * (TESTDATA.md). Explicit StructTypes per SURVEY §1.2 ("fixed, explicit
+  * DDL schema — never inferSchema for core tables"); readers assert the
+  * on-disk schema matches so drift fails loudly at the boundary instead
+  * of deep inside a query.
+  *
+  * At 100 TB these would be partitioned-directory datasets; here each
+  * table is one parquet file. All readers go through [[table]] so a
+  * future partition layout only changes one place.
+  */
+object Tables {
+
+  val lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val customerSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplierSchema: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val partSchema: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val nationSchema: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val regionSchema: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private val schemas: Map[String, StructType] = Map(
+    "lineitem" -> lineitemSchema, "orders" -> ordersSchema,
+    "customer" -> customerSchema, "supplier" -> supplierSchema,
+    "part" -> partSchema, "nation" -> nationSchema,
+    "region" -> regionSchema, "events" -> eventsSchema,
+    "documents" -> documentsSchema, "embeddings" -> embeddingsSchema)
+
+  /** Read a named test table from `dir`, asserting column names match the
+    * declared schema (types are left to the vectorized parquet reader —
+    * timestamp NTZ/LTZ and ns/us physical types vary by writer).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The events fixture carries INT64 TIMESTAMP(NANOS) — illegal for
+    // Spark's parquet reader. Read nanos as Long, then convert to a
+    // microsecond timestamp (truncation matches DuckDB's epoch floor).
+    val df0 =
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        import org.apache.spark.sql.functions._
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    val expected = schemas(name).fieldNames.toSeq
+    require(df0.columns.toSeq == expected,
+      s"$name schema drift: got ${df0.columns.mkString(",")}, want ${expected.mkString(",")}")
+    df0
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expression helpers for large-scale training-data
+  * pipelines: normalization, tokenization, quality scoring, language
+  * ID, shingling, fingerprinting.
+  *
+  * Everything here is composed from codegen'd built-ins (split /
+  * regexp / array functions) so the hot path stays inside whole-stage
+  * codegen — at 100 TB a per-row Scala UDF would serialize every row
+  * through a closure; these don't.
+  */
+object TextFns {
+
+  /** Canonical text normalization for dedup: lowercase, strip
+    * punctuation to spaces, collapse whitespace, trim. Deterministic
+    * and engine-portable (same regexes run in any SQL oracle).
+    */
+  def normText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Whitespace tokenization of normalized text. */
+  def tokens(text: Column): Column = split(normText(text), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: word chunks + digit runs +
+    * punctuation marks each count as a token (GPT-2-style pre-tokenizer
+    * regex, simplified to an engine-portable character-class form).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
+        .cast("double") / length(text))
+
+  /** Mean token length over normalized tokens (0 for empty docs). */
+  def avgWordLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t))
+  }
+
+  /** English stopword hit ratio: fraction of tokens in a fixed small
+    * stopword set. A classic C4/Gopher-style quality signal.
+    */
+  val StopWords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this", "be", "are")
+
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      size(filter(t, w => w.isInCollection(StopWords))).cast("double") / size(t))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, prose-
+    * like word length, some stopwords, low punctuation noise. Weights
+    * are Gopher-rule-inspired; the exact blend is ours (deterministic,
+    * portable arithmetic only).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val wordScore = when(avgWordLen(text).between(3.0, 10.0), 1.0).otherwise(0.5)
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    round(lenScore * 0.3 + wordScore * 0.3 + stopScore * 0.2 + punctScore * 0.2, 6)
+  }
+
+  /** Tiny per-language marker lexicons for n-gram-free heuristic
+    * language ID. Public-knowledge function-word lists.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "ich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "pour", "que", "dans"),
+    "es" -> Seq("el", "la", "los", "las", "es", "una", "por", "que", "para", "con"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "ni", "ta", "men", "zai", "you"))
+
+  /** Per-language marker hit count over whitespace tokens. */
+  def langHits(text: Column, lang: String): Column = {
+    val markers = LangMarkers.toMap.apply(lang)
+    size(filter(tokens(text), w => w.isInCollection(markers)))
+  }
+
+  /** Heuristic language guess: argmax marker hits, ties broken by the
+    * fixed language order in [[LangMarkers]]; "und" (undetermined) when
+    * nothing matches.
+    */
+  def langGuess(text: Column): Column = {
+    val hits = LangMarkers.map { case (l, _) => l -> langHits(text, l) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = hits.reverse.foldLeft(lit("und")) { case (acc, (l, h)) =>
+      when(h === best && best > 0, lit(l)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Word n-gram shingles over normalized tokens (for MinHash /
+    * Jaccard dedup). Produces an array of space-joined n-grams;
+    * docs shorter than n yield a single shingle of the whole doc.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array(array_join(t, " "))).otherwise(
+      transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
+  }
+
+  /** 64-bit document fingerprint: xxhash64 over normalized text.
+    * Collision-safe enough for exact-dup detection at 100 TB scale
+    * (2^64 space), and computed without shuffling the full text.
+    */
+  def fingerprint(text: Column): Column = xxhash64(normText(text))
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for training-data pipelines:
+  * exact, MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design:
+  *  - Exact dedup groups on a 64-bit fingerprint of normalized text,
+  *    not the text itself — the shuffle carries 8 bytes per row
+  *    instead of whole documents.
+  *  - MinHash/SimHash candidate generation is LSH-banded: documents
+  *    only meet in the join if they collide in ≥1 band, so the
+  *    pair-space is near-linear, never O(n²).
+  *  - All signature math is built-in array expressions (xxhash64 +
+  *    aggregate/transform/zip_with) — codegen'd, no UDFs, no
+  *    driver-side collect.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized text: one row per surviving
+    * doc (min id in its group), with the group's duplicate count.
+    * Grouping key is the 64-bit fingerprint; at 2^64 space, collisions
+    * are negligible for exact-dup detection even at 100 TB.
+    */
+  def exact(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs.select(idCol.as("doc_id"), TextFns.fingerprint(textCol).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Surviving documents after exact dedup (keep min id per group). */
+  def exactSurvivors(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val w = Window.partitionBy(TextFns.fingerprint(textCol)).orderBy(idCol.asc)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- MinHash -----------------------------------------------------
+
+  /** Per-shingle base hashes, then k derived hashes
+    * h_i(s) = xxhash64(i, xxhash64(s)): the string is hashed once,
+    * then each of the k family members re-mixes the 8-byte base with
+    * the hash index — k×m fixed-width hashes, no string re-hashing,
+    * and no 64-bit wrap-around arithmetic (which ANSI mode rejects).
+    * The signature entry i is the min over shingles. Fully
+    * deterministic: no RNG at plan time.
+    */
+  private def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val base = transform(shingles, s => xxhash64(s))
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      aggregate(base, lit(Long.MaxValue),
+        (acc, h) => least(acc, xxhash64(i, h))))
+  }
+
+  /** Candidate near-duplicate pairs via MinHash + LSH banding.
+    *
+    * numHashes = bands * rowsPerBand. Two docs become a candidate pair
+    * iff some band of their signatures matches exactly; est_jaccard is
+    * the fraction of agreeing signature positions. Returns
+    * (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: Column, textCol: Column,
+                        shingleLen: Int = 3, bands: Int = 16,
+                        rowsPerBand: Int = 8): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = docs.select(
+      idCol.as("doc_id"),
+      minhashSignature(TextFns.wordShingles(textCol, shingleLen), numHashes).as("sig"))
+
+    // Explode to one row per band; the bucket key hashes the band's
+    // signature slice, so the join key is (band, 8-byte bucket).
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  // ---- Exact n-gram Jaccard ---------------------------------------
+
+  /** Exact word-n-gram Jaccard similarity for all pairs sharing ≥1
+    * shingle, thresholded. Blocking on the shingle keeps the join
+    * linear in total shingle occurrences; `maxShingleFreq` drops
+    * degenerate stop-shingles that would otherwise explode the
+    * pair-space at scale (a shingle occurring in f docs produces
+    * f(f−1)/2 pairs).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: Column, textCol: Column,
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxShingleFreq: Long = Long.MaxValue): DataFrame = {
+    val grams = docs.select(idCol.as("doc_id"),
+      explode(array_distinct(TextFns.wordShingles(textCol, n))).as("gram"))
+    val kept =
+      if (maxShingleFreq == Long.MaxValue) grams
+      else {
+        val freq = grams.groupBy("gram").agg(count(lit(1)).as("f"))
+          .filter(col("f") <= maxShingleFreq).select("gram")
+        grams.join(freq, "gram")
+      }
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+
+    val inter = kept.as("a").join(kept.as("b"), Seq("gram"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---- SimHash -----------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/−1 by the
+    * token-hash's bit value; the sign becomes the fingerprint bit.
+    */
+  def simhash(textCol: Column): Column = {
+    val hashes = transform(TextFns.tokens(textCol), t => xxhash64(t))
+    val counts = transform(sequence(lit(0), lit(63)), k =>
+      aggregate(hashes, lit(0),
+        (acc, h) => acc +
+          when(call_function("shiftright", h, k).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, k) => when(c > 0, call_function("shiftleft", lit(1L), k)).otherwise(0L)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDist,
+    * found via pigeonhole LSH: split 64 bits into (maxDist+1) chunks;
+    * any pair within distance maxDist must agree on ≥1 whole chunk, so
+    * candidates come from equi-joins on chunk values — never O(n²).
+    */
+  def simhashPairs(docs: DataFrame, idCol: Column, textCol: Column,
+                   maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    val sh = docs.select(idCol.as("doc_id"), simhash(textCol).as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
+        call_function("shiftright", col("sh"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1)))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
+    val l = banded.select(col("chunk"), col("piece"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("chunk"), col("piece"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("chunk", "piece")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+}

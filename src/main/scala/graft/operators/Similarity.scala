@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths per the training-data-pipeline brief:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness
+  *    baseline. Queries are broadcast; the corpus is scanned once,
+  *    partition-parallel, and per-query top-k is a windowed rank
+  *    (small k) — no O(n²) shuffle.
+  *  - [[lshTopK]]: random-hyperplane (sign) LSH — the scale path. The
+  *    corpus is bucketed by a b-bit sketch; a query only scores
+  *    candidates in buckets within `probeDist` Hamming distance of its
+  *    own sketch, turning a full scan into a bucket-pruned scan.
+  *
+  * All vector math is double-precision built-in array expressions
+  * (`zip_with` + `aggregate`) — codegen'd, deterministic fold order,
+  * portable to any SQL oracle.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (0 for zero-norm vectors rather than NaN/error). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact cosine top-k: for each row of `queries`, the k nearest
+    * `corpus` rows. Output: (query_id, neighbor_id, cos, rank).
+    * `queries` must be small enough to broadcast (typical: a probe
+    * set); `corpus` can be arbitrarily large — it streams through one
+    * scan with no shuffle except the final per-query top-k, whose
+    * input is already reduced to candidate scores.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     queryId: String = "query_id", corpusId: String = "neighbor_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryId), col(vecCol).as("__qv"))
+    val c = corpus.select(col(corpusId), col(vecCol).as("__cv"))
+    val scored = c.join(broadcast(q), col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId),
+        round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cos").desc, col(corpusId).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplane component for
+    * (plane p, dimension d): a hash mapped into [−1, 1). Fixed by
+    * (p, d) only — no RNG at plan time, reproducible across runs.
+    */
+  private def planeComponent(p: Int, d: Column): Column =
+    (xxhash64(lit(p), d).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** b-bit sign sketch of a vector under `bits` hashed hyperplanes. */
+  def signSketch(vec: Column, bits: Int): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bitsCols = (0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(vec, dims, (x, d) => x.cast("double") * planeComponent(p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0.0, call_function("shiftleft", lit(1L), lit(p))).otherwise(0L)
+    }
+    bitsCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate cosine top-k via sign-LSH bucket pruning: score only
+    * corpus rows whose sketch lies within `probeDist` Hamming distance
+    * of the query's sketch (multi-probe). Recall/latency trade-off is
+    * (bits, probeDist); exactness is recovered as probeDist → bits.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              bits: Int = 16, probeDist: Int = 2,
+              queryId: String = "query_id", corpusId: String = "neighbor_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryId), col(vecCol).as("__qv"),
+      signSketch(col(vecCol), bits).as("__qs"))
+    val c = corpus.select(col(corpusId), col(vecCol).as("__cv"),
+      signSketch(col(vecCol), bits).as("__cs"))
+    val cand = c.join(broadcast(q),
+      col(queryId) =!= col(corpusId) &&
+        bit_count(col("__qs").bitwiseXOR(col("__cs"))) <= probeDist)
+    val scored = cand.select(col(queryId), col(corpusId),
+      round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cos").desc, col(corpusId).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: for each query result
+dumped by graft.Verify, run the declared DuckDB oracle SQL over the same
+parquet tables and compare (schema-insensitively: columns sorted by
+name, rows sorted, exact value equality).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Dev tool only — the real gate is driver-side.
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
+    n_bad = 0
+    for name in sorted(oracle):
+        qdir = Path(out_dir) / name
+        if not qdir.exists():
+            print(f"MISSING  {name} (no verify output)")
+            n_bad += 1
+            continue
+        got = pd.read_parquet(qdir)
+        try:
+            want = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"ORACLE-ERR {name}: {e}")
+            n_bad += 1
+            continue
+        g, w = canon(got), canon(want)
+        if list(g.columns) != list(w.columns):
+            print(f"COLS     {name}: got {list(g.columns)} want {list(w.columns)}")
+            n_bad += 1
+            continue
+        if len(g) != len(w):
+            print(f"ROWS     {name}: got {len(g)} want {len(w)}")
+            n_bad += 1
+            continue
+        mism = []
+        for c in g.columns:
+            gc, wc = g[c], w[c]
+            try:
+                eq = (gc.isna() & wc.isna()) | (gc == wc)
+                # exact match required (driver hashes values); report
+                # near-misses distinctly to speed up debugging
+                if not eq.all():
+                    import numpy as np
+                    if pd.api.types.is_float_dtype(gc) and pd.api.types.is_float_dtype(wc):
+                        close = ((gc.isna() & wc.isna())
+                                 | (abs(gc - wc) <= 1e-9 * (1 + abs(wc)))).all()
+                        mism.append(f"{c}{' (float-close)' if close else ''}")
+                    else:
+                        mism.append(c)
+            except Exception as e:
+                mism.append(f"{c} ({e})")
+        if mism:
+            print(f"VALUES   {name}: mismatch in {mism}")
+            bad = [c.split()[0] for c in mism]
+            for c in bad[:2]:
+                d = g[g[c].astype(str) != w[c].astype(str)]
+                idx = d.index[:3]
+                for i in idx:
+                    print(f"    {c}[{i}]: got={g[c][i]!r} want={w[c][i]!r}")
+            n_bad += 1
+        else:
+            print(f"OK       {name} ({len(g)} rows)")
+    print(f"\n{len(oracle) - n_bad}/{len(oracle)} queries match")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
