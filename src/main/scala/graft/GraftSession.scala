@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place that knows how to build a correctly-configured session
+  * for this engine (Bench, Verify, tests, CLI). Config set here, not
+  * mutated mid-query:
+  *
+  *  - `spark.sql.shuffle.partitions` sized to the core count — at
+  *    local[32] with sub-GB inputs, 200 partitions is pure scheduling
+  *    overhead; on a real cluster this would be set to ~2-3× total
+  *    cores by the launcher.
+  *  - UTC session timezone (reference stores/format everything UTC).
+  *  - `parquet.nanosAsLong`: the driver's events fixture carries
+  *    INT64 TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+  *    unless read as raw longs (converted back in [[Tables.table]]).
+  *  - AQE is on by default in Spark 4 (adaptive shuffle coalescing +
+  *    skew-join splitting) — left enabled deliberately.
+  */
+object GraftSession {
+
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Session for driver-run mains: core count from SPARK_GRAFT_CPUS. */
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -103,7 +103,11 @@ object Tables {
     // microsecond timestamp (truncation matches DuckDB's epoch floor).
     val df0 =
       if (name == "events") {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // GraftSession sets nanosAsLong at build time; sessions we did
+        // not construct (the driver's smoke session) may lack it, so
+        // set-if-absent here rather than fail deep in the scan.
+        if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = spark.read.parquet(s"$dir/$name.parquet")
         import org.apache.spark.sql.functions._
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -22,8 +22,12 @@ object TextFns {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
-  /** Whitespace tokenization of normalized text. */
-  def tokens(text: Column): Column = split(normText(text), " ")
+  /** Whitespace tokenization of normalized text. Empty and
+    * punctuation-only docs yield an empty array (splitting "" would
+    * otherwise give [""], making counts 1 and ratios nonzero).
+    */
+  def tokens(text: Column): Column =
+    filter(split(normText(text), " "), t => t =!= "")
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -101,7 +101,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, threshold: Double = 0.8,
-                        maxShingleFreq: Long = Long.MaxValue): DataFrame = {
+                        maxShingleFreq: Long = 1000L): DataFrame = {
     val grams = docs.select(idCol.as("doc_id"),
       explode(array_distinct(TextFns.wordShingles(textCol, n))).as("gram"))
     val kept =
@@ -111,7 +111,10 @@ object Dedup {
           .filter(col("f") <= maxShingleFreq).select("gram")
         grams.join(freq, "gram")
       }
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // Similarity is over the KEPT shingle universe: sizes must come
+    // from `kept`, not `grams`, or the denominator counts dropped
+    // stop-shingles the numerator can never match.
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
 
     val inter = kept.as("a").join(kept.as("b"), Seq("gram"))
       .filter(col("a.doc_id") < col("b.doc_id"))

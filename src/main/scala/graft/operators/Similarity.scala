@@ -75,22 +75,39 @@ object Similarity {
     bitsCols.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Approximate cosine top-k via sign-LSH bucket pruning: score only
-    * corpus rows whose sketch lies within `probeDist` Hamming distance
-    * of the query's sketch (multi-probe). Recall/latency trade-off is
-    * (bits, probeDist); exactness is recovered as probeDist → bits.
+  /** All XOR masks of width `bits` with popcount ≤ dist — the
+    * multi-probe expansion set. For (16, 2) that is 1+16+120 = 137
+    * masks, a plan-time literal array.
+    */
+  private def probeMasks(bits: Int, dist: Int): Seq[Long] =
+    (0 to dist).flatMap(d =>
+      (0 until bits).combinations(d).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+
+  /** Approximate cosine top-k via sign-LSH bucket pruning, multi-probe:
+    * each query sketch is expanded into every sketch within `probeDist`
+    * Hamming distance (XOR with the precomputed mask set), and
+    * candidates come from an EQUI-join `probe == corpus_sketch` — a
+    * hash join on an 8-byte key, never a nested-loop filter over all
+    * (query, corpus) pairs. A (q,c) pair matches exactly one mask
+    * (qs XOR cs), so the expansion introduces no duplicate pairs.
+    * Recall/latency trade-off is (bits, probeDist); exactness is
+    * recovered as probeDist → bits.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bits: Int = 16, probeDist: Int = 2,
               queryId: String = "query_id", corpusId: String = "neighbor_id",
               vecCol: String = "embedding"): DataFrame = {
+    require(bits <= 30, s"sign sketch wider than 30 bits ($bits) explodes the probe set")
+    val masks = probeMasks(bits, probeDist)
     val q = queries.select(col(queryId), col(vecCol).as("__qv"),
       signSketch(col(vecCol), bits).as("__qs"))
+      .withColumn("__mask", explode(array(masks.map(m => lit(m)): _*)))
+      .withColumn("__probe", col("__mask").bitwiseXOR(col("__qs")))
+      .drop("__mask")
     val c = corpus.select(col(corpusId), col(vecCol).as("__cv"),
       signSketch(col(vecCol), bits).as("__cs"))
     val cand = c.join(broadcast(q),
-      col(queryId) =!= col(corpusId) &&
-        bit_count(col("__qs").bitwiseXOR(col("__cs"))) <= probeDist)
+      col("__probe") === col("__cs") && col(queryId) =!= col(corpusId))
     val scored = cand.select(col(queryId), col(corpusId),
       round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
     val w = Window.partitionBy(col(queryId))

@@ -64,22 +64,37 @@ object Relational {
     * events in the last 6 h (as-of max ts, deterministic), restricted
     * to the Top-100 users by lifetime value (broadcast semi-join),
     * per-user in/out/txs in exact decimals.
+    *
+    * Scale notes: the Top-100 is `orderBy(lifetime.desc, user_id.asc)
+    * .limit(100)` — TakeOrderedAndProject, a distributed per-partition
+    * heap + driver merge. Because the ordering ends in the unique
+    * `user_id` tiebreak it is a total order, so `limit(100)` is
+    * row-for-row equivalent to `RANK() <= 100` (the reference's W1
+    * semantics) with no single-partition global-sort window. The frame
+    * is persisted and memoized per (session, dir) — the reference's M7
+    * temp-table reuse — because three queries and the bench all
+    * consume it.
     */
-  private def flowsDec(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val asOf = ev.agg(max(col("ts")).as("__asof"))
-    val windowed = ev.join(broadcast(asOf),
-      col("ts") >= col("__asof") - expr("INTERVAL 6 HOURS")).drop("__asof")
-    val top = Rankings.topKPerGroup(
-      ev.groupBy(col("user_id")).agg(sum(col("value").cast(Dec2)).as("lifetime")),
-      groupCols = Seq(), ordering = Seq(col("lifetime").desc, col("user_id").asc),
-      k = 100).select(col("user_id"))
-    val watched = windowed.join(broadcast(top), Seq("user_id"), "left_semi")
-    Activity.flows(watched, col("user_id"),
-      col("value").cast(Dec2),
-      inflow = col("event_type").isin("purchase", "signup"),
-      outflow = col("event_type").isin("click", "error"))
-  }
+  private val flowsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def flowsDec(s: SparkSession, dir: String): DataFrame =
+    flowsCache.getOrElseUpdate((s, dir), {
+      val ev = Tables.events(s, dir)
+      val asOf = ev.agg(max(col("ts")).as("__asof"))
+      val windowed = ev.join(broadcast(asOf),
+        col("ts") >= col("__asof") - expr("INTERVAL 6 HOURS")).drop("__asof")
+      val top = ev.groupBy(col("user_id"))
+        .agg(sum(col("value").cast(Dec2)).as("lifetime"))
+        .orderBy(col("lifetime").desc, col("user_id").asc).limit(100)
+        .select(col("user_id"))
+      val watched = windowed.join(broadcast(top), Seq("user_id"), "left_semi")
+      Activity.flows(watched, col("user_id"),
+        col("value").cast(Dec2),
+        inflow = col("event_type").isin("purchase", "signup"),
+        outflow = col("event_type").isin("click", "error"))
+        .persist()
+    })
 
   /** Reference A2: per-wallet conditional in/out sums over the window. */
   def activityFlows(s: SparkSession, dir: String): DataFrame =
@@ -276,7 +291,7 @@ object Relational {
         |       CAST(out_amt AS DOUBLE) AS out_amt, txs
         |FROM flows ORDER BY entity""".stripMargin),
     "activity_totals" -> activityOracle(
-      """SELECT COUNT(*) AS wallets, COALESCE(SUM(txs),0) AS total_txs,
+      """SELECT COUNT(*) AS wallets, CAST(COALESCE(SUM(txs),0) AS BIGINT) AS total_txs,
         |       CAST(COALESCE(SUM(in_amt),0) AS DOUBLE) AS total_in,
         |       CAST(COALESCE(SUM(out_amt),0) AS DOUBLE) AS total_out,
         |       CAST(COALESCE(SUM(in_amt),0)-COALESCE(SUM(out_amt),0) AS DOUBLE) AS net_flow
@@ -336,7 +351,7 @@ object Relational {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "json_extract" ->
       """SELECT event_type,
-        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_cnt,
         |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

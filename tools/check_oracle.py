@@ -53,6 +53,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"ROWS     {name}: got {len(g)} want {len(w)}")
             n_bad += 1
             continue
+        # The driver's hash gate is TYPE-strict (DuckDB SUM(BIGINT) ->
+        # HUGEINT != Spark int64 hashes differently even when values
+        # match) — mirror that here.
+        tmism = [f"{c}: got {g[c].dtype} want {w[c].dtype}"
+                 for c in g.columns if g[c].dtype != w[c].dtype]
+        if tmism:
+            print(f"TYPES    {name}: {tmism}")
+            n_bad += 1
+            continue
         mism = []
         for c in g.columns:
             gc, wc = g[c], w[c]
