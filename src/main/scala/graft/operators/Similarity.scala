@@ -75,6 +75,23 @@ object Similarity {
     bitsCols.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Embedding near-duplicate pairs within blocks: all (a, b) pairs
+    * sharing `blockCol` with cosine ≥ threshold. The block key is the
+    * IVF-coarse-quantizer pattern — at 100 TB the key is the nearest
+    * coarse centroid (or an LSH bucket) so candidate generation is an
+    * equi-join, never an all-pairs cross join; here any precomputed
+    * cluster/label column serves. Within-block pairing is exact.
+    */
+  def cosinePairsBlocked(df: DataFrame, idCol: Column, vecCol: Column,
+                         blockCol: Column, threshold: Double): DataFrame = {
+    val a = df.select(blockCol.as("block"), idCol.as("id_a"), vecCol.as("__va"))
+    val b = df.select(blockCol.as("block"), idCol.as("id_b"), vecCol.as("__vb"))
+    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("block"), col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** All XOR masks of width `bits` with popcount ≤ dist — the
     * multi-probe expansion set. For (16, 2) that is 1+16+120 = 137
     * masks, a plan-time literal array.

@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline queries (dedup / similarity / text analysis)
+  * over the `documents` and `embeddings` test tables, each with a
+  * DuckDB oracle where the semantics are hash-function-free.
+  *
+  * Hash-based candidate generation (MinHash banding, SimHash chunks,
+  * sign-LSH sketches) depends on Spark's xxhash64, which no portable
+  * SQL oracle reproduces — those queries are registered rows-only and
+  * get exact-semantics ScalaTest specs instead (minhash estimate vs
+  * true Jaccard, pigeonhole recall, LSH recall vs brute force).
+  *
+  * Determinism contract with the oracle (same as [[Relational]]):
+  * integer-derived ratios are exact IEEE divisions of exact ints;
+  * multi-term double arithmetic (quality score, cosine) is written
+  * with the identical operation order on both sides and rounded to 6
+  * decimals at the boundary.
+  */
+object TextPipeline {
+
+  // ---- dedup -------------------------------------------------------
+
+  /** Exact-dup groups keyed on the normalized-text fingerprint; the
+    * oracle groups on the normalized text itself (hash-free), which is
+    * the same partition of doc space absent 64-bit collisions.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .select(col("keep_id"), col("dup_count"))
+      .orderBy(col("keep_id"))
+
+  /** Exact word-trigram Jaccard near-dup pairs at θ=0.5. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+      n = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** MinHash+LSH candidate pairs (rows-only: xxhash64-based).
+    * 32 bands × 4 rows: ~87% collision probability at J=0.5.
+    */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(Tables.documents(s, dir), col("doc_id"), col("text"),
+      shingleLen = 3, bands = 32, rowsPerBand = 4)
+      .filter(col("est_jaccard") >= 0.25)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash Hamming-≤6 near-dup pairs via pigeonhole chunking
+    * (rows-only: xxhash64-based).
+    */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+      maxDist = 6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---- text analysis ----------------------------------------------
+
+  /** Per-document token counts, ratios, and composite quality score. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFns.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+      TextFns.bpeTokenCount(col("text")).cast(LongType).as("n_bpe"),
+      round(TextFns.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(TextFns.avgWordLen(col("text")), 6).as("avg_word_len"),
+      round(TextFns.stopwordRatio(col("text")), 6).as("stop_ratio"),
+      TextFns.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Heuristic language ID vs the labeled truth column. */
+  def langGuess(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFns.langGuess(col("text")).as("lang_guess"),
+      col("lang").as("lang_true"))
+      .orderBy(col("doc_id"))
+
+  // ---- similarity --------------------------------------------------
+
+  /** Exact cosine top-5 for the first 10 vectors as probes. */
+  def knnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    Similarity.bruteForceTopK(q, c, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Sign-LSH multi-probe approximate top-5 (rows-only: xxhash64-based
+    * hyperplanes). 8-bit sketch, probe distance 2.
+    */
+  def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    Similarity.lshTopK(q, c, k = 5, bits = 8, probeDist = 2)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding near-dup pairs, label-blocked (IVF-coarse pattern),
+    * cosine ≥ 0.4.
+    */
+  def embedNeardup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairsBlocked(Tables.embeddings(s, dir),
+      col("vec_id"), col("embedding"), col("label"), threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "ngram_jaccard" -> (ngramJaccard _),
+    "minhash_pairs" -> (minhashPairs _),
+    "simhash_pairs" -> (simhashPairs _),
+    "text_stats" -> (textStats _),
+    "lang_guess" -> (langGuess _),
+    "knn_bruteforce" -> (knnBruteforce _),
+    "knn_lsh" -> (knnLsh _),
+    "embed_neardup" -> (embedNeardup _))
+
+  /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's
+    * regexp_replace needs the explicit 'g' flag (Spark's replaces all
+    * occurrences by default).
+    */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** DuckDB expression mirroring [[TextFns.tokens]]. */
+  private val toksSql =
+    s"list_filter(string_split($normSql, ' '), x -> x <> '')"
+
+  private def markerList(lang: String): String =
+    TextFns.LangMarkers.toMap.apply(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  private val stopList: String =
+    TextFns.StopWords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** DuckDB left-fold dot product over `a`·`b` matching the Spark
+    * zip_with+aggregate fold order (0.0 + p1 + p2 + …, which is
+    * IEEE-identical to DuckDB's list_reduce p1 + p2 + … seed fold).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+         |FROM (SELECT doc_id, $normSql AS norm FROM documents)
+         |GROUP BY norm ORDER BY keep_id""".stripMargin,
+    "ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         |    END)) AS gram
+         |  FROM t),
+         |kept AS (SELECT g.* FROM grams g
+         |         JOIN (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 1000) f
+         |         USING (gram)),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |          FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+         |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id, text, toks,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) END AS awl,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter(toks, w -> list_contains($stopList, w))) AS DOUBLE) / len(toks) END AS sr
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+         |  round(pr, 6) AS punct_ratio,
+         |  round(awl, 6) AS avg_word_len,
+         |  round(sr, 6) AS stop_ratio,
+         |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+         |      + (CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+         |      + least(sr * 5.0, 1.0) * 0.2
+         |      + greatest(0.0, 1.0 - pr * 4.0) * 0.2, 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "lang_guess" ->
+      s"""WITH t AS (SELECT doc_id, lang AS lang_true, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id, lang_true,
+         |  len(list_filter(toks, w -> list_contains(${markerList("en")}, w))) AS en,
+         |  len(list_filter(toks, w -> list_contains(${markerList("de")}, w))) AS de,
+         |  len(list_filter(toks, w -> list_contains(${markerList("fr")}, w))) AS fr,
+         |  len(list_filter(toks, w -> list_contains(${markerList("es")}, w))) AS es,
+         |  len(list_filter(toks, w -> list_contains(${markerList("zh")}, w))) AS zh
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
+         |       WHEN en = greatest(en, de, fr, es, zh) THEN 'en'
+         |       WHEN de = greatest(en, de, fr, es, zh) THEN 'de'
+         |       WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
+         |       WHEN es = greatest(en, de, fr, es, zh) THEN 'es'
+         |       ELSE 'zh' END AS lang_guess,
+         |  lang_true
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "knn_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, v AS cv, nrm AS cn FROM e),
+         |s AS (SELECT query_id, neighbor_id,
+         |  round(CASE WHEN qn * cn = 0 THEN 0.0
+         |             ELSE ${dotSql("qv", "cv")} / (qn * cn) END, 6) AS cos
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                   ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |      FROM s)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding AS v,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |p AS (SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+         |             ELSE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) END, 6) AS cos
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT block, id_a, id_b, cos FROM p WHERE cos >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin)
+}
