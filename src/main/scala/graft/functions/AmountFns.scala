@@ -26,13 +26,28 @@ object AmountFns {
     * 10^decimals (per-token convention, `top100_compute.sql:16`).
     * Stays in the decimal domain end-to-end: `pow` (double) is avoided
     * in favor of an exact decimal power-of-ten literal per row.
+    *
+    * Exact to 18 fractional digits; raw values ≥ 10^20 overflow
+    * Decimal(38,18) and null out (try_cast — no ANSI runtime error).
+    * For amounts where magnitude matters more than sub-micro
+    * precision (ranking whale balances), use [[scaleByDecimalsWide]].
     */
   def scaleByDecimals(raw: Column, decimals: Column): Column =
-    raw.cast(AmountDec) / power10(decimals)
+    raw.try_cast(AmountDec) / power10(decimals)
+
+  /** Wide-range variant: raw carried as Decimal(38,0) — any uint256
+    * value up to 10^38−1 survives (covers every real token's total
+    * supply) — and the division result is Decimal(38,6): exact
+    * integer part up to 10^32, 6 fractional digits. This is the
+    * ranking/display domain; [[scaleByDecimals]] is the exact-
+    * arithmetic domain. Raw values needing >38 digits null out.
+    */
+  def scaleByDecimalsWide(raw: Column, decimals: Column): Column =
+    raw.try_cast(DecimalType(38, 0)) / power10(decimals)
 
   /** Fixed-18 convention (`schema.sql:52,110` generated columns). */
   def scale18(raw: Column): Column =
-    raw.cast(AmountDec) / lit(BigDecimal(10).pow(18))
+    raw.try_cast(AmountDec) / lit(BigDecimal(10).pow(18))
 
   /** 10^d as exact Decimal. Double `pow` is exact for 10^d up to d=21
     * (mantissa 5^d fits in 53 bits), which covers every real token

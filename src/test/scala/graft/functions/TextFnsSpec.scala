@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFnsSpec extends SparkSpec {
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.collect().head.getAs[T](0)
+
+  private def onText(text: String)(c: org.apache.spark.sql.Column) = {
+    val ss = spark; import ss.implicits._
+    Seq(text).toDF("text").select(c)
+  }
+
+  test("normText lowercases, strips punctuation, collapses whitespace") {
+    assert(one[String](onText("  Hello,   WORLD!! 42 ")(TextFns.normText(col("text"))))
+      == "hello world 42")
+  }
+
+  test("tokens of empty and punctuation-only text is empty, not ['']") {
+    assert(one[Int](onText("")(TextFns.tokenCount(col("text")))) == 0)
+    assert(one[Int](onText("?!... --- !!")(TextFns.tokenCount(col("text")))) == 0)
+    assert(one[Int](onText("one two")(TextFns.tokenCount(col("text")))) == 2)
+  }
+
+  test("bpeTokenCount counts word chunks, single digits, punctuation marks") {
+    // "abc" + '1','2','3' + '!' = 5
+    assert(one[Int](onText("abc 123!")(TextFns.bpeTokenCount(col("text")))) == 5)
+  }
+
+  test("punctRatio and guards for empty text") {
+    assert(one[Double](onText("")(TextFns.punctRatio(col("text")))) == 0.0)
+    // "ab!?" → 2 punct of 4 chars
+    assert(one[Double](onText("ab!?")(TextFns.punctRatio(col("text")))) == 0.5)
+  }
+
+  test("avgWordLen over normalized tokens; 0 for empty") {
+    assert(one[Double](onText("")(TextFns.avgWordLen(col("text")))) == 0.0)
+    assert(one[Double](onText("ab cdef")(TextFns.avgWordLen(col("text")))) == 3.0)
+  }
+
+  test("stopwordRatio counts fixed-set hits") {
+    assert(one[Double](onText("the cat")(TextFns.stopwordRatio(col("text")))) == 0.5)
+    assert(one[Double](onText("zebra quux")(TextFns.stopwordRatio(col("text")))) == 0.0)
+  }
+
+  test("qualityScore stays in [0,1] across degenerate inputs") {
+    for (t <- Seq("", "x", "the the the", "a" * 2000, "?!?!?!", "normal prose with the usual words in it")) {
+      val q = one[Double](onText(t)(TextFns.qualityScore(col("text"))))
+      assert(q >= 0.0 && q <= 1.0, s"quality($t) = $q out of range")
+    }
+  }
+
+  test("langGuess picks marker-majority language, 'und' when nothing matches") {
+    assert(one[String](onText("the cat and the dog is here")(TextFns.langGuess(col("text")))) == "en")
+    assert(one[String](onText("der hund und die katze ist nicht hier")(TextFns.langGuess(col("text")))) == "de")
+    assert(one[String](onText("el perro es una mascota para la casa")(TextFns.langGuess(col("text")))) == "es")
+    assert(one[String](onText("zzz qqq")(TextFns.langGuess(col("text")))) == "und")
+    assert(one[String](onText("")(TextFns.langGuess(col("text")))) == "und")
+  }
+
+  test("wordShingles produces n-grams; short docs collapse to one shingle") {
+    val ss = spark; import ss.implicits._
+    val got = Seq("a b c d").toDF("text")
+      .select(TextFns.wordShingles(col("text"), 3)).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(TextFns.wordShingles(col("text"), 3)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("fingerprint is normalization-invariant and discriminates texts") {
+    val ss = spark; import ss.implicits._
+    val fps = Seq("Hello, World!", "hello   world", "goodbye world").toDF("text")
+      .select(TextFns.fingerprint(col("text"))).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}

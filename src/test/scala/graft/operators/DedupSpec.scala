@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    val ss = spark; import ss.implicits._
+    Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox JUMPS over the lazy dog!!"), // exact dup of 1 after norm
+      (3L, "The quick brown fox jumps over the lazy cat"),   // near dup of 1
+      (4L, "completely different content about spark engines"),
+      (5L, "")).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups normalization-equal docs, keeps min id") {
+    val ss = spark; import ss.implicits._
+    val g = Dedup.exact(docs, col("doc_id"), col("text"))
+      .select(col("keep_id"), col("dup_count")).as[(Long, Long)].collect().toSet
+    assert(g == Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("exactSurvivors is idempotent: dedup twice ≡ dedup once") {
+    val once = Dedup.exactSurvivors(docs, col("doc_id"), col("text"))
+    val twice = Dedup.exactSurvivors(once, col("doc_id"), col("text"))
+    val a = once.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = twice.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("ngram Jaccard matches a hand-computed pair") {
+    val ss = spark; import ss.implicits._
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    // trigrams: {abc,bcd,cde} vs {abc,bcd,cdf} → inter 2, union 4 → 0.5
+    val r = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"), n = 3, threshold = 0.4)
+      .select(col("id_a"), col("id_b"), col("jaccard")).as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(r == Seq((1L, 2L, 0.5)))
+  }
+
+  test("ngram Jaccard finds the planted near-dup, not the unrelated doc") {
+    val ss = spark; import ss.implicits._
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      n = 3, threshold = 0.3)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("maxShingleFreq=1 drops every shared shingle → no pairs") {
+    val ss = spark; import ss.implicits._
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val r = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+      n = 3, threshold = 0.0, maxShingleFreq = 1L)
+    assert(r.count() == 0)
+  }
+
+  test("minhash est_jaccard ≈ exact Jaccard on known pairs") {
+    val ss = spark; import ss.implicits._
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"), // identical: J = 1
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 xx yy")    // 8 shared of 12 distinct trigrams
+    ).toDF("doc_id", "text")
+    val est = Dedup.minhashCandidates(d, col("doc_id"), col("text"),
+      shingleLen = 3, bands = 32, rowsPerBand = 4)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(est((1L, 2L)) == 1.0)
+    // exact J(1,3) = 8/12 ≈ 0.667; 128 hashes → σ ≈ 0.042, allow 5σ
+    val e13 = est.getOrElse((1L, 3L), est((2L, 3L)))
+    assert(math.abs(e13 - 8.0 / 12.0) < 0.21, s"est=$e13")
+  }
+
+  test("simhash: identical docs collide at hamming 0; pairs respect maxDist") {
+    val ss = spark; import ss.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally unrelated words querty zxcvb plumbus")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(d, col("doc_id"), col("text"), maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("hamming")).as[(Long, Long, Int)]
+      .collect().toSeq
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(pairs.forall(_._3 <= 3))
+  }
+}

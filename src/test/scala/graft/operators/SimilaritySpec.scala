@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine matches hand-computed values") {
+    val ss = spark; import ss.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(2.0f, 1.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(round(Similarity.cosine(col("a"), col("b")), 6))
+      .as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.0, 0.8, 0.0)) // (1,2)·(2,1)=4, norms √5·√5=5
+  }
+
+  test("bruteForceTopK ranks neighbors by cosine with id tiebreak") {
+    val ss = spark; import ss.implicits._
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.9f, 0.1f)),
+      (12L, Array(0.0f, 1.0f))).toDF("neighbor_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("query_id", "embedding")
+    val got = Similarity.bruteForceTopK(queries, corpus, k = 2)
+      .select(col("neighbor_id"), col("rank")).as[(Long, Int)].collect().toSeq
+    assert(got.sortBy(_._2) == Seq((10L, 1), (11L, 2)))
+  }
+
+  test("lshTopK always finds an exact duplicate vector at rank 1") {
+    val ss = spark; import ss.implicits._
+    // corpus = shifted copies of the queries: identical vectors share a
+    // sketch (distance 0 ≤ probeDist), so the dup is always a candidate.
+    val vecs = (0 until 20).map(i =>
+      Array.tabulate(8)(d => math.sin(i * 31 + d).toFloat))
+    val queries = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("query_id", "embedding")
+    val corpus = vecs.zipWithIndex.map { case (v, i) => (100L + i, v) }
+      .toDF("neighbor_id", "embedding")
+    val top1 = Similarity.lshTopK(queries, corpus, k = 1, bits = 8, probeDist = 1)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+    assert(top1.length == 20)
+    assert(top1.forall { case (q, n, c) => n == 100L + q && c == 1.0 })
+  }
+
+  test("cosinePairsBlocked only pairs within a block and respects threshold") {
+    val ss = spark; import ss.implicits._
+    val df = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(1.0f, 0.1f)),  // same block, cos ≈ 0.995
+      (3L, 1, Array(1.0f, 0.0f)),  // identical to 1 but different block
+      (4L, 0, Array(0.0f, 1.0f))   // same block, cos ≈ 0.1
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.cosinePairsBlocked(df, col("vec_id"), col("embedding"),
+      col("label"), threshold = 0.9)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+}
