@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Relational, TextPipeline}
+import graft.queries.{Domain, Relational, TextPipeline}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,8 +17,8 @@ object SparkEntry {
     Relational.starJoin(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextPipeline.queries
+    Relational.queries ++ TextPipeline.queries ++ Domain.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextPipeline.oracles
+    Relational.oracles ++ TextPipeline.oracles ++ Domain.oracles
 }

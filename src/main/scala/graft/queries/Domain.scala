@@ -1,0 +1,256 @@
+package graft.queries
+
+import graft.Tables
+import graft.domain.{MerlStore, Top100}
+import graft.functions.AmountFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Merl-domain parity queries: the reference's data model and write
+  * semantics (holders → Top-100 refine; insert-ignore tx log; cursor
+  * store; job audit) exercised end-to-end, oracle-gated.
+  *
+  * The holders fixture is DERIVED deterministically from the driver's
+  * `customer` table (no synthetic data of our own): contract =
+  * market segment, holder = customer key, token_decimal ∈ {0,6,8,18}
+  * by segment, 6h bucket = custkey mod 4, quantity_raw = canonical
+  * decimal string of ⌊|acctbal|·100⌋ shifted by token_decimal — plus
+  * one 40-digit whale per contract to pin the >Decimal(38) ranking
+  * path. The identical derivation is expressed in the DuckDB oracle,
+  * so every value (including the uint256-scale whale) is checked.
+  *
+  * Write-path queries round-trip through a scratch [[MerlStore]] under
+  * /tmp, running each mutation TWICE (or with a conflicting second
+  * batch) so the oracle — which states the single-application result —
+  * proves idempotency / conflict semantics, not just the happy path.
+  */
+object Domain {
+
+  private def scratch(s: SparkSession, dir: String, name: String): MerlStore = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val store = new MerlStore(s, s"/tmp/graft_store/${safe}_$name")
+    store.destroy()
+    store
+  }
+
+  /** holders_raw-shaped frame derived from `customer` (see class doc). */
+  def holdersFixture(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select(
+      concat(lit("0x"), lower(col("c_mktsegment"))).as("contract_address"),
+      concat(lit("0xh"), col("c_custkey").cast(StringType)).as("holder_address"),
+      when(col("c_mktsegment") === "AUTOMOBILE", 0)
+        .when(col("c_mktsegment") === "BUILDING", 6)
+        .when(col("c_mktsegment") === "FURNITURE", 8)
+        .otherwise(18).as("token_decimal"),
+      (lit(21600L) * (col("c_custkey") % 4)).as("bucket_unix"),
+      floor(abs(col("c_acctbal")) * 100).cast(LongType).cast(StringType).as("cents"))
+    val raw0 = ltrim(concat(col("cents"), expr("repeat('0', token_decimal)")), "0")
+    val canon = base
+      .withColumn("quantity_raw", when(raw0 === "", lit("0")).otherwise(raw0))
+      .drop("cents")
+    val whales = base.select(col("contract_address"), col("token_decimal")).distinct()
+      .withColumn("holder_address", lit("0xwhale"))
+      .withColumn("bucket_unix", lit(64800L))
+      .withColumn("quantity_raw", lit("9" * 40))
+    canon.unionByName(whales.select(canon.columns.map(col): _*))
+      .withColumn("bucket_start_utc", timestamp_seconds(col("bucket_unix")))
+      .withColumn("trigger_id", date_format(col("bucket_start_utc"), "yyyy/MM/dd-HH"))
+      .withColumn("quantity_18d", AmountFns.scale18(col("quantity_raw")))
+  }
+
+  /** Reference E2 refine: Top-100 per (token, latest bucket), with the
+    * whale's 40-digit balance ranked exactly (string-numeric ordering)
+    * and displayed as a double on both engines.
+    */
+  def top100Domain(s: SparkSession, dir: String): DataFrame =
+    Top100.compute(holdersFixture(s, dir))
+      .select(col("contract_address"), col("bucket_unix"),
+        col("rnk").cast(LongType).as("rnk"), col("holder_address"),
+        (col("balance_raw").cast(DoubleType) / pow(lit(10.0), col("token_decimal")))
+          .as("balance"))
+      .orderBy(col("contract_address"), col("rnk"), col("holder_address"))
+
+  /** M3/M4: Top-100 partition-overwrite refresh, run twice — the
+    * stored table must equal a single refresh.
+    */
+  def top100Refresh(s: SparkSession, dir: String): DataFrame = {
+    val store = scratch(s, dir, "top100_refresh")
+    val t = Top100.compute(holdersFixture(s, dir))
+    store.refreshTop100(t)
+    store.refreshTop100(t)
+    store.read("refined_wallet_top100")
+      .select(col("contract_address"), col("bucket_unix").cast(LongType).as("bucket_unix"),
+        col("rnk").cast(LongType).as("rnk"), col("holder_address"))
+      .orderBy(col("contract_address"), col("rnk"), col("holder_address"))
+  }
+
+  /** M1: holders snapshot upsert — second write carries token_decimal
+    * + 1 and must fully replace the first (update-on-conflict), never
+    * double the rows.
+    */
+  def holdersUpsert(s: SparkSession, dir: String): DataFrame = {
+    val store = scratch(s, dir, "holders_upsert")
+    val fx = holdersFixture(s, dir)
+    store.upsertHolders(fx)
+    store.upsertHolders(fx.withColumn("token_decimal", col("token_decimal") + 1))
+    store.read("holders_raw")
+      .groupBy(col("contract_address"), col("bucket_unix").cast(LongType).as("bucket_unix"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("holder_address")).as("n_holders"),
+        sum(col("token_decimal")).cast(LongType).as("sum_dec"),
+        sum(length(col("quantity_raw"))).cast(LongType).as("sum_len"))
+      .orderBy(col("contract_address"), col("bucket_unix"))
+  }
+
+  /** M2: insert-ignore on the coalesce'd tx key. Batch A (even event
+    * ids, NULL transaction_index) then batch B (odd ids, index 0) —
+    * every B row whose pair exists in A collides via
+    * COALESCE(transaction_index,0) and must be dropped.
+    */
+  def txInsertIgnore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = floor(col("event_id") / 2.0).cast(LongType)
+    def txFrom(pred: Column, ti: Column) = ev.filter(pred).select(
+      concat(lit("0xt"), p.cast(StringType)).as("tx_hash"),
+      concat(lit("0xc"), (p % 3).cast(StringType)).as("contract_address"),
+      concat(lit("0xw"), (p % 50).cast(StringType)).as("wallet_address"),
+      p.cast(StringType).as("value_raw"),
+      ti.as("transaction_index"),
+      p.as("block_number"))
+    val store = scratch(s, dir, "tx_insert_ignore")
+    store.appendWalletTransactions(
+      txFrom(col("event_id") % 2 === 0, lit(null).cast(IntegerType)))
+    store.appendWalletTransactions(
+      txFrom(col("event_id") % 2 === 1, lit(0).cast(IntegerType)))
+    store.read("wallet_transactions").agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("tx_hash")).as("n_hash"),
+      sum(col("value_raw").cast(LongType)).as("total"),
+      sum(when(col("transaction_index").isNull, 1L).otherwise(0L)).as("n_null_ti"))
+  }
+
+  /** M5: cursor store — two checkpoint merges; blocks and pages move
+    * by GREATEST, metadata replaced by the latest writer.
+    */
+  def cursorStore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def snap(pred: Column, meta: String) = ev.filter(pred)
+      .groupBy(concat(lit("w"), (col("user_id") % 10).cast(StringType)).as("stream"))
+      .agg(max(col("event_id")).as("last_scanned_block"),
+        count(lit(1)).cast(IntegerType).as("last_page"))
+      .withColumn("metadata", lit(meta))
+    val store = scratch(s, dir, "cursor_store")
+    store.mergeCursors(snap(col("event_id") % 2 === 0, """{"v":1}"""))
+    store.mergeCursors(snap(col("event_id") % 3 === 0, """{"v":2}"""))
+    store.read("ingestion_cursors")
+      .select(col("stream"), col("last_scanned_block"), col("last_page"), col("metadata"))
+      .orderBy(col("stream"))
+  }
+
+  /** M6/S8: job audit bracket — success with stats, error with
+    * message, and a still-running row.
+    */
+  def jobAudit(s: SparkSession, dir: String): DataFrame = {
+    val store = scratch(s, dir, "job_audit")
+    val a = store.jobStart("alpha")
+    store.jobFinish(a, "success", stats = Some("""{"rows":42}"""))
+    val b = store.jobStart("beta")
+    store.jobFinish(b, "error", error = Some("boom"))
+    store.jobStart("gamma")
+    store.read("job_runs")
+      .select(col("job_name"), col("status"), col("stats"), col("error"),
+        col("finished_at").isNotNull.as("has_finished"))
+      .orderBy(col("job_name"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "top100_domain" -> (top100Domain _),
+    "top100_refresh" -> (top100Refresh _),
+    "holders_upsert" -> (holdersUpsert _),
+    "tx_insert_ignore" -> (txInsertIgnore _),
+    "cursor_store" -> (cursorStore _),
+    "job_audit" -> (jobAudit _))
+
+  /** Shared oracle CTE: the holders fixture derivation in DuckDB SQL,
+    * token-for-token with [[holdersFixture]].
+    */
+  private val holdersCte =
+    """WITH base AS (
+      |  SELECT '0x' || lower(c_mktsegment) AS contract_address,
+      |         '0xh' || CAST(c_custkey AS VARCHAR) AS holder_address,
+      |         CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 6
+      |              WHEN 'FURNITURE' THEN 8 ELSE 18 END AS token_decimal,
+      |         21600 * (c_custkey % 4) AS bucket_unix,
+      |         CAST(CAST(floor(abs(c_acctbal) * 100) AS BIGINT) AS VARCHAR) AS cents
+      |  FROM customer),
+      |holders AS (
+      |  SELECT contract_address, holder_address, token_decimal, bucket_unix,
+      |         CASE WHEN ltrim(cents || repeat('0', token_decimal), '0') = ''
+      |              THEN '0' ELSE ltrim(cents || repeat('0', token_decimal), '0') END
+      |           AS quantity_raw
+      |  FROM base
+      |  UNION ALL
+      |  SELECT DISTINCT contract_address, '0xwhale', token_decimal, 64800, repeat('9', 40)
+      |  FROM base),
+      |latest AS (SELECT contract_address, MAX(bucket_unix) AS b
+      |           FROM holders GROUP BY contract_address),
+      |ranked AS (
+      |  SELECT h.*, RANK() OVER (
+      |           PARTITION BY h.contract_address, h.bucket_unix
+      |           ORDER BY length(h.quantity_raw) DESC, h.quantity_raw DESC,
+      |                    h.holder_address ASC) AS rnk
+      |  FROM holders h JOIN latest l
+      |    ON l.contract_address = h.contract_address AND l.b = h.bucket_unix)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "top100_domain" -> (holdersCte +
+      """SELECT contract_address, bucket_unix, CAST(rnk AS BIGINT) AS rnk, holder_address,
+        |       CAST(quantity_raw AS DOUBLE) / power(10.0, token_decimal) AS balance
+        |FROM ranked WHERE rnk <= 100
+        |ORDER BY contract_address, rnk, holder_address""".stripMargin),
+    "top100_refresh" -> (holdersCte +
+      """SELECT contract_address, bucket_unix, CAST(rnk AS BIGINT) AS rnk, holder_address
+        |FROM ranked WHERE rnk <= 100
+        |ORDER BY contract_address, rnk, holder_address""".stripMargin),
+    "holders_upsert" -> (holdersCte +
+      """SELECT contract_address, bucket_unix, COUNT(*) AS n,
+        |       COUNT(DISTINCT holder_address) AS n_holders,
+        |       CAST(SUM(token_decimal + 1) AS BIGINT) AS sum_dec,
+        |       CAST(SUM(length(quantity_raw)) AS BIGINT) AS sum_len
+        |FROM holders GROUP BY contract_address, bucket_unix
+        |ORDER BY contract_address, bucket_unix""".stripMargin),
+    "tx_insert_ignore" ->
+      """WITH pa AS (SELECT DISTINCT CAST(floor(event_id / 2.0) AS BIGINT) AS p
+        |            FROM events WHERE event_id % 2 = 0),
+        |pb AS (SELECT DISTINCT CAST(floor(event_id / 2.0) AS BIGINT) AS p
+        |       FROM events WHERE event_id % 2 = 1),
+        |extra AS (SELECT p FROM pb EXCEPT SELECT p FROM pa),
+        |fin AS (SELECT p, TRUE AS null_ti FROM pa
+        |        UNION ALL SELECT p, FALSE FROM extra)
+        |SELECT COUNT(*) AS n, COUNT(DISTINCT '0xt' || CAST(p AS VARCHAR)) AS n_hash,
+        |       CAST(SUM(p) AS BIGINT) AS total,
+        |       CAST(SUM(CASE WHEN null_ti THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ti
+        |FROM fin""".stripMargin,
+    "cursor_store" ->
+      """WITH a AS (SELECT 'w' || CAST(user_id % 10 AS VARCHAR) AS stream,
+        |                  MAX(event_id) AS b, CAST(COUNT(*) AS INTEGER) AS p
+        |           FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT 'w' || CAST(user_id % 10 AS VARCHAR) AS stream,
+        |             MAX(event_id) AS b, CAST(COUNT(*) AS INTEGER) AS p
+        |      FROM events WHERE event_id % 3 = 0 GROUP BY 1)
+        |SELECT stream,
+        |       GREATEST(COALESCE(a.b, 0), COALESCE(b.b, 0)) AS last_scanned_block,
+        |       CAST(GREATEST(COALESCE(a.p, 0), COALESCE(b.p, 0)) AS INTEGER) AS last_page,
+        |       CASE WHEN b.stream IS NOT NULL THEN '{"v":2}' ELSE '{"v":1}' END AS metadata
+        |FROM a FULL OUTER JOIN b USING (stream)
+        |ORDER BY stream""".stripMargin,
+    "job_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('alpha', 'success', '{"rows":42}', CAST(NULL AS VARCHAR), TRUE),
+        |  ('beta', 'error', '{}', 'boom', TRUE),
+        |  ('gamma', 'running', '{}', CAST(NULL AS VARCHAR), FALSE))
+        |  AS t(job_name, status, stats, error, has_finished)
+        |ORDER BY job_name""".stripMargin)
+}
