@@ -1,0 +1,89 @@
+package graft.cli
+
+import graft.GraftSession
+import graft.domain.{MerlStore, Top100}
+import graft.pipelines.{Ingest, Report}
+import graft.sources.{ExplorerClient, FileTransport, HttpTransport}
+
+/** CLI dispatch mirroring the reference's subcommands
+  * (`merlin_etl.py:484-519`) plus the refine/report entry points the
+  * reference drives from bash (`run_holders_and_top100.sh`,
+  * `*_report.sh`).
+  *
+  * Environment (reference `.env` contract, SURVEY S11):
+  *   GRAFT_DATA_ROOT      store root (default ./graft_data)
+  *   MERLINSCAN_BASE_URL  explorer API base
+  *   MERLINSCAN_API_KEY   api key (required for HTTP)
+  *   ETL_RATE_LIMIT_QPS   default 3.0
+  *   GRAFT_FIXTURE_DIR    when set, serve the API from JSON fixtures
+  *                        instead of HTTP (offline/testing)
+  *   TELEGRAM_BOT_TOKEN / TELEGRAM_CHAT_ID   report delivery
+  */
+object Main {
+
+  private def flags(args: Array[String]): Map[String, String] =
+    args.drop(1).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: graft {block_by_time|holders_snapshot|wallet_tokentx|top100|report_snapshot|report_activity} [--flag value ...]")
+      sys.exit(2)
+    }
+    val f = flags(args)
+    val spark = GraftSession.local()
+    val store = new MerlStore(spark, sys.env.getOrElse("GRAFT_DATA_ROOT", "./graft_data"))
+    lazy val client = new ExplorerClient(sys.env.get("GRAFT_FIXTURE_DIR") match {
+      case Some(dir) => new FileTransport(dir)
+      case None => new HttpTransport(
+        sys.env.getOrElse("MERLINSCAN_BASE_URL", "https://scan.merlinchain.io/api"),
+        sys.env.getOrElse("MERLINSCAN_API_KEY",
+          sys.error("MERLINSCAN_API_KEY is not set in environment")),
+        sys.env.get("ETL_RATE_LIMIT_QPS").map(_.toDouble).getOrElse(3.0))
+    })
+    lazy val notifier: Report.Notifier =
+      (sys.env.get("TELEGRAM_BOT_TOKEN"), sys.env.get("TELEGRAM_CHAT_ID")) match {
+        case (Some(tok), Some(chat)) => new Report.TelegramNotifier(tok, chat)
+        case _ => new Report.Notifier {
+          override def send(msg: String, mode: String): Unit = println(msg)
+        }
+      }
+
+    val out = args(0) match {
+      case "block_by_time" =>
+        val r = Ingest.blockByTime(spark, store, client,
+          f("unix-ts").toLong, f.getOrElse("closest", "after"))
+        s"""{"block_number":${r.blockNumber.getOrElse(-1L)},"status":"${r.status}","message":"${r.message}"}"""
+      case "holders_snapshot" =>
+        val r = Ingest.holdersSnapshot(spark, store, client, f("token"),
+          java.time.Instant.parse(f("bucket-start-utc")), f("trigger-id"),
+          f.getOrElse("page-size", "100").toInt, f.getOrElse("max-pages", "10000").toInt,
+          f.getOrElse("default-decimals", "18").toInt)
+        s"""{"rows":${r.rows},"pages":${r.pages},"token":"${r.token}","decimals":${r.decimals}}"""
+      case "wallet_tokentx" =>
+        val r = Ingest.walletTokenTx(spark, store, client, f("wallet"), f("token"),
+          f.getOrElse("startblock", "0").toLong,
+          f.getOrElse("page-size", "100").toInt, f.getOrElse("max-pages", "100000").toInt)
+        s"""{"rows":${r.rows},"pages":${r.pages},"wallet":"${r.wallet}","token":"${r.token}","last_block":${r.lastBlock}}"""
+      case "top100" =>
+        val t = Top100.computeForToken(store.read("holders_raw"), f("token"),
+          f.getOrElse("k", "100").toInt)
+        store.refreshTop100(t)
+        s"""{"token":"${f("token")}","rows":${store.read("refined_wallet_top100").count()}}"""
+      case "report_snapshot" =>
+        Report.snapshotReport(spark, store, f("token"), notifier)
+        """{"sent":true}"""
+      case "report_activity" =>
+        val asOf = f.get("asof").map(java.time.Instant.parse)
+          .getOrElse(java.time.Instant.now())
+        Report.activityReport(spark, store, f("token"), asOf, notifier)
+        """{"sent":true}"""
+      case other =>
+        System.err.println(s"unknown command: $other"); sys.exit(2); ""
+    }
+    println(out)
+    spark.stop()
+  }
+}

@@ -1,0 +1,117 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import graft.domain.MerlStore
+import graft.sources.{ExplorerClient, FileTransport}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** E1/E2 pipelines against JSON fixtures (no network): pagination,
+  * short-page/status termination, schema-drift field coalescing,
+  * cursor resume, insert-ignore re-runs, job audit.
+  */
+class IngestSpec extends SparkSpec {
+
+  private def freshDirs(): (String, MerlStore, FileTransport, ExplorerClient) = {
+    val fixtures = Files.createTempDirectory("graft_api").toString
+    val store = new MerlStore(spark, Files.createTempDirectory("graft_store").toString)
+    val t = new FileTransport(fixtures)
+    (fixtures, store, t, new ExplorerClient(t))
+  }
+
+  private def write(dir: String, t: FileTransport, params: Map[String, String], body: String): Unit =
+    Files.writeString(Paths.get(dir, t.fixtureName(params)), body)
+
+  private def holderParams(token: String, page: Int, size: Int) = Map(
+    "module" -> "token", "action" -> "tokenholderlist", "contractaddress" -> token,
+    "page" -> page.toString, "offset" -> size.toString)
+
+  private def txParams(wallet: String, token: String, start: Long, page: Int, size: Int) = Map(
+    "module" -> "account", "action" -> "tokentx", "address" -> wallet,
+    "contractaddress" -> token, "startblock" -> start.toString, "endblock" -> "99999999",
+    "sort" -> "asc", "page" -> page.toString, "offset" -> size.toString)
+
+  test("holders snapshot: paging, drift coalescing, null drop, sticky decimals, idempotent re-run") {
+    val (fx, store, t, client) = freshDirs()
+    // page 1 (full): one canonical item, one missing-quantity item (dropped)
+    write(fx, t, holderParams("0xabc", 1, 2),
+      """{"status":"1","message":"OK","result":[
+        |{"TokenHolderAddress":"0xAAA","TokenHolderQuantity":"1000","decimals":"8"},
+        |{"TokenHolderAddress":"0xBAD"}]}""".stripMargin)
+    // page 2 (short → stop): drifted field names, no decimals (sticky 8)
+    write(fx, t, holderParams("0xabc", 2, 2),
+      """{"status":"1","message":"OK","result":[
+        |{"holderAddress":"0xBBB","balance":"2500"}]}""".stripMargin)
+
+    val bucket = java.time.Instant.parse("2024-01-15T06:00:00Z")
+    val r = Ingest.holdersSnapshot(spark, store, client, "0xabc", bucket, "2024/01/15-06",
+      pageSize = 2, maxPages = 10)
+    assert(r.rows == 2 && r.pages == 2 && r.decimals == 8)
+
+    val got = store.read("holders_raw")
+      .select("holder_address", "token_decimal", "quantity_raw")
+      .collect().map(x => (x.getString(0), x.getInt(1), x.getString(2))).toSet
+    assert(got == Set(("0xaaa", 8, "1000"), ("0xbbb", 8, "2500")))
+
+    // M1: re-running the same snapshot replaces the bucket, never doubles
+    Ingest.holdersSnapshot(spark, store, client, "0xabc", bucket, "2024/01/15-06",
+      pageSize = 2, maxPages = 10)
+    assert(store.read("holders_raw").count() == 2)
+
+    val jobs = store.read("job_runs").filter(col("job_name") === "holders_6h")
+    assert(jobs.count() == 2 && jobs.filter(col("status") === "success").count() == 2)
+  }
+
+  test("tokentx: pagination with running startblock, cursor resume, insert-ignore") {
+    val (fx, store, t, client) = freshDirs()
+    // run 1, page 1 (full, blocks 10 & 20) — next request carries startblock=20
+    write(fx, t, txParams("0xW1", "0xabc", 0, 1, 2),
+      """{"status":"1","message":"OK","result":[
+        |{"blockNumber":"10","timeStamp":"1700000000","hash":"0xh1","from":"0xW1","to":"0xX","value":"100","tokenDecimal":"18","transactionIndex":"1"},
+        |{"blockNumber":"20","timeStamp":"1700000600","hash":"0xh2","from":"0xY","to":"0xW1","value":"200","tokenDecimal":"18","transactionIndex":"2"}]}""".stripMargin)
+    // run 1, page 2 (short → stop), block 25
+    write(fx, t, txParams("0xW1", "0xabc", 20, 2, 2),
+      """{"status":"1","message":"OK","result":[
+        |{"blockNumber":"25","timeStamp":"1700001200","hash":"0xh3","from":"0xW1","to":"0xZ","value":"300"}]}""".stripMargin)
+
+    val r1 = Ingest.walletTokenTx(spark, store, client, "0xW1", "0xabc", 0, pageSize = 2)
+    assert(r1.rows == 3 && r1.pages == 2 && r1.lastBlock == 25)
+    assert(store.read("wallet_transactions").count() == 3)
+    assert(store.cursorGet("tokentx:0xw1:0xabc").contains((25L, 2)))
+
+    // run 2: resumes from block 25; no fixture there → status-0 stop, nothing new
+    val r2 = Ingest.walletTokenTx(spark, store, client, "0xW1", "0xabc", 0, pageSize = 2)
+    assert(r2.rows == 0 && r2.lastBlock == 25)
+    assert(store.read("wallet_transactions").count() == 3)
+
+    // run 3: drop the cursor (simulating lost bookkeeping) and replay
+    // from genesis — the same pages re-serve and every row must be
+    // dup-ignored by the coalesce'd natural key
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(store.path("ingestion_cursors"))).deleteRecursively()
+    val r3 = Ingest.walletTokenTx(spark, store, client, "0xW1", "0xabc", 0, pageSize = 2)
+    assert(r3.rows == 3 && r3.lastBlock == 25, "pages re-served after cursor loss")
+    assert(store.read("wallet_transactions").count() == 3, "insert-ignore must hold on replay")
+
+    val addrs = store.read("wallet_transactions")
+      .select("wallet_address", "from_address", "to_address")
+      .collect().flatMap(r => Seq(r.getString(0), r.getString(1), r.getString(2)))
+    assert(addrs.forall(a => a == a.toLowerCase), "addresses lowercased at ingest")
+  }
+
+  test("block_by_time: probe upserts on (unix_ts, closest)") {
+    val (fx, store, t, client) = freshDirs()
+    def probe(body: String) =
+      write(fx, t, Map("module" -> "block", "action" -> "getblocknobytime",
+        "timestamp" -> "1700000000", "closest" -> "before"), body)
+    probe("""{"status":"1","message":"OK","result":"12345"}""")
+    val r1 = Ingest.blockByTime(spark, store, client, 1700000000L, "before")
+    assert(r1.blockNumber.contains(12345L))
+    probe("""{"status":"1","message":"OK","result":"12399"}""")
+    Ingest.blockByTime(spark, store, client, 1700000000L, "before")
+    val rows = store.read("block_check")
+      .select("unix_ts", "closest", "block_number")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1700000000L, "before", 12399L)), "update-on-conflict keeps latest")
+  }
+}
