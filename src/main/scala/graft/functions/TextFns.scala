@@ -7,10 +7,20 @@ import org.apache.spark.sql.functions._
   * pipelines: normalization, tokenization, quality scoring, language
   * ID, shingling, fingerprinting.
   *
-  * Everything here is composed from codegen'd built-ins (split /
-  * regexp / array functions) so the hot path stays inside whole-stage
-  * codegen — at 100 TB a per-row Scala UDF would serialize every row
-  * through a closure; these don't.
+  * Everything here is composed from built-ins (split / regexp / array
+  * functions) — no UDFs, no closures in the hot path.
+  *
+  * EVALUATION-COST CONTRACT: Spark's higher-order functions
+  * (transform/aggregate/filter) are interpreted, not codegen'd, and a
+  * non-attribute argument referenced inside a lambda is RE-EVALUATED
+  * per element. Composing these helpers around a raw text column
+  * inside further lambdas multiplies regex work (observed: a minhash
+  * signature inlining tokenization ran the normText regexes 128× per
+  * doc). Consumers doing repeated derivation must therefore stage the
+  * token array once per row (`withColumn("__toks", tokens(text))` —
+  * CollapseProject keeps non-cheap multi-referenced projections
+  * separate) and use the `*Of(toks)` variants, which only reference
+  * the materialized attribute.
   */
 object TextFns {
 
@@ -46,11 +56,12 @@ object TextFns {
         .cast("double") / length(text))
 
   /** Mean token length over normalized tokens (0 for empty docs). */
-  def avgWordLen(text: Column): Column = {
-    val t = tokens(text)
+  def avgWordLen(text: Column): Column = avgWordLenOf(tokens(text))
+
+  /** [[avgWordLen]] over a pre-staged token array. */
+  def avgWordLenOf(t: Column): Column =
     when(size(t) === 0, lit(0.0)).otherwise(
       aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t))
-  }
 
   /** English stopword hit ratio: fraction of tokens in a fixed small
     * stopword set. A classic C4/Gopher-style quality signal.
@@ -59,21 +70,27 @@ object TextFns {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "this", "be", "are")
 
-  def stopwordRatio(text: Column): Column = {
-    val t = tokens(text)
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
+
+  /** [[stopwordRatio]] over a pre-staged token array. */
+  def stopwordRatioOf(t: Column): Column =
     when(size(t) === 0, lit(0.0)).otherwise(
       size(filter(t, w => w.isInCollection(StopWords))).cast("double") / size(t))
-  }
 
   /** Composite quality score in [0,1]: rewards mid-length docs, prose-
     * like word length, some stopwords, low punctuation noise. Weights
     * are Gopher-rule-inspired; the exact blend is ours (deterministic,
     * portable arithmetic only).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
+
+  /** [[qualityScore]] with a pre-staged token array for the token-
+    * derived terms (length/punct terms still read the raw text).
+    */
+  def qualityScoreOf(text: Column, toks: Column): Column = {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
-    val wordScore = when(avgWordLen(text).between(3.0, 10.0), 1.0).otherwise(0.5)
-    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val wordScore = when(avgWordLenOf(toks).between(3.0, 10.0), 1.0).otherwise(0.5)
+    val stopScore = least(stopwordRatioOf(toks) * 5.0, lit(1.0))
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
     round(lenScore * 0.3 + wordScore * 0.3 + stopScore * 0.2 + punctScore * 0.2, 6)
   }
@@ -89,34 +106,43 @@ object TextFns {
     "zh" -> Seq("de", "shi", "bu", "le", "wo", "ni", "ta", "men", "zai", "you"))
 
   /** Per-language marker hit count over whitespace tokens. */
-  def langHits(text: Column, lang: String): Column = {
+  def langHits(text: Column, lang: String): Column = langHitsOf(tokens(text), lang)
+
+  /** [[langHits]] over a pre-staged token array. */
+  def langHitsOf(t: Column, lang: String): Column = {
     val markers = LangMarkers.toMap.apply(lang)
-    size(filter(tokens(text), w => w.isInCollection(markers)))
+    size(filter(t, w => w.isInCollection(markers)))
   }
 
   /** Heuristic language guess: argmax marker hits, ties broken by the
     * fixed language order in [[LangMarkers]]; "und" (undetermined) when
     * nothing matches.
     */
-  def langGuess(text: Column): Column = {
-    val hits = LangMarkers.map { case (l, _) => l -> langHits(text, l) }
+  def langGuess(text: Column): Column = langGuessOf(tokens(text))
+
+  /** [[langGuess]] over a pre-staged token array. */
+  def langGuessOf(t: Column): Column = {
+    val hits = LangMarkers.map { case (l, _) => l -> langHitsOf(t, l) }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = hits.reverse.foldLeft(lit("und")) { case (acc, (l, h)) =>
+    hits.reverse.foldLeft(lit("und")) { case (acc, (l, h)) =>
       when(h === best && best > 0, lit(l)).otherwise(acc)
     }
-    pick
   }
 
   /** Word n-gram shingles over normalized tokens (for MinHash /
     * Jaccard dedup). Produces an array of space-joined n-grams;
     * docs shorter than n yield a single shingle of the whole doc.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  def wordShingles(text: Column, n: Int): Column = wordShinglesOf(tokens(text), n)
+
+  /** [[wordShingles]] over a pre-staged token array — `t` must be a
+    * materialized attribute or the slice lambda re-tokenizes per
+    * shingle (see class doc).
+    */
+  def wordShinglesOf(t: Column, n: Int): Column =
     when(size(t) < n, array(array_join(t, " "))).otherwise(
       transform(sequence(lit(0), size(t) - n),
         i => array_join(slice(t, i + 1, lit(n)), " ")))
-  }
 
   /** 64-bit document fingerprint: xxhash64 over normalized text.
     * Collision-safe enough for exact-dup detection at 100 TB scale

@@ -40,35 +40,40 @@ object Dedup {
 
   // ---- MinHash -----------------------------------------------------
 
-  /** Per-shingle base hashes, then k derived hashes
-    * h_i(s) = xxhash64(i, xxhash64(s)): the string is hashed once,
-    * then each of the k family members re-mixes the 8-byte base with
-    * the hash index — k×m fixed-width hashes, no string re-hashing,
-    * and no 64-bit wrap-around arithmetic (which ANSI mode rejects).
-    * The signature entry i is the min over shingles. Fully
-    * deterministic: no RNG at plan time.
-    */
-  private def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    val base = transform(shingles, s => xxhash64(s))
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      aggregate(base, lit(Long.MaxValue),
-        (acc, h) => least(acc, xxhash64(i, h))))
-  }
-
   /** Candidate near-duplicate pairs via MinHash + LSH banding.
     *
     * numHashes = bands * rowsPerBand. Two docs become a candidate pair
     * iff some band of their signatures matches exactly; est_jaccard is
     * the fraction of agreeing signature positions. Returns
     * (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
+    *
+    * Evaluation staging (see [[TextFns]] cost contract): per-shingle
+    * base hashes are materialized through an explode → hash →
+    * collect_list AGGREGATE boundary, which CollapseProject cannot
+    * inline through (plain withColumn staging gets re-merged because
+    * each staged column is referenced exactly once in the consumer
+    * tree, and the 128-way signature lambda then re-tokenizes per
+    * hash function — observed 128× regex blowup). The k derived
+    * hashes h_i = xxhash64(i, base) fold over the materialized 8-byte
+    * array; the min-fold is order-independent, so collect_list's
+    * nondeterministic ordering is harmless. The hash shuffle also
+    * spreads signature work across cores regardless of input file
+    * layout.
     */
   def minhashCandidates(docs: DataFrame, idCol: Column, textCol: Column,
                         shingleLen: Int = 3, bands: Int = 16,
                         rowsPerBand: Int = 8): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = docs.select(
-      idCol.as("doc_id"),
-      minhashSignature(TextFns.wordShingles(textCol, shingleLen), numHashes).as("sig"))
+    val sigs = docs.repartition()
+      .select(idCol.as("doc_id"), TextFns.tokens(textCol).as("__toks"))
+      .select(col("doc_id"),
+        explode(TextFns.wordShinglesOf(col("__toks"), shingleLen)).as("__s"))
+      .select(col("doc_id"), xxhash64(col("__s")).as("__h"))
+      .groupBy(col("doc_id")).agg(collect_list(col("__h")).as("__base"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(numHashes - 1)), i =>
+          aggregate(col("__base"), lit(Long.MaxValue),
+            (acc, h) => least(acc, xxhash64(i, h)))).as("sig"))
 
     // Explode to one row per band; the bucket key hashes the band's
     // signature slice, so the join key is (band, 8-byte bucket).
@@ -102,8 +107,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, threshold: Double = 0.8,
                         maxShingleFreq: Long = 1000L): DataFrame = {
-    val grams = docs.select(idCol.as("doc_id"),
-      explode(array_distinct(TextFns.wordShingles(textCol, n))).as("gram"))
+    val grams = docs.repartition()
+      .select(idCol.as("doc_id"), TextFns.tokens(textCol).as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.wordShinglesOf(col("__toks"), n))).as("gram"))
     val kept =
       if (maxShingleFreq == Long.MaxValue) grams
       else {
@@ -132,11 +139,14 @@ object Dedup {
 
   // ---- SimHash -----------------------------------------------------
 
-  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/−1 by the
-    * token-hash's bit value; the sign becomes the fingerprint bit.
+  /** 64-bit SimHash from a MATERIALIZED token-hash array attribute:
+    * per bit, sum +1/−1 by the hash's bit value; the sign becomes the
+    * fingerprint bit. Takes the hash array (not text) because the
+    * 64-way bit fold re-reads its input 64× — an attribute read is
+    * free, an inlined tokenization is 64 regex passes (TextFns cost
+    * contract).
     */
-  def simhash(textCol: Column): Column = {
-    val hashes = transform(TextFns.tokens(textCol), t => xxhash64(t))
+  def simhashOfHashes(hashes: Column): Column = {
     val counts = transform(sequence(lit(0), lit(63)), k =>
       aggregate(hashes, lit(0),
         (acc, h) => acc +
@@ -147,6 +157,10 @@ object Dedup {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
+  /** Convenience single-column form (small inputs / tests). */
+  def simhash(textCol: Column): Column =
+    simhashOfHashes(transform(TextFns.tokens(textCol), t => xxhash64(t)))
+
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDist,
     * found via pigeonhole LSH: split 64 bits into (maxDist+1) chunks;
     * any pair within distance maxDist must agree on ≥1 whole chunk, so
@@ -156,7 +170,16 @@ object Dedup {
                    maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    val sh = docs.select(idCol.as("doc_id"), simhash(textCol).as("sh"))
+    // Token hashes materialized through an aggregate boundary — same
+    // CollapseProject rationale as minhashCandidates; the ±1 bit sums
+    // are order-independent. Docs with zero tokens drop out of
+    // pairing here (they are exact duplicates of each other and
+    // belong to Dedup.exact's domain).
+    val sh = docs.repartition()
+      .select(idCol.as("doc_id"), explode(TextFns.tokens(textCol)).as("__t"))
+      .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
+      .groupBy(col("doc_id")).agg(collect_list(col("__h")).as("__hashes"))
+      .select(col("doc_id"), simhashOfHashes(col("__hashes")).as("sh"))
     val banded = sh.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
         call_function("shiftright", col("sh"), c * bitsPer)

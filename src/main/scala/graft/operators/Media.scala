@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: images/audio/video as opaque BINARY
+  * payload columns plus a typed metadata struct, with decode /
+  * feature-extract / resize / frame-sample stages.
+  *
+  * The Spark-side plumbing is real — schemas, per-partition codec
+  * lifecycle, batch shape, partition parallelism. The CODECS are
+  * deterministic STUBS over a toy container format (this container
+  * ships no image/audio libraries): a real deployment swaps
+  * [[StubCodec]] for a JNI/libvips/ffmpeg codec with the same
+  * signature and everything else stands.
+  *
+  * Execution model: decode runs in `mapPartitions`, NOT per-row UDFs,
+  * because real codecs amortize expensive init (decoder tables, GPU
+  * contexts) per partition — the stub mirrors that shape with an
+  * explicit per-partition `open()`. Pure byte-level features
+  * (brightness, histograms) stay in codegen'd expressions — at 100 TB
+  * that keeps the common filter path ("drop dark images") inside
+  * whole-stage codegen with no serialization boundary.
+  */
+object Media {
+
+  /** Toy container: magic(4) | width(2 BE) | height(2 BE) |
+    * channels(1) | pixel bytes (w·h·c). "VID0" wraps frame count(2)
+    * then that many IMG0 frames back to back.
+    */
+  val ImageMagic: Array[Byte] = "IMG0".getBytes("UTF-8")
+  val VideoMagic: Array[Byte] = "VID0".getBytes("UTF-8")
+
+  final case class ImageMeta(width: Int, height: Int, channels: Int, format: String)
+  final case class DecodedImage(id: Long, meta: ImageMeta, pixels: Array[Byte])
+
+  /** Deterministic fixture payload for an id: a w×h×c image whose
+    * pixel bytes are a fixed function of (id, index).
+    */
+  def stubImage(id: Long, w: Int = 8, h: Int = 8, c: Int = 3): Array[Byte] = {
+    val px = Array.tabulate(w * h * c)(i => ((id * 31 + i * 7) % 256).toByte)
+    ImageMagic ++ Array(((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte, c.toByte) ++ px
+  }
+
+  /** Deterministic fixture video: n frames of stubImage bytes. */
+  def stubVideo(id: Long, frames: Int, w: Int = 4, h: Int = 4, c: Int = 1): Array[Byte] =
+    VideoMagic ++ Array(((frames >> 8) & 0xff).toByte, (frames & 0xff).toByte) ++
+      (0 until frames).flatMap(f => stubImage(id * 1000 + f, w, h, c)).toArray
+
+  /** The codec seam. `open()` is called once per partition (the
+    * expensive-init amortization point); decode is per payload.
+    */
+  trait Codec extends Serializable {
+    def open(): Unit
+    def decode(payload: Array[Byte]): Option[(ImageMeta, Array[Byte])]
+  }
+
+  /** STUB codec: parses the toy header. Replace with a real decoder —
+    * same signature, same pipeline.
+    */
+  object StubCodec extends Codec {
+    override def open(): Unit = () // real impl: init decode tables / native ctx
+    override def decode(p: Array[Byte]): Option[(ImageMeta, Array[Byte])] = {
+      if (p.length < 9 || !p.take(4).sameElements(ImageMagic)) None
+      else {
+        val w = ((p(4) & 0xff) << 8) | (p(5) & 0xff)
+        val h = ((p(6) & 0xff) << 8) | (p(7) & 0xff)
+        val c = p(8) & 0xff
+        val body = p.drop(9)
+        if (body.length < w * h * c) None
+        else Some((ImageMeta(w, h, c, "img0"), body.take(w * h * c)))
+      }
+    }
+  }
+
+  /** Decode a (id: Long, payload: Binary) frame into
+    * (id, width, height, channels, format, pixels) — one codec open
+    * per partition, rows that fail to decode are dropped (counted
+    * upstream via the null pattern if needed).
+    */
+  def decodeImages(df: DataFrame, idCol: String = "id",
+                   payloadCol: String = "payload",
+                   codec: Codec = StubCodec): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in = df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+    in.mapPartitions { it =>
+      codec.open()
+      it.flatMap { case (id, payload) =>
+        codec.decode(payload).map { case (m, px) =>
+          (id, m.width, m.height, m.channels, m.format, px)
+        }
+      }
+    }.toDF("id", "width", "height", "channels", "format", "pixels")
+  }
+
+  /** Nearest-neighbor resize of decoded single-plane-interleaved
+    * pixels — a real computation on the stub format, same partition
+    * shape a real resizer would use.
+    */
+  def resizeImages(decoded: DataFrame, newW: Int, newH: Int): DataFrame = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    val in = decoded.select(col("id"), col("width"), col("height"),
+      col("channels"), col("pixels")).as[(Long, Int, Int, Int, Array[Byte])]
+    in.map { case (id, w, h, c, px) =>
+      val out = Array.tabulate(newW * newH * c) { i =>
+        val ch = i % c; val x = (i / c) % newW; val y = i / (c * newW)
+        val sx = x * w / newW; val sy = y * h / newH
+        px((sy * w + sx) * c + ch)
+      }
+      (id, newW, newH, c, out)
+    }.toDF("id", "width", "height", "channels", "pixels")
+  }
+
+  /** Codegen'd byte-level features over the pixels column: mean
+    * brightness and an 8-bin histogram — pure expressions (no UDF, no
+    * shuffle), so quality filters on these prune before any decode-
+    * downstream stage materializes. Bytes are unpacked via hex() +
+    * fixed-width substrings (Spark has no direct binary subscript);
+    * fine at stub sizes, and a custom `Expression` with doGenCode is
+    * the drop-in upgrade for production pixel counts.
+    */
+  def imageFeatures(decoded: DataFrame): DataFrame = {
+    val unpacked = decoded.withColumn("__hex", hex(col("pixels")))
+      .withColumn("__bytes",
+        when(length(col("pixels")) === 0, array().cast("array<int>"))
+          .otherwise(transform(sequence(lit(0), length(col("pixels")) - 1),
+            i => conv(col("__hex").substr(i * 2 + 1, lit(2)), 16, 10).cast("int"))))
+    unpacked
+      .withColumn("brightness",
+        aggregate(col("__bytes"), lit(0L), (a, v) => a + v).cast("double")
+          / greatest(size(col("__bytes")), lit(1)))
+      .withColumn("histogram8",
+        transform(sequence(lit(0), lit(7)), bin =>
+          size(filter(col("__bytes"), v => floor(v / 32) === bin))))
+      .drop("__bytes", "__hex")
+  }
+
+  /** Sample every `stride`-th frame of a VID0 payload (frame-sample
+    * stage of a video pipeline): emits one IMG0 payload per kept
+    * frame as (id, frame_index, payload).
+    */
+  def sampleFrames(df: DataFrame, stride: Int, idCol: String = "id",
+                   payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in = df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+    in.flatMap { case (id, p) =>
+      if (p.length < 6 || !p.take(4).sameElements(VideoMagic)) Iterator.empty
+      else {
+        val n = ((p(4) & 0xff) << 8) | (p(5) & 0xff)
+        var off = 6
+        val frames = (0 until n).iterator.flatMap { f =>
+          if (off + 9 > p.length) Iterator.empty
+          else {
+            val w = ((p(off + 4) & 0xff) << 8) | (p(off + 5) & 0xff)
+            val h = ((p(off + 6) & 0xff) << 8) | (p(off + 7) & 0xff)
+            val c = p(off + 8) & 0xff
+            val sz = 9 + w * h * c
+            val frame = p.slice(off, off + sz)
+            off += sz
+            if (f % stride == 0) Iterator.single((id, f, frame)) else Iterator.empty
+          }
+        }
+        frames.toSeq
+      }
+    }.toDF("id", "frame_index", "payload")
+  }
+}

@@ -31,8 +31,18 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity (0 for zero-norm vectors rather than NaN/error). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
+  def cosine(a: Column, b: Column): Column =
+    cosineWithNorms(a, b, norm(a), norm(b))
+
+  /** Cosine with PRE-STAGED norms: per-pair evaluation does one dot
+    * fold instead of three. Joins should compute each side's norm once
+    * per VECTOR (before the join), not once per pair — at n·m pairs
+    * that is the difference between 1 and 3 interpreted array folds in
+    * the hot loop. Bit-identical to [[cosine]] (same fold, same
+    * guard).
+    */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val d = na * nb
     when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
@@ -46,11 +56,16 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      queryId: String = "query_id", corpusId: String = "neighbor_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(queryId), col(vecCol).as("__qv"))
-    val c = corpus.select(col(corpusId), col(vecCol).as("__cv"))
+    // Repartition the corpus: the broadcast join keeps its partitioning,
+    // so a single-file scan would otherwise score every pair in one task.
+    val q = queries.select(col(queryId), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val c = corpus.repartition().select(col(corpusId), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
     val scored = c.join(broadcast(q), col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId),
-        round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+        round(cosineWithNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")), 6).as("cos"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cos").desc, col(corpusId).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -84,10 +99,13 @@ object Similarity {
     */
   def cosinePairsBlocked(df: DataFrame, idCol: Column, vecCol: Column,
                          blockCol: Column, threshold: Double): DataFrame = {
-    val a = df.select(blockCol.as("block"), idCol.as("id_a"), vecCol.as("__va"))
-    val b = df.select(blockCol.as("block"), idCol.as("id_b"), vecCol.as("__vb"))
+    val a = df.select(blockCol.as("block"), idCol.as("id_a"), vecCol.as("__va"),
+      norm(vecCol).as("__na"))
+    val b = df.select(blockCol.as("block"), idCol.as("id_b"), vecCol.as("__vb"),
+      norm(vecCol).as("__nb"))
     a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .withColumn("cos", round(cosineWithNorms(col("__va"), col("__vb"),
+        col("__na"), col("__nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"), col("cos"))
   }
@@ -117,16 +135,17 @@ object Similarity {
     require(bits <= 30, s"sign sketch wider than 30 bits ($bits) explodes the probe set")
     val masks = probeMasks(bits, probeDist)
     val q = queries.select(col(queryId), col(vecCol).as("__qv"),
-      signSketch(col(vecCol), bits).as("__qs"))
+      norm(col(vecCol)).as("__qn"), signSketch(col(vecCol), bits).as("__qs"))
       .withColumn("__mask", explode(array(masks.map(m => lit(m)): _*)))
       .withColumn("__probe", col("__mask").bitwiseXOR(col("__qs")))
       .drop("__mask")
-    val c = corpus.select(col(corpusId), col(vecCol).as("__cv"),
-      signSketch(col(vecCol), bits).as("__cs"))
+    val c = corpus.repartition().select(col(corpusId), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"), signSketch(col(vecCol), bits).as("__cs"))
     val cand = c.join(broadcast(q),
       col("__probe") === col("__cs") && col(queryId) =!= col(corpusId))
     val scored = cand.select(col(queryId), col(corpusId),
-      round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+      round(cosineWithNorms(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")), 6).as("cos"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cos").desc, col(corpusId).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -61,24 +61,32 @@ object TextPipeline {
 
   // ---- text analysis ----------------------------------------------
 
-  /** Per-document token counts, ratios, and composite quality score. */
+  /** Per-document token counts, ratios, and composite quality score.
+    * Tokens are staged once per row (TextFns cost contract) and the
+    * scan repartitioned — per-doc regex work must spread across
+    * cores, not sit in one small-file task.
+    */
   def textStats(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      TextFns.tokenCount(col("text")).cast(LongType).as("n_tokens"),
-      TextFns.bpeTokenCount(col("text")).cast(LongType).as("n_bpe"),
-      round(TextFns.punctRatio(col("text")), 6).as("punct_ratio"),
-      round(TextFns.avgWordLen(col("text")), 6).as("avg_word_len"),
-      round(TextFns.stopwordRatio(col("text")), 6).as("stop_ratio"),
-      TextFns.qualityScore(col("text")).as("quality"))
+    Tables.documents(s, dir).repartition()
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("__toks"))
+      .select(
+        col("doc_id"),
+        size(col("__toks")).cast(LongType).as("n_tokens"),
+        TextFns.bpeTokenCount(col("text")).cast(LongType).as("n_bpe"),
+        round(TextFns.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextFns.avgWordLenOf(col("__toks")), 6).as("avg_word_len"),
+        round(TextFns.stopwordRatioOf(col("__toks")), 6).as("stop_ratio"),
+        TextFns.qualityScoreOf(col("text"), col("__toks")).as("quality"))
       .orderBy(col("doc_id"))
 
   /** Heuristic language ID vs the labeled truth column. */
   def langGuess(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      TextFns.langGuess(col("text")).as("lang_guess"),
-      col("lang").as("lang_true"))
+    Tables.documents(s, dir).repartition()
+      .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("__toks"))
+      .select(
+        col("doc_id"),
+        TextFns.langGuessOf(col("__toks")).as("lang_guess"),
+        col("lang").as("lang_true"))
       .orderBy(col("doc_id"))
 
   // ---- similarity --------------------------------------------------

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.functions.TimeFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+
+/** Incremental / micro-batch execution (SURVEY §2.9): the reference is
+  * cron-driven batch with hand-rolled cursors (`ingestion_cursors` +
+  * `startblock` resume). Structured Streaming subsumes that pattern:
+  * the checkpoint IS the cursor (exactly-once file offsets), and
+  * `Trigger.AvailableNow` gives "run as a job, process only what's
+  * new, stop" — the cron-friendly shape.
+  *
+  * Two surfaces:
+  *  - [[ingestIncrement]]: file-source stream → 6h-bucket-partitioned
+  *    append, checkpointed. Re-running is a no-op until new files
+  *    arrive; each run appends exactly the delta. This is the
+  *    engine-native replacement for the reference's cursor loop.
+  *  - [[userCursors]]: arbitrary keyed state via mapGroupsWithState —
+  *    the running per-user max-event cursor (the same GREATEST-merge
+  *    semantics as `merlin_etl.py:159-175`, but inside the engine).
+  */
+object Incremental {
+
+  /** One micro-batch pass: consume new event files from `srcDir`,
+    * append them to `destDir` partitioned by the 6h snapshot bucket,
+    * checkpoint at `checkpointDir`, and stop when caught up.
+    */
+  def ingestIncrement(spark: SparkSession, srcDir: String, destDir: String,
+                      checkpointDir: String): Unit = {
+    val stream = spark.readStream.schema(graft.Tables.eventsSchema).parquet(srcDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.withColumn("bucket_unix", TimeFns.bucket6h(col("ts")))
+          .write.mode("append").partitionBy("bucket_unix").parquet(destDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Windowed rollup of the incrementally-built table — bucket
+    * partition pruning applies because [[ingestIncrement]] partitioned
+    * by bucket_unix.
+    */
+  def bucketRollup(spark: SparkSession, destDir: String): DataFrame =
+    spark.read.parquet(destDir)
+      .groupBy(col("bucket_unix"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+  final case class UserCursor(user_id: Long, last_event_id: Long, events_seen: Long)
+
+  /** Keyed streaming state: per-user monotonic cursor (max event id +
+    * count), updated per micro-batch via mapGroupsWithState. Returns
+    * the streaming DataFrame; callers attach a sink (tests use the
+    * memory sink in update mode).
+    */
+  def userCursors(spark: SparkSession, srcDir: String): DataFrame = {
+    import spark.implicits._
+    val events = spark.readStream.schema(graft.Tables.eventsSchema)
+      .parquet(srcDir).as[Event]
+    def update(user: Long, batch: Iterator[Event],
+               state: GroupState[UserCursor]): UserCursor = {
+      val prev = state.getOption.getOrElse(UserCursor(user, -1L, 0L))
+      val next = batch.foldLeft(prev)((c, e) =>
+        UserCursor(user, math.max(c.last_event_id, e.event_id), c.events_seen + 1))
+      state.update(next)
+      next
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+}

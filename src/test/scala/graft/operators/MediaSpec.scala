@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MediaSpec extends SparkSpec {
+
+  private def images = {
+    val ss = spark; import ss.implicits._
+    Seq((1L, Media.stubImage(1L, 4, 4, 3)),
+      (2L, Media.stubImage(2L, 8, 2, 1)),
+      (3L, "not an image".getBytes("UTF-8"))).toDF("id", "payload")
+  }
+
+  test("decodeImages parses headers per partition and drops undecodable rows") {
+    val d = Media.decodeImages(images)
+    val got = d.select("id", "width", "height", "channels", "format")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .toSet
+    assert(got == Set((1L, 4, 4, 3, "img0"), (2L, 8, 2, 1, "img0")))
+    val px = d.filter(col("id") === 1L).select("pixels").head().getAs[Array[Byte]](0)
+    assert(px.length == 4 * 4 * 3)
+    assert(px(0) == ((1 * 31 + 0) % 256).toByte && px(5) == ((1 * 31 + 35) % 256).toByte)
+  }
+
+  test("imageFeatures computes exact brightness and histogram via expressions") {
+    val ss = spark; import ss.implicits._
+    // constant-pixel image: 9 bytes of value 100 → brightness 100, all in bin 3
+    val flat = Array.fill(9)(100.toByte)
+    val payload = Media.ImageMagic ++ Array[Byte](0, 3, 0, 3, 1) ++ flat
+    val d = Media.decodeImages(Seq((7L, payload)).toDF("id", "payload"))
+    val f = Media.imageFeatures(d)
+      .select(col("brightness"), col("histogram8")).head()
+    assert(f.getDouble(0) == 100.0)
+    assert(f.getSeq[Int](1) == Seq(0, 0, 0, 9, 0, 0, 0, 0))
+  }
+
+  test("resizeImages nearest-neighbor halves dimensions") {
+    val d = Media.decodeImages(images).filter(col("id") === 1L)
+    val r = Media.resizeImages(d, 2, 2)
+    val row = r.head()
+    assert(row.getAs[Int]("width") == 2 && row.getAs[Int]("height") == 2)
+    val px = row.getAs[Array[Byte]]("pixels")
+    assert(px.length == 2 * 2 * 3)
+    // top-left pixel of the resize = source pixel (0,0), all channels
+    val src = Media.decodeImages(images).filter(col("id") === 1L)
+      .head().getAs[Array[Byte]]("pixels")
+    assert(px.take(3).sameElements(src.take(3)))
+  }
+
+  test("sampleFrames keeps every stride-th frame of a video payload") {
+    val ss = spark; import ss.implicits._
+    val vid = Seq((5L, Media.stubVideo(5L, frames = 6, w = 4, h = 4, c = 1)))
+      .toDF("id", "payload")
+    val sampled = Media.sampleFrames(vid, stride = 2)
+    val idx = sampled.select("frame_index").collect().map(_.getInt(0)).sorted.toSeq
+    assert(idx == Seq(0, 2, 4))
+    // every sampled frame decodes as a standalone image
+    val dec = Media.decodeImages(sampled.select(col("id"), col("payload")))
+    assert(dec.count() == 3)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Incremental micro-batch semantics: the checkpoint is the cursor —
+  * re-runs are no-ops, new files are consumed exactly once.
+  */
+class IncrementalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ingestIncrement consumes each file exactly once across runs") {
+    val src = Files.createTempDirectory("inc_src").toString
+    val dest = Files.createTempDirectory("inc_dest").toString + "/t"
+    val ckpt = Files.createTempDirectory("inc_ckpt").toString
+
+    val ev = Tables.events(spark, sf).cache()
+    val total = ev.count()
+    val half = ev.filter(col("event_id") % 2 === 0)
+    val rest = ev.filter(col("event_id") % 2 === 1)
+
+    // the file source scans a directory of parquet files
+    val flat = src + "/flat"
+    half.write.mode("overwrite").parquet(flat)
+    Incremental.ingestIncrement(spark, flat, dest, ckpt)
+    val n1 = spark.read.parquet(dest).count()
+    assert(n1 == half.count())
+
+    // run again with nothing new: checkpoint makes it a no-op
+    Incremental.ingestIncrement(spark, flat, dest, ckpt)
+    assert(spark.read.parquet(dest).count() == n1)
+
+    // add the second half as new files → only the delta appends
+    rest.write.mode("append").parquet(flat)
+    Incremental.ingestIncrement(spark, flat, dest, ckpt)
+    assert(spark.read.parquet(dest).count() == total)
+
+    // bucket partitioning materialized for pruning
+    val buckets = spark.read.parquet(dest).select("bucket_unix").distinct().count()
+    assert(buckets >= 1)
+
+    // rollup over the incremental table equals the batch rollup
+    val inc = Incremental.bucketRollup(spark, dest)
+      .orderBy("bucket_unix", "event_type").collect().toSeq
+    val batch = ev.withColumn("bucket_unix", graft.functions.TimeFns.bucket6h(col("ts")))
+      .groupBy(col("bucket_unix"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("bucket_unix", "event_type").collect().toSeq
+    assert(inc == batch)
+  }
+
+  test("userCursors keeps per-user running max via keyed state") {
+    val src = Files.createTempDirectory("cur_src").toString + "/t"
+    val ev = Tables.events(spark, sf)
+    ev.write.parquet(src)
+
+    val q = Incremental.userCursors(spark, src).writeStream
+      .format("memory").queryName("user_cursors")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.sql(
+      "SELECT user_id, last_event_id, events_seen FROM user_cursors")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val want = ev.groupBy("user_id")
+      .agg(max("event_id").as("m"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+  }
+}
