@@ -47,33 +47,32 @@ object Dedup {
     * the fraction of agreeing signature positions. Returns
     * (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
     *
-    * Evaluation staging (see [[TextFns]] cost contract): per-shingle
-    * base hashes are materialized through an explode → hash →
-    * collect_list AGGREGATE boundary, which CollapseProject cannot
-    * inline through (plain withColumn staging gets re-merged because
-    * each staged column is referenced exactly once in the consumer
-    * tree, and the 128-way signature lambda then re-tokenizes per
-    * hash function — observed 128× regex blowup). The k derived
-    * hashes h_i = xxhash64(i, base) fold over the materialized 8-byte
-    * array; the min-fold is order-independent, so collect_list's
-    * nondeterministic ordering is harmless. The hash shuffle also
-    * spreads signature work across cores regardless of input file
-    * layout.
+    * Execution shape: shingles are EXPLODED to (doc_id, base_hash)
+    * rows and the k signature entries are k independent
+    * `min(xxhash64(i, h))` AGGREGATE columns in one hash aggregate —
+    * entirely whole-stage-codegen'd with map-side partial aggregation,
+    * no higher-order functions. (A previous formulation folded over an
+    * array column inside nested lambdas; Spark's HOFs are interpreted
+    * and re-evaluated the tokenization once per hash function — a
+    * measured 128× regex blowup. Wide aggregation is both the codegen
+    * path and the shape that spreads signature work across cores
+    * regardless of input file layout.)
     */
   def minhashCandidates(docs: DataFrame, idCol: Column, textCol: Column,
                         shingleLen: Int = 3, bands: Int = 16,
                         rowsPerBand: Int = 8): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = docs.repartition()
+    val hashed = docs.repartition()
       .select(idCol.as("doc_id"), TextFns.tokens(textCol).as("__toks"))
       .select(col("doc_id"),
         explode(TextFns.wordShinglesOf(col("__toks"), shingleLen)).as("__s"))
       .select(col("doc_id"), xxhash64(col("__s")).as("__h"))
-      .groupBy(col("doc_id")).agg(collect_list(col("__h")).as("__base"))
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("__h"))).as(s"__m$i"))
+    val sigs = hashed.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(numHashes - 1)), i =>
-          aggregate(col("__base"), lit(Long.MaxValue),
-            (acc, h) => least(acc, xxhash64(i, h)))).as("sig"))
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
 
     // Explode to one row per band; the bucket key hashes the band's
     // signature slice, so the join key is (band, 8-byte bucket).
@@ -170,16 +169,23 @@ object Dedup {
                    maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    // Token hashes materialized through an aggregate boundary — same
-    // CollapseProject rationale as minhashCandidates; the ±1 bit sums
-    // are order-independent. Docs with zero tokens drop out of
-    // pairing here (they are exact duplicates of each other and
-    // belong to Dedup.exact's domain).
+    // Execution shape (same rationale as minhashCandidates): tokens
+    // exploded to (doc_id, hash) rows, the 64 bit-counters are 64
+    // conditional-sum AGGREGATE columns in one codegen'd hash
+    // aggregate, and the fingerprint is a 64-term OR over their
+    // signs. Docs with zero tokens drop out of pairing here (they
+    // are exact duplicates of each other — Dedup.exact's domain).
+    val bitCols = (0 until 64).map(k =>
+      sum(when(call_function("shiftright", col("__h"), lit(k))
+        .bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__c$k"))
     val sh = docs.repartition()
       .select(idCol.as("doc_id"), explode(TextFns.tokens(textCol)).as("__t"))
       .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
-      .groupBy(col("doc_id")).agg(collect_list(col("__h")).as("__hashes"))
-      .select(col("doc_id"), simhashOfHashes(col("__hashes")).as("sh"))
+      .groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(k =>
+          when(col(s"__c$k") > 0, lit(1L << k)).otherwise(0L))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
     val banded = sh.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
         call_function("shiftright", col("sh"), c * bitsPer)

@@ -22,8 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product in double precision — the native
+    * codegen'd [[graft.plans.DotProduct]] expression (registered by
+    * GraftSession via SparkSessionExtensions). Bit-identical to the
+    * composed `aggregate(zip_with(...))` form ([[dotComposed]]) but
+    * stays inside whole-stage codegen instead of the interpreted
+    * higher-order-function path.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Built-ins-only dot product (same fold, interpreted) — for
+    * sessions without [[graft.plans.GraftExtensions]] registered.
+    */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -88,6 +99,63 @@ object Similarity {
       when(proj > 0.0, call_function("shiftleft", lit(1L), lit(p))).otherwise(0L)
     }
     bitsCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** IVF-style approximate cosine top-k — the coarse-quantizer scale
+    * path: every corpus vector is assigned to its nearest of
+    * `nCentroids` coarse centroids (the inverted file); a query scores
+    * only the lists of its `nProbe` nearest centroids, reached by an
+    * EQUI-join on centroid id. Recall/latency is (nCentroids, nProbe);
+    * nProbe = nCentroids degenerates to exact brute force.
+    *
+    * Centroids here are a deterministic hash-ordered corpus sample
+    * (k-means training is orthogonal to the pipeline shape and would
+    * slot in as a better `cents` frame). Assignment is an aggregate
+    * `max(struct(cos, centroid))` — one map-side-combinable hash
+    * aggregate, no per-corpus-row window shuffle.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              queryId: String = "query_id", corpusId: String = "neighbor_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.repartition().select(col(corpusId), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val cents = c.orderBy(xxhash64(col(corpusId))).limit(nCentroids)
+      .select(col(corpusId).as("__centroid"), col("__cv").as("__centv"),
+        col("__cn").as("__centn"))
+    val assigned = c.join(broadcast(cents), lit(true))
+      .select(col(corpusId), col("__cv"), col("__cn"),
+        struct(
+          cosineWithNorms(col("__cv"), col("__centv"), col("__cn"), col("__centn"))
+            .as("cos"),
+          col("__centroid").as("cid")).as("__cand"))
+      .groupBy(col(corpusId))
+      .agg(max(col("__cand")).as("__best"),
+        first(col("__cv")).as("__cv"), first(col("__cn")).as("__cn"))
+      .select(col(corpusId), col("__cv"), col("__cn"),
+        col("__best").getField("cid").as("__centroid"))
+    val q = queries.select(col(queryId), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    // tie-break DESC on centroid id to match the corpus side's
+    // max(struct(cos, cid)) larger-id-wins semantics — a cosine tie
+    // must send query and duplicate corpus vector to the same list
+    val probeW = Window.partitionBy(col(queryId))
+      .orderBy(col("__qc").desc, col("__centroid").desc)
+    val probes = q.join(broadcast(cents), lit(true))
+      .select(col(queryId), col("__qv"), col("__qn"), col("__centroid"),
+        cosineWithNorms(col("__qv"), col("__centv"), col("__qn"), col("__centn"))
+          .as("__qc"))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nProbe)
+      .select(col(queryId), col("__qv"), col("__qn"), col("__centroid"))
+    val scored = assigned.join(broadcast(probes), Seq("__centroid"))
+      .filter(col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId),
+        round(cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cos").desc, col(corpusId).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Embedding near-duplicate pairs within blocks: all (a, b) pairs

@@ -117,6 +117,20 @@ object TextPipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF approximate top-5 (rows-only: recall depends on the coarse
+    * quantizer; exact-duplicate recall is spec-tested).
+    */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    Similarity.ivfTopK(q, c, k = 5, nCentroids = 16, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding near-dup pairs, label-blocked (IVF-coarse pattern),
     * cosine ≥ 0.4.
     */
@@ -134,6 +148,7 @@ object TextPipeline {
     "lang_guess" -> (langGuess _),
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_lsh" -> (knnLsh _),
+    "knn_ivf" -> (knnIvf _),
     "embed_neardup" -> (embedNeardup _))
 
   /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's

@@ -46,6 +46,23 @@ class SimilaritySpec extends SparkSpec {
     assert(top1.forall { case (q, n, c) => n == 100L + q && c == 1.0 })
   }
 
+  test("ivfTopK finds an exact duplicate vector at rank 1 through its centroid list") {
+    val ss = spark; import ss.implicits._
+    val vecs = (0 until 30).map(i =>
+      Array.tabulate(8)(d => math.cos(i * 17 + d * 3).toFloat))
+    val queries = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("query_id", "embedding")
+    val corpus = vecs.zipWithIndex.map { case (v, i) => (100L + i, v) }
+      .toDF("neighbor_id", "embedding")
+    // identical vectors share cosines to every centroid, so the query's
+    // top probe equals the duplicate's assigned centroid: always found
+    val top1 = Similarity.ivfTopK(queries, corpus, k = 1, nCentroids = 8, nProbe = 1)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+    assert(top1.length == 30)
+    assert(top1.forall { case (q, n, c) => n == 100L + q && c == 1.0 })
+  }
+
   test("cosinePairsBlocked only pairs within a block and respects threshold") {
     val ss = spark; import ss.implicits._
     val df = Seq(
