@@ -51,6 +51,40 @@ object Incremental {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
 
+  /** Streaming form of the reference's sliding 60-minute activity
+    * window (`ingest_activity_and_report.sh:36,81` runs it as a cron
+    * batch against now(); the streaming engine runs it continuously on
+    * EVENT time): watermarked sliding window → per (window, type)
+    * counts/sums. Late events beyond the watermark are dropped — the
+    * batch reference has the same effective behavior, since a row
+    * arriving after the cron window has passed is never counted.
+    * Exposed unsunk; tests attach a memory sink, production appends to
+    * a bucket-partitioned table.
+    */
+  def slidingActivity(spark: SparkSession, srcDir: String,
+                      windowLen: String = "60 minutes",
+                      slide: String = "15 minutes",
+                      watermark: String = "2 hours"): DataFrame =
+    spark.readStream.schema(graft.Tables.eventsSchema).parquet(srcDir)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Streaming duplicate suppression within the watermark — the
+    * streaming counterpart of M2's insert-ignore key
+    * (`dropDuplicatesWithinWatermark` keeps state bounded; an
+    * unbounded `dropDuplicates` would accrete every key forever).
+    */
+  def dedupStream(spark: SparkSession, srcDir: String,
+                  keyCols: Seq[String], watermark: String = "2 hours"): DataFrame =
+    spark.readStream.schema(graft.Tables.eventsSchema).parquet(srcDir)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double, props: String)
   final case class UserCursor(user_id: Long, last_event_id: Long, events_seen: Long)

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.Rankings
+import graft.pipelines.Report
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based tests (SURVEY §5.3) using ScalaCheck generators with
+  * a FIXED seed (deterministic CI). Pure driver-side formatters iterate
+  * hundreds of cases; Spark-side properties generate one batch and
+  * assert over a single job (per-trial Spark jobs would be
+  * pathologically slow).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def sample[T](g: Gen[T], seed: Long = 42L): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("commify preserves the numeric value and only inserts commas") {
+    val cases = sample(Gen.listOfN(300, for {
+      int <- Gen.chooseNum(0L, 999999999999L)
+      frac <- Gen.chooseNum(0, 999)
+    } yield s"$int.$frac"))
+    for (s <- cases) {
+      val two = Report.twoDec(s)
+      val c = Report.commify(two)
+      assert(c.replace(",", "") == two, s"case $s")
+      val groups = c.split("\\.")(0).split(",")
+      assert(groups.head.nonEmpty && groups.head.length <= 3, s"case $s -> $c")
+      assert(groups.tail.forall(_.length == 3), s"case $s -> $c")
+    }
+  }
+
+  test("humanize picks the largest fitting K/M/B/T unit") {
+    val cases = sample(Gen.listOfN(300, Gen.chooseNum(0L, 10000000000000L)), 7L)
+    for (n <- cases) {
+      val h = Report.humanize(n.toString)
+      val suffix =
+        if (n >= 1000000000000L) "T"
+        else if (n >= 1000000000L) "B"
+        else if (n >= 1000000L) "M"
+        else if (n >= 1000L) "K"
+        else ""
+      if (suffix.isEmpty) assert(h.matches("""\d+\.\d{2}"""), s"$n -> $h")
+      else assert(h.endsWith(suffix), s"$n -> $h")
+    }
+  }
+
+  test("top-K is a prefix of the full ranking for every group (batch property)") {
+    val ss = spark; import ss.implicits._
+    val rows = sample(Gen.listOfN(300, for {
+      g <- Gen.oneOf("a", "b", "c")
+      id <- Gen.chooseNum(0, 10000)
+      v <- Gen.chooseNum(-1000.0, 1000.0)
+    } yield (g, id.toLong, v))).distinctBy(r => (r._1, r._2))
+    val df = rows.toDF("g", "id", "v")
+    val k = 7
+    val topK = Rankings.topKPerGroup(df, Seq(col("g")),
+      Seq(col("v").desc, col("id").asc), k)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val full = Rankings.topKPerGroup(df, Seq(col("g")),
+      Seq(col("v").desc, col("id").asc), Int.MaxValue)
+      .select(col("g"), col("id"), col("rnk")).as[(String, Long, Int)].collect()
+    val prefix = full.filter(_._3 <= k).map(t => (t._1, t._2)).toSet
+    assert(topK == prefix)
+    assert(full.groupBy(_._1).forall { case (_, rs) => rs.exists(_._3 == 1) })
+  }
+
+  test("scaleByDecimals inverts: scaled × 10^d round-trips the raw (batch property)") {
+    val ss = spark; import ss.implicits._
+    val cases = sample(Gen.listOfN(200, for {
+      raw <- Gen.chooseNum(0L, Long.MaxValue / 2)
+      d <- Gen.oneOf(0, 2, 6, 8, 12, 18)
+    } yield (raw.toString, d)))
+    val bad = cases.toDF("raw", "d")
+      .withColumn("scaled", graft.functions.AmountFns.scaleByDecimals(col("raw"), col("d")))
+      .withColumn("back", col("scaled") * pow(lit(10.0), col("d")).cast("decimal(38,0)"))
+      .filter(col("back").cast("decimal(38,0)").cast("string") =!= col("raw"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("cursor GREATEST-merge is monotonic and order-insensitive (batch property)") {
+    val ss = spark; import ss.implicits._
+    val streams = sample(Gen.listOfN(20, for {
+      s <- Gen.identifier.map(_.take(8))
+      b1 <- Gen.chooseNum(0L, 1000000L)
+      b2 <- Gen.chooseNum(0L, 1000000L)
+    } yield (s, b1, b2))).distinctBy(_._1)
+    def store() = new graft.domain.MerlStore(spark,
+      java.nio.file.Files.createTempDirectory("prop_cursors").toString)
+    def batch(vals: Seq[(String, Long)]) =
+      vals.toDF("stream", "last_scanned_block")
+        .withColumn("last_page", lit(1))
+        .withColumn("metadata", lit("{}"))
+    val ab = store()
+    ab.mergeCursors(batch(streams.map(t => (t._1, t._2))))
+    ab.mergeCursors(batch(streams.map(t => (t._1, t._3))))
+    val ba = store()
+    ba.mergeCursors(batch(streams.map(t => (t._1, t._3))))
+    ba.mergeCursors(batch(streams.map(t => (t._1, t._2))))
+    def state(st: graft.domain.MerlStore) =
+      st.read("ingestion_cursors").select("stream", "last_scanned_block")
+        .as[(String, Long)].collect().toMap
+    val a = state(ab); val b = state(ba)
+    assert(a == b)
+    assert(streams.forall { case (s, b1, b2) => a(s) == math.max(b1, b2) })
+  }
+}

@@ -77,6 +77,34 @@ class ReportSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("store-backed snapshot report end to end") {
+    val ss = spark; import ss.implicits._
+    val store = new MerlStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_snap").toString)
+    val bucket = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-15T12:00:00Z"))
+    val old = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-15T06:00:00Z"))
+    val holders = Seq(
+      ("t", "0xabc", "0xw1", 18, "5" + "0" * 21, bucket), // 5000 units
+      ("t", "0xabc", "0xw2", 18, "1" + "0" * 21, bucket),
+      ("t", "0xabc", "0xw3", 18, "7" + "0" * 18, bucket),
+      ("t", "0xabc", "0xstale", 18, "9" + "0" * 24, old)) // older bucket: excluded
+      .toDF("trigger_id", "contract_address", "holder_address", "token_decimal",
+        "quantity_raw", "bucket_start_utc")
+      .withColumn("bucket_unix", unix_timestamp(col("bucket_start_utc")))
+    store.upsertHolders(holders)
+    store.refreshTop100(Top100.compute(store.read("holders_raw"), k = 100))
+
+    val notifier = new Report.StringNotifier
+    val msg = Report.snapshotReport(spark, store, "0xABC", notifier)
+    assert(notifier.messages.size == 1)
+    assert(msg.contains("<i>Bucket:</i> <code>2024-01-15 12:00Z</code>"))
+    assert(msg.contains("<i>Total holders:</i> <b>3</b>"))
+    assert(msg.contains("<i>Top100 rows:</i> <b>3</b>"))
+    // rank 1 is w1 with 5,000 human units at 2dp
+    assert(msg.contains("<b>#1</b> <a href=\"https://scan.merlinchain.io/address/0xw1\">"))
+    assert(msg.contains("<code>5,000.00</code> <i>(5.00K)</i>"))
+  }
+
   test("store-backed activity report end to end with a string notifier") {
     val ss = spark; import ss.implicits._
     val store = new MerlStore(spark,

@@ -52,6 +52,55 @@ class IncrementalSpec extends SparkSpec {
     assert(inc == batch)
   }
 
+  test("slidingActivity matches the batch sliding-window aggregation") {
+    val src = Files.createTempDirectory("slide_src").toString + "/t"
+    val ev = Tables.events(spark, sf)
+    ev.write.parquet(src)
+
+    val q = Incremental.slidingActivity(spark, src).writeStream
+      .format("memory").queryName("sliding_activity")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // append mode emits only windows finalized by the watermark — every
+    // emitted row must match the batch computation for its window
+    val got = spark.sql(
+      """SELECT window_start, event_type, n, total_value
+        |FROM sliding_activity""".stripMargin)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.nonEmpty, "watermark should finalize at least the oldest windows")
+    val batch = ev.groupBy(window(col("ts"), "60 minutes", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start"), col("event_type"), col("n"), col("total_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    got.foreach { case (k, v) => assert(batch(k) == v, s"window $k") }
+  }
+
+  test("dedupStream suppresses duplicate keys within the watermark") {
+    val src = Files.createTempDirectory("dedup_src").toString + "/t"
+    val ev = Tables.events(spark, sf)
+    // duplicate every event id by unioning the table with itself
+    ev.union(ev).write.parquet(src)
+
+    val q = Incremental.dedupStream(spark, src, Seq("event_id")).writeStream
+      .format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val n = spark.sql("SELECT COUNT(*) FROM dedup_stream").collect().head.getLong(0)
+    val distinct = spark.sql("SELECT COUNT(DISTINCT event_id) FROM dedup_stream")
+      .collect().head.getLong(0)
+    assert(n == distinct, "every key must appear once")
+    assert(n == ev.count(), "all original events survive, duplicates dropped")
+  }
+
   test("userCursors keeps per-user running max via keyed state") {
     val src = Files.createTempDirectory("cur_src").toString + "/t"
     val ev = Tables.events(spark, sf)
