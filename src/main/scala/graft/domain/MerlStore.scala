@@ -78,8 +78,16 @@ class MerlStore(spark: SparkSession, root: String) {
     overwritePartitions("refined_wallet_top100", top100,
       Seq("contract_address", "bucket_unix"))
 
+  /** Dynamic partition overwrite, with rows hash-clustered on the
+    * partition key first so each partition directory gets ~one file
+    * per batch instead of one per shuffle task (the small-files
+    * problem). Trade-off: a single hot (token, bucket) writes from
+    * one task — if a snapshot ever outgrows that, salt the
+    * repartition with a bounded file index.
+    */
   private def overwritePartitions(table: String, df: DataFrame, partCols: Seq[String]): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    df.repartition(partCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*)
       .parquet(path(table))
@@ -108,7 +116,9 @@ class MerlStore(spark: SparkSession, root: String) {
           .select(TxKey.map(col): _*)
         keyed.join(existing, TxKey, "left_anti")
       }
-    fresh.drop("__ti0").write.mode(SaveMode.Append)
+    fresh.drop("__ti0")
+      .repartition(col("contract_address"))
+      .write.mode(SaveMode.Append)
       .partitionBy("contract_address")
       .parquet(path("wallet_transactions"))
   }

@@ -106,10 +106,16 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, threshold: Double = 0.8,
                         maxShingleFreq: Long = 1000L): DataFrame = {
+    // Join/shuffle key is the 64-bit shingle hash, not the shingle
+    // string — the blocking self-join then moves 8-byte longs instead
+    // of text. At 2^64 hash space a cross-shingle collision (which
+    // would overcount one intersection) is negligible at any corpus
+    // size this runs on.
     val grams = docs.repartition()
       .select(idCol.as("doc_id"), TextFns.tokens(textCol).as("__toks"))
       .select(col("doc_id"),
-        explode(array_distinct(TextFns.wordShinglesOf(col("__toks"), n))).as("gram"))
+        explode(array_distinct(TextFns.wordShinglesOf(col("__toks"), n))).as("__g"))
+      .select(col("doc_id"), xxhash64(col("__g")).as("gram"))
     val kept =
       if (maxShingleFreq == Long.MaxValue) grams
       else {
