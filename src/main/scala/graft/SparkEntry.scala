@@ -12,9 +12,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The domain Top-100 refine is the reference's signature
+    * computation (E2): latest-bucket join → exact uint256 ranking →
+    * rnk ≤ 100, per token. Uses only built-in expressions, so it runs
+    * under any session config.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.starJoin(spark, "/root/testdata/sf0.001")
+    Domain.top100Domain(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextPipeline.queries ++ Domain.queries

@@ -170,9 +170,17 @@ object Dedup {
     * found via pigeonhole LSH: split 64 bits into (maxDist+1) chunks;
     * any pair within distance maxDist must agree on ≥1 whole chunk, so
     * candidates come from equi-joins on chunk values — never O(n²).
+    *
+    * `maxPieceFreq` caps hot buckets: on low-entropy corpora a chunk
+    * can be near-constant (measured on the sf0.1 fixture: one 9-bit
+    * piece held 2k of 5k docs → 2M candidate pairs from one bucket),
+    * and a bucket of f docs contributes f(f−1)/2 pairs. Dropping
+    * over-full buckets loses a pair only if EVERY chunk it agrees on
+    * is hot — true near-duplicates agree on most chunks, so recall
+    * loss concentrates on the noise pairs the cap exists to avoid.
     */
   def simhashPairs(docs: DataFrame, idCol: Column, textCol: Column,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, maxPieceFreq: Long = 1000L): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
     // Execution shape (same rationale as minhashCandidates): tokens
@@ -192,11 +200,19 @@ object Dedup {
         (0 until 64).map(k =>
           when(col(s"__c$k") > 0, lit(1L << k)).otherwise(0L))
           .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
-    val banded = sh.select(col("doc_id"), col("sh"),
+    val banded0 = sh.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
         call_function("shiftright", col("sh"), c * bitsPer)
           .bitwiseAND(lit((1L << bitsPer) - 1)))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
+    val banded =
+      if (maxPieceFreq == Long.MaxValue) banded0
+      else {
+        val kept = banded0.groupBy(col("chunk"), col("piece"))
+          .agg(count(lit(1)).as("__f")).filter(col("__f") <= maxPieceFreq)
+          .select(col("chunk"), col("piece"))
+        banded0.join(kept, Seq("chunk", "piece"), "left_semi")
+      }
     val l = banded.select(col("chunk"), col("piece"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val r = banded.select(col("chunk"), col("piece"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("chunk", "piece")).filter(col("id_a") < col("id_b"))
