@@ -7,8 +7,17 @@ package graft
   *  - the action is a noop-format write, which materializes every
   *    output column — `.count()` would let Catalyst prune unreferenced
   *    projections/windows and under-measure the real plan;
-  *  - one warm-up query runs first so session/codegen/JIT start-up
-  *    cost doesn't land on the first measured entry.
+  *  - the FULL suite runs twice in pinned (alphabetical) order. The
+  *    first pass absorbs one-time costs that are properties of the JVM,
+  *    not the engine — Janino compile of each distinct codegen shape,
+  *    JIT warm-up, parquet footer caching — and is reported as
+  *    `cold_queries`/`cold_total`. The second (steady) pass is the
+  *    official `value`: it is what a long-lived service or a real
+  *    cluster job (where codegen cost amortizes over thousands of
+  *    tasks) observes. Both are emitted so regressions in either are
+  *    visible round-over-round.
+  *  - pinned ordering means a per-query number is attributable to the
+  *    query, not to whatever Map iteration order put in front of it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,15 +33,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    run("warmup", (s, d) => graft.queries.Relational.starJoin(s, d))
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      name -> run(name, fn)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def pass(): Seq[(String, Double)] =
+      ordered.map { case (name, fn) => name -> run(name, fn) }
+
+    val cold   = pass()
+    val steady = pass()
+
+    def jsonObj(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    val total     = steady.map(_._2).sum
+    val coldTotal = cold.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonObj(steady)},"cold_total":$coldTotal,"cold_queries":${jsonObj(cold)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -47,7 +47,7 @@ object Main {
       (sys.env.get("TELEGRAM_BOT_TOKEN"), sys.env.get("TELEGRAM_CHAT_ID")) match {
         case (Some(tok), Some(chat)) => new Report.TelegramNotifier(tok, chat)
         case _ => new Report.Notifier {
-          override def send(msg: String, mode: String): Unit = println(msg)
+          override protected def deliver(text: String, mode: String): Unit = println(text)
         }
       }
 

@@ -100,18 +100,21 @@ class MerlStore(spark: SparkSession, root: String) {
     * transaction_index collapse to the same identity. Within-batch
     * dedup keeps one row per key; cross-batch dedup is a left-anti
     * join against the existing keys. At scale the anti-join shuffles
-    * only the key columns of the existing side; partitioning the
-    * table by contract_address lets the join prune when batches are
-    * single-token (they are — merlin_etl.py ingests per (wallet,
-    * token)).
+    * only the key columns of the existing side; `contracts` (the
+    * tokens this batch is known to be confined to — merlin_etl.py
+    * ingests per (wallet, token)) prunes the existing-side scan to
+    * those partition directories, so dedup cost follows the touched
+    * tokens' history, not the whole table.
     */
-  def appendWalletTransactions(batch: DataFrame): Unit = {
+  def appendWalletTransactions(batch: DataFrame, contracts: Option[Seq[String]] = None): Unit = {
     val keyed = batch.withColumn("__ti0", coalesce(col("transaction_index"), lit(0)))
       .dropDuplicates(TxKey)
     val fresh =
       if (!exists("wallet_transactions")) keyed
       else {
-        val existing = read("wallet_transactions")
+        val base = read("wallet_transactions")
+        val pruned = contracts.fold(base)(cs => base.filter(col("contract_address").isin(cs: _*)))
+        val existing = pruned
           .withColumn("__ti0", coalesce(col("transaction_index"), lit(0)))
           .select(TxKey.map(col): _*)
         keyed.join(existing, TxKey, "left_anti")

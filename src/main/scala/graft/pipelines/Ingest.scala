@@ -130,9 +130,20 @@ object Ingest {
                                  token: String, lastBlock: Long)
 
   /** E1 main (`merlin_etl.py:346-479`): paged, resumable tokentx
-    * ingest for (wallet, token). Appends are insert-ignore on the
-    * coalesce'd natural key; the cursor checkpoints after every page
-    * so a crash resumes from the last completed page.
+    * ingest for (wallet, token). Pages buffer driver-side (the 3 QPS
+    * API is the bottleneck and a page is ≤100 rows) and the whole job
+    * lands as ONE insert-ignore append plus ONE cursor merge — the
+    * reference checkpoints after every page only because each Postgres
+    * page-insert is a cheap row-level round trip; on Spark a per-page
+    * write is an anti-join against the full accumulated table plus a
+    * cursors rewrite, i.e. O(pages × table) work per job, quadratic in
+    * history at scale. Batching drops crash-resume granularity from
+    * page to job, which M2's idempotent key makes safe: a replayed job
+    * re-fetches from the saved cursor and the anti-join drops every
+    * already-stored row. The append prunes the existing-side scan to
+    * this job's token partition (`contract_address` is the table's
+    * partition key), so dedup work scales with the token's history,
+    * not the whole table.
     */
   def walletTokenTx(spark: SparkSession, store: MerlStore, client: ExplorerClient,
                     wallet: String, token: String, startBlock: Long = 0,
@@ -141,19 +152,19 @@ object Ingest {
     var lastBlock = store.cursorGet(stream).map(_._1).filter(_ > 0)
       .map(math.max(_, startBlock)).getOrElse(startBlock)
     val jobId = store.jobStart("wallet_tx_hourly")
-    var totalRows = 0L
+    val buffered = ArrayBuffer.empty[Row]
     var pages = 0
     try {
       var page = 1
+      var lastDonePage = 0
+      var meta = "{}"
       var done = false
       while (!done && pages < maxPages) {
         val env = client.tokenTxPage(wallet, token, lastBlock, page, pageSize)
-        if (!env.ok || env.resultItems.isEmpty) {
-          store.cursorUpsert(stream, Some(lastBlock), Some(0),
-            s"""{"status":"${env.status}","message":"${env.message}"}""")
-          done = true
-        } else {
-          val rows = env.resultItems.map { it =>
+        meta = s"""{"status":"${env.status}","message":"${env.message}"}"""
+        if (!env.ok || env.resultItems.isEmpty) done = true
+        else {
+          buffered ++= env.resultItems.map { it =>
             val blockNumber = it.get("blockNumber").flatMap(parseLong).getOrElse(0L)
             lastBlock = math.max(lastBlock, blockNumber)
             Row(
@@ -176,17 +187,18 @@ object Ingest {
               it.get("input").orNull,
               jl(it.get("confirmations").flatMap(parseLong)))
           }
-          store.appendWalletTransactions(txFrame(spark, rows))
-          totalRows += rows.size
           pages += 1
-          store.cursorUpsert(stream, Some(lastBlock), Some(page),
-            s"""{"status":"${env.status}","message":"${env.message}"}""")
+          lastDonePage = page
           if (env.resultItems.size < pageSize) done = true else page += 1
         }
       }
+      if (buffered.nonEmpty)
+        store.appendWalletTransactions(txFrame(spark, buffered.toSeq),
+          contracts = Some(Seq(token.toLowerCase)))
+      store.cursorUpsert(stream, Some(lastBlock), Some(lastDonePage), meta)
       store.jobFinish(jobId, "success", stats = Some(
-        s"""{"rows":$totalRows,"pages":$pages,"wallet":"$wallet","token":"$token","last_block":$lastBlock}"""))
-      TokenTxResult(totalRows, pages, wallet, token, lastBlock)
+        s"""{"rows":${buffered.size},"pages":$pages,"wallet":"$wallet","token":"$token","last_block":$lastBlock}"""))
+      TokenTxResult(buffered.size, pages, wallet, token, lastBlock)
     } catch {
       case e: Throwable =>
         store.jobFinish(jobId, "error", error = Some(e.toString)); throw e

@@ -60,21 +60,42 @@ object Report {
 
   private val Spacer = "•"
 
+  /** `notify_telegram.sh:14`: the Telegram MarkdownV2 special set —
+    * each gets a backslash prefix when (and only when) the MarkdownV2
+    * parse mode is requested. HTML and plain sends pass through
+    * verbatim, exactly as the reference's `esc()` gate does.
+    */
+  private val Mdv2Specials: Set[Char] = "_*[]()`~>#+-=|{}.!".toSet
+
+  def escapeMarkdownV2(s: String): String =
+    s.flatMap(c => if (Mdv2Specials(c)) s"\\$c" else c.toString)
+
   // ---- sinks (S10) --------------------------------------------------
 
   /** Message sink; Telegram in production, a buffer in tests (SURVEY
-    * §7.4: delivery is an I/O adapter, not engine surface).
+    * §7.4: delivery is an I/O adapter, not engine surface). Escaping
+    * lives in the trait, not the transport, so every implementation —
+    * including the test double — sends exactly what Telegram would
+    * receive (`notify_telegram.sh:16-19` semantics: escape iff
+    * MarkdownV2; empty mode means plain text).
     */
-  trait Notifier { def send(msg: String, mode: String = "HTML"): Unit }
+  trait Notifier {
+    final def send(msg: String, mode: String = "HTML"): Unit =
+      deliver(if (mode == "MarkdownV2") escapeMarkdownV2(msg) else msg, mode)
+    protected def deliver(text: String, mode: String): Unit
+  }
 
-  /** `notify_telegram.sh:21-26`: POST sendMessage. */
+  /** `notify_telegram.sh:21-26`: POST sendMessage; parse_mode omitted
+    * for plain-text sends, as in the reference.
+    */
   class TelegramNotifier(botToken: String, chatId: String) extends Notifier {
-    override def send(msg: String, mode: String): Unit = {
+    override protected def deliver(text: String, mode: String): Unit = {
       val client = java.net.http.HttpClient.newHttpClient()
-      val form = Seq("chat_id" -> chatId, "text" -> msg, "parse_mode" -> mode)
-        .map { case (k, v) =>
-          k + "=" + java.net.URLEncoder.encode(v, "UTF-8")
-        }.mkString("&")
+      val fields = Seq("chat_id" -> chatId, "text" -> text) ++
+        (if (mode.nonEmpty) Seq("parse_mode" -> mode) else Nil)
+      val form = fields.map { case (k, v) =>
+        k + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+      }.mkString("&")
       val req = java.net.http.HttpRequest.newBuilder()
         .uri(java.net.URI.create(s"https://api.telegram.org/bot$botToken/sendMessage"))
         .header("Content-Type", "application/x-www-form-urlencoded")
@@ -85,7 +106,8 @@ object Report {
 
   class StringNotifier extends Notifier {
     val messages = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    override def send(msg: String, mode: String): Unit = messages += ((msg, mode))
+    override protected def deliver(text: String, mode: String): Unit =
+      messages += ((text, mode))
   }
 
   // ---- snapshot report (run_holders_and_report.sh) ------------------

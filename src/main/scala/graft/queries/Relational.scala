@@ -78,6 +78,17 @@ object Relational {
   private val flowsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** M7 cache lifecycle: unpersist and drop every flows frame memoized
+    * for `s`. Bench/tests can leave the cache to die with the session,
+    * but a long-lived service must call this at the end of each batch
+    * cycle or the persisted frames (and their plan lineage) accumulate
+    * for the session's lifetime.
+    */
+  def evictFlowsCache(s: SparkSession): Unit =
+    flowsCache.keys.filter(_._1 eq s).foreach { k =>
+      flowsCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+
   private def flowsDec(s: SparkSession, dir: String): DataFrame =
     flowsCache.getOrElseUpdate((s, dir), {
       val ev = Tables.events(s, dir)

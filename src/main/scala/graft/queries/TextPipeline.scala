@@ -131,6 +131,39 @@ object TextPipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Sign-LSH at probeDist = bits: the multi-probe expansion covers the
+    * entire sketch space, so every (query, corpus) pair is a candidate
+    * and the result provably equals brute force — which gives the
+    * xxhash64 candidate-generation machinery (sketch, mask expansion,
+    * equi-join) a REAL hash gate against the knn_bruteforce oracle.
+    */
+  def knnLshExact(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    Similarity.lshTopK(q, c, k = 5, bits = 8, probeDist = 8)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF at nProbe = nCentroids: every query probes every inverted
+    * list, so the union of probed lists is the whole corpus and the
+    * result provably equals brute force — an oracle hash gate for the
+    * coarse-quantize / assign / probe-equi-join machinery.
+    */
+  def knnIvfExact(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    Similarity.ivfTopK(q, c, k = 5, nCentroids = 16, nProbe = 16)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding near-dup pairs, label-blocked (IVF-coarse pattern),
     * cosine ≥ 0.4.
     */
@@ -149,6 +182,8 @@ object TextPipeline {
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
+    "knn_lsh_exact" -> (knnLshExact _),
+    "knn_ivf_exact" -> (knnIvfExact _),
     "embed_neardup" -> (embedNeardup _))
 
   /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's
@@ -175,6 +210,24 @@ object TextPipeline {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Exact cosine top-5 oracle — shared by knn_bruteforce and the
+    * degenerate-exact LSH/IVF gates.
+    */
+  private val knnExactSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding AS v,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, v AS cv, nrm AS cn FROM e),
+       |s AS (SELECT query_id, neighbor_id,
+       |  round(CASE WHEN qn * cn = 0 THEN 0.0
+       |             ELSE ${dotSql("qv", "cv")} / (qn * cn) END, 6) AS cos
+       |  FROM q, c WHERE query_id <> neighbor_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                   ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -239,20 +292,12 @@ object TextPipeline {
          |       ELSE 'zh' END AS lang_guess,
          |  lang_true
          |FROM h ORDER BY doc_id""".stripMargin,
-    "knn_bruteforce" ->
-      s"""WITH e AS (SELECT vec_id, embedding AS v,
-         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS neighbor_id, v AS cv, nrm AS cn FROM e),
-         |s AS (SELECT query_id, neighbor_id,
-         |  round(CASE WHEN qn * cn = 0 THEN 0.0
-         |             ELSE ${dotSql("qv", "cv")} / (qn * cn) END, 6) AS cos
-         |  FROM q, c WHERE query_id <> neighbor_id),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |                                   ORDER BY cos DESC, neighbor_id ASC) AS rank
-         |      FROM s)
-         |SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
-         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "knn_bruteforce" -> knnExactSql,
+    // degenerate-parameter LSH/IVF provably equal brute force
+    // (probeDist = bits / nProbe = nCentroids), so the exact-knn oracle
+    // gates the approximate machinery end to end
+    "knn_lsh_exact" -> knnExactSql,
+    "knn_ivf_exact" -> knnExactSql,
     "embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, embedding AS v,
          |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),

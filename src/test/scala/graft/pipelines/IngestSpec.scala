@@ -99,6 +99,54 @@ class IngestSpec extends SparkSpec {
     assert(addrs.forall(a => a == a.toLowerCase), "addresses lowercased at ingest")
   }
 
+  test("tokentx 50-page job lands as ONE append + ONE cursor merge (no per-page table reads)") {
+    val fixtures = Files.createTempDirectory("graft_api").toString
+    class CountingStore(root: String) extends MerlStore(spark, root) {
+      val reads = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      override def read(table: String): org.apache.spark.sql.DataFrame = {
+        reads(table) += 1; super.read(table)
+      }
+    }
+    val store = new CountingStore(Files.createTempDirectory("graft_store").toString)
+    val t = new FileTransport(fixtures)
+    val client = new ExplorerClient(t)
+
+    // 50 pages: p<50 carry blocks (10p, 10p+5); page 50 is short (one
+    // row, block 500) and terminates. Each page's startblock is the
+    // previous page's max block — the running-cursor request pattern.
+    var start = 0L
+    for (p <- 1 to 50) {
+      val blocks = if (p < 50) Seq(10L * p, 10L * p + 5) else Seq(10L * p)
+      val items = blocks.map(b =>
+        s"""{"blockNumber":"$b","timeStamp":"${1700000000L + b}","hash":"0xh$b",""" +
+          s""""from":"0xW1","to":"0xZ","value":"$b","tokenDecimal":"18","transactionIndex":"0"}""")
+        .mkString(",")
+      write(fixtures, t, txParams("0xW1", "0xabc", start, p, 2),
+        s"""{"status":"1","message":"OK","result":[$items]}""")
+      start = blocks.max
+    }
+
+    val r1 = Ingest.walletTokenTx(spark, store, client, "0xW1", "0xabc", 0, pageSize = 2)
+    assert(r1.rows == 99 && r1.pages == 50 && r1.lastBlock == 500)
+    assert(store.read("wallet_transactions").count() == 99)
+    assert(store.cursorGet("tokentx:0xw1:0xabc").contains((500L, 50)))
+
+    // Replay from genesis (cursor dropped): all 50 pages re-serve, and
+    // the dedup work must still be ONE pruned anti-join read of
+    // wallet_transactions and ≤2 cursor-table reads (get + merge) —
+    // NOT one per page.
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(store.path("ingestion_cursors"))).deleteRecursively()
+    store.reads.clear()
+    val r2 = Ingest.walletTokenTx(spark, store, client, "0xW1", "0xabc", 0, pageSize = 2)
+    assert(r2.rows == 99 && r2.pages == 50)
+    assert(store.reads("wallet_transactions") <= 1,
+      s"per-page anti-join regression: ${store.reads("wallet_transactions")} reads for 50 pages")
+    assert(store.reads("ingestion_cursors") <= 2,
+      s"per-page cursor-rewrite regression: ${store.reads("ingestion_cursors")} reads for 50 pages")
+    assert(store.read("wallet_transactions").count() == 99, "insert-ignore holds on replay")
+  }
+
   test("block_by_time: probe upserts on (unix_ts, closest)") {
     val (fx, store, t, client) = freshDirs()
     def probe(body: String) =

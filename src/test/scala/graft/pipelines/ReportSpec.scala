@@ -40,6 +40,22 @@ class ReportSpec extends SparkSpec {
     assert(Report.short("0x1234567890abcdef") == "0x1234…cdef")
   }
 
+  test("MarkdownV2 escaping matches notify_telegram.sh's esc() set and gating") {
+    // every special from the reference's sed class gets a backslash
+    val specials = "_*[]()`~>#+-=|{}.!"
+    assert(Report.escapeMarkdownV2(specials) == specials.flatMap(c => s"\\$c"))
+    // non-specials pass through; a wallet tag with _ and * is made safe
+    assert(Report.escapeMarkdownV2("whale_tag*9 (top.1)!") ==
+      "whale\\_tag\\*9 \\(top\\.1\\)\\!")
+    // the notifier escapes ONLY for MarkdownV2 — HTML and plain verbatim
+    val n = new Report.StringNotifier
+    n.send("a_b.c", "MarkdownV2")
+    n.send("a_b.c", "HTML")
+    n.send("a_b.c", "")
+    assert(n.messages.toSeq == Seq(
+      ("a\\_b\\.c", "MarkdownV2"), ("a_b.c", "HTML"), ("a_b.c", "")))
+  }
+
   test("snapshot message golden") {
     val d = Report.SnapshotData("2025-09-16 12:00Z", 328901L, 100L, Seq(
       (1, "0xaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa1111", "91234567.891"),
