@@ -33,7 +33,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Dev loop: SPARK_GRAFT_BENCH_ONLY=q1_agg,star_join runs a subset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     def pass(): Seq[(String, Double)] =
       ordered.map { case (name, fn) => name -> run(name, fn) }

@@ -27,6 +27,23 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // AQE's coalescing floor is 1 MB per partition — right for
+      // byte-bound scans, wrong for CPU-dense small shuffles (text
+      // tokenization, signature aggregates, pair joins over hashed
+      // keys), where it was measured collapsing 32-way stages onto 1-2
+      // cores. 64 KB lets `parallelismFirst` (default on) actually
+      // reach default parallelism; at PB scale partitions are far
+      // above either floor, so this only affects the small-shuffle
+      // regime it is meant to fix.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // Let AQE convert sort-merge joins to shuffled hash joins when
+      // every map partition is small (runtime-measured): the hashed
+      // pair-generation joins (shingle blocking, LSH buckets) pay an
+      // unnecessary double sort under SMJ. Genuinely large joins
+      // exceed the threshold and keep the SMJ spill path — the
+      // conversion is size-gated per partition, so it is safe at any
+      // scale.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
 
   /** Session for driver-run mains: core count from SPARK_GRAFT_CPUS. */
   def local(): SparkSession = {

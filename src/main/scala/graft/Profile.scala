@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev-only micro-profiler: times labeled sub-plans of the heavy bench
+  * queries so optimization targets measured stages, not guesses.
+  * Not part of the driver contract.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+
+    // Per-measurement executor task-time accumulator: wall ≫ task/32
+    // means driver/scheduling overhead, not compute.
+    val taskNanos = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskCount = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskMetrics != null) {
+          taskNanos.addAndGet(te.taskMetrics.executorRunTime * 1000000L)
+          taskCount.incrementAndGet()
+        }
+      }
+    })
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      // one warm, one measured — `df` is by-name and rebuilt per run so
+      // the measured pass cannot reuse the warm pass's shuffle outputs
+      df.write.format("noop").mode("overwrite").save()
+      val t1 = System.nanoTime()
+      val plan = df
+      plan.queryExecution.executedPlan // force analysis+optimization
+      val planS = (System.nanoTime() - t1) / 1e9
+      taskNanos.set(0); taskCount.set(0)
+      val t0 = System.nanoTime()
+      plan.write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] $name%-40s wall ${wall}%.3f s  plan ${planS}%.3f s  " +
+        f"task-time ${taskNanos.get / 1e9}%.2f s over ${taskCount.get}%d tasks")
+    }
+
+    import graft.functions.TextFns
+    val docs = Tables.documents(spark, sfDir)
+
+    time("docs scan")(docs)
+    time("docs repartition")(docs.repartition())
+    time("tokens")(docs.repartition()
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks")))
+    time("explode shingles")(docs.repartition()
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode(TextFns.wordShinglesOf(col("__toks"), 3)).as("__s")))
+    time("shingle hash")(docs.repartition()
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode(TextFns.wordShinglesOf(col("__toks"), 3)).as("__s"))
+      .select(col("doc_id"), xxhash64(col("__s")).as("__h")))
+
+    {
+      def hashed = docs.repartition()
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), explode(TextFns.wordShinglesOf(col("__toks"), 3)).as("__s"))
+        .select(col("doc_id"), xxhash64(col("__s")).as("__h"))
+      val numHashes = 128
+      val minCols = (0 until numHashes).map(i =>
+        min(xxhash64(lit(i), col("__h"))).as(s"__m$i"))
+      def sigs = hashed.groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+      time("minhash signatures (128 min aggs)")(sigs)
+      def banded = sigs.select(
+        col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(31)),
+          b => xxhash64(slice(col("sig"), b * 4 + 1, lit(4))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      time("minhash banded")(banded)
+      def l = banded.select(col("band"), col("bucket"),
+        col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      def r = banded.select(col("band"), col("bucket"),
+        col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      def joined = l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      time("minhash join (no est)")(joined.select("id_a", "id_b"))
+      time("minhash join+est+group")(
+        joined.select(col("id_a"), col("id_b"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+            .cast("double") / numHashes).as("est_jaccard"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(max(col("est_jaccard")).as("est_jaccard")))
+    }
+
+    {
+      def grams = docs.repartition()
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          explode(array_distinct(TextFns.wordShinglesOf(col("__toks"), 3))).as("__g"))
+        .select(col("doc_id"), xxhash64(col("__g")).as("gram"))
+      def freq = grams.groupBy("gram").agg(count(lit(1)).as("f"))
+        .filter(col("f") <= 1000L).select("gram")
+      def kept = grams.join(freq, "gram")
+      time("ngram grams")(grams)
+      time("ngram kept (freq join)")(kept)
+      def sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      def inter = kept.as("a").join(kept.as("b"), Seq("gram"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      time("ngram inter join")(inter)
+      time("ngram full")(inter
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard")))
+    }
+
+    {
+      val bitCols = (0 until 64).map(k =>
+        sum(when(call_function("shiftright", col("__h"), lit(k))
+          .bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__c$k"))
+      def sh = docs.repartition()
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("__t"))
+        .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
+        .groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(k =>
+            when(col(s"__c$k") > 0, lit(1L << k)).otherwise(0L))
+            .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+      time("simhash fingerprints (64 sums)")(sh)
+    }
+
+    {
+      import graft.operators.Dedup
+      time("simhash full (cap 200)")(
+        Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+          maxDist = 6, maxPieceFreq = 200L).orderBy(col("id_a"), col("id_b")))
+      time("simhash full (cap 1000)")(
+        Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+          maxDist = 6, maxPieceFreq = 1000L).orderBy(col("id_a"), col("id_b")))
+      time("minhash full (32x4)")(
+        Dedup.minhashCandidates(docs, col("doc_id"), col("text"),
+          shingleLen = 3, bands = 32, rowsPerBand = 4)
+          .filter(col("est_jaccard") >= 0.25)
+          .orderBy(col("id_a"), col("id_b")))
+      time("minhash 32x4 no sort")(
+        Dedup.minhashCandidates(docs, col("doc_id"), col("text"),
+          shingleLen = 3, bands = 32, rowsPerBand = 4)
+          .filter(col("est_jaccard") >= 0.25))
+      time("minhash 32x4 bare")(
+        Dedup.minhashCandidates(docs, col("doc_id"), col("text"),
+          shingleLen = 3, bands = 32, rowsPerBand = 4))
+    }
+
+    // simhash candidate volume: how many pairs flow through the
+    // chunk-piece buckets at each hot-bucket cap?
+    {
+      import graft.operators.Dedup
+      val sh = graft.Tables.spread(docs)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+        .filter(col("sh").isNotNull)
+      val banded0 = sh.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(6)), c =>
+          call_function("shiftright", col("sh"), c * 9)
+            .bitwiseAND(lit((1L << 9) - 1)))))
+        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
+        .cache()
+      val freq = banded0.groupBy("chunk", "piece").agg(count(lit(1)).as("f"))
+      for (cap <- Seq(Long.MaxValue, 1000L, 200L, 64L)) {
+        val pairs = freq.filter(col("f") <= cap)
+          .agg(sum((col("f") * (col("f") - 1) / 2).cast("long"))).collect()(0).getLong(0)
+        val buckets = freq.filter(col("f") <= cap).count()
+        println(s"[profile] simhash cap=$cap -> candidate pairs $pairs over $buckets buckets")
+      }
+      banded0.unpersist()
+    }
+
+    spark.stop()
+  }
+}

@@ -118,6 +118,16 @@ object Tables {
     df0
   }
 
+  /** Spread a frame across the cluster's cores for a CPU-dense stage
+    * (tokenization, signature aggregates, vector math). Explicit
+    * numPartitions pins the exchange against AQE's byte-based
+    * coalescing: for compute-per-byte-heavy data, partition count must
+    * follow CORES, not bytes — a 100 KB text partition can carry
+    * seconds of regex work, and byte-targeting AQE would serialize it.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

@@ -51,7 +51,11 @@ class MerlStore(spark: SparkSession, root: String) {
   private def rewrite(table: String, df: DataFrame): Unit = {
     val p = new Path(path(table))
     val staging = new Path(path(table) + ".staging")
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // Bookkeeping tables are tiny by contract (one row per stream /
+    // job / probe): one output file, not one per shuffle partition —
+    // the next read is then a single-split scan instead of a
+    // small-files listing.
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.delete(p, true)
     fs.rename(staging, p)

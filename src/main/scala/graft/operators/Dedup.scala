@@ -62,7 +62,7 @@ object Dedup {
                         shingleLen: Int = 3, bands: Int = 16,
                         rowsPerBand: Int = 8): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val hashed = docs.repartition()
+    val hashed = graft.Tables.spread(docs)
       .select(idCol.as("doc_id"), TextFns.tokens(textCol).as("__toks"))
       .select(col("doc_id"),
         explode(TextFns.wordShinglesOf(col("__toks"), shingleLen)).as("__s"))
@@ -86,12 +86,16 @@ object Dedup {
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"),
       col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    // A pair colliding in b bands appears b times; its est_jaccard is
+    // the same every time (it depends only on the two signatures), so
+    // dedupe FIRST and evaluate the interpreted signature-agreement
+    // fold once per distinct pair, not once per collision row.
     l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / numHashes).as("est_jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   // ---- Exact n-gram Jaccard ---------------------------------------
@@ -111,7 +115,7 @@ object Dedup {
     // of text. At 2^64 hash space a cross-shingle collision (which
     // would overcount one intersection) is negligible at any corpus
     // size this runs on.
-    val grams = docs.repartition()
+    val grams = graft.Tables.spread(docs)
       .select(idCol.as("doc_id"), TextFns.tokens(textCol).as("__toks"))
       .select(col("doc_id"),
         explode(array_distinct(TextFns.wordShinglesOf(col("__toks"), n))).as("__g"))
@@ -192,7 +196,7 @@ object Dedup {
     val bitCols = (0 until 64).map(k =>
       sum(when(call_function("shiftright", col("__h"), lit(k))
         .bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__c$k"))
-    val sh = docs.repartition()
+    val sh = graft.Tables.spread(docs)
       .select(idCol.as("doc_id"), explode(TextFns.tokens(textCol)).as("__t"))
       .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
       .groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)

@@ -71,7 +71,7 @@ object Similarity {
     // so a single-file scan would otherwise score every pair in one task.
     val q = queries.select(col(queryId), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"))
-    val c = corpus.repartition().select(col(corpusId), col(vecCol).as("__cv"),
+    val c = graft.Tables.spread(corpus).select(col(corpusId), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
     val scored = c.join(broadcast(q), col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId),
@@ -118,7 +118,7 @@ object Similarity {
               nCentroids: Int = 16, nProbe: Int = 4,
               queryId: String = "query_id", corpusId: String = "neighbor_id",
               vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.repartition().select(col(corpusId), col(vecCol).as("__cv"),
+    val c = graft.Tables.spread(corpus).select(col(corpusId), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
     val cents = c.orderBy(xxhash64(col(corpusId))).limit(nCentroids)
       .select(col(corpusId).as("__centroid"), col("__cv").as("__centv"),
@@ -207,7 +207,7 @@ object Similarity {
       .withColumn("__mask", explode(array(masks.map(m => lit(m)): _*)))
       .withColumn("__probe", col("__mask").bitwiseXOR(col("__qs")))
       .drop("__mask")
-    val c = corpus.repartition().select(col(corpusId), col(vecCol).as("__cv"),
+    val c = graft.Tables.spread(corpus).select(col(corpusId), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"), signSketch(col(vecCol), bits).as("__cs"))
     val cand = c.join(broadcast(q),
       col("__probe") === col("__cs") && col(queryId) =!= col(corpusId))

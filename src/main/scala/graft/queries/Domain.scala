@@ -76,9 +76,12 @@ object Domain {
     */
   def top100Refresh(s: SparkSession, dir: String): DataFrame = {
     val store = scratch(s, dir, "top100_refresh")
-    val t = Top100.compute(holdersFixture(s, dir))
+    // Both refreshes write the same computed frame: persist so the
+    // rank pipeline runs once, not once per write (M7).
+    val t = Top100.compute(holdersFixture(s, dir)).persist()
     store.refreshTop100(t)
     store.refreshTop100(t)
+    t.unpersist(blocking = false)
     store.read("refined_wallet_top100")
       .select(col("contract_address"), col("bucket_unix").cast(LongType).as("bucket_unix"),
         col("rnk").cast(LongType).as("rnk"), col("holder_address"))
@@ -91,9 +94,12 @@ object Domain {
     */
   def holdersUpsert(s: SparkSession, dir: String): DataFrame = {
     val store = scratch(s, dir, "holders_upsert")
-    val fx = holdersFixture(s, dir)
+    // Both writes derive from one fixture scan: persist so the
+    // customer-scan + decimal derivation runs once (M7).
+    val fx = holdersFixture(s, dir).persist()
     store.upsertHolders(fx)
     store.upsertHolders(fx.withColumn("token_decimal", col("token_decimal") + 1))
+    fx.unpersist(blocking = false)
     store.read("holders_raw")
       .groupBy(col("contract_address"), col("bucket_unix").cast(LongType).as("bucket_unix"))
       .agg(count(lit(1)).as("n"),

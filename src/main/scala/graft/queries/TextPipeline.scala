@@ -52,11 +52,16 @@ object TextPipeline {
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash Hamming-≤6 near-dup pairs via pigeonhole chunking
-    * (rows-only: xxhash64-based).
+    * (rows-only: xxhash64-based). maxPieceFreq=200 (4% of the corpus
+    * in one 9-bit piece): measured on sf0.1, cap 1000 admits 2.5M
+    * candidate pairs where cap 200 admits 886k while dropping only 21
+    * of 1510 buckets — the dropped buckets are near-constant-chunk
+    * noise, and a true ≤6-distance pair is lost only if EVERY chunk it
+    * agrees on (typically 4-6 of 7) is that hot.
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
-      maxDist = 6)
+      maxDist = 6, maxPieceFreq = 200L)
       .orderBy(col("id_a"), col("id_b"))
 
   // ---- text analysis ----------------------------------------------
@@ -67,7 +72,7 @@ object TextPipeline {
     * cores, not sit in one small-file task.
     */
   def textStats(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).repartition()
+    Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("__toks"))
       .select(
         col("doc_id"),
@@ -81,7 +86,7 @@ object TextPipeline {
 
   /** Heuristic language ID vs the labeled truth column. */
   def langGuess(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).repartition()
+    Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("__toks"))
       .select(
         col("doc_id"),
