@@ -29,7 +29,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
-        "usage: graft {block_by_time|holders_snapshot|wallet_tokentx|top100|report_snapshot|report_activity} [--flag value ...]")
+        "usage: graft {block_by_time|holders_snapshot|wallet_tokentx|top100|holders_and_top100|report_snapshot|report_activity} [--flag value ...]")
       sys.exit(2)
     }
     val f = flags(args)
@@ -72,6 +72,19 @@ object Main {
           f.getOrElse("k", "100").toInt)
         store.refreshTop100(t)
         s"""{"token":"${f("token")}","rows":${store.read("refined_wallet_top100").count()}}"""
+      case "holders_and_top100" =>
+        // run_holders_and_top100.sh one-shot: snapshot → refine →
+        // optional report. --asof pins the bucket for reproducible
+        // runs; omitted → now().
+        val asOf = f.get("asof").map(java.time.Instant.parse)
+          .getOrElse(java.time.Instant.now())
+        val r = Ingest.holdersAndTop100(spark, store, client, f("token"), asOf,
+          f.getOrElse("page-size", "500").toInt, f.getOrElse("max-pages", "100000").toInt,
+          f.getOrElse("k", "100").toInt,
+          if (f.get("report").exists(_.toBoolean)) Some(notifier) else None)
+        s"""{"rows":${r.snapshot.rows},"pages":${r.snapshot.pages},""" +
+          s""""token":"${r.snapshot.token}","decimals":${r.snapshot.decimals},""" +
+          s""""top100_rows":${r.top100Rows},"bucket_start_utc":"${r.bucketStartUtc}","trigger_id":"${r.triggerId}"}"""
       case "report_snapshot" =>
         Report.snapshotReport(spark, store, f("token"), notifier)
         """{"sent":true}"""

@@ -126,6 +126,36 @@ object Ingest {
     }
   }
 
+  final case class HoldersTop100Result(snapshot: SnapshotResult, top100Rows: Long,
+                                       bucketStartUtc: java.time.Instant, triggerId: String)
+
+  /** E2 one-shot orchestration (`run_holders_and_top100.sh:31-47`):
+    * floor `asOf` to the current 6-hour UTC bucket, ingest the holder
+    * snapshot for that bucket (idempotent within bucket), derive the
+    * Top-100 from the latest bucket (`run_top100.sh` →
+    * `top100_compute.sql`), and optionally send the snapshot report.
+    * `asOf` is explicit so runs are deterministic (production passes
+    * now()); the reference's timeout fuse and flock remain scheduler
+    * concerns (SURVEY §7.4).
+    */
+  def holdersAndTop100(spark: SparkSession, store: MerlStore, client: ExplorerClient,
+                       token: String, asOf: java.time.Instant,
+                       pageSize: Int = 500, maxPages: Int = 100000, k: Int = 100,
+                       notifier: Option[Report.Notifier] = None): HoldersTop100Result = {
+    val bucketStart = java.time.Instant.ofEpochSecond(asOf.getEpochSecond / 21600 * 21600)
+    val triggerId = java.time.format.DateTimeFormatter.ofPattern("yyyy/MM/dd-HH:mm")
+      .withZone(java.time.ZoneOffset.UTC).format(asOf)
+    val snap = holdersSnapshot(spark, store, client, token, bucketStart, triggerId,
+      pageSize, maxPages)
+    val top = graft.domain.Top100.computeForToken(store.read("holders_raw"), token, k)
+    store.refreshTop100(top)
+    val rows = store.read("refined_wallet_top100")
+      .filter(org.apache.spark.sql.functions.col("contract_address") === token.toLowerCase)
+      .count()
+    notifier.foreach(n => Report.snapshotReport(spark, store, token, n))
+    HoldersTop100Result(snap, rows, bucketStart, triggerId)
+  }
+
   final case class TokenTxResult(rows: Long, pages: Int, wallet: String,
                                  token: String, lastBlock: Long)
 

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Media
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Oracle-gated multimodal queries: deterministic IMG0/VID0 payloads
+  * are derived from `events` ids (the holdersFixture pattern), pushed
+  * through the REAL pipeline stages — decode (mapPartitions codec),
+  * nearest-neighbor resize, codegen'd byte features, video
+  * frame-sampling — and gated by DuckDB oracles that restate the
+  * feature math from first principles: the stub pixel function
+  * `(id·31 + i·7) mod 256` and the resize index mapping are pure
+  * integer arithmetic, so brightness and the 8-bin histogram are
+  * exactly computable in SQL without touching a byte. That makes the
+  * whole Spark-side media plumbing (container parse, codec lifecycle,
+  * frame walk, byte unpack) hash-checked end to end.
+  */
+object MediaPipeline {
+
+  /** IMG0 payloads for every 40th event id — distributed, deterministic. */
+  def imageFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir).select(col("event_id"))
+      .filter(col("event_id") % 40 === 0)
+      .as[Long].map(id => (id, Media.stubImage(id)))
+      .toDF("id", "payload")
+  }
+
+  /** decode → resize(8×8→4×4) → features, gated on every output cell:
+    * dims, exact brightness, exact 8-bin histogram (as 8 scalar
+    * columns — portable across engines, unlike array cells).
+    */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val decoded = Media.decodeImages(imageFixture(s, dir))
+    val resized = Media.resizeImages(decoded, 4, 4)
+    val feats = Media.imageFeatures(resized)
+    val histCols = (0 until 8).map(b =>
+      element_at(col("histogram8"), b + 1).cast(LongType).as(s"h$b"))
+    feats.select(Seq(col("id"),
+      col("width").cast(LongType).as("width"),
+      col("height").cast(LongType).as("height"),
+      col("channels").cast(LongType).as("channels"),
+      col("brightness")) ++ histCols: _*)
+      .orderBy(col("id"))
+  }
+
+  /** VID0 payloads (6 frames of 4×4×1) for every 100th event id →
+    * sampleFrames(stride 2) → decode → brightness per kept frame.
+    * Frame f of video v carries stubImage(v·1000+f) pixels, so the
+    * oracle reconstructs each sampled frame's bytes arithmetically.
+    */
+  def mediaFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vids = Tables.events(s, dir).select(col("event_id"))
+      .filter(col("event_id") % 100 === 0)
+      .as[Long].map(id => (id, Media.stubVideo(id, frames = 6)))
+      .toDF("id", "payload")
+    val frames = Media.sampleFrames(vids, stride = 2)
+      // composite key survives the single-id decode stage; frames < 10
+      .select((col("id") * 10 + col("frame_index")).as("key"), col("payload"))
+    val feats = Media.imageFeatures(Media.decodeImages(frames, idCol = "key"))
+    feats.select(
+      (col("id") / 10).cast(LongType).as("id"),
+      (col("id") % 10).cast(LongType).as("frame_index"),
+      col("width").cast(LongType).as("width"),
+      col("height").cast(LongType).as("height"),
+      col("channels").cast(LongType).as("channels"),
+      col("brightness"))
+      .orderBy(col("id"), col("frame_index"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_features" -> (mediaFeatures _),
+    "media_frames" -> (mediaFrames _))
+
+  /** The resized 4×4×3 pixel at flat index i (ch = i%3, x = (i/3)%4,
+    * y = i/12) samples source pixel (2x, 2y) of the 8×8×3 stub image:
+    * v = (id·31 + ((2y·8 + 2x)·3 + ch)·7) mod 256.
+    */
+  val oracles: Map[String, String] = Map(
+    "media_features" ->
+      """WITH ids AS (SELECT event_id AS id FROM events WHERE event_id % 40 = 0),
+        |px AS (
+        |  SELECT id,
+        |         (id*31 + (((2*(i//12))*8 + 2*((i//3)%4))*3 + (i%3))*7) % 256 AS v
+        |  FROM ids, range(0, 48) t(i))
+        |SELECT id, CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       CAST(SUM(v) AS DOUBLE) / 48 AS brightness,
+        |       CAST(COUNT(*) FILTER (v // 32 = 0) AS BIGINT) AS h0,
+        |       CAST(COUNT(*) FILTER (v // 32 = 1) AS BIGINT) AS h1,
+        |       CAST(COUNT(*) FILTER (v // 32 = 2) AS BIGINT) AS h2,
+        |       CAST(COUNT(*) FILTER (v // 32 = 3) AS BIGINT) AS h3,
+        |       CAST(COUNT(*) FILTER (v // 32 = 4) AS BIGINT) AS h4,
+        |       CAST(COUNT(*) FILTER (v // 32 = 5) AS BIGINT) AS h5,
+        |       CAST(COUNT(*) FILTER (v // 32 = 6) AS BIGINT) AS h6,
+        |       CAST(COUNT(*) FILTER (v // 32 = 7) AS BIGINT) AS h7
+        |FROM px GROUP BY id ORDER BY id""".stripMargin,
+    "media_frames" ->
+      """WITH ids AS (SELECT event_id AS id FROM events WHERE event_id % 100 = 0),
+        |fr AS (SELECT id, f FROM ids, (VALUES (0), (2), (4)) t(f)),
+        |px AS (SELECT id, f, ((id*1000 + f)*31 + i*7) % 256 AS v
+        |       FROM fr, range(0, 16) r(i))
+        |SELECT id, CAST(f AS BIGINT) AS frame_index,
+        |       CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |       CAST(1 AS BIGINT) AS channels,
+        |       CAST(SUM(v) AS DOUBLE) / 16 AS brightness
+        |FROM px GROUP BY id, f ORDER BY id, frame_index""".stripMargin)
+}

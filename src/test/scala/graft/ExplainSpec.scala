@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Automated plan audit: the properties a human would check with
+  * `.explain("formatted")` on the headline queries — pushed filters,
+  * broadcast joins, window-group-limit pushdown, distributed top-K,
+  * column pruning, codegen — asserted on plan strings so a plan
+  * regression fails CI instead of waiting for a bench run to look
+  * slow.
+  *
+  * Assertions target sf0.001 (planning is data-size independent for
+  * these properties; AQE runtime re-planning is not what is audited).
+  */
+class ExplainSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("star_join: dims broadcast, status filter pushed to the orders scan, fact columns pruned") {
+    val p = plan("star_join")
+    assert(count(p, "BroadcastHashJoin") >= 3, s"expected >=3 broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"), "star join must never cross-product")
+    assert(p.contains("EqualTo(o_orderstatus,F)"),
+      s"o_orderstatus = 'F' must reach the parquet scan as a pushed filter:\n$p")
+    assert(!p.contains("l_partkey"),
+      "lineitem scan must prune to the join/agg columns (no l_partkey)")
+  }
+
+  test("semi_join: IN-subquery is a broadcast left-semi with the price filter pushed down") {
+    val p = plan("semi_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast left-semi join:\n$p")
+    assert(p.contains("GreaterThan(o_totalprice,300000.0)"),
+      s"o_totalprice > 300000 must be a pushed filter on the orders scan:\n$p")
+  }
+
+  test("q1_agg: partial+final aggregation, pruned scan, whole-stage codegen") {
+    val p = plan("q1_agg")
+    assert(count(p, "HashAggregate") >= 2,
+      s"expected map-side partial + final hash aggregate:\n$p")
+    assert(!p.contains("l_partkey") && !p.contains("l_suppkey"),
+      "lineitem scan must read only the 5 aggregation columns")
+    // codegen spans only appear once AQE has finalized the plan —
+    // execute THIS df (a write would clone the QueryExecution), then
+    // audit its executed plan
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    // codegen'd operators carry the "*(n)" stage prefix
+    assert(executed.contains("*(1) HashAggregate") || executed.contains("*(") &&
+      executed.contains("HashAggregate"),
+      s"aggregation pipeline must stay inside whole-stage codegen:\n$executed")
+  }
+
+  test("top100_rank: rank<=k is pushed into the shuffle as WindowGroupLimit") {
+    val p = plan("top100_rank")
+    assert(p.contains("WindowGroupLimit"),
+      s"RANK <= 100 must plan as partial+final WindowGroupLimit, not filter-after-window:\n$p")
+    assert(!p.contains("WindowExec: No Partition Defined"),
+      "the ranking window must be partitioned (single-partition window cannot scale)")
+  }
+
+  test("top_movers: global order-by + limit plans as distributed TakeOrderedAndProject") {
+    val p = plan("top_movers")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must be a per-partition heap + driver merge, not a global sort:\n$p")
+  }
+
+  test("window_funcs: the analytics window is partitioned by user") {
+    val p = plan("window_funcs")
+    val windowSection = "(?s)\\(\\d+\\) Window.*?Arguments:.*?\\[user_id#\\d+L?\\]".r
+    assert(windowSection.findFirstIn(p).isDefined,
+      s"window must carry the user_id partition spec (a global window cannot scale):\n$p")
+  }
+
+  test("dedup_exact: the fingerprint groupBy prunes the documents scan to id+text") {
+    val p = plan("dedup_exact")
+    assert(!p.contains("source") || !p.contains("n_chars"),
+      "documents scan must not read unused columns")
+    assert(count(p, "HashAggregate") >= 2,
+      s"fingerprint dedup must partial-aggregate map-side:\n$p")
+  }
+
+  test("knn_bruteforce: queries broadcast; corpus is never shuffled by a join key") {
+    val p = plan("knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"exact scoring must broadcast the probe set over one corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "corpus x queries must not be a partitioned cartesian product")
+  }
+}

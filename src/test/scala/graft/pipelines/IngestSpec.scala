@@ -147,6 +147,47 @@ class IngestSpec extends SparkSpec {
     assert(store.read("wallet_transactions").count() == 99, "insert-ignore holds on replay")
   }
 
+  test("holders_and_top100 one-shot: snapshot -> refine -> report (run_holders_and_top100.sh)") {
+    val (fx, store, t, client) = freshDirs()
+    // one full page (2 holders) + short page (1 holder); fixture keys
+    // carry the token exactly as the CLI passes it (mixed case)
+    write(fx, t, holderParams("0xABC", 1, 2),
+      """{"status":"1","message":"OK","result":[
+        |{"TokenHolderAddress":"0xW1","TokenHolderQuantity":"5000000000000000000000","decimals":"18"},
+        |{"TokenHolderAddress":"0xW2","TokenHolderQuantity":"1000000000000000000000"}]}""".stripMargin)
+    write(fx, t, holderParams("0xABC", 2, 2),
+      """{"status":"1","message":"OK","result":[
+        |{"TokenHolderAddress":"0xW3","TokenHolderQuantity":"7000000000000000000"}]}""".stripMargin)
+
+    val asOf = java.time.Instant.parse("2024-01-15T08:30:00Z") // floors to 06:00Z
+    val notifier = new Report.StringNotifier
+    val r = Ingest.holdersAndTop100(spark, store, client, "0xABC", asOf,
+      pageSize = 2, maxPages = 10, k = 2, notifier = Some(notifier))
+
+    assert(r.snapshot.rows == 3 && r.snapshot.pages == 2)
+    assert(r.bucketStartUtc == java.time.Instant.parse("2024-01-15T06:00:00Z"))
+    assert(r.triggerId == "2024/01/15-08:30")
+    assert(r.top100Rows == 2, "k=2 refine keeps the top 2 holders")
+
+    val top = store.read("refined_wallet_top100")
+      .select("holder_address", "rnk")
+      .collect().map(x => (x.getString(0), x.getInt(1))).toSet
+    assert(top == Set(("0xw1", 1), ("0xw2", 2)))
+
+    // report went out through the same store state
+    assert(notifier.messages.size == 1)
+    val msg = notifier.messages.head._1
+    assert(msg.contains("<i>Bucket:</i> <code>2024-01-15 06:00Z</code>"))
+    assert(msg.contains("<i>Total holders:</i> <b>3</b>"))
+    assert(msg.contains("<b>#1</b> <a href=\"https://scan.merlinchain.io/address/0xw1\">"))
+
+    // idempotent within bucket: re-running replaces, never doubles
+    val r2 = Ingest.holdersAndTop100(spark, store, client, "0xABC", asOf,
+      pageSize = 2, maxPages = 10, k = 2)
+    assert(r2.top100Rows == 2)
+    assert(store.read("holders_raw").count() == 3)
+  }
+
   test("block_by_time: probe upserts on (unix_ts, closest)") {
     val (fx, store, t, client) = freshDirs()
     def probe(body: String) =
