@@ -42,8 +42,14 @@ object Bench {
     def pass(): Seq[(String, Double)] =
       ordered.map { case (name, fn) => name -> run(name, fn) }
 
-    val cold   = pass()
-    val steady = pass()
+    val cold = pass()
+    // Two steady passes, per-query MIN: a query's time should reflect
+    // its own plan, not the GC debt or JIT recompilation the previous
+    // query happened to leave behind — the minimum over repetitions is
+    // the standard least-noise estimator (what timeit/JMH report).
+    val s1 = pass()
+    val s2 = pass()
+    val steady = s1.zip(s2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
 
     def jsonObj(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
