@@ -123,6 +123,59 @@ object Similarity {
     val cents = c.orderBy(xxhash64(col(corpusId))).limit(nCentroids)
       .select(col(corpusId).as("__centroid"), col("__cv").as("__centv"),
         col("__cn").as("__centn"))
+    ivfProbe(queries, c, cents, k, nProbe, queryId, corpusId, vecCol)
+  }
+
+  /** Lloyd's k-means coarse-quantizer trainer for [[ivfTopK]] — the
+    * Spark-first form: `ml.KMeans` (distributed, mini-batch-free
+    * Lloyd's with k-means|| init) over the embedding column via the
+    * built-in `array_to_vector` bridge, centers back out as
+    * `array<float>` rows (the corpus's element type, so the native
+    * `graft_dot` scoring path applies unchanged). Deterministic under
+    * a fixed seed. Returns (centroid_id: long, centroid: array<float>).
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, maxIter: Int = 5, seed: Long = 42L,
+                      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features")
+      .fit(feats)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
+      .toDF("centroid_id", "centroid")
+  }
+
+  /** IVF top-k over TRAINED centroids: train with [[kmeansCentroids]],
+    * then probe. Same recall/latency contract as [[ivfTopK]], better
+    * list balance than the sampled quantizer on clustered corpora (a
+    * sampled centroid set mirrors density, k-means spreads it).
+    */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+                     nCentroids: Int = 16, nProbe: Int = 4, maxIter: Int = 5,
+                     seed: Long = 42L,
+                     queryId: String = "query_id", corpusId: String = "neighbor_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val c = graft.Tables.spread(corpus).select(col(corpusId), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val cents = kmeansCentroids(corpus, nCentroids, maxIter, seed, vecCol)
+      .select(col("centroid_id").as("__centroid"), col("centroid").as("__centv"),
+        norm(col("centroid")).as("__centn"))
+    ivfProbe(queries, c, cents, k, nProbe, queryId, corpusId, vecCol)
+  }
+
+  /** Shared IVF probe machinery: assign corpus rows to their best
+    * centroid (map-side-combinable `max(struct(cos, cid))`), expand
+    * each query to its nProbe best lists, equi-join on centroid id,
+    * exact-score within the probed lists.
+    */
+  private def ivfProbe(queries: DataFrame, c: DataFrame, cents: DataFrame,
+                       k: Int, nProbe: Int,
+                       queryId: String, corpusId: String, vecCol: String): DataFrame = {
     val assigned = c.join(broadcast(cents), lit(true))
       .select(col(corpusId), col("__cv"), col("__cn"),
         struct(
@@ -157,6 +210,36 @@ object Similarity {
       .orderBy(col("cos").desc, col(corpusId).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  // ---- int8 quantization --------------------------------------------
+
+  /** Symmetric per-vector int8 quantization of an embedding column:
+    * scale = max(|x|)/127, q_i = round(x_i/scale) ∈ [−127, 127].
+    * Returns a struct(scale: double, q: array<tinyint>) — a 4×
+    * storage/shuffle cut for similarity workloads where coarse scoring
+    * tolerates ~1% error (exact re-ranking stays on the float column).
+    * Zero vectors quantize to scale 0 + zeros and dequantize exactly.
+    * Built-in array expressions only — stays codegen-adjacent, no UDF.
+    */
+  def quantizeInt8(vec: Column): Column =
+    // The max-|x| pass runs ONCE as the aggregate; the quantizing
+    // transform reads it through the finish-lambda's bound variable.
+    // (Referencing a free-standing aggregate expression inside the
+    // lambda would re-evaluate it per element — the interpreted-HOF
+    // re-evaluation trap.)
+    aggregate(vec, lit(0.0d),
+      (acc, v) => greatest(acc, abs(v.cast("double"))),
+      m => struct(
+        (m / 127.0d).as("scale"),
+        when(m === 0.0d, transform(vec, _ => lit(0).cast("tinyint")))
+          .otherwise(transform(vec,
+            v => round(v.cast("double") * 127.0d / m).cast("int").cast("tinyint")))
+          .as("q")))
+
+  /** Inverse of [[quantizeInt8]]: x̂_i = q_i · scale, back to float. */
+  def dequantizeInt8(qv: Column): Column =
+    transform(qv.getField("q"),
+      q => (q.cast("double") * qv.getField("scale")).cast("float"))
 
   /** Embedding near-duplicate pairs within blocks: all (a, b) pairs
     * sharing `blockCol` with cosine ≥ threshold. The block key is the

@@ -63,6 +63,74 @@ class SimilaritySpec extends SparkSpec {
     assert(top1.forall { case (q, n, c) => n == 100L + q && c == 1.0 })
   }
 
+  test("kmeansCentroids recovers the centers of a separable corpus") {
+    val ss = spark; import ss.implicits._
+    // 3 tight clusters around orthogonal axes
+    val base = Seq(Array(10f, 0f, 0f), Array(0f, 10f, 0f), Array(0f, 0f, 10f))
+    val corpus = (0 until 90).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.zipWithIndex.map { case (v, d) => v + ((i * 7 + d) % 5) * 0.01f })
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(corpus, k = 3, maxIter = 10)
+      .select(col("centroid_id"), col("centroid"))
+      .as[(Long, Array[Float])].collect()
+    assert(cents.length == 3 && cents.forall(_._2.length == 3))
+    // each true center has a learned centroid within L2 0.5
+    base.foreach { b =>
+      val nearest = cents.map { case (_, c) =>
+        math.sqrt(c.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.min
+      assert(nearest < 0.5, s"no centroid near ${b.toSeq}: $nearest")
+    }
+  }
+
+  test("ivfTopKTrained finds exact duplicates and matches brute force on a clustered corpus") {
+    val ss = spark; import ss.implicits._
+    val vecs = (0 until 30).map { i =>
+      val axis = i % 3
+      Array.tabulate(8)(d => (if (d == axis) 10.0 else 0.0 + math.sin(i * 13 + d) * 0.1).toFloat)
+    }
+    val queries = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("query_id", "embedding")
+    val corpus = vecs.zipWithIndex.map { case (v, i) => (100L + i, v) }
+      .toDF("neighbor_id", "embedding")
+    val top1 = Similarity.ivfTopKTrained(queries, corpus, k = 1,
+      nCentroids = 3, nProbe = 1, maxIter = 10)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+    assert(top1.length == 30, s"every query must find its list (got ${top1.length})")
+    assert(top1.forall { case (q, n, c) => n == 100L + q && c == 1.0 })
+  }
+
+  test("int8 quantization roundtrip is within the symmetric-scale error bound") {
+    val ss = spark; import ss.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.127f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: exact roundtrip
+      (3L, Array(-3.7f, 2.1f, 0.001f, 127.0f)))
+      .toDF("vec_id", "embedding")
+    val rt = df.select(col("vec_id"), col("embedding"),
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("back"),
+      Similarity.quantizeInt8(col("embedding")).getField("q").as("q"))
+      .as[(Long, Array[Float], Array[Float], Seq[Byte])].collect()
+    rt.foreach { case (id, orig, back, q) =>
+      assert(q.length == orig.length && q.forall(b => b >= -127 && b <= 127))
+      val maxAbs = orig.map(math.abs).max.toDouble
+      val bound = maxAbs / 127.0 / 2.0 + 1e-6 // half a quantization step
+      orig.zip(back).foreach { case (o, b) =>
+        assert(math.abs(o - b) <= bound + 1e-4,
+          s"vec $id: $o -> $b exceeds half-step bound $bound")
+      }
+    }
+    // quantized cosine stays close to exact cosine
+    val pair = df.filter(col("vec_id") =!= 2)
+      .select(Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("dq"),
+        col("embedding"))
+    val both = pair.agg(
+      min(Similarity.cosine(col("dq"), col("embedding")))).as[Double].collect()(0)
+    assert(both > 0.999, s"dequantized self-cosine degraded to $both")
+  }
+
   test("cosinePairsBlocked only pairs within a block and respects threshold") {
     val ss = spark; import ss.implicits._
     val df = Seq(
