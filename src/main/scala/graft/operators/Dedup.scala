@@ -146,7 +146,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  // ---- SimHash -----------------------------------------------------
+  // ---- Pair clustering ---------------------------------------------
+
+  /** Connected components over a near-duplicate pair list: every doc
+    * that appears in `pairs` is labeled with the MINIMUM doc id
+    * reachable through the pair graph — the canonical "keep" id of its
+    * duplicate cluster. This is the step that turns pairwise
+    * similarity output into an actionable dedup decision (keep one doc
+    * per component, drop the rest).
+    *
+    * Execution: min-label propagation to fixpoint. Each round joins
+    * current labels across the edge list and takes the min of own and
+    * neighbors' labels — one shuffle per round, converging in
+    * O(component diameter) rounds (near-dup clusters are shallow:
+    * diameters of 2-4 in practice; the alternating large-star /
+    * small-star variant that halves round count slots in here if a
+    * corpus ever produces deep chains). The driver loop only reads a
+    * single converged? flag per round — no data is collected.
+    */
+  def connectedComponents(pairs: DataFrame,
+                          idA: String = "id_a", idB: String = "id_b",
+                          maxRounds: Int = 20): DataFrame = {
+    // Undirected edge list, both directions; every node seeds with its
+    // own id as label. Every round ends in an EAGER localCheckpoint:
+    // an iterative self-referencing plan otherwise doubles in size per
+    // round (round N's logical plan embeds round N−1's twice), and
+    // Catalyst re-analysis of that tree goes exponential long before
+    // the data does — lineage truncation per round is the iterative-
+    // algorithm idiom on Spark.
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // each node's new label: min(own, min over neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("component")).as("__nbr"))
+      val next = labels.join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("__nbr"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("component", "__old"), "node")
+        .filter(col("component") =!= col("__old")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
 
   /** 64-bit SimHash from a MATERIALIZED token-hash array attribute:
     * per bit, sum +1/−1 by the hash's bit value; the sign becomes the

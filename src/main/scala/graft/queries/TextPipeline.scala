@@ -42,6 +42,18 @@ object TextPipeline {
       n = 3, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Duplicate clusters from the exact trigram-Jaccard pair graph:
+    * min-label propagation to fixpoint; the oracle restates it as a
+    * recursive transitive closure over the identical pair derivation —
+    * so the iterative-join convergence loop is hash-gated end to end.
+    */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+        n = 3, threshold = 0.5))
+      .select(col("node").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+
   /** MinHash+LSH candidate pairs (rows-only: xxhash64-based).
     * 32 bands × 4 rows: ~87% collision probability at J=0.5.
     */
@@ -169,6 +181,22 @@ object TextPipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-vector int8 quantization summary — scale and the quantized
+    * values' sum/min/max. Every number is deterministic double/integer
+    * arithmetic (max |x|, scaled rounding), so the whole quantize path
+    * is oracle-stated.
+    */
+  def embedQuant(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("__q"))
+      .select(col("vec_id"),
+        round(col("__q").getField("scale"), 6).as("scale"),
+        aggregate(col("__q").getField("q"), lit(0L),
+          (a, v) => a + v.cast(LongType)).as("q_sum"),
+        array_min(col("__q").getField("q")).cast(LongType).as("q_min"),
+        array_max(col("__q").getField("q")).cast(LongType).as("q_max"))
+      .orderBy(col("vec_id"))
+
   /** Embedding near-dup pairs, label-blocked (IVF-coarse pattern),
     * cosine ≥ 0.4.
     */
@@ -189,7 +217,9 @@ object TextPipeline {
     "knn_ivf" -> (knnIvf _),
     "knn_lsh_exact" -> (knnLshExact _),
     "knn_ivf_exact" -> (knnIvfExact _),
-    "embed_neardup" -> (embedNeardup _))
+    "embed_neardup" -> (embedNeardup _),
+    "dedup_components" -> (dedupComponents _),
+    "embed_quant" -> (embedQuant _))
 
   /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's
     * regexp_replace needs the explicit 'g' flag (Spark's replaces all
@@ -216,6 +246,30 @@ object TextPipeline {
     s"list_reduce(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
+  /** Shared DuckDB CTE body: word-trigram near-dup pairs at θ=0.5
+    * (freq-capped shingle blocking), ending in `pairs(id_a, id_b,
+    * jaccard)` — consumed by ngram_jaccard and dedup_components.
+    */
+  private val ngramCteSql: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+       |    END)) AS gram
+       |  FROM t),
+       |kept AS (SELECT g.* FROM grams g
+       |         JOIN (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 1000) f
+       |         USING (gram)),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+       |          FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+       |  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)""".stripMargin
+
   /** Exact cosine top-5 oracle — shared by knn_bruteforce and the
     * degenerate-exact LSH/IVF gates.
     */
@@ -240,24 +294,21 @@ object TextPipeline {
          |FROM (SELECT doc_id, $normSql AS norm FROM documents)
          |GROUP BY norm ORDER BY keep_id""".stripMargin,
     "ngram_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |grams AS (
-         |  SELECT doc_id, unnest(list_distinct(
-         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |         ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
-         |    END)) AS gram
-         |  FROM t),
-         |kept AS (SELECT g.* FROM grams g
-         |         JOIN (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 1000) f
-         |         USING (gram)),
-         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-         |          FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2)
-         |SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-         |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+      s"""WITH $ngramCteSql
+         |SELECT id_a, id_b, jaccard FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
+    // transitive closure over the SAME pair derivation: component =
+    // min doc id reachable through the near-dup graph
+    "dedup_components" ->
+      s"""WITH RECURSIVE $ngramCteSql,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |m AS (SELECT doc_id, text, toks,
@@ -297,6 +348,25 @@ object TextPipeline {
          |       ELSE 'zh' END AS lang_guess,
          |  lang_true
          |FROM h ORDER BY doc_id""".stripMargin,
+    // symmetric int8 quantization: scale = max|x|/127 (exact double
+    // max), q_i = round(x_i*127/max) — same op order as the Spark side
+    "embed_quant" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, mx,
+        |         CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(embedding,
+        |                     x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT))
+        |         END AS qv
+        |  FROM m)
+        |SELECT vec_id, round(mx / 127.0, 6) AS scale,
+        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       CAST(list_min(qv) AS BIGINT) AS q_min,
+        |       CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     "knn_bruteforce" -> knnExactSql,
     // degenerate-parameter LSH/IVF provably equal brute force
     // (probeDist = bits / nProbe = nCentroids), so the exact-knn oracle

@@ -86,4 +86,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L, 0)))
     assert(pairs.forall(_._3 <= 3))
   }
+
+  test("connectedComponents labels every node with the min reachable id") {
+    val ss = spark; import ss.implicits._
+    // chain 1-2-3 closed into {1,2,3,8,9} via (9,1); separate pair {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .select(col("node"), col("component"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 8L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2 rounds)") {
+    val ss = spark; import ss.implicits._
+    val chain = (0L until 12L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain)
+      .select(col("node"), col("component")).as[(Long, Long)].collect()
+    assert(got.length == 12 && got.forall(_._2 == 0L))
+  }
 }
