@@ -42,6 +42,31 @@ object TextFns {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Content-addressed hash for stable sampling / splitting: md5 of
+    * the raw UTF-8 text, lowercase hex. Engine-portable (md5 is md5
+    * everywhere), content-stable (re-ingesting the same doc lands in
+    * the same sample/split regardless of id or order) — the property
+    * a reproducible training-data pipeline needs from its sampler.
+    */
+  def contentHash(text: Column): Column = md5(text.cast("binary"))
+
+  /** Deterministic content-hash sample: keep a doc iff the first two
+    * hex digits of its md5 are < `hexThreshold` ("29" ≈ a 16% sample;
+    * "80" = 50%). Lexicographic hex comparison is portable to any SQL
+    * engine — no engine-specific hash, no RNG, no seed.
+    */
+  def stableSample(text: Column, hexThreshold: String): Column =
+    substring(contentHash(text), 1, 2) < lit(hexThreshold)
+
+  /** Deterministic 3-way train/val/test split on the content hash:
+    * first byte < 'cc' (204/256 ≈ 80%) → train, < 'e6' (≈ 10%) → val,
+    * else test.
+    */
+  def stableSplit(text: Column): Column = {
+    val b = substring(contentHash(text), 1, 2)
+    when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+  }
+
   /** BPE-ish subword count estimate: word chunks + digit runs +
     * punctuation marks each count as a token (GPT-2-style pre-tokenizer
     * regex, simplified to an engine-portable character-class form).

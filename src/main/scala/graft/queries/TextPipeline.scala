@@ -106,6 +106,32 @@ object TextPipeline {
         col("lang").as("lang_true"))
       .orderBy(col("doc_id"))
 
+  /** Content-hash stable sampling + train/val/test split: md5-driven,
+    * so membership is reproducible across runs/engines and stable
+    * under re-ingestion (id- and order-independent). Portable oracle:
+    * md5 is md5 everywhere; the split is lexicographic hex compare.
+    */
+  def docSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.contentHash(col("text")).as("content_md5"),
+        TextFns.stableSample(col("text"), "29").as("in_sample"),
+        TextFns.stableSplit(col("text")).as("split"))
+      .orderBy(col("doc_id"))
+
+  /** Sharded sequence packing at a 2048-token budget over 8 shards:
+    * per-shard windowed cumulative token counts — no global window.
+    */
+  def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("__n"))
+    graft.operators.Packing.packByTokenBudget(
+      staged, col("doc_id"), col("__n"), budget = 2048, nShards = 8)
+      .select(col("doc_id"), col("shard").cast(LongType).as("shard"),
+        col("n_tokens"), col("cum_tokens"), col("chunk_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- similarity --------------------------------------------------
 
   /** Exact cosine top-5 for the first 10 vectors as probes. */
@@ -219,7 +245,9 @@ object TextPipeline {
     "knn_ivf_exact" -> (knnIvfExact _),
     "embed_neardup" -> (embedNeardup _),
     "dedup_components" -> (dedupComponents _),
-    "embed_quant" -> (embedQuant _))
+    "embed_quant" -> (embedQuant _),
+    "doc_sample" -> (docSample _),
+    "seq_pack" -> (seqPack _))
 
   /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's
     * regexp_replace needs the explicit 'g' flag (Spark's replaces all
@@ -348,6 +376,24 @@ object TextPipeline {
          |       ELSE 'zh' END AS lang_guess,
          |  lang_true
          |FROM h ORDER BY doc_id""".stripMargin,
+    "doc_sample" ->
+      """SELECT doc_id, md5(text) AS content_md5,
+        |       substring(md5(text), 1, 2) < '29' AS in_sample,
+        |       CASE WHEN substring(md5(text), 1, 2) < 'cc' THEN 'train'
+        |            WHEN substring(md5(text), 1, 2) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, len($toksSql) AS n FROM documents),
+         |p AS (
+         |  SELECT doc_id, doc_id % 8 AS shard, CAST(n AS BIGINT) AS n_tokens,
+         |         CAST(SUM(CAST(n AS BIGINT)) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, cum_tokens,
+         |       CAST(FLOOR((cum_tokens - n_tokens) / 2048) AS BIGINT) AS chunk_id
+         |FROM p ORDER BY doc_id""".stripMargin,
     // symmetric int8 quantization: scale = max|x|/127 (exact double
     // max), q_i = round(x_i*127/max) — same op order as the Spark side
     "embed_quant" ->

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+
+  test("packByTokenBudget assigns chunks by cumulative-before count within a shard") {
+    val ss = spark; import ss.implicits._
+    // single shard: cum-before = [0, 1000, 2000, 2100, 4100]
+    val docs = Seq((0L, 1000), (1L, 1000), (2L, 100), (3L, 2000), (4L, 48))
+      .toDF("doc_id", "n")
+    val got = Packing.packByTokenBudget(docs, col("doc_id"), col("n"),
+      budget = 2048, nShards = 1)
+      .select(col("doc_id"), col("chunk_id")).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("packByTokenBudget shards independently (no cross-shard accumulation)") {
+    val ss = spark; import ss.implicits._
+    val docs = (0L until 20L).map(i => (i, 1024)).toDF("doc_id", "n")
+    val got = Packing.packByTokenBudget(docs, col("doc_id"), col("n"),
+      budget = 2048, nShards = 4)
+      .select(col("shard"), col("doc_id"), col("chunk_id"))
+      .as[(Int, Long, Long)].collect()
+    // 5 docs of 1024 per shard: cum-before 0,1024,2048,3072,4096 → chunks 0,0,1,1,2
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.sortBy(_._2).map(_._3).toSeq == Seq(0L, 0L, 1L, 1L, 2L))
+    }
+  }
+
+  test("content-hash split is stable, exhaustive, and roughly 80/10/10") {
+    val ss = spark; import ss.implicits._
+    val docs = (0 until 1000).map(i => s"document number $i with some words")
+      .toDF("text")
+    val counts = docs.groupBy(TextFns.stableSplit(col("text")).as("split"))
+      .count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 700 && counts("train") < 900, counts.toString)
+    // identical content always lands in the same split
+    val twice = docs.union(docs)
+      .select(TextFns.contentHash(col("text")).as("h"), TextFns.stableSplit(col("text")).as("s"))
+      .distinct().groupBy("h").count().filter(col("count") > 1).count()
+    assert(twice == 0, "same content must map to one split")
+  }
+}
