@@ -174,27 +174,33 @@ object Dedup {
     // Catalyst re-analysis of that tree goes exponential long before
     // the data does — lineage truncation per round is the iterative-
     // algorithm idiom on Spark.
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().localCheckpoint()
+    // Checkpoint the pair input once — the both-directions union would
+    // otherwise evaluate the (possibly expensive) pair-generation
+    // subplan twice.
+    val p = pairs.select(col(idA).as("a"), col(idB).as("b")).localCheckpoint()
+    val edges = p.union(p.select(col("b"), col("a")))
+      .toDF("src", "dst").distinct().localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("component", col("node")).localCheckpoint()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      // each node's new label: min(own, min over neighbors' labels)
+      // each node's new label: min(own, min over neighbors' labels);
+      // the convergence flag rides along in the same projection so the
+      // check is a filter over the just-materialized checkpoint, not
+      // another join-shuffle action
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("component")).as("__nbr"))
+      val newComp = least(col("component"), coalesce(col("__nbr"), col("component")))
       val next = labels.join(viaNeighbors, Seq("node"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("__nbr"), col("component")))
-            .as("component"))
+        .select(col("node"), newComp.as("__next"),
+          (newComp < col("component")).as("__changed"))
+        .withColumnRenamed("__next", "component")
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("component", "__old"), "node")
-        .filter(col("component") =!= col("__old")).isEmpty
-      labels = next
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
       round += 1
     }
     labels
