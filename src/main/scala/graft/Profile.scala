@@ -152,6 +152,27 @@ object Profile {
           shingleLen = 3, bands = 32, rowsPerBand = 4))
     }
 
+    {
+      time("q1 as-is")(graft.queries.Relational.q1Agg(spark, sfDir))
+      val li = Tables.lineitem(spark, sfDir)
+      import org.apache.spark.sql.types._
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+      time("q1 repartitioned")(
+        Tables.spread(li.select("l_returnflag", "l_linestatus", "l_quantity",
+          "l_extendedprice", "l_discount"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast(DecimalType(18, 6))).cast(DoubleType).as("sum_disc_price"),
+            (sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType)
+              / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")))
+      time("lineitem bare scan")(li.select("l_quantity"))
+    }
+
     // simhash candidate volume: how many pairs flow through the
     // chunk-piece buckets at each hot-bucket cap?
     {
