@@ -85,6 +85,51 @@ object Incremental {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  final case class HolderUpd(contract_address: String, holder_address: String,
+                             balance: Double, seq: Long)
+  final case class TopEntry(contract_address: String, rnk: Int,
+                            holder_address: String, balance: Double)
+
+  val holderUpdSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[HolderUpd].schema
+
+  /** The reference's signature computation — Top-100 holders per token
+    * — as a CONTINUOUSLY-maintained stream instead of a 6-hourly batch
+    * refresh: balance updates arrive, per-token state keeps each
+    * holder's latest balance (last-writer-wins by `seq`, so replayed
+    * or reordered micro-batches converge to the same state), and every
+    * micro-batch emits the token's current Top-K.
+    *
+    * State is the per-token holder→(balance, seq) map — the same
+    * information the batch refresh scans, because a true top-K over
+    * balances that can DECREASE cannot evict below-K holders (one of
+    * them may re-enter when a leader drops). Production runs this on
+    * the RocksDB state store; the emitted Top-K is identical to
+    * running [[graft.domain.Top100]] over the final balances.
+    */
+  def streamingTop100(spark: SparkSession, srcDir: String, k: Int = 100): DataFrame = {
+    import spark.implicits._
+    val upds = spark.readStream.schema(holderUpdSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir).as[HolderUpd]
+    def update(token: String, batch: Iterator[HolderUpd],
+               state: GroupState[Map[String, (Double, Long)]]): Iterator[TopEntry] = {
+      val prev = state.getOption.getOrElse(Map.empty[String, (Double, Long)])
+      val next = batch.foldLeft(prev) { (m, u) =>
+        m.get(u.holder_address) match {
+          case Some((_, s)) if s >= u.seq => m // stale replay: keep newer
+          case _ => m.updated(u.holder_address, (u.balance, u.seq))
+        }
+      }
+      state.update(next)
+      next.toSeq.sortBy { case (h, (b, _)) => (-b, h) }.take(k).zipWithIndex
+        .map { case ((h, (b, _)), i) => TopEntry(token, i + 1, h, b) }.iterator
+    }
+    upds.groupByKey(_.contract_address)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double, props: String)
   final case class UserCursor(user_id: Long, last_event_id: Long, events_seen: Long)

@@ -101,6 +101,48 @@ class IncrementalSpec extends SparkSpec {
     assert(n == ev.count(), "all original events survive, duplicates dropped")
   }
 
+  test("streamingTop100 converges to the batch Top-K across runs with balance decreases") {
+    val ss = spark; import ss.implicits._
+    val src = Files.createTempDirectory("top_src").toString + "/t"
+    val ckpt = Files.createTempDirectory("top_ckpt").toString
+
+    // memory sink cannot resume a checkpoint; foreachBatch can — each
+    // run buffers its own emissions
+    def runOnce(): Seq[(Int, String, Double)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Double)]
+      val q = Incremental.streamingTop100(spark, src, k = 2).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= b.select("rnk", "holder_address", "balance").collect()
+              .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      buf.toSeq.sortBy(_._1)
+    }
+
+    // run 1: token t1 holders A=100, B=50, C=10 → top2 = A, B
+    Seq(("t1", "A", 100.0, 1L), ("t1", "B", 50.0, 1L), ("t1", "C", 10.0, 1L))
+      .toDF("contract_address", "holder_address", "balance", "seq")
+      .coalesce(1).write.mode("append").parquet(src)
+    val r1 = runOnce()
+    assert(r1 == Seq((1, "A", 100.0), (2, "B", 50.0)), s"run1: $r1")
+
+    // run 2: B collapses to 5, D enters at 60 → top2 = A, D — correct
+    // only because state kept the BELOW-K holders (C, then D vs C)
+    Seq(("t1", "B", 5.0, 2L), ("t1", "D", 60.0, 2L))
+      .toDF("contract_address", "holder_address", "balance", "seq")
+      .coalesce(1).write.mode("append").parquet(src)
+    val r2 = runOnce()
+    assert(r2 == Seq((1, "A", 100.0), (2, "D", 60.0)),
+      s"streaming top-K after decrease+entry must match batch recompute, got $r2")
+  }
+
   test("userCursors keeps per-user running max via keyed state") {
     val src = Files.createTempDirectory("cur_src").toString + "/t"
     val ev = Tables.events(spark, sf)
