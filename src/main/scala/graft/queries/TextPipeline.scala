@@ -132,6 +132,25 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Train/test decontamination: near-duplicate pairs (trigram Jaccard
+    * ≥ 0.5) that CROSS the content-hash split boundary — the leakage a
+    * training pipeline must catch before evaluation means anything.
+    * Composes the gated pair generation with the gated split; fully
+    * oracle-stated.
+    */
+  def decontamination(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+      col("doc_id"), col("text"), n = 3, threshold = 0.5)
+    val splits = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.stableSplit(col("text")).as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("split_a"), col("id_b"), col("split_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---- similarity --------------------------------------------------
 
   /** Exact cosine top-5 for the first 10 vectors as probes. */
@@ -247,7 +266,8 @@ object TextPipeline {
     "dedup_components" -> (dedupComponents _),
     "embed_quant" -> (embedQuant _),
     "doc_sample" -> (docSample _),
-    "seq_pack" -> (seqPack _))
+    "seq_pack" -> (seqPack _),
+    "decontamination" -> (decontamination _))
 
   /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's
     * regexp_replace needs the explicit 'g' flag (Spark's replaces all
@@ -376,6 +396,16 @@ object TextPipeline {
          |       ELSE 'zh' END AS lang_guess,
          |  lang_true
          |FROM h ORDER BY doc_id""".stripMargin,
+    "decontamination" ->
+      s"""WITH $ngramCteSql,
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN substring(md5(text), 1, 2) < 'cc' THEN 'train'
+         |              WHEN substring(md5(text), 1, 2) < 'e6' THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM documents)
+         |SELECT id_a, sa.split AS split_a, id_b, sb.split AS split_b, jaccard
+         |FROM pairs JOIN sp sa ON id_a = sa.doc_id JOIN sp sb ON id_b = sb.doc_id
+         |WHERE sa.split <> sb.split ORDER BY id_a, id_b""".stripMargin,
     "doc_sample" ->
       """SELECT doc_id, md5(text) AS content_md5,
         |       substring(md5(text), 1, 2) < '29' AS in_sample,
