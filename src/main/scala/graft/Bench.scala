@@ -34,8 +34,15 @@ object Bench {
     }
 
     // Dev loop: SPARK_GRAFT_BENCH_ONLY=q1_agg,star_join runs a subset.
+    // Unknown names fail fast — a typo must not become a silent
+    // zero-query "implausibly fast" run.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 

@@ -203,6 +203,15 @@ object Dedup {
       labels = next.drop("__changed")
       round += 1
     }
+    // Silent truncation would return WRONG labels (one real cluster
+    // split into several, each keeping a copy) — fail loudly instead;
+    // near-dup clusters are shallow, so hitting this means the corpus
+    // needs the log-diameter large-star/small-star variant, not a
+    // bigger bound.
+    require(converged,
+      s"connectedComponents did not converge within $maxRounds rounds " +
+        "(component diameter exceeds the bound); raise maxRounds or use " +
+        "an alternating-star variant for deep-chain graphs")
     labels
   }
 

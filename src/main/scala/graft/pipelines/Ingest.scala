@@ -149,8 +149,11 @@ object Ingest {
       pageSize, maxPages)
     val top = graft.domain.Top100.computeForToken(store.read("holders_raw"), token, k)
     store.refreshTop100(top)
+    // count THIS bucket's refreshed rows — the table keeps earlier
+    // bucket partitions (dynamic overwrite touches only this one)
     val rows = store.read("refined_wallet_top100")
       .filter(org.apache.spark.sql.functions.col("contract_address") === token.toLowerCase)
+      .filter(org.apache.spark.sql.functions.col("bucket_unix") === bucketStart.getEpochSecond)
       .count()
     notifier.foreach(n => Report.snapshotReport(spark, store, token, n))
     HoldersTop100Result(snap, rows, bucketStart, triggerId)
@@ -161,14 +164,15 @@ object Ingest {
 
   /** E1 main (`merlin_etl.py:346-479`): paged, resumable tokentx
     * ingest for (wallet, token). Pages buffer driver-side (the 3 QPS
-    * API is the bottleneck and a page is ≤100 rows) and the whole job
-    * lands as ONE insert-ignore append plus ONE cursor merge — the
-    * reference checkpoints after every page only because each Postgres
-    * page-insert is a cheap row-level round trip; on Spark a per-page
-    * write is an anti-join against the full accumulated table plus a
-    * cursors rewrite, i.e. O(pages × table) work per job, quadratic in
-    * history at scale. Batching drops crash-resume granularity from
-    * page to job, which M2's idempotent key makes safe: a replayed job
+    * API is the bottleneck and a page is ≤100 rows) and land as ONE
+    * insert-ignore append plus ONE cursor merge per `flushPages`
+    * window (typically one per job) — the reference checkpoints after
+    * every page only because each Postgres page-insert is a cheap
+    * row-level round trip; on Spark a per-page write is an anti-join
+    * against the full accumulated table plus a cursors rewrite, i.e.
+    * O(pages × table) work per job, quadratic in history at scale.
+    * Batching drops crash-resume granularity from page to flush
+    * window, which M2's idempotent key makes safe: a replayed window
     * re-fetches from the saved cursor and the anti-join drops every
     * already-stored row. The append prunes the existing-side scan to
     * this job's token partition (`contract_address` is the table's
@@ -177,13 +181,27 @@ object Ingest {
     */
   def walletTokenTx(spark: SparkSession, store: MerlStore, client: ExplorerClient,
                     wallet: String, token: String, startBlock: Long = 0,
-                    pageSize: Int = 100, maxPages: Int = 100000): TokenTxResult = {
+                    pageSize: Int = 100, maxPages: Int = 100000,
+                    flushPages: Int = 200): TokenTxResult = {
     val stream = s"tokentx:${wallet.toLowerCase}:${token.toLowerCase}"
     var lastBlock = store.cursorGet(stream).map(_._1).filter(_ > 0)
       .map(math.max(_, startBlock)).getOrElse(startBlock)
     val jobId = store.jobStart("wallet_tx_hourly")
     val buffered = ArrayBuffer.empty[Row]
     var pages = 0
+    var totalRows = 0L
+    // Flush a buffered batch as ONE pruned anti-join append + ONE
+    // cursor merge. `flushPages` bounds driver memory on huge
+    // backfills (200 pages × 500 rows ≈ 100k buffered rows max) and is
+    // also the crash-resume granularity: a failure loses at most one
+    // flush window of fetching, never the whole job.
+    def flush(lastDonePage: Int, meta: String): Unit = if (buffered.nonEmpty) {
+      store.appendWalletTransactions(txFrame(spark, buffered.toSeq),
+        contracts = Some(Seq(token.toLowerCase)))
+      store.cursorUpsert(stream, Some(lastBlock), Some(lastDonePage), meta)
+      totalRows += buffered.size
+      buffered.clear()
+    }
     try {
       var page = 1
       var lastDonePage = 0
@@ -219,16 +237,17 @@ object Ingest {
           }
           pages += 1
           lastDonePage = page
+          if (pages % flushPages == 0) flush(lastDonePage, meta)
           if (env.resultItems.size < pageSize) done = true else page += 1
         }
       }
-      if (buffered.nonEmpty)
-        store.appendWalletTransactions(txFrame(spark, buffered.toSeq),
-          contracts = Some(Seq(token.toLowerCase)))
-      store.cursorUpsert(stream, Some(lastBlock), Some(lastDonePage), meta)
+      flush(lastDonePage, meta)
+      // a no-new-rows run still records the probe outcome on the cursor
+      if (totalRows == 0)
+        store.cursorUpsert(stream, Some(lastBlock), Some(lastDonePage), meta)
       store.jobFinish(jobId, "success", stats = Some(
-        s"""{"rows":${buffered.size},"pages":$pages,"wallet":"$wallet","token":"$token","last_block":$lastBlock}"""))
-      TokenTxResult(buffered.size, pages, wallet, token, lastBlock)
+        s"""{"rows":$totalRows,"pages":$pages,"wallet":"$wallet","token":"$token","last_block":$lastBlock}"""))
+      TokenTxResult(totalRows, pages, wallet, token, lastBlock)
     } catch {
       case e: Throwable =>
         store.jobFinish(jobId, "error", error = Some(e.toString)); throw e

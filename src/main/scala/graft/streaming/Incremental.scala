@@ -86,9 +86,9 @@ object Incremental {
       .dropDuplicatesWithinWatermark(keyCols)
 
   final case class HolderUpd(contract_address: String, holder_address: String,
-                             balance: Double, seq: Long)
+                             balance_raw: String, seq: Long)
   final case class TopEntry(contract_address: String, rnk: Int,
-                            holder_address: String, balance: Double)
+                            holder_address: String, balance_raw: String)
 
   val holderUpdSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.Encoders.product[HolderUpd].schema
@@ -105,23 +105,31 @@ object Incremental {
     * balances that can DECREASE cannot evict below-K holders (one of
     * them may re-enter when a leader drops). Production runs this on
     * the RocksDB state store; the emitted Top-K is identical to
-    * running [[graft.domain.Top100]] over the final balances.
+    * running [[graft.domain.Top100]] over the final balances —
+    * including the ranking key: balances are canonical uint256 raw
+    * STRINGS ordered by (length DESC, string DESC, holder ASC), the
+    * repo's lossless NUMERIC(78,0) contract, never a Double that
+    * collapses wei-scale balances above 2^53.
     */
   def streamingTop100(spark: SparkSession, srcDir: String, k: Int = 100): DataFrame = {
     import spark.implicits._
     val upds = spark.readStream.schema(holderUpdSchema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir).as[HolderUpd]
     def update(token: String, batch: Iterator[HolderUpd],
-               state: GroupState[Map[String, (Double, Long)]]): Iterator[TopEntry] = {
-      val prev = state.getOption.getOrElse(Map.empty[String, (Double, Long)])
+               state: GroupState[Map[String, (String, Long)]]): Iterator[TopEntry] = {
+      val prev = state.getOption.getOrElse(Map.empty[String, (String, Long)])
       val next = batch.foldLeft(prev) { (m, u) =>
         m.get(u.holder_address) match {
           case Some((_, s)) if s >= u.seq => m // stale replay: keep newer
-          case _ => m.updated(u.holder_address, (u.balance, u.seq))
+          case _ => m.updated(u.holder_address, (u.balance_raw, u.seq))
         }
       }
       state.update(next)
-      next.toSeq.sortBy { case (h, (b, _)) => (-b, h) }.take(k).zipWithIndex
+      // (length DESC, string DESC) = exact numeric DESC for canonical
+      // decimal strings; holder ASC tiebreak matches Top100.compute
+      next.toSeq.sortBy { case (h, (b, _)) => (-b.length, b, h) }(
+        Ordering.Tuple3(Ordering.Int, Ordering.String.reverse, Ordering.String))
+        .take(k).zipWithIndex
         .map { case ((h, (b, _)), i) => TopEntry(token, i + 1, h, b) }.iterator
     }
     upds.groupByKey(_.contract_address)

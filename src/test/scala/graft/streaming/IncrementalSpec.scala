@@ -108,16 +108,16 @@ class IncrementalSpec extends SparkSpec {
 
     // memory sink cannot resume a checkpoint; foreachBatch can — each
     // run buffers its own emissions
-    def runOnce(): Seq[(Int, String, Double)] = {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Double)]
+    def runOnce(): Seq[(Int, String, String)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
       val q = Incremental.streamingTop100(spark, src, k = 2).writeStream
         .outputMode("update")
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
           buf.synchronized {
-            buf ++= b.select("rnk", "holder_address", "balance").collect()
-              .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+            buf ++= b.select("rnk", "holder_address", "balance_raw").collect()
+              .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
           }
           ()
         }
@@ -126,20 +126,24 @@ class IncrementalSpec extends SparkSpec {
       buf.toSeq.sortBy(_._1)
     }
 
-    // run 1: token t1 holders A=100, B=50, C=10 → top2 = A, B
-    Seq(("t1", "A", 100.0, 1L), ("t1", "B", 50.0, 1L), ("t1", "C", 10.0, 1L))
-      .toDF("contract_address", "holder_address", "balance", "seq")
+    // wei-scale balances above 2^53: B beats A by exactly 1 wei — only
+    // the lossless (length, string) ranking sees it (a Double collapses
+    // both and the holder tiebreak would wrongly rank A first)
+    val aBal = "10000000000000000000"
+    val bBal = "10000000000000000001"
+    Seq(("t1", "A", aBal, 1L), ("t1", "B", bBal, 1L), ("t1", "C", "10", 1L))
+      .toDF("contract_address", "holder_address", "balance_raw", "seq")
       .coalesce(1).write.mode("append").parquet(src)
     val r1 = runOnce()
-    assert(r1 == Seq((1, "A", 100.0), (2, "B", 50.0)), s"run1: $r1")
+    assert(r1 == Seq((1, "B", bBal), (2, "A", aBal)), s"run1: $r1")
 
     // run 2: B collapses to 5, D enters at 60 → top2 = A, D — correct
     // only because state kept the BELOW-K holders (C, then D vs C)
-    Seq(("t1", "B", 5.0, 2L), ("t1", "D", 60.0, 2L))
-      .toDF("contract_address", "holder_address", "balance", "seq")
+    Seq(("t1", "B", "5", 2L), ("t1", "D", "60", 2L))
+      .toDF("contract_address", "holder_address", "balance_raw", "seq")
       .coalesce(1).write.mode("append").parquet(src)
     val r2 = runOnce()
-    assert(r2 == Seq((1, "A", 100.0), (2, "D", 60.0)),
+    assert(r2 == Seq((1, "A", aBal), (2, "D", "60")),
       s"streaming top-K after decrease+entry must match batch recompute, got $r2")
   }
 
