@@ -45,10 +45,17 @@ object GraftSession {
       // scale.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
 
-  /** Session for driver-run mains: core count from SPARK_GRAFT_CPUS. */
+  /** Session for driver-run mains: core count from SPARK_GRAFT_CPUS.
+    * SPARK_GRAFT_CONF ("k=v;k=v") applies ad-hoc overrides last — a
+    * dev hook for config A/B runs (e.g. measuring AQE barrier cost),
+    * not a production surface.
+    */
   def local(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val s = builder(cpus).getOrCreate()
+    val b = sys.env.get("SPARK_GRAFT_CONF").map(_.split(";").toSeq).getOrElse(Nil)
+      .map(_.split("=", 2)).collect { case Array(k, v) => (k.trim, v.trim) }
+      .foldLeft(builder(cpus)) { case (bb, (k, v)) => bb.config(k, v) }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
