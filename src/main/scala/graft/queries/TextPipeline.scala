@@ -106,6 +106,32 @@ object TextPipeline {
         col("lang").as("lang_true"))
       .orderBy(col("doc_id"))
 
+  /** Gopher-style repetition quality metrics: duplicate-word ratio,
+    * most-frequent-token fraction, duplicate-bigram ratio — the
+    * filters that drop boilerplate/spam before near-dup detection even
+    * runs. Execution shape: explode tokens/bigrams once, two-level
+    * map-side-combinable aggregates (per (doc, gram) counts → per-doc
+    * totals/max) — exact integer ratios, no HOF nesting, portable to
+    * the oracle verbatim.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+    def level(gramCol: org.apache.spark.sql.Column) = staged
+      .select(col("doc_id"), explode(gramCol).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("d"), max(col("c")).as("top"))
+    val words = level(col("__toks"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("d").as("n_distinct"),
+        round(lit(1.0) - col("d").cast(DoubleType) / col("n"), 6).as("dup_word_ratio"),
+        round(col("top").cast(DoubleType) / col("n"), 6).as("top_word_ratio"))
+    val bigrams = level(TextFns.wordShinglesOf(col("__toks"), 2))
+      .select(col("doc_id"),
+        round(lit(1.0) - col("d").cast(DoubleType) / col("n"), 6).as("dup_bigram_ratio"))
+    words.join(bigrams, "doc_id").orderBy(col("doc_id"))
+  }
+
   /** Content-hash stable sampling + train/val/test split: md5-driven,
     * so membership is reproducible across runs/engines and stable
     * under re-ingestion (id- and order-independent). Portable oracle:
@@ -267,7 +293,8 @@ object TextPipeline {
     "embed_quant" -> (embedQuant _),
     "doc_sample" -> (docSample _),
     "seq_pack" -> (seqPack _),
-    "decontamination" -> (decontamination _))
+    "decontamination" -> (decontamination _),
+    "text_repetition" -> (textRepetition _))
 
   /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's
     * regexp_replace needs the explicit 'g' flag (Spark's replaces all
@@ -406,6 +433,24 @@ object TextPipeline {
          |SELECT id_a, sa.split AS split_a, id_b, sb.split AS split_b, jaccard
          |FROM pairs JOIN sp sa ON id_a = sa.doc_id JOIN sp sb ON id_b = sb.doc_id
          |WHERE sa.split <> sb.split ORDER BY id_a, id_b""".stripMargin,
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |w AS (SELECT doc_id, g, COUNT(*) AS c
+         |      FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY doc_id, g),
+         |wl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS d,
+         |              MAX(c) AS top FROM w GROUP BY doc_id),
+         |bg AS (SELECT doc_id, g, COUNT(*) AS c
+         |       FROM (SELECT doc_id, unnest(
+         |               CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+         |                    ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+         |               END) AS g FROM t) GROUP BY doc_id, g),
+         |bl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS d
+         |       FROM bg GROUP BY doc_id)
+         |SELECT wl.doc_id, wl.n AS n_tokens, CAST(wl.d AS BIGINT) AS n_distinct,
+         |       round(1.0 - CAST(wl.d AS DOUBLE) / wl.n, 6) AS dup_word_ratio,
+         |       round(CAST(wl.top AS DOUBLE) / wl.n, 6) AS top_word_ratio,
+         |       round(1.0 - CAST(bl.d AS DOUBLE) / bl.n, 6) AS dup_bigram_ratio
+         |FROM wl JOIN bl ON wl.doc_id = bl.doc_id ORDER BY wl.doc_id""".stripMargin,
     "doc_sample" ->
       """SELECT doc_id, md5(text) AS content_md5,
         |       substring(md5(text), 1, 2) < '29' AS in_sample,
