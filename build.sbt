@@ -23,11 +23,21 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 32 executor threads need headroom: an undersized heap turns GC into
+// the dominant "compute" and makes bench numbers nondeterministic. But
+// a fixed large default OOM-kills on smaller machines (the OS kills
+// the process instead of the JVM GCing), so derive the default from
+// physical RAM — half of it, capped at 48g — with SPARK_DRIVER_MEM as
+// the explicit override for the bench environment.
+val defaultHeap: String = {
+  val physGb = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+    case b: com.sun.management.OperatingSystemMXBean => (b.getTotalMemorySize >> 30).toInt
+    case _ => 16
+  }
+  s"${math.max(2, math.min(48, physGb / 2))}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32 executor threads need headroom: an undersized heap turns GC
-  // into the dominant "compute" and makes bench numbers nondeterministic
-  // (the official bench environment runs with a much larger heap).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )

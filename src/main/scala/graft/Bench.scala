@@ -24,13 +24,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
 
-    def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed query must NOT contribute a (tiny) elapsed time — that
+    // would make breakage look like a speedup. Record the error and
+    // surface it in the JSON + a nonzero exit instead.
+    def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, None)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        ((System.nanoTime() - t0) / 1e9, Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // Dev loop: SPARK_GRAFT_BENCH_ONLY=q1_agg,star_join runs a subset.
@@ -46,7 +51,7 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    def pass(): Seq[(String, Double)] =
+    def pass(): Seq[(String, (Double, Option[String]))] =
       ordered.map { case (name, fn) => name -> run(name, fn) }
 
     val cold = pass()
@@ -56,14 +61,27 @@ object Bench {
     // the standard least-noise estimator (what timeit/JMH report).
     val s1 = pass()
     val s2 = pass()
-    val steady = s1.zip(s2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    val steady = s1.zip(s2).map { case ((n, (a, ea)), (_, (b, eb))) =>
+      n -> (math.min(a, b), ea.orElse(eb))
+    }
+    val errors = (cold ++ steady).collect { case (n, (_, Some(e))) => n -> e }
+      .groupBy(_._1).map { case (n, es) => n -> es.head._2 }.toSeq.sortBy(_._1)
 
-    def jsonObj(xs: Seq[(String, Double)]): String =
+    def jsonNum(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jsonStr(xs: Seq[(String, String)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\"" }
+        .mkString("{", ",", "}")
 
-    val total     = steady.map(_._2).sum
-    val coldTotal = cold.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonObj(steady)},"cold_total":$coldTotal,"cold_queries":${jsonObj(cold)},"sf":"$sfDir"}""")
+    val total     = steady.map(_._2._1).sum
+    val coldTotal = cold.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonNum(steady.map { case (n, (t, _)) => n -> t })},"cold_total":$coldTotal,"cold_queries":${jsonNum(cold.map { case (n, (t, _)) => n -> t })},"errors":${jsonStr(errors)},"sf":"$sfDir"}""")
+    // The driver captures only the TAIL of the output; the big line
+    // above gets its head (the "value" field) truncated off. Emit a
+    // second, short, self-contained total line LAST so tail-capture
+    // always retains a parseable record of the official numbers.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_queries":${ordered.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

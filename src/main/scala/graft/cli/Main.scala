@@ -26,6 +26,36 @@ object Main {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
 
+  /** `.env` self-loading parity with the reference scripts (`set -a;
+    * source .env`, run_holders_and_report.sh:4): KEY=VALUE lines, `#`
+    * comments and blanks skipped, optional `export ` prefix, optional
+    * single/double quotes around the value. The real environment wins
+    * over the file, so an operator can override a checked-in `.env`
+    * per-run without editing it.
+    */
+  private[cli] def parseDotEnv(file: java.io.File): Map[String, String] =
+    if (!file.isFile) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(file, "UTF-8")
+      try src.getLines()
+        .map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(l => if (l.startsWith("export ")) l.drop(7).trim else l)
+        .flatMap { l =>
+          l.indexOf('=') match {
+            case i if i > 0 =>
+              val v = l.drop(i + 1).trim
+              val unq =
+                if (v.length >= 2 && ((v.head == '"' && v.last == '"') ||
+                  (v.head == '\'' && v.last == '\''))) v.substring(1, v.length - 1)
+                else v
+              Some(l.take(i).trim -> unq)
+            case _ => None
+          }
+        }.toMap
+      finally src.close()
+    }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
@@ -33,18 +63,20 @@ object Main {
       sys.exit(2)
     }
     val f = flags(args)
+    val dotEnv = parseDotEnv(new java.io.File(".env"))
+    def env(k: String): Option[String] = sys.env.get(k).orElse(dotEnv.get(k))
     val spark = GraftSession.local()
-    val store = new MerlStore(spark, sys.env.getOrElse("GRAFT_DATA_ROOT", "./graft_data"))
-    lazy val client = new ExplorerClient(sys.env.get("GRAFT_FIXTURE_DIR") match {
+    val store = new MerlStore(spark, env("GRAFT_DATA_ROOT").getOrElse("./graft_data"))
+    lazy val client = new ExplorerClient(env("GRAFT_FIXTURE_DIR") match {
       case Some(dir) => new FileTransport(dir)
       case None => new HttpTransport(
-        sys.env.getOrElse("MERLINSCAN_BASE_URL", "https://scan.merlinchain.io/api"),
-        sys.env.getOrElse("MERLINSCAN_API_KEY",
-          sys.error("MERLINSCAN_API_KEY is not set in environment")),
-        sys.env.get("ETL_RATE_LIMIT_QPS").map(_.toDouble).getOrElse(3.0))
+        env("MERLINSCAN_BASE_URL").getOrElse("https://scan.merlinchain.io/api"),
+        env("MERLINSCAN_API_KEY").getOrElse(
+          sys.error("MERLINSCAN_API_KEY is not set in environment or .env")),
+        env("ETL_RATE_LIMIT_QPS").map(_.toDouble).getOrElse(3.0))
     })
     lazy val notifier: Report.Notifier =
-      (sys.env.get("TELEGRAM_BOT_TOKEN"), sys.env.get("TELEGRAM_CHAT_ID")) match {
+      (env("TELEGRAM_BOT_TOKEN"), env("TELEGRAM_CHAT_ID")) match {
         case (Some(tok), Some(chat)) => new Report.TelegramNotifier(tok, chat)
         case _ => new Report.Notifier {
           override protected def deliver(text: String, mode: String): Unit = println(text)

@@ -104,11 +104,16 @@ class MerlStore(spark: SparkSession, root: String) {
     * transaction_index collapse to the same identity. Within-batch
     * dedup keeps one row per key; cross-batch dedup is a left-anti
     * join against the existing keys. At scale the anti-join shuffles
-    * only the key columns of the existing side; `contracts` (the
-    * tokens this batch is known to be confined to — merlin_etl.py
-    * ingests per (wallet, token)) prunes the existing-side scan to
-    * those partition directories, so dedup cost follows the touched
-    * tokens' history, not the whole table.
+    * only the key columns of the existing side; the existing-side scan
+    * is pruned to the batch's OWN distinct `contract_address` values
+    * (one partition-pruning directory filter per touched token), so
+    * dedup cost follows the touched tokens' history, not the whole
+    * table. The prune set is derived from the batch — never trusted
+    * from the caller — because a caller-supplied list that missed a
+    * token would silently bypass insert-ignore dedup for that token's
+    * rows and duplicate them on replay. `contracts`, when given, is a
+    * declared confinement that is VALIDATED against the batch (the
+    * reference ingests per (wallet, token), merlin_etl.py:346).
     */
   def appendWalletTransactions(batch: DataFrame, contracts: Option[Seq[String]] = None): Unit = {
     val keyed = batch.withColumn("__ti0", coalesce(col("transaction_index"), lit(0)))
@@ -116,8 +121,21 @@ class MerlStore(spark: SparkSession, root: String) {
     val fresh =
       if (!exists("wallet_transactions")) keyed
       else {
+        // Tiny driver-side distinct: the batch is one bounded flush
+        // window (≤ ~100k buffered rows), and its token set is ~1.
+        val batchContracts = keyed.select("contract_address").distinct()
+          .collect().flatMap(r => Option(r.getString(0))).toSeq
+        contracts.foreach { cs =>
+          val declared = cs.map(_.toLowerCase).toSet
+          val stray = batchContracts.filterNot(c => declared.contains(c.toLowerCase))
+          require(stray.isEmpty,
+            s"appendWalletTransactions: batch contains contract_address values outside " +
+              s"the declared contracts list: ${stray.mkString(", ")}")
+        }
         val base = read("wallet_transactions")
-        val pruned = contracts.fold(base)(cs => base.filter(col("contract_address").isin(cs: _*)))
+        val pruned =
+          if (batchContracts.isEmpty) base
+          else base.filter(col("contract_address").isin(batchContracts: _*))
         val existing = pruned
           .withColumn("__ti0", coalesce(col("transaction_index"), lit(0)))
           .select(TxKey.map(col): _*)

@@ -155,64 +155,87 @@ object Dedup {
     * similarity output into an actionable dedup decision (keep one doc
     * per component, drop the rest).
     *
-    * Execution: min-label propagation to fixpoint. Each round joins
-    * current labels across the edge list and takes the min of own and
-    * neighbors' labels — one shuffle per round, converging in
-    * O(component diameter) rounds (near-dup clusters are shallow:
-    * diameters of 2-4 in practice; the alternating large-star /
-    * small-star variant that halves round count slots in here if a
-    * corpus ever produces deep chains). The driver loop only reads a
-    * single converged? flag per round — no data is collected.
+    * Execution: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — each round re-points edges at per-neighborhood
+    * minima, contracting chains geometrically, so convergence is
+    * LOG-diameter (a depth-100 chain closes in ~6 rounds where
+    * min-label propagation needs 100). Two shuffles per round
+    * (groupBy-min + re-emit join); the driver loop reads only a
+    * per-round converged? flag — no data is collected.
     */
   def connectedComponents(pairs: DataFrame,
                           idA: String = "id_a", idB: String = "id_b",
                           maxRounds: Int = 20): DataFrame = {
-    // Undirected edge list, both directions; every node seeds with its
-    // own id as label. Every round ends in an EAGER localCheckpoint:
-    // an iterative self-referencing plan otherwise doubles in size per
-    // round (round N's logical plan embeds round N−1's twice), and
-    // Catalyst re-analysis of that tree goes exponential long before
-    // the data does — lineage truncation per round is the iterative-
-    // algorithm idiom on Spark.
-    // Checkpoint the pair input once — the both-directions union would
-    // otherwise evaluate the (possibly expensive) pair-generation
-    // subplan twice.
+    // Every round ends in an EAGER localCheckpoint: an iterative
+    // self-referencing plan otherwise doubles in size per round
+    // (round N's logical plan embeds round N−1's twice), and Catalyst
+    // re-analysis of that tree goes exponential long before the data
+    // does — lineage truncation per round is the iterative-algorithm
+    // idiom on Spark. Checkpoint the pair input once — node listing
+    // and edge orientation would otherwise evaluate the (possibly
+    // expensive) pair-generation subplan repeatedly.
     val p = pairs.select(col(idA).as("a"), col(idB).as("b")).localCheckpoint()
-    val edges = p.union(p.select(col("b"), col("a")))
-      .toDF("src", "dst").distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node")).localCheckpoint()
+    // Output must label EVERY node that appears in `pairs`, including
+    // component minima (which end up with no outgoing star edge).
+    val allNodes = p.select(col("a").as("node"))
+      .union(p.select(col("b").as("node"))).distinct().localCheckpoint()
+    // Parent-pointer edges, oriented child > parent; self-loops drop.
+    var edges = p.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+
+    // large-star(x): attach every strictly LARGER neighbor of x to
+    // m(x) = min(Γ(x) ∪ {x}). Every undirected edge {x,y}, x<y, is
+    // re-emitted through its smaller endpoint, so connectivity is
+    // preserved while long chains fold onto local minima.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val m = sym.groupBy("x").agg(min(col("y")).as("__mn"))
+        .select(col("x"), least(col("x"), col("__mn")).as("m"))
+      sym.join(m, "x").filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star(u): u's parents (all < u) plus u itself re-attach to
+    // their minimum — the contraction step that collapses multi-level
+    // trees toward stars.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min(col("v")).as("m")) // m < u by orientation
+      val withM = e.join(m, "u")
+      withM.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
     var round = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (!converged && round < maxRounds) {
-      // each node's new label: min(own, min over neighbors' labels);
-      // the convergence flag rides along in the same projection so the
-      // check is a filter over the just-materialized checkpoint, not
-      // another join-shuffle action
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(min(col("component")).as("__nbr"))
-      val newComp = least(col("component"), coalesce(col("__nbr"), col("component")))
-      val next = labels.join(viaNeighbors, Seq("node"), "left")
-        .select(col("node"), newComp.as("__next"),
-          (newComp < col("component")).as("__changed"))
-        .withColumnRenamed("__next", "component")
-        .localCheckpoint()
-      converged = next.filter(col("__changed")).isEmpty
-      labels = next.drop("__changed")
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // Fixpoint test on two materialized distinct sets: equal counts
+      // plus an empty one-sided anti-join ⇒ set equality.
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
       round += 1
     }
     // Silent truncation would return WRONG labels (one real cluster
-    // split into several, each keeping a copy) — fail loudly instead;
-    // near-dup clusters are shallow, so hitting this means the corpus
-    // needs the log-diameter large-star/small-star variant, not a
-    // bigger bound.
+    // split into several, each keeping a copy) — fail loudly instead.
+    // With log-diameter contraction, 20 rounds covers any component a
+    // dedup corpus can realistically produce (≫ 2^20 diameter).
     require(converged,
-      s"connectedComponents did not converge within $maxRounds rounds " +
-        "(component diameter exceeds the bound); raise maxRounds or use " +
-        "an alternating-star variant for deep-chain graphs")
-    labels
+      s"connectedComponents did not converge within $maxRounds rounds; " +
+        "raise maxRounds")
+    // At fixpoint the edge set is a union of stars (node → component
+    // min); minima themselves carry no edge and label as their own id.
+    // groupBy-min is belt-and-braces against any duplicate star edge.
+    allNodes.join(
+        edges.groupBy(col("u").as("node")).agg(min(col("v")).as("__c")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__c"), col("node")).as("component"))
   }
 
   /** 64-bit SimHash from a MATERIALIZED token-hash array attribute:

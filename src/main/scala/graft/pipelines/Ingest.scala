@@ -241,10 +241,14 @@ object Ingest {
           if (env.resultItems.size < pageSize) done = true else page += 1
         }
       }
-      flush(lastDonePage, meta)
-      // a no-new-rows run still records the probe outcome on the cursor
-      if (totalRows == 0)
-        store.cursorUpsert(stream, Some(lastBlock), Some(lastDonePage), meta)
+      // Always record the final probe outcome on the cursor. When the
+      // terminating envelope arrives exactly at a flush boundary the
+      // buffer is empty and flush is a no-op — the cursor would keep
+      // the previous window's OK meta instead of this probe's
+      // status/message (the reference records every probe outcome,
+      // merlin_etl.py:463). This branch also covers no-new-rows runs.
+      if (buffered.nonEmpty) flush(lastDonePage, meta)
+      else store.cursorUpsert(stream, Some(lastBlock), Some(lastDonePage), meta)
       store.jobFinish(jobId, "success", stats = Some(
         s"""{"rows":$totalRows,"pages":$pages,"wallet":"$wallet","token":"$token","last_block":$lastBlock}"""))
       TokenTxResult(totalRows, pages, wallet, token, lastBlock)

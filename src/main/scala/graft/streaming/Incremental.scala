@@ -110,13 +110,51 @@ object Incremental {
     * STRINGS ordered by (length DESC, string DESC, holder ASC), the
     * repo's lossless NUMERIC(78,0) contract, never a Double that
     * collapses wei-scale balances above 2^53.
+    *
+    * State growth guards (the map is per-token holder cardinality and
+    * never shrinks on its own — a long-running job needs an escape
+    * hatch):
+    *  - `inactivityTimeout` (e.g. `Some("30 days")`): tokens receiving
+    *    no updates for that long have their state EVICTED (processing-
+    *    time timeout). Trade-off made explicit: an evicted token that
+    *    wakes up rebuilds state from its post-eviction updates only, so
+    *    holders whose last update predates eviction drop out of its
+    *    Top-K until they next move. Correct-by-default is eviction OFF.
+    *  - `stateSizeHook` fires as (token, holderCount) on every state
+    *    update — wire it to a metrics sink to alarm on runaway maps.
     */
-  def streamingTop100(spark: SparkSession, srcDir: String, k: Int = 100): DataFrame = {
+  def streamingTop100(spark: SparkSession, srcDir: String, k: Int = 100,
+                      inactivityTimeout: Option[String] = None,
+                      stateSizeHook: (String, Int) => Unit = noopStateHook): DataFrame = {
     import spark.implicits._
     val upds = spark.readStream.schema(holderUpdSchema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir).as[HolderUpd]
-    def update(token: String, batch: Iterator[HolderUpd],
-               state: GroupState[Map[String, (String, Long)]]): Iterator[TopEntry] = {
+    val timeoutConf =
+      if (inactivityTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    upds.groupByKey(_.contract_address)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update(),
+        timeoutConf)(top100Update(k, inactivityTimeout, stateSizeHook))
+      .toDF()
+  }
+
+  val noopStateHook: (String, Int) => Unit = (_, _) => ()
+
+  /** The per-group state transition of [[streamingTop100]], exposed so
+    * specs can drive it directly against a scripted [[GroupState]]
+    * (eviction and re-entry are processing-time behaviors that an e2e
+    * stream test cannot deterministically trigger).
+    */
+  private[streaming] def top100Update(k: Int, inactivityTimeout: Option[String],
+      stateSizeHook: (String, Int) => Unit)(
+      token: String, batch: Iterator[HolderUpd],
+      state: GroupState[Map[String, (String, Long)]]): Iterator[TopEntry] = {
+    if (state.hasTimedOut) {
+      // inactivity eviction: drop the map, emit nothing — the token
+      // re-enters cleanly when its next update arrives
+      state.remove()
+      Iterator.empty
+    } else {
       val prev = state.getOption.getOrElse(Map.empty[String, (String, Long)])
       val next = batch.foldLeft(prev) { (m, u) =>
         m.get(u.holder_address) match {
@@ -125,6 +163,8 @@ object Incremental {
         }
       }
       state.update(next)
+      inactivityTimeout.foreach(state.setTimeoutDuration)
+      stateSizeHook(token, next.size)
       // (length DESC, string DESC) = exact numeric DESC for canonical
       // decimal strings; holder ASC tiebreak matches Top100.compute
       next.toSeq.sortBy { case (h, (b, _)) => (-b.length, b, h) }(
@@ -132,10 +172,6 @@ object Incremental {
         .take(k).zipWithIndex
         .map { case ((h, (b, _)), i) => TopEntry(token, i + 1, h, b) }.iterator
     }
-    upds.groupByKey(_.contract_address)
-      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update(),
-        GroupStateTimeout.NoTimeout)(update)
-      .toDF()
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

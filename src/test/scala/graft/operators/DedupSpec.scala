@@ -107,4 +107,35 @@ class DedupSpec extends SparkSpec {
       .select(col("node"), col("component")).as[(Long, Long)].collect()
     assert(got.length == 12 && got.forall(_._2 == 0L))
   }
+
+  test("connectedComponents closes a diameter-100 chain within 8 rounds (log-diameter)") {
+    val ss = spark; import ss.implicits._
+    // min-label propagation would need 100 rounds here; the alternating
+    // large-star/small-star contraction must do it in O(log d)
+    val chain = (0L to 100L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, maxRounds = 8)
+      .select(col("node"), col("component")).as[(Long, Long)].collect()
+    assert(got.length == 101 && got.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents matches driver-side union-find on a seeded random graph") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 80
+    val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side oracle: classic union-find with path compression
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != c) { val p = parent(c); parent(c) = r; c = p }; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v.toInt).toLong).toMap
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .select(col("node"), col("component")).as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
 }
