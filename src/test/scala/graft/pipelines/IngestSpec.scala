@@ -147,6 +147,30 @@ class IngestSpec extends SparkSpec {
     assert(store.read("wallet_transactions").count() == 99, "insert-ignore holds on replay")
   }
 
+  test("failed probe after a successful flush records the error meta on the cursor") {
+    val (fx, store, t, client) = freshDirs()
+    // page 1 (full) flushes immediately (flushPages=1): cursor carries
+    // the OK meta. Page 2 fails with the buffer EMPTY — exactly the
+    // flush boundary — and the cursor must still record THAT outcome,
+    // not keep page 1's OK meta (the reference records every probe).
+    write(fx, t, txParams("0xW1", "0xabc", 0, 1, 2),
+      """{"status":"1","message":"OK","result":[
+        |{"blockNumber":"10","timeStamp":"1700000000","hash":"0xh1","from":"0xW1","to":"0xX","value":"100","tokenDecimal":"18","transactionIndex":"1"},
+        |{"blockNumber":"20","timeStamp":"1700000600","hash":"0xh2","from":"0xY","to":"0xW1","value":"200","tokenDecimal":"18","transactionIndex":"2"}]}""".stripMargin)
+    write(fx, t, txParams("0xW1", "0xabc", 20, 2, 2),
+      """{"status":"0","message":"NOTOK-RATELIMIT","result":[]}""")
+
+    val r = Ingest.walletTokenTx(spark, store, client, "0xW1", "0xabc", 0,
+      pageSize = 2, flushPages = 1)
+    assert(r.rows == 2 && r.pages == 1 && r.lastBlock == 20)
+    val meta = store.read("ingestion_cursors")
+      .filter(col("stream") === "tokentx:0xw1:0xabc")
+      .select("metadata").collect().map(_.getString(0)).toSeq
+    assert(meta.size == 1 && meta.head.contains("NOTOK-RATELIMIT"),
+      s"cursor must record the final probe outcome, got: $meta")
+    assert(store.cursorGet("tokentx:0xw1:0xabc").contains((20L, 1)))
+  }
+
   test("holders_and_top100 one-shot: snapshot -> refine -> report (run_holders_and_top100.sh)") {
     val (fx, store, t, client) = freshDirs()
     // one full page (2 holders) + short page (1 holder); fixture keys

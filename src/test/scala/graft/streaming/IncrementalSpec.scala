@@ -147,6 +147,67 @@ class IncrementalSpec extends SparkSpec {
       s"streaming top-K after decrease+entry must match batch recompute, got $r2")
   }
 
+  /** Scripted [[org.apache.spark.sql.streaming.GroupState]]: eviction
+    * and re-entry are processing-time behaviors an e2e stream can't
+    * trigger deterministically, so the state transition is driven
+    * directly.
+    */
+  private class FakeState[S](var opt: Option[S], timedOut: Boolean = false)
+      extends org.apache.spark.sql.streaming.GroupState[S] {
+    var removed = false
+    var timeoutSet: Option[String] = None
+    override def exists: Boolean = opt.isDefined
+    override def get: S = opt.get
+    override def getOption: Option[S] = opt
+    override def update(s: S): Unit = { opt = Some(s) }
+    override def remove(): Unit = { opt = None; removed = true }
+    override def hasTimedOut: Boolean = timedOut
+    override def setTimeoutDuration(ms: Long): Unit = timeoutSet = Some(s"${ms}ms")
+    override def setTimeoutDuration(d: String): Unit = timeoutSet = Some(d)
+    override def setTimeoutTimestamp(ms: Long): Unit = ()
+    override def setTimeoutTimestamp(ms: Long, add: String): Unit = ()
+    override def setTimeoutTimestamp(ts: java.sql.Date): Unit = ()
+    override def setTimeoutTimestamp(ts: java.sql.Date, add: String): Unit = ()
+    override def getCurrentWatermarkMs: Long = 0L
+    override def getCurrentProcessingTimeMs: Long = 0L
+  }
+
+  test("streamingTop100 state guard: inactivity eviction, metrics hook, and re-entry") {
+    type S = Map[String, (String, Long)]
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val upd = Incremental.top100Update(k = 2, Some("30 days"), (t, n) => sizes += (t -> n)) _
+
+    // normal batch: state updates, timeout armed, hook sees map size
+    val live = new FakeState[S](None)
+    val out1 = upd("t1", Iterator(
+      Incremental.HolderUpd("t1", "A", "100", 1L),
+      Incremental.HolderUpd("t1", "B", "50", 1L),
+      Incremental.HolderUpd("t1", "C", "10", 1L)), live).toSeq
+    assert(out1.map(e => (e.rnk, e.holder_address)) == Seq((1, "A"), (2, "B")))
+    assert(live.opt.exists(_.size == 3) && live.timeoutSet.contains("30 days"))
+    assert(sizes.toSeq == Seq("t1" -> 3))
+
+    // inactivity fires: state is EVICTED, nothing emitted
+    val stale = new FakeState[S](live.opt, timedOut = true)
+    assert(upd("t1", Iterator.empty, stale).isEmpty)
+    assert(stale.removed && stale.opt.isEmpty)
+
+    // re-entry: the token wakes up and rebuilds from post-eviction
+    // updates only (the documented trade-off — pre-eviction holders
+    // are gone until they next move)
+    val reborn = new FakeState[S](None)
+    val out2 = upd("t1", Iterator(Incremental.HolderUpd("t1", "D", "7", 5L)), reborn).toSeq
+    assert(out2.map(e => (e.rnk, e.holder_address)) == Seq((1, "D")))
+    assert(reborn.opt.exists(_.size == 1))
+
+    // no timeout configured → state never arms one (NoTimeout contract:
+    // calling setTimeoutDuration would throw in the real engine)
+    val noTtl = new FakeState[S](None)
+    Incremental.top100Update(k = 2, None, Incremental.noopStateHook)(
+      "t1", Iterator(Incremental.HolderUpd("t1", "A", "1", 1L)), noTtl)
+    assert(noTtl.timeoutSet.isEmpty)
+  }
+
   test("userCursors keeps per-user running max via keyed state") {
     val src = Files.createTempDirectory("cur_src").toString + "/t"
     val ev = Tables.events(spark, sf)
