@@ -44,6 +44,13 @@ object GraftSession {
       // conversion is size-gated per partition, so it is safe at any
       // scale.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      // The store's write paths are many small parquet jobs (cursor /
+      // audit rewrites); _SUCCESS markers are driver-side fs round
+      // trips nothing reads. Commit protocol stays v1 (job-commit
+      // rename) — v2's task-commit visibility would let a failed
+      // append leave partial files, which the store's idempotent-key
+      // design does not tolerate.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
 
   /** Session for driver-run mains: core count from SPARK_GRAFT_CPUS.
     * SPARK_GRAFT_CONF ("k=v;k=v") applies ad-hoc overrides last — a

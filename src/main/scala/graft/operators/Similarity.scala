@@ -254,7 +254,10 @@ object Similarity {
       norm(vecCol).as("__na"))
     val b = df.select(blockCol.as("block"), idCol.as("id_b"), vecCol.as("__vb"),
       norm(vecCol).as("__nb"))
-    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+    // Pinned shuffled self-join: both sides are the full vector table;
+    // a stats misestimate must never turn this into a driver broadcast
+    // of every embedding (see Dedup.minhashCandidates).
+    a.hint("shuffle_hash").join(b, Seq("block")).filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(cosineWithNorms(col("__va"), col("__vb"),
         col("__na"), col("__nb")), 6))
       .filter(col("cos") >= threshold)

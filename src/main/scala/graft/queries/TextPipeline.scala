@@ -36,21 +36,63 @@ object TextPipeline {
       .select(col("keep_id"), col("dup_count"))
       .orderBy(col("keep_id"))
 
+  /** The θ=0.5 trigram-Jaccard pair frame, persisted and memoized per
+    * (session, dir) — the reference's M7 temp-table reuse, because
+    * THREE gated queries consume the identical frame (ngram_jaccard,
+    * dedup_components, decontamination) and recomputing the shingle
+    * blocking join per consumer triples the most expensive stage of
+    * the text pipeline. Long-lived services call [[evictPairsCache]]
+    * per batch cycle (same lifecycle contract as
+    * [[Relational.evictFlowsCache]]).
+    */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def ngramPairs05(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, dir),
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+        n = 3, threshold = 0.5).persist())
+
+  def evictPairsCache(s: SparkSession): Unit = {
+    pairsCache.keys.filter(_._1 eq s).foreach { k =>
+      pairsCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+    toksCache.keys.filter(_._1 eq s).foreach { k =>
+      toksCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Tokenized documents (doc_id, text, lang, __toks), persisted and
+    * memoized per (session, dir): tokenization is the text family's
+    * single most repeated stage (TextFns cost contract — one regex
+    * pass per document), and text_stats / lang_guess /
+    * text_repetition all start from exactly this frame. Same M7
+    * lifecycle as [[pairsCache]]. Already spread across cores
+    * (core-count partitions) when materialized.
+    */
+  private val toksCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
+    toksCache.getOrElseUpdate((s, dir),
+      Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), col("text"), col("lang"),
+          TextFns.tokens(col("text")).as("__toks"))
+        .persist())
+
   /** Exact word-trigram Jaccard near-dup pairs at θ=0.5. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
-      n = 3, threshold = 0.5)
+    ngramPairs05(s, dir)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Duplicate clusters from the exact trigram-Jaccard pair graph:
-    * min-label propagation to fixpoint; the oracle restates it as a
-    * recursive transitive closure over the identical pair derivation —
-    * so the iterative-join convergence loop is hash-gated end to end.
+    * alternating large-star/small-star contraction to fixpoint; the
+    * oracle restates it as a recursive transitive closure over the
+    * identical pair derivation — so the iterative-join convergence
+    * loop is hash-gated end to end.
     */
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
-        n = 3, threshold = 0.5))
+    Dedup.connectedComponents(ngramPairs05(s, dir))
       .select(col("node").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
 
@@ -84,8 +126,7 @@ object TextPipeline {
     * cores, not sit in one small-file task.
     */
   def textStats(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(s, dir))
-      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("__toks"))
+    tokenizedDocs(s, dir)
       .select(
         col("doc_id"),
         size(col("__toks")).cast(LongType).as("n_tokens"),
@@ -98,8 +139,7 @@ object TextPipeline {
 
   /** Heuristic language ID vs the labeled truth column. */
   def langGuess(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(s, dir))
-      .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("__toks"))
+    tokenizedDocs(s, dir)
       .select(
         col("doc_id"),
         TextFns.langGuessOf(col("__toks")).as("lang_guess"),
@@ -115,8 +155,7 @@ object TextPipeline {
     * the oracle verbatim.
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val staged = Tables.spread(Tables.documents(s, dir))
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+    val staged = tokenizedDocs(s, dir).select(col("doc_id"), col("__toks"))
     def level(gramCol: org.apache.spark.sql.Column) = staged
       .select(col("doc_id"), explode(gramCol).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
@@ -165,8 +204,7 @@ object TextPipeline {
     * oracle-stated.
     */
   def decontamination(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
-      col("doc_id"), col("text"), n = 3, threshold = 0.5)
+    val pairs = ngramPairs05(s, dir)
     val splits = Tables.documents(s, dir)
       .select(col("doc_id"), TextFns.stableSplit(col("text")).as("split"))
     pairs
