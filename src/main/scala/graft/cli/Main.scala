@@ -56,10 +56,36 @@ object Main {
       finally src.close()
     }
 
+  /** In-engine parity with the reference's `timeout 7200s` wrapper
+    * (`run_holders_and_top100.sh:21,42`): run `body` under a wall-clock
+    * fuse; on expiry cancel every running Spark job and fail the
+    * command loudly (the job-audit bracket then records the error).
+    */
+  private[cli] def withTimeout[T](timeoutSec: Option[Long],
+                                  cancelJobs: () => Unit)(body: => T): T =
+    timeoutSec match {
+      case None => body
+      case Some(s) =>
+        val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+        val fut = exec.submit(new java.util.concurrent.Callable[T] {
+          def call(): T = body
+        })
+        try fut.get(s, java.util.concurrent.TimeUnit.SECONDS)
+        catch {
+          case e: java.util.concurrent.TimeoutException =>
+            cancelJobs()
+            fut.cancel(true)
+            throw new RuntimeException(s"command timed out after ${s}s", e)
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+        finally exec.shutdownNow()
+    }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
-        "usage: graft {block_by_time|holders_snapshot|wallet_tokentx|top100|holders_and_top100|report_snapshot|report_activity} [--flag value ...]")
+        "usage: graft {block_by_time|holders_snapshot|wallet_tokentx|top100|holders_and_top100|report_snapshot|report_activity} [--flag value ...] [--timeout-sec N]")
       sys.exit(2)
     }
     val f = flags(args)
@@ -83,7 +109,8 @@ object Main {
         }
       }
 
-    val out = args(0) match {
+    val out = withTimeout(f.get("timeout-sec").map(_.toLong),
+      () => spark.sparkContext.cancelAllJobs()) { args(0) match {
       case "block_by_time" =>
         val r = Ingest.blockByTime(spark, store, client,
           f("unix-ts").toLong, f.getOrElse("closest", "after"))
@@ -127,7 +154,7 @@ object Main {
         """{"sent":true}"""
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2); ""
-    }
+    } }
     println(out)
     spark.stop()
   }

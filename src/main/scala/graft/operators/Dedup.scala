@@ -60,10 +60,20 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, idCol: Column, textCol: Column,
                         shingleLen: Int = 3, bands: Int = 16,
-                        rowsPerBand: Int = 8): DataFrame = {
+                        rowsPerBand: Int = 8): DataFrame =
+    minhashCandidatesOfTokens(
+      graft.Tables.spread(docs)
+        .select(idCol.as("doc_id"), TextFns.tokens(textCol).as("__toks")),
+      shingleLen, bands, rowsPerBand)
+
+  /** [[minhashCandidates]] over a pre-tokenized frame (doc_id, __toks)
+    * — callers that already materialized tokenization (the M7 shared
+    * stage) skip the per-operator regex pass.
+    */
+  def minhashCandidatesOfTokens(toks: DataFrame, shingleLen: Int = 3,
+                                bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val hashed = graft.Tables.spread(docs)
-      .select(idCol.as("doc_id"), TextFns.tokens(textCol).as("__toks"))
+    val hashed = toks
       .select(col("doc_id"),
         explode(TextFns.wordShinglesOf(col("__toks"), shingleLen)).as("__s"))
       .select(col("doc_id"), xxhash64(col("__s")).as("__h"))
@@ -115,14 +125,24 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, threshold: Double = 0.8,
-                        maxShingleFreq: Long = 1000L): DataFrame = {
+                        maxShingleFreq: Long = 1000L): DataFrame =
+    ngramJaccardPairsOfTokens(
+      graft.Tables.spread(docs)
+        .select(idCol.as("doc_id"), TextFns.tokens(textCol).as("__toks")),
+      n, threshold, maxShingleFreq)
+
+  /** [[ngramJaccardPairs]] over a pre-tokenized frame (doc_id, __toks)
+    * — same M7 rationale as [[minhashCandidatesOfTokens]].
+    */
+  def ngramJaccardPairsOfTokens(toks: DataFrame,
+                                n: Int = 3, threshold: Double = 0.8,
+                                maxShingleFreq: Long = 1000L): DataFrame = {
     // Join/shuffle key is the 64-bit shingle hash, not the shingle
     // string — the blocking self-join then moves 8-byte longs instead
     // of text. At 2^64 hash space a cross-shingle collision (which
     // would overcount one intersection) is negligible at any corpus
     // size this runs on.
-    val grams = graft.Tables.spread(docs)
-      .select(idCol.as("doc_id"), TextFns.tokens(textCol).as("__toks"))
+    val grams = toks
       .select(col("doc_id"),
         explode(array_distinct(TextFns.wordShinglesOf(col("__toks"), n))).as("__g"))
       .select(col("doc_id"), xxhash64(col("__g")).as("gram"))
@@ -290,7 +310,17 @@ object Dedup {
     * loss concentrates on the noise pairs the cap exists to avoid.
     */
   def simhashPairs(docs: DataFrame, idCol: Column, textCol: Column,
-                   maxDist: Int = 3, maxPieceFreq: Long = 1000L): DataFrame = {
+                   maxDist: Int = 3, maxPieceFreq: Long = 1000L): DataFrame =
+    simhashPairsOfTokens(
+      graft.Tables.spread(docs)
+        .select(idCol.as("doc_id"), TextFns.tokens(textCol).as("__toks")),
+      maxDist, maxPieceFreq)
+
+  /** [[simhashPairs]] over a pre-tokenized frame (doc_id, __toks) —
+    * same M7 rationale as [[minhashCandidatesOfTokens]].
+    */
+  def simhashPairsOfTokens(toks: DataFrame,
+                           maxDist: Int = 3, maxPieceFreq: Long = 1000L): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
     // Execution shape (same rationale as minhashCandidates): tokens
@@ -302,8 +332,8 @@ object Dedup {
     val bitCols = (0 until 64).map(k =>
       sum(when(call_function("shiftright", col("__h"), lit(k))
         .bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__c$k"))
-    val sh = graft.Tables.spread(docs)
-      .select(idCol.as("doc_id"), explode(TextFns.tokens(textCol)).as("__t"))
+    val sh = toks
+      .select(col("doc_id"), explode(col("__toks")).as("__t"))
       .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
       .groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"),

@@ -50,7 +50,8 @@ object TextPipeline {
 
   private def ngramPairs05(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate((s, dir),
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+      Dedup.ngramJaccardPairsOfTokens(
+        tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")),
         n = 3, threshold = 0.5).persist())
 
   def evictPairsCache(s: SparkSession): Unit = {

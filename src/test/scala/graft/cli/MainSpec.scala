@@ -33,4 +33,19 @@ class MainSpec extends AnyFunSuite {
   test("parseDotEnv: missing file is an empty contract, not an error") {
     assert(Main.parseDotEnv(new java.io.File("/nonexistent/.env")).isEmpty)
   }
+
+  test("withTimeout: expiry cancels jobs and fails; completion passes through") {
+    var cancelled = false
+    val e = intercept[RuntimeException] {
+      Main.withTimeout(Some(1L), () => cancelled = true) { Thread.sleep(60000); 1 }
+    }
+    assert(e.getMessage.contains("timed out after 1s") && cancelled)
+    assert(Main.withTimeout(Some(60L), () => fail("must not cancel")) { 42 } == 42)
+    assert(Main.withTimeout(None, () => fail("must not cancel")) { 7 } == 7)
+    // a body failure surfaces as the original exception, not wrapped
+    val boom = intercept[IllegalStateException] {
+      Main.withTimeout(Some(60L), () => ())(throw new IllegalStateException("boom"))
+    }
+    assert(boom.getMessage == "boom")
+  }
 }
