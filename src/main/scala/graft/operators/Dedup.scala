@@ -325,16 +325,23 @@ object Dedup {
     val bitsPer = 64 / chunks
     // Execution shape (same rationale as minhashCandidates): tokens
     // exploded to (doc_id, hash) rows, the 64 bit-counters are 64
-    // conditional-sum AGGREGATE columns in one codegen'd hash
-    // aggregate, and the fingerprint is a 64-term OR over their
-    // signs. Docs with zero tokens drop out of pairing here (they
-    // are exact duplicates of each other — Dedup.exact's domain).
+    // branch-free weighted-sum AGGREGATE columns in one codegen'd
+    // hash aggregate, and the fingerprint is a 64-term OR over their
+    // signs. Two-level: occurrences first collapse to (doc, hash,
+    // count) — a cheap 2-long-key aggregate with map-side combine —
+    // so the 64-expression stage runs once per DISTINCT token, not
+    // once per occurrence (natural text repeats tokens 2-3×, and
+    // c·(2·bit−1) ≡ the per-occurrence ±1 sum exactly). Docs with
+    // zero tokens drop out of pairing here (they are exact duplicates
+    // of each other — Dedup.exact's domain).
     val bitCols = (0 until 64).map(k =>
-      sum(when(call_function("shiftright", col("__h"), lit(k))
-        .bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__c$k"))
+      sum(col("__c") *
+        (call_function("shiftright", col("__h"), lit(k))
+          .bitwiseAND(1) * 2 - 1)).as(s"__c$k"))
     val sh = toks
       .select(col("doc_id"), explode(col("__toks")).as("__t"))
       .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
+      .groupBy(col("doc_id"), col("__h")).agg(count(lit(1)).as("__c"))
       .groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(k =>

@@ -96,4 +96,30 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "corpus x queries must not be a partitioned cartesian product")
   }
+
+  test("pair-generation self-joins stay shuffled even from a cached (precise-stats) input") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    // A persisted relation hands Catalyst precise small stats; without
+    // the hint pins it statically chose BroadcastHashJoin for the pair
+    // self-joins — i.e. a whole corpus' exploded signatures as a driver
+    // broadcast build side (measured +60% locally; OOM at scale).
+    val docs = Tables.documents(spark, dir).repartition(4).persist()
+    docs.count()
+    try {
+      val shapes = Seq(
+        "ngram" -> Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+          n = 3, threshold = 0.5),
+        "minhash" -> Dedup.minhashCandidates(docs, col("doc_id"), col("text"),
+          shingleLen = 3, bands = 8, rowsPerBand = 4),
+        "simhash" -> Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+          maxDist = 3, maxPieceFreq = 1000L))
+      for ((name, df) <- shapes) {
+        val p = df.queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        assert(p.contains("ShuffledHashJoin"),
+          s"$name pair self-join must be a shuffled join, not a broadcast:\n$p")
+      }
+    } finally docs.unpersist(blocking = false)
+  }
 }
