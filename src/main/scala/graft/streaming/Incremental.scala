@@ -174,6 +174,50 @@ object Incremental {
     }
   }
 
+  /** Event-time sessionization: gap-based `session_window` per user —
+    * the training-pipeline view of user activity (a session closes
+    * after `gap` of silence; windows merge as late-but-in-watermark
+    * events arrive). Batch and streaming share the same expression, so
+    * the spec gates streaming output against the batch run verbatim.
+    */
+  def sessionizedActivity(spark: SparkSession, srcDir: String,
+                          gap: String = "30 minutes",
+                          watermark: String = "2 hours"): DataFrame =
+    spark.readStream.schema(graft.Tables.eventsSchema).parquet(srcDir)
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Watermarked stream-stream attribution join: each purchase matches
+    * the same user's clicks in the preceding `horizon`. Both sides
+    * carry watermarks and the join condition carries the time bound —
+    * the two things Spark needs to EVICT join state (an unbounded
+    * stream-stream join is a memory leak by construction; with the
+    * bound, rows age out once the other side's watermark passes).
+    */
+  def attributionJoin(spark: SparkSession, srcDir: String,
+                      horizon: String = "60 minutes",
+                      watermark: String = "2 hours"): DataFrame = {
+    def src = spark.readStream.schema(graft.Tables.eventsSchema).parquet(srcDir)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double, props: String)
   final case class UserCursor(user_id: Long, last_event_id: Long, events_seen: Long)

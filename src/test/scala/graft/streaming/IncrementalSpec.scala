@@ -208,6 +208,56 @@ class IncrementalSpec extends SparkSpec {
     assert(noTtl.timeoutSet.isEmpty)
   }
 
+  test("sessionizedActivity: streaming session windows equal the batch sessionization") {
+    val src = Files.createTempDirectory("sess_src").toString + "/t"
+    val ev = Tables.events(spark, sf)
+    ev.write.parquet(src)
+
+    val q = Incremental.sessionizedActivity(spark, src, gap = "30 minutes").writeStream
+      .format("memory").queryName("sessions")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.sql(
+      "SELECT session_start, session_end, user_id, n_events, session_value FROM sessions")
+      .collect().map(_.toSeq).toSet
+    val want = ev
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("sw.start"), col("sw.end"), col("user_id"),
+        col("n_events"), col("session_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("attributionJoin: stream-stream join equals the batch time-bounded join") {
+    val src = Files.createTempDirectory("attr_src").toString + "/t"
+    val ev = Tables.events(spark, sf)
+    ev.write.parquet(src)
+
+    val q = Incremental.attributionJoin(spark, src, horizon = "60 minutes").writeStream
+      .format("memory").queryName("attribution")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.sql("SELECT user_id, purchase_id, click_id FROM attribution")
+      .collect().map(_.toSeq).toSet
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("click_id"))
+    val want = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+      .join(clicks, col("user_id") === col("cu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 60 minutes") && col("cts") <= col("pts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("userCursors keeps per-user running max via keyed state") {
     val src = Files.createTempDirectory("cur_src").toString + "/t"
     val ev = Tables.events(spark, sf)
