@@ -77,7 +77,7 @@ object TextPipeline {
   private def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
     toksCache.getOrElseUpdate((s, dir),
       Tables.spread(Tables.documents(s, dir))
-        .select(col("doc_id"), col("text"), col("lang"),
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
           TextFns.tokens(col("text")).as("__toks"))
         .persist())
 
@@ -291,6 +291,61 @@ object TextPipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- corpus statistics ------------------------------------------
+
+  /** Corpus vocabulary: top-50 tokens by frequency (count DESC, token
+    * ASC total order) — the vocabulary-building / stopword-discovery
+    * pass of a training pipeline. Exact integers; plans as a
+    * distributed per-partition heap (TakeOrderedAndProject), never a
+    * global sort.
+    */
+  def vocabTopk(s: SparkSession, dir: String): DataFrame =
+    tokenizedDocs(s, dir)
+      .select(explode(col("__toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(50)
+
+  /** Exact per-source token cardinality — the ground truth
+    * [[tokenHll]]'s sketches approximate; both gated surfaces of the
+    * same pipeline decision (when is a corpus slice worth keeping).
+    */
+  def distinctTokens(s: SparkSession, dir: String): DataFrame =
+    tokenizedDocs(s, dir)
+      .select(col("source"), explode(col("__toks")).as("token"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("token")).as("n_distinct"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("source"))
+
+  /** Mergeable distinct-count sketches (rows-only: HLL binary layout
+    * is engine-specific): per-source Datasketches HLL over tokens,
+    * plus the UNION row merged from the per-source sketches — the
+    * 100 TB shape, where per-partition/per-day sketch columns are
+    * tiny, map-side-combinable partial aggregates that merge across
+    * any grouping without rescanning the corpus. Accuracy vs the
+    * exact twin is spec-gated (≤5% relative error, union ≥ max part).
+    */
+  def tokenHll(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokenizedDocs(s, dir)
+      .select(col("source"), explode(col("__toks")).as("token"))
+    val per = toks.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("token")).as("__sk"))
+    val union = per.agg(hll_union_agg(col("__sk")).as("__sk"))
+      .select(lit("__union__").as("source"), col("__sk"))
+    per.unionByName(union)
+      .select(col("source"),
+        hll_sketch_estimate(col("__sk")).as("approx_distinct"))
+      .orderBy(col("source"))
+  }
+
+  /** Corpus-wide exact distinct-token count (spec support for the HLL
+    * union accuracy gate).
+    */
+  private[queries] def exactDistinctTokens(s: SparkSession, dir: String): Long =
+    tokenizedDocs(s, dir).select(explode(col("__toks")).as("token"))
+      .agg(countDistinct(col("token")).as("n")).collect()(0).getLong(0)
+
   /** Per-vector int8 quantization summary — scale and the quantized
     * values' sum/min/max. Every number is deterministic double/integer
     * arithmetic (max |x|, scaled rounding), so the whole quantize path
@@ -333,7 +388,10 @@ object TextPipeline {
     "doc_sample" -> (docSample _),
     "seq_pack" -> (seqPack _),
     "decontamination" -> (decontamination _),
-    "text_repetition" -> (textRepetition _))
+    "text_repetition" -> (textRepetition _),
+    "vocab_topk" -> (vocabTopk _),
+    "distinct_tokens" -> (distinctTokens _),
+    "token_hll" -> (tokenHll _))
 
   /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's
     * regexp_replace needs the explicit 'g' flag (Spark's replaces all
@@ -490,6 +548,17 @@ object TextPipeline {
          |       round(CAST(wl.top AS DOUBLE) / wl.n, 6) AS top_word_ratio,
          |       round(1.0 - CAST(bl.d AS DOUBLE) / bl.n, 6) AS dup_bigram_ratio
          |FROM wl JOIN bl ON wl.doc_id = bl.doc_id ORDER BY wl.doc_id""".stripMargin,
+    "vocab_topk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT unnest(toks) AS token FROM t)
+         |SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+         |ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "distinct_tokens" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |tok AS (SELECT source, unnest(toks) AS token FROM t)
+         |SELECT source, COUNT(DISTINCT token) AS n_distinct,
+         |       COUNT(*) AS n_tokens
+         |FROM tok GROUP BY source ORDER BY source""".stripMargin,
     "doc_sample" ->
       """SELECT doc_id, md5(text) AS content_md5,
         |       substring(md5(text), 1, 2) < '29' AS in_sample,
