@@ -52,6 +52,18 @@ object GraftSession {
       // design does not tolerate.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
 
+  /** Long-running streaming preset: RocksDB state store, so unbounded
+    * keyed state (streamingTop100's holder maps, stream-stream join
+    * buffers) lives off-heap/on-disk instead of executor heap, with
+    * changelog checkpointing to keep commits incremental. Batch jobs
+    * don't need it; streaming jobs at scale should not run without it.
+    */
+  def streamingBuilder(cpus: String): SparkSession.Builder =
+    builder(cpus)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+
   /** Session for driver-run mains: core count from SPARK_GRAFT_CPUS.
     * SPARK_GRAFT_CONF ("k=v;k=v") applies ad-hoc overrides last — a
     * dev hook for config A/B runs (e.g. measuring AQE barrier cost),

@@ -97,6 +97,14 @@ class ExplainSpec extends SparkSpec {
       "corpus x queries must not be a partitioned cartesian product")
   }
 
+  test("vocab_topk: global top-50 plans as distributed TakeOrderedAndProject with partial aggs") {
+    val p = plan("vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"corpus top-K must be a per-partition heap + driver merge, not a global sort:\n$p")
+    assert(count(p, "HashAggregate") >= 2,
+      s"token counting must partial-aggregate map-side:\n$p")
+  }
+
   test("pair-generation self-joins stay shuffled even from a cached (precise-stats) input") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Dedup

@@ -208,6 +208,45 @@ class IncrementalSpec extends SparkSpec {
     assert(noTtl.timeoutSet.isEmpty)
   }
 
+  test("streamingTop100 runs end-to-end on the RocksDB state store (production preset)") {
+    val ss = spark; import ss.implicits._
+    val src = Files.createTempDirectory("rdb_src").toString + "/t"
+    val ckpt = Files.createTempDirectory("rdb_ckpt").toString
+    Seq(("t1", "A", "100", 1L), ("t1", "B", "50", 1L), ("t1", "C", "10", 1L))
+      .toDF("contract_address", "holder_address", "balance_raw", "seq")
+      .coalesce(1).write.parquet(src)
+
+    // same SparkContext, isolated SQLConf — the streamingBuilder's
+    // RocksDB provider applies to queries started from this session
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    val q = Incremental.streamingTop100(s2, src, k = 2).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= b.select("rnk", "holder_address").collect()
+            .map(r => (r.getInt(0), r.getString(1)))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+
+    assert(buf.toSeq.sortBy(_._1) == Seq((1, "A"), (2, "B")))
+    val rocksMetrics = q.recentProgress.flatMap(_.stateOperators)
+      .flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
+      .filter(_.toLowerCase.contains("rocksdb"))
+    assert(rocksMetrics.nonEmpty,
+      "state operator must report RocksDB metrics — the provider did not take effect")
+  }
+
   test("sessionizedActivity: streaming session windows equal the batch sessionization") {
     val src = Files.createTempDirectory("sess_src").toString + "/t"
     val ev = Tables.events(spark, sf)
