@@ -119,23 +119,29 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 101 && got.forall(_._2 == 0L))
   }
 
-  test("connectedComponents matches driver-side union-find on a seeded random graph") {
+  test("connectedComponents matches driver-side union-find across seeded graph shapes") {
     val ss = spark; import ss.implicits._
-    val rnd = new scala.util.Random(42)
-    val n = 80
-    val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-      .filter { case (a, b) => a != b }
-    // driver-side oracle: classic union-find with path compression
-    val parent = Array.tabulate(n)(identity)
-    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
-      var c = x; while (parent(c) != c) { val p = parent(c); parent(c) = r; c = p }; r }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a.toInt), find(b.toInt))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
-    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
-      .map(v => v -> find(v.toInt).toLong).toMap
-    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
-      .select(col("node"), col("component")).as[(Long, Long)].collect().toMap
-    assert(got == want)
+    // (seed, nodes, edges): sparse fragments, near-tree, dense single
+    // component — plus self-loops, duplicates, and reversed duplicates
+    // mixed in, which the star contraction must absorb silently
+    for ((seed, n, m) <- Seq((42, 80, 70), (7, 60, 30), (13, 40, 120))) {
+      val rnd = new scala.util.Random(seed)
+      val raw = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val edges = raw ++ raw.take(5).map(_.swap) ++ // reversed dupes
+        Seq.fill(3)((rnd.nextInt(n).toLong, 0L)).map(e => (e._1, e._1)) // self-loops
+      // driver-side oracle: classic union-find with path compression,
+      // min-root union so the final root IS the component minimum
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+        var c = x; while (parent(c) != c) { val p = parent(c); parent(c) = r; c = p }; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .select(col("node"), col("component")).as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$seed n=$n m=$m")
+    }
   }
 }
