@@ -68,10 +68,17 @@ class MerlStore(spark: SparkSession, root: String) {
     * touched (contract_address, bucket_unix) partitions. Re-running a
     * bucket refreshes it; other partitions untouched.
     */
-  def upsertHolders(batch: DataFrame): Unit =
-    overwritePartitions("holders_raw",
-      withAudit(batch.dropDuplicates(HoldersKey)),
-      Seq("contract_address", "bucket_unix"))
+  def upsertHolders(batch: DataFrame): Unit = {
+    val partCols = Seq("contract_address", "bucket_unix")
+    // ONE shuffle, not two: cluster on the write-partition key first;
+    // the full-key dedup then needs no second exchange, because hash
+    // partitioning on a SUBSET of the dedup key already co-locates
+    // equal keys (Catalyst recognizes this and plans a single
+    // aggregate over the existing distribution).
+    val clustered = batch.repartition(partCols.map(col): _*)
+      .dropDuplicates(HoldersKey)
+    writePartitioned("holders_raw", withAudit(clustered), partCols)
+  }
 
   /** Top-100 refresh (M3/M4, top100_compute.sql:30-35 and the
     * delete-then-insert variant top100_from_latest_bucket.sql:119-158):
@@ -90,8 +97,14 @@ class MerlStore(spark: SparkSession, root: String) {
     * repartition with a bounded file index.
     */
   private def overwritePartitions(table: String, df: DataFrame, partCols: Seq[String]): Unit =
-    df.repartition(partCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
+    writePartitioned(table, df.repartition(partCols.map(col): _*), partCols)
+
+  /** Dynamic-overwrite write of an ALREADY partition-clustered frame —
+    * callers that produced the clustering upstream (e.g. a dedup over
+    * a superset key) skip the extra exchange.
+    */
+  private def writePartitioned(table: String, df: DataFrame, partCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*)
       .parquet(path(table))
