@@ -138,6 +138,97 @@ object Media {
       .drop("__bytes", "__hex")
   }
 
+  // ---- audio -------------------------------------------------------
+
+  /** Toy audio container: magic(4) | sample_rate(2 BE) | channels(1) |
+    * n_samples(2 BE) | 16-bit signed BE samples.
+    */
+  val AudioMagic: Array[Byte] = "AUD0".getBytes("UTF-8")
+
+  final case class AudioMeta(sampleRate: Int, channels: Int, nSamples: Int)
+
+  /** Deterministic fixture clip: samples are a fixed function of
+    * (id, index) spanning both signs so zero-crossing counts are
+    * non-trivial.
+    */
+  def stubAudio(id: Long, n: Int = 64, rate: Int = 16000): Array[Byte] = {
+    val hdr = AudioMagic ++ Array(
+      ((rate >> 8) & 0xff).toByte, (rate & 0xff).toByte, 1.toByte,
+      ((n >> 8) & 0xff).toByte, (n & 0xff).toByte)
+    hdr ++ Array.tabulate(n) { i =>
+      val v = ((id * 37 + i * 11) % 2048).toInt - 1024
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    }.flatten
+  }
+
+  /** Audio codec seam — same per-partition `open()` lifecycle as
+    * [[Codec]]; a real deployment swaps in an ffmpeg/libsndfile
+    * decoder with this signature.
+    */
+  trait AudioCodec extends Serializable {
+    def open(): Unit
+    def decode(payload: Array[Byte]): Option[(AudioMeta, Array[Int])]
+  }
+
+  object StubAudioCodec extends AudioCodec {
+    override def open(): Unit = ()
+    override def decode(p: Array[Byte]): Option[(AudioMeta, Array[Int])] = {
+      if (p.length < 9 || !p.take(4).sameElements(AudioMagic)) None
+      else {
+        val rate = ((p(4) & 0xff) << 8) | (p(5) & 0xff)
+        val ch = p(6) & 0xff
+        val n = ((p(7) & 0xff) << 8) | (p(8) & 0xff)
+        if (p.length < 9 + 2 * n) None
+        else Some((AudioMeta(rate, ch, n), Array.tabulate(n) { i =>
+          val raw = ((p(9 + 2 * i) & 0xff) << 8) | (p(10 + 2 * i) & 0xff)
+          if (raw >= 0x8000) raw - 0x10000 else raw // sign-extend
+        }))
+      }
+    }
+  }
+
+  /** Decode (id, payload) audio rows to (id, sample_rate, n_samples,
+    * samples: array<int>) — mapPartitions with one codec open per
+    * partition, undecodable rows dropped (same contract as
+    * [[decodeImages]]).
+    */
+  def decodeAudio(df: DataFrame, idCol: String = "id",
+                  payloadCol: String = "payload",
+                  codec: AudioCodec = StubAudioCodec): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in = df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+    in.mapPartitions { it =>
+      codec.open()
+      it.flatMap { case (id, payload) =>
+        codec.decode(payload).map { case (m, s) => (id, m.sampleRate, m.nSamples, s) }
+      }
+    }.toDF("id", "sample_rate", "n_samples", "samples")
+  }
+
+  /** Codegen'd clip features over the decoded samples column — the
+    * speech-pipeline quality filters (drop silent / clipped / buzzing
+    * clips): RMS energy, peak amplitude, zero-crossing count. Integer
+    * sums stay exact (the square-sum is a long fold); the only double
+    * op is the final division + sqrt, rounded at the boundary per the
+    * oracle determinism contract.
+    */
+  def audioFeatures(decoded: DataFrame): DataFrame =
+    decoded
+      .withColumn("__sq", aggregate(col("samples"), lit(0L),
+        (a, v) => a + v.cast("long") * v))
+      .withColumn("rms", round(
+        sqrt(col("__sq").cast("double") / greatest(col("n_samples"), lit(1))), 6))
+      .withColumn("peak", coalesce(
+        array_max(transform(col("samples"), v => abs(v))), lit(0)))
+      .withColumn("zero_crossings", size(filter(
+        zip_with(
+          slice(col("samples"), lit(1), greatest(size(col("samples")) - 1, lit(0))),
+          slice(col("samples"), lit(2), greatest(size(col("samples")) - 1, lit(0))),
+          (a, b) => a * b < 0),
+        x => x)))
+      .drop("__sq")
+
   /** Sample every `stride`-th frame of a VID0 payload (frame-sample
     * stage of a video pipeline): emits one IMG0 payload per kept
     * frame as (id, frame_index, payload).

@@ -72,9 +72,32 @@ object MediaPipeline {
       .orderBy(col("id"), col("frame_index"))
   }
 
+  /** AUD0 clips (64 samples) for every 50th event id → decode →
+    * RMS / peak / zero-crossing features. Sample i of clip id is
+    * ((id·37 + i·11) mod 2048) − 1024 — pure integer arithmetic, so
+    * the oracle restates energy and crossing counts exactly; rms is
+    * the one double (÷ then sqrt), rounded at the boundary.
+    */
+  def mediaAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clips = Tables.events(s, dir).select(col("event_id"))
+      .filter(col("event_id") % 50 === 0)
+      .as[Long].map(id => (id, Media.stubAudio(id)))
+      .toDF("id", "payload")
+    Media.audioFeatures(Media.decodeAudio(clips))
+      .select(col("id"),
+        col("sample_rate").cast(LongType).as("sample_rate"),
+        col("n_samples").cast(LongType).as("n_samples"),
+        col("rms"),
+        col("peak").cast(LongType).as("peak"),
+        col("zero_crossings").cast(LongType).as("zero_crossings"))
+      .orderBy(col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (mediaFeatures _),
-    "media_frames" -> (mediaFrames _))
+    "media_frames" -> (mediaFrames _),
+    "media_audio" -> (mediaAudio _))
 
   /** The resized 4×4×3 pixel at flat index i (ch = i%3, x = (i/3)%4,
     * y = i/12) samples source pixel (2x, 2y) of the 8×8×3 stub image:
@@ -108,5 +131,18 @@ object MediaPipeline {
         |       CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
         |       CAST(1 AS BIGINT) AS channels,
         |       CAST(SUM(v) AS DOUBLE) / 16 AS brightness
-        |FROM px GROUP BY id, f ORDER BY id, frame_index""".stripMargin)
+        |FROM px GROUP BY id, f ORDER BY id, frame_index""".stripMargin,
+    "media_audio" ->
+      """WITH ids AS (SELECT event_id AS id FROM events WHERE event_id % 50 = 0),
+        |s AS (SELECT id, i, ((id*37 + i*11) % 2048) - 1024 AS v
+        |      FROM ids, range(0, 64) t(i)),
+        |zc AS (SELECT a.id, COUNT(*) FILTER (a.v * b.v < 0) AS n
+        |       FROM s a JOIN s b ON a.id = b.id AND b.i = a.i + 1 GROUP BY a.id)
+        |SELECT s.id, CAST(16000 AS BIGINT) AS sample_rate,
+        |       CAST(64 AS BIGINT) AS n_samples,
+        |       round(sqrt(CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE) / 64), 6) AS rms,
+        |       CAST(MAX(abs(v)) AS BIGINT) AS peak,
+        |       CAST(ANY_VALUE(zc.n) AS BIGINT) AS zero_crossings
+        |FROM s JOIN zc ON s.id = zc.id
+        |GROUP BY s.id ORDER BY s.id""".stripMargin)
 }

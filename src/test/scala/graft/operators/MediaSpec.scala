@@ -48,6 +48,27 @@ class MediaSpec extends SparkSpec {
     assert(px.take(3).sameElements(src.take(3)))
   }
 
+  test("audio: decode roundtrips the stub clip; features match hand computation") {
+    val ss = spark; import ss.implicits._
+    val id = 3L
+    val clips = Seq((id, Media.stubAudio(id, n = 8, rate = 8000)),
+      (99L, Array[Byte](1, 2, 3))) // malformed → dropped
+      .toDF("id", "payload")
+    val feats = Media.audioFeatures(Media.decodeAudio(clips)).collect()
+    assert(feats.length == 1, "malformed payload must be dropped")
+    val r = feats.head
+    val want = Array.tabulate(8)(i => ((id * 37 + i * 11) % 2048).toInt - 1024)
+    assert(r.getAs[Int]("sample_rate") == 8000 && r.getAs[Int]("n_samples") == 8)
+    assert(r.getAs[scala.collection.Seq[Int]]("samples").toSeq == want.toSeq,
+      "sign-extended roundtrip")
+    val rms = math.sqrt(want.map(v => v.toLong * v).sum.toDouble / 8)
+    assert(r.getAs[Double]("rms") == BigDecimal(rms)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Int]("peak") == want.map(math.abs).max)
+    val zc = want.sliding(2).count(p => p(0) * p(1) < 0)
+    assert(r.getAs[Int]("zero_crossings") == zc)
+  }
+
   test("sampleFrames keeps every stride-th frame of a video payload") {
     val ss = spark; import ss.implicits._
     val vid = Seq((5L, Media.stubVideo(5L, frames = 6, w = 4, h = 4, c = 1)))
