@@ -60,14 +60,16 @@ object Bench {
       ordered.map { case (name, fn) => name -> run(name, fn) }
 
     val cold = pass()
-    // Two steady passes, per-query MIN: a query's time should reflect
-    // its own plan, not the GC debt or JIT recompilation the previous
-    // query happened to leave behind — the minimum over repetitions is
-    // the standard least-noise estimator (what timeit/JMH report).
-    val s1 = pass()
-    val s2 = pass()
-    val steady = s1.zip(s2).map { case ((n, (a, ea)), (_, (b, eb))) =>
-      n -> (math.min(a, b), ea.orElse(eb))
+    // Three steady passes, per-query MIN: a query's time should
+    // reflect its own plan, not the GC debt or JIT recompilation the
+    // previous query happened to leave behind — the minimum over
+    // repetitions is the standard least-noise estimator (what
+    // timeit/JMH report), and a third repetition measurably tightens
+    // it at this run-to-run variance (±10-30% per query).
+    val steadyPasses = Seq(pass(), pass(), pass())
+    val steady = steadyPasses.transpose.map { ps =>
+      val name = ps.head._1
+      name -> (ps.map(_._2._1).min, ps.flatMap(_._2._2).headOption)
     }
     val errors = (cold ++ steady).collect { case (n, (_, Some(e))) => n -> e }
       .groupBy(_._1).map { case (n, es) => n -> es.head._2 }.toSeq.sortBy(_._1)
