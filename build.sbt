@@ -40,4 +40,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
+  // The bench runs ~47 queries x several whole-stage-codegen classes
+  // each; the JVM's default 240 MB code cache fills, evicts hot
+  // compiled methods, and the heaviest codegen consumers (the 64-wide
+  // signature aggregates) pay measured 40-60% recompilation tax in
+  // full runs that vanishes when they run alone.
+  "-XX:ReservedCodeCacheSize=1g",
 )
