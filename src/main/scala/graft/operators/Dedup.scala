@@ -175,6 +175,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ---- Duplicate passages (exact-substring family) -----------------
+
+  /** Duplicate-passage statistics — the exact-substring dedup family
+    * (the "drop verbatim boilerplate spans" filter of training-data
+    * pipelines): positioned k-token grams, corpus-wide distinct-doc
+    * frequency per hashed gram, per-doc duplicated-gram counts. A
+    * gram appearing in ≥2 DISTINCT docs marks a passage that exists
+    * verbatim elsewhere; the per-doc duplicated fraction is the
+    * curation signal (high fraction = template/boilerplate).
+    *
+    * Scale shape: no self-join anywhere — two hash aggregates and one
+    * 8-byte-key semi-style join, so cost is linear in total gram
+    * occurrences regardless of how duplicated the corpus is (the
+    * pathological all-docs-identical corpus costs the same as a
+    * unique one).
+    */
+  def duplicatePassageStats(docs: DataFrame, idCol: Column, textCol: Column,
+                            k: Int = 8): DataFrame =
+    duplicatePassageStatsOfTokens(
+      graft.Tables.spread(docs)
+        .select(idCol.as("doc_id"), TextFns.tokens(textCol).as("__toks")), k)
+
+  /** [[duplicatePassageStats]] over a pre-tokenized (doc_id, __toks)
+    * frame (M7 shared-stage reuse).
+    */
+  def duplicatePassageStatsOfTokens(toks: DataFrame, k: Int = 8): DataFrame = {
+    val grams = toks.select(col("doc_id"),
+        explode(TextFns.wordShinglesOf(col("__toks"), k)).as("__g"))
+      .select(col("doc_id"), xxhash64(col("__g")).as("gram"))
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("gram"), lit(1).as("__dup"))
+    grams.join(dupGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+  }
+
   // ---- Pair clustering ---------------------------------------------
 
   /** Connected components over a near-duplicate pair list: every doc

@@ -291,6 +291,17 @@ object TextPipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Duplicate-passage statistics at k=8 tokens — the exact-substring
+    * dedup signal (verbatim boilerplate spans shared across docs).
+    * Spark blocks on hashed grams (8-byte shuffle keys); the oracle
+    * uses the gram strings — identical counts absent 2^64 collisions
+    * (the same contract ngram_jaccard gates under).
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatePassageStatsOfTokens(
+      tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")), k = 8)
+      .orderBy(col("doc_id"))
+
   // ---- corpus statistics ------------------------------------------
 
   /** Corpus vocabulary: top-50 tokens by frequency (count DESC, token
@@ -391,7 +402,8 @@ object TextPipeline {
     "text_repetition" -> (textRepetition _),
     "vocab_topk" -> (vocabTopk _),
     "distinct_tokens" -> (distinctTokens _),
-    "token_hll" -> (tokenHll _))
+    "token_hll" -> (tokenHll _),
+    "dup_spans" -> (dupSpans _))
 
   /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's
     * regexp_replace needs the explicit 'g' flag (Spark's replaces all
@@ -553,6 +565,21 @@ object TextPipeline {
          |tok AS (SELECT unnest(toks) AS token FROM t)
          |SELECT token, COUNT(*) AS n FROM tok GROUP BY token
          |ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(
+         |        CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+         |             ELSE [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks) - 6)]
+         |        END) AS gram FROM t),
+         |f AS (SELECT gram, 1 AS dup FROM g GROUP BY gram
+         |      HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |       CAST(SUM(CASE WHEN f.dup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dup_grams,
+         |       round(CAST(SUM(CASE WHEN f.dup IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / COUNT(*), 6) AS dup_fraction
+         |FROM g LEFT JOIN f USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "distinct_tokens" ->
       s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
          |tok AS (SELECT source, unnest(toks) AS token FROM t)

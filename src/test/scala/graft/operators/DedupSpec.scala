@@ -87,6 +87,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 3))
   }
 
+  test("duplicatePassageStats counts shared k-gram spans per doc") {
+    val ss = spark; import ss.implicits._
+    // k=3 grams: docs 1 and 2 share the span "a b c d" → grams
+    // {abc, bcd} duplicated; doc 3 shares nothing; doc 4 is short
+    // (<k → whole-doc gram) and unique
+    val d = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "q a b c d"),
+      (3L, "u v w u v w"), // self-repeat within ONE doc is NOT a dup
+      (4L, "t u")).toDF("doc_id", "text")
+    val got = Dedup.duplicatePassageStats(d, col("doc_id"), col("text"), k = 3)
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"), col("dup_fraction"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 5L, 2L, 0.4),      // abc bcd cdx dxy xyz → abc, bcd dup
+      (2L, 3L, 2L, 0.666667), // qab abc bcd → abc, bcd dup
+      (3L, 4L, 0L, 0.0),      // uvw vwu wuv uvw — all within one doc
+      (4L, 1L, 0L, 0.0)))
+  }
+
   test("connectedComponents labels every node with the min reachable id") {
     val ss = spark; import ss.implicits._
     // chain 1-2-3 closed into {1,2,3,8,9} via (9,1); separate pair {5,6}
