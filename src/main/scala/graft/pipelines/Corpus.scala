@@ -29,16 +29,23 @@ object Corpus {
     * @param minQuality quality-score floor (TextFns.qualityScoreOf ∈ [0,1])
     * @param budget     tokens per packed chunk
     * @param nShards    parallel packing streams
+    * @param withStats  per-stage row accounting costs ONE extra action
+    *                   per stage — priceless in validation, four full
+    *                   passes you don't want on a 100 TB production
+    *                   run (pass false → stats are -1, pipeline stays
+    *                   one lazy plan until the caller's write)
     * @return (prepared frame with split/shard/chunk assignment, per-stage row accounting)
     */
   def prepare(docs: DataFrame, jaccard: Double = 0.5, minQuality: Double = 0.3,
-              budget: Int = 2048, nShards: Int = 8): (DataFrame, PrepareStats) = {
-    val input = docs.count()
+              budget: Int = 2048, nShards: Int = 8,
+              withStats: Boolean = true): (DataFrame, PrepareStats) = {
+    def tally(df: DataFrame): Long = if (withStats) df.count() else -1L
+    val input = tally(docs)
 
     // 1. exact dedup: keep the min doc_id of each normalized-text group
     val exact = Dedup.exactSurvivors(docs, col("doc_id"), col("text"))
       .localCheckpoint() // three downstream consumers; truncate lineage once
-    val nExact = exact.count()
+    val nExact = tally(exact)
 
     // 2. near-dup pruning: pair graph → components → keep each
     //    component's minimum id (the same keep rule as exact dedup)
@@ -48,14 +55,14 @@ object Corpus {
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
     val nearDeduped = exact.join(losers, Seq("doc_id"), "left_anti")
-    val nNearDup = nearDeduped.count()
+    val nNearDup = tally(nearDeduped)
 
     // 3. quality floor — tokens staged once and reused by the score
     val scored = nearDeduped
       .withColumn("__toks", TextFns.tokens(col("text")))
       .withColumn("quality", TextFns.qualityScoreOf(col("text"), col("__toks")))
       .filter(col("quality") >= minQuality)
-    val nQuality = scored.count()
+    val nQuality = tally(scored)
 
     // 4. stable split + 5. token-budget packing (train split packs;
     //    val/test keep their assignment unpacked is a policy choice —

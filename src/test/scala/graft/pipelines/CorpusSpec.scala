@@ -35,5 +35,11 @@ class CorpusSpec extends SparkSpec {
     val again = Corpus.prepare(prepared.select("doc_id", "text"),
       jaccard = 0.5, minQuality = 0.4, budget = 32, nShards = 2)._2
     assert(again.afterQuality == stats.afterQuality)
+
+    // withStats=false: same frame, no accounting actions
+    val (lazyPrep, noStats) = Corpus.prepare(docs, jaccard = 0.5, minQuality = 0.4,
+      budget = 32, nShards = 2, withStats = false)
+    assert(noStats == Corpus.PrepareStats(-1, -1, -1, -1))
+    assert(lazyPrep.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
   }
 }
