@@ -135,11 +135,17 @@ object Tables {
     * tokenization and signature math dwarf the decode — and their
     * measured plans are better from the file scan (a cached relation's
     * precise small stats push Catalyst toward static broadcasts of
-    * explode-derived frames, which the operators pin against but which
-    * still reshapes stages for no gain).
+    * explode-derived frames, which the operators pin against; and the
+    * columnar cache's string materialization measurably loses to
+    * re-decoding parquet for explode-heavy consumers — re-confirmed
+    * after the codegen-cache fix: simhash 2.2 s from the file scan vs
+    * 4.2 s from cache). SPARK_GRAFT_CACHE_ALL_TABLES=1 is the dev A/B
+    * hook for re-testing that boundary.
     */
-  private val cacheable: Set[String] = Set("lineitem", "orders", "customer",
-    "supplier", "part", "nation", "region", "events")
+  private val cacheable: Set[String] =
+    if (sys.env.contains("SPARK_GRAFT_CACHE_ALL_TABLES")) schemas.keySet
+    else Set("lineitem", "orders", "customer",
+      "supplier", "part", "nation", "region", "events")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     resolved.computeIfAbsent((System.identityHashCode(spark), dir, name), _ => {
