@@ -1,0 +1,36 @@
+package graft
+
+/** Driver-contract invariants, asserted in CI so drift fails a spec
+  * run instead of a driver round: every oracle belongs to a declared
+  * query, the rows-only set is exactly the documented
+  * approximate-/binary-by-construction queries (each carrying a spec
+  * and, where possible, a hash-gated exact twin), and every query
+  * builds against the smoke fixture.
+  */
+class ContractSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every oracle key names a declared query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("the rows-only set is exactly the documented one") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("minhash_pairs", "simhash_pairs", "knn_lsh",
+      "knn_ivf", "token_hll"),
+      s"rows-only drift — every addition here needs a spec + a written reason: $rowsOnly")
+  }
+
+  test("every declared query builds and resolves a non-empty schema") {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, sf)
+      assert(df.schema.fields.nonEmpty, s"$name resolves to an empty schema")
+    }
+  }
+
+  test("the flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
