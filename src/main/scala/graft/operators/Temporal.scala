@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-ins (brief §custom-operators:
+  * "as-of join, range join"), composed from existing operators — the
+  * preferred implementation tier, no custom physical plan needed.
+  *
+  * Scale shapes:
+  *  - [[asOfJoin]] is the UNION + keyed-window pattern: tag both
+  *    sides, union, one window pass per key ordered by time carrying
+  *    the latest right payload forward. ONE shuffle on the join key,
+  *    state per row is O(1) (`last` over an unbounded-preceding frame
+  *    is a running value, not a buffered frame) — never the
+  *    leftRows × rightRows range explosion of a naive θ-join.
+  *  - [[rangeJoin]] is interval bucketing: explode each interval to
+  *    the fixed-width buckets it covers, equi-join on (key, bucket),
+  *    dedup, verify true overlap. Pair work is proportional to
+  *    genuinely-overlapping bucket co-occupancy, not |L|×|R|;
+  *    `bucketWidth` tunes the explode-vs-collision trade exactly like
+  *    a time-series index granularity.
+  */
+object Temporal {
+
+  /** For each left row, the LATEST right row with `rightTs <=
+    * leftTs` (and same key), i.e. the classic backward as-of join.
+    * Right payload columns come back prefixed, null when no right row
+    * precedes. `tolerance` (seconds) drops matches older than
+    * `leftTs - tolerance`.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTs: String, rightTs: String,
+               rightPrefix: String = "right_",
+               toleranceSec: Option[Long] = None): DataFrame = {
+    val rightPayload = right.columns.filterNot(c => keyCols.contains(c))
+    val l = left.withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(rightPayload.map(col): _*).schema.fields)))
+    val r = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(rightPayload.map(col): _*).as("__r")): _*)
+    // right rows sort BEFORE left rows at equal ts → ties match
+    // (at-or-before semantics)
+    val unioned = l.select(
+      keyCols.map(col) ++ Seq(col("__ts"), col("__side"), col("__r")) ++
+        left.columns.filterNot(c => keyCols.contains(c)).map(col): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__matchTs", last(
+        when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val tol = toleranceSec.fold(matched)(t => matched.withColumn("__match",
+        when(col("__matchTs") >= col("__ts") - t, col("__match")))
+      .withColumn("__matchTs",
+        when(col("__matchTs") >= col("__ts") - t, col("__matchTs"))))
+    rightPayload.foldLeft(tol) { (df, c) =>
+      df.withColumn(rightPrefix + c, col("__match").getField(c))
+    }.drop("__ts", "__side", "__r", "__match", "__matchTs")
+  }
+
+  /** Interval-overlap join: pairs of (left, right) rows sharing a key
+    * whose [start, end] ranges overlap. Both sides' intervals explode
+    * to `bucketWidth`-sized buckets; candidates meet on (key, bucket)
+    * and the exact overlap predicate prunes bucket-edge false
+    * positives. Endpoints are inclusive.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                leftStart: String, leftEnd: String,
+                rightStart: String, rightEnd: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucketed(df: DataFrame, s: String, e: String, tag: String): DataFrame =
+      df.withColumn("__b", explode(sequence(
+          floor(col(s) / bucketWidth).cast("long"),
+          floor(col(e) / bucketWidth).cast("long"))))
+        .withColumnRenamed(s, tag + s).withColumnRenamed(e, tag + e)
+    val lb = bucketed(left, leftStart, leftEnd, "")
+    val rb = bucketed(
+      right.select(keyCols.map(col) ++ Seq(col(rightStart), col(rightEnd)): _*),
+      rightStart, rightEnd, "r__")
+    lb.join(rb, keyCols :+ "__b")
+      .filter(col(leftStart) <= col("r__" + rightEnd) &&
+        col("r__" + rightStart) <= col(leftEnd))
+      .drop("__b")
+      .dropDuplicates(keyCols ++ Seq(leftStart, leftEnd,
+        "r__" + rightStart, "r__" + rightEnd))
+      .withColumnRenamed("r__" + rightStart, rightStart)
+      .withColumnRenamed("r__" + rightEnd, rightEnd)
+  }
+}

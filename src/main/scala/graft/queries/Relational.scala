@@ -255,8 +255,31 @@ object Relational {
         min(when(col("epoch_s") > col("cutoff_s"), col("event_id"))).as("after_id"))
   }
 
+  /** Backward as-of join (brief-named operator Spark lacks): each
+    * purchase matched to the SAME user's latest at-or-before click —
+    * gated against DuckDB's native ASOF JOIN. Clicks pre-dedup to one
+    * per (user, second) keeping max event_id, so the tie row both
+    * engines pick is deterministic.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("epoch_s", unix_timestamp(col("ts").cast(TimestampType)))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("epoch_s").as("pts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("epoch_s").as("cts"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.operators.Temporal.asOfJoin(purchases, clicks,
+        Seq("user_id"), "pts", "cts", rightPrefix = "m_")
+      .select(col("user_id"), col("purchase_id"), col("pts"),
+        col("m_click_id").as("click_id"), col("m_cts").as("click_ts"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
+    "asof_join" -> (asofJoin _),
     "top100_rank" -> (top100Rank _),
     "latest_bucket" -> (latestBucket _),
     "activity_flows" -> (activityFlows _),
@@ -275,6 +298,17 @@ object Relational {
     "block_by_time" -> (blockByTime _))
 
   val oracles: Map[String, String] = Map(
+    "asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, es AS pts
+        |      FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, es AS cts, MAX(event_id) AS click_id
+        |      FROM e WHERE event_type = 'click' GROUP BY user_id, es)
+        |SELECT p.user_id, p.purchase_id, p.pts, c.click_id, c.cts AS click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.cts <= p.pts
+        |ORDER BY p.user_id, p.purchase_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

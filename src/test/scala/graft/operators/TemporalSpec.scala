@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+
+  test("asOfJoin matches each left row to the latest at-or-before right row per key") {
+    val ss = spark; import ss.implicits._
+    val trades = Seq( // (sym, ts, qty)
+      ("A", 10L, 1L), ("A", 25L, 2L), ("A", 30L, 3L), ("B", 15L, 4L), ("C", 9L, 5L))
+      .toDF("sym", "ts", "qty")
+    val quotes = Seq( // (sym, ts, px)
+      ("A", 5L, 100.0), ("A", 20L, 101.0), ("A", 30L, 102.0), ("B", 16L, 200.0))
+      .toDF("sym", "qts", "px")
+    val got = Temporal.asOfJoin(trades, quotes, Seq("sym"), "ts", "qts")
+      .select(col("sym"), col("ts"), col("qty"), col("right_px"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    assert(got == Set(
+      ("A", 10L, 1L, Some(100.0)),
+      ("A", 25L, 2L, Some(101.0)),
+      ("A", 30L, 3L, Some(102.0)), // equal ts matches (at-or-before)
+      ("B", 15L, 4L, None),        // quote arrives after the trade
+      ("C", 9L, 5L, None)))        // no quotes for the key at all
+  }
+
+  test("asOfJoin tolerance drops stale matches") {
+    val ss = spark; import ss.implicits._
+    val l = Seq(("A", 100L, 1L)).toDF("k", "ts", "v")
+    val r = Seq(("A", 10L, 9.0)).toDF("k", "rts", "x")
+    val loose = Temporal.asOfJoin(l, r, Seq("k"), "ts", "rts")
+      .select("right_x").collect().head
+    assert(loose.getDouble(0) == 9.0)
+    val tight = Temporal.asOfJoin(l, r, Seq("k"), "ts", "rts",
+      toleranceSec = Some(50L)).select("right_x").collect().head
+    assert(tight.isNullAt(0), "match older than the tolerance must drop")
+  }
+
+  test("rangeJoin equals the naive overlap θ-join, without the cross product") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(11)
+    val l = Seq.tabulate(60) { i =>
+      val s = rnd.nextInt(1000).toLong; ("k" + (i % 3), s, s + rnd.nextInt(80))
+    }.toDF("k", "ls", "le")
+    val r = Seq.tabulate(60) { i =>
+      val s = rnd.nextInt(1000).toLong; ("k" + (i % 3), s, s + rnd.nextInt(80))
+    }.toDF("k", "rs", "re")
+    val got = Temporal.rangeJoin(l, r, Seq("k"), "ls", "le", "rs", "re",
+      bucketWidth = 64L)
+      .select("k", "ls", "le", "rs", "re")
+      .collect().map(_.toSeq).toSet
+    val want = l.join(r, Seq("k"))
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .dropDuplicates("k", "ls", "le", "rs", "re")
+      .select("k", "ls", "le", "rs", "re")
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+}
