@@ -174,4 +174,38 @@ object TextFns {
     * (2^64 space), and computed without shuffling the full text.
     */
   def fingerprint(text: Column): Column = xxhash64(normText(text))
+
+  // --- PII / noise scrubbing (pre-training cleanup) ---------------
+  // Patterns are deliberately restricted to syntax with identical
+  // semantics in Java regex (Spark) and RE2 (oracle engines): char
+  // classes, {m,n} repetition, \s/\S, groups without backrefs.
+
+  /** URL: scheme to the next whitespace. */
+  val urlPattern = "https?://\\S+"
+
+  /** RFC-ish email: local part @ domain with an alphabetic TLD. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+
+  /** Dotted-quad IPv4 (syntactic — no octet range check). */
+  val ipPattern = "[0-9]{1,3}(\\.[0-9]{1,3}){3}"
+
+  /** Occurrences of `pattern` in `text`, as long (the oracle's
+    * `len(regexp_extract_all(...))` is BIGINT; the gate hashes types).
+    */
+  def countMatches(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+
+  /** Scrub URLs, emails and IPv4s to spaces, collapse whitespace,
+    * trim — the standard redaction pass before tokenization. Fixed
+    * order (URL → email → IP) so overlapping matches resolve
+    * identically in every engine.
+    */
+  def scrubText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, urlPattern, " "),
+          emailPattern, " "),
+        ipPattern, " "),
+      "\\s+", " "))
 }

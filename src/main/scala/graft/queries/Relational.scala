@@ -277,9 +277,30 @@ object Relational {
       .orderBy(col("user_id"), col("purchase_id"))
   }
 
+  /** Interval-overlap (range) join, gated against DuckDB's native
+    * non-equi join: 1-day purchase attribution windows × 6-hour click
+    * sessions per user. Inputs are DISTINCT interval sets so the
+    * operator's bucket-dedup and the oracle's plain θ-join state the
+    * same relation.
+    */
+  def rangeJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("epoch_s", unix_timestamp(col("ts").cast(TimestampType)))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("epoch_s").as("p_start"),
+        (col("epoch_s") + 86400L).as("p_end")).distinct()
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("epoch_s").as("c_start"),
+        (col("epoch_s") + 21600L).as("c_end")).distinct()
+    graft.operators.Temporal.rangeJoin(purchases, clicks, Seq("user_id"),
+        "p_start", "p_end", "c_start", "c_end", bucketWidth = 43200L)
+      .select("user_id", "p_start", "p_end", "c_start", "c_end")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "asof_join" -> (asofJoin _),
+    "range_join" -> (rangeJoinQ _),
     "top100_rank" -> (top100Rank _),
     "latest_bucket" -> (latestBucket _),
     "activity_flows" -> (activityFlows _),
@@ -298,6 +319,16 @@ object Relational {
     "block_by_time" -> (blockByTime _))
 
   val oracles: Map[String, String] = Map(
+    "range_join" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+        |p AS (SELECT DISTINCT user_id, es AS p_start, es + 86400 AS p_end
+        |      FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT DISTINCT user_id, es AS c_start, es + 21600 AS c_end
+        |      FROM e WHERE event_type = 'click')
+        |SELECT p.user_id, p_start, p_end, c_start, c_end
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND p_start <= c_end AND c_start <= p_end""".stripMargin,
     "asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),

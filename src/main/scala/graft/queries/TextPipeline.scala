@@ -302,6 +302,33 @@ object TextPipeline {
       tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")), k = 8)
       .orderBy(col("doc_id"))
 
+  /** PII/noise scrubbing gate. The synthetic corpus contains no URLs,
+    * emails or IPs, so the query plants them deterministically from
+    * doc_id (the media queries' payload-from-id pattern): every doc
+    * gets one URL + one email + one IPv4 appended, docs with
+    * doc_id % 3 == 0 a second URL — exercising the replace-ALL
+    * semantics (DuckDB needs the explicit 'g' flag). The oracle
+    * restates the construction and the scrub chain verbatim.
+    */
+  def textScrub(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val dirty = concat(
+      col("text"),
+      lit(" visit https://ex"), id, lit(".com/a?b="), id,
+      lit(" mail u"), id, lit("@ex.org from 10.0."),
+      (col("doc_id") % 256).cast("string"), lit(".7"),
+      when(col("doc_id") % 3 === 0, lit(" http://dup.io/x")).otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), dirty.as("__dirty"))
+      .select(col("doc_id"),
+        TextFns.countMatches(col("__dirty"), TextFns.urlPattern).as("n_urls"),
+        TextFns.countMatches(col("__dirty"), TextFns.emailPattern).as("n_emails"),
+        TextFns.countMatches(col("__dirty"), TextFns.ipPattern).as("n_ips"),
+        TextFns.scrubText(col("__dirty")).as("clean_text"))
+      .withColumn("clean_chars", length(col("clean_text")).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- corpus statistics ------------------------------------------
 
   /** Corpus vocabulary: top-50 tokens by frequency (count DESC, token
@@ -403,7 +430,8 @@ object TextPipeline {
     "vocab_topk" -> (vocabTopk _),
     "distinct_tokens" -> (distinctTokens _),
     "token_hll" -> (tokenHll _),
-    "dup_spans" -> (dupSpans _))
+    "dup_spans" -> (dupSpans _),
+    "text_scrub" -> (textScrub _))
 
   /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's
     * regexp_replace needs the explicit 'g' flag (Spark's replaces all
@@ -473,6 +501,29 @@ object TextPipeline {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_scrub" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || ' visit https://ex' || CAST(doc_id AS VARCHAR)
+        |       || '.com/a?b=' || CAST(doc_id AS VARCHAR)
+        |       || ' mail u' || CAST(doc_id AS VARCHAR)
+        |       || '@ex.org from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |       || CASE WHEN doc_id % 3 = 0 THEN ' http://dup.io/x' ELSE '' END
+        |       AS dirty FROM documents),
+        |s AS (SELECT doc_id, dirty,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    dirty, 'https?://\S+', ' ', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', ' ', 'g'),
+        |    '[0-9]{1,3}(\.[0-9]{1,3}){3}', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS clean_text FROM d)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(dirty, 'https?://\S+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(dirty,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(dirty,
+        |    '[0-9]{1,3}(\.[0-9]{1,3}){3}')) AS BIGINT) AS n_ips,
+        |  clean_text,
+        |  CAST(length(clean_text) AS BIGINT) AS clean_chars
+        |FROM s ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       s"""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          |FROM (SELECT doc_id, $normSql AS norm FROM documents)

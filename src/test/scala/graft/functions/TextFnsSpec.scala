@@ -77,4 +77,24 @@ class TextFnsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("scrubText removes URLs, emails and IPs; counts see every occurrence") {
+    val ss = spark; import ss.implicits._
+    val dirty = "see https://a.io/x?q=1 or http://b.co mail bob.s+1@ex-a.org " +
+      "from 10.0.255.7 then\t more   text"
+    val row = Seq(dirty).toDF("text").select(
+      TextFns.scrubText(col("text")).as("clean"),
+      TextFns.countMatches(col("text"), TextFns.urlPattern).as("u"),
+      TextFns.countMatches(col("text"), TextFns.emailPattern).as("e"),
+      TextFns.countMatches(col("text"), TextFns.ipPattern).as("i")).head()
+    assert(row.getString(0) == "see or mail from then more text")
+    assert((row.getLong(1), row.getLong(2), row.getLong(3)) == (2L, 1L, 1L))
+  }
+
+  test("scrubText leaves clean text intact (modulo whitespace collapse)") {
+    val ss = spark; import ss.implicits._
+    val got = Seq("plain words,  punctuation. kept! v1.2 a@ b.c")
+      .toDF("text").select(TextFns.scrubText(col("text"))).as[String].head()
+    assert(got == "plain words, punctuation. kept! v1.2 a@ b.c")
+  }
 }
