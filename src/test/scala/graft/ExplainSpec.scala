@@ -105,6 +105,30 @@ class ExplainSpec extends SparkSpec {
       s"token counting must partial-aggregate map-side:\n$p")
   }
 
+  test("asof_join: one keyed window over a union — never a range θ-join") {
+    val p = plan("asof_join")
+    // formatted explain prints each node twice (tree line + detail
+    // block) → one physical Window node == exactly 2 occurrences
+    assert(count(p, "Window") == 2,
+      s"as-of must be a single keyed window pass:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not explode into a range θ-join:\n$p")
+    assert(p.contains("EqualTo(event_type,purchase)") &&
+      p.contains("EqualTo(event_type,click)"),
+      s"both side filters must reach their parquet scans:\n$p")
+  }
+
+  test("range_join: bucketed candidates meet on an equi-join, never a nested loop") {
+    val p = plan("range_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"),
+      s"bucketed range join must plan as an equi hash/merge join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must never fall back to a nested loop:\n$p")
+  }
+
   test("pair-generation self-joins stay shuffled even from a cached (precise-stats) input") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Dedup
