@@ -78,7 +78,7 @@ object TextPipeline {
     toksCache.getOrElseUpdate((s, dir),
       Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          TextFns.tokens(col("text")).as("__toks"))
+          col("n_chars"), TextFns.tokens(col("text")).as("__toks"))
         .persist())
 
   /** Exact word-trigram Jaccard near-dup pairs at θ=0.5. */
@@ -344,6 +344,32 @@ object TextPipeline {
       .orderBy(col("n").desc, col("token").asc)
       .limit(50)
 
+  /** Per-source document-length distribution: exact interpolated
+    * percentiles of chars and tokens — the corpus-profiling pass that
+    * sizes packing budgets and truncation limits. Both engines use the
+    * same pos = p·(n−1) linear interpolation, so exact percentiles are
+    * oracle-portable (round 6 absorbs last-ulp arithmetic). This is
+    * the gated ground-truth twin of the `percentile_approx` sketch
+    * (the 100 TB path — fixed-size KLL-style state per group instead
+    * of a per-group value multiset; bounded-error spec in SketchSpec).
+    */
+  def lengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val d = tokenizedDocs(s, dir)
+      .select(col("source"), col("n_chars"),
+        size(col("__toks")).cast(LongType).as("n_toks"))
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+          .as("mean_chars"),
+        round(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"),
+        round(percentile(col("n_chars"), lit(0.9)), 6).as("p90_chars"),
+        round(percentile(col("n_chars"), lit(0.99)), 6).as("p99_chars"),
+        round(percentile(col("n_toks"), lit(0.5)), 6).as("p50_toks"),
+        round(percentile(col("n_toks"), lit(0.9)), 6).as("p90_toks"))
+      .orderBy(col("source"))
+  }
+
   /** Exact per-source token cardinality — the ground truth
     * [[tokenHll]]'s sketches approximate; both gated surfaces of the
     * same pipeline decision (when is a corpus slice worth keeping).
@@ -431,7 +457,8 @@ object TextPipeline {
     "distinct_tokens" -> (distinctTokens _),
     "token_hll" -> (tokenHll _),
     "dup_spans" -> (dupSpans _),
-    "text_scrub" -> (textScrub _))
+    "text_scrub" -> (textScrub _),
+    "length_quantiles" -> (lengthQuantiles _))
 
   /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's
     * regexp_replace needs the explicit 'g' flag (Spark's replaces all
@@ -501,6 +528,17 @@ object TextPipeline {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "length_quantiles" ->
+      s"""WITH t AS (SELECT source, n_chars,
+         |  CAST(len($toksSql) AS BIGINT) AS n_toks FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars,
+         |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+         |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+         |  round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
+         |  round(quantile_cont(n_toks, 0.5), 6) AS p50_toks,
+         |  round(quantile_cont(n_toks, 0.9), 6) AS p90_toks
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "text_scrub" ->
       """WITH d AS (SELECT doc_id,
         |  text || ' visit https://ex' || CAST(doc_id AS VARCHAR)
