@@ -195,6 +195,17 @@ object TextFns {
   def countMatches(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern)).cast("long")
 
+  /** All URLs in `text`, in document order — the extraction dual of
+    * the scrub: link-graph and per-domain statistics for web-corpus
+    * curation start here.
+    */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(urlPattern), lit(0))
+
+  /** Host part of a URL (scheme to the next `/` or end). */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "https?://([^/\\s]+)", 1)
+
   /** Scrub URLs, emails and IPv4s to spaces, collapse whitespace,
     * trim — the standard redaction pass before tokenization. Fixed
     * order (URL → email → IP) so overlapping matches resolve

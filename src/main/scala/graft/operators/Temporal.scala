@@ -14,7 +14,13 @@ import org.apache.spark.sql.functions._
   *    the latest right payload forward. ONE shuffle on the join key,
   *    state per row is O(1) (`last` over an unbounded-preceding frame
   *    is a running value, not a buffered frame) — never the
-  *    leftRows × rightRows range explosion of a naive θ-join.
+  *    leftRows × rightRows range explosion of a naive θ-join. Skew
+  *    honesty: a window partition is one task, so a single key holding
+  *    a large fraction of all rows serializes there — with
+  *    high-cardinality keys (user/symbol/doc ids) this is the right
+  *    trade at any scale; for a pathological hot key, pre-split it by
+  *    coarse time bucket and as-of join per bucket with the previous
+  *    bucket's last right row appended.
   *  - [[rangeJoin]] is interval bucketing: explode each interval to
   *    the fixed-width buckets it covers, equi-join on (key, bucket),
   *    dedup, verify true overlap. Pair work is proportional to

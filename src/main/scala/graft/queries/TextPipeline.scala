@@ -329,6 +329,28 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-domain link statistics — the extraction dual of [[textScrub]]
+    * (same planted-URL construction, small deterministic domain pool so
+    * the aggregation is exercised): extract → explode → host → count
+    * links and distinct linking docs per domain. The shape of a
+    * web-corpus domain-blocklist/weighting pass.
+    */
+  def linkDomains(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val dirty = concat(col("text"),
+      lit(" see https://d"), (col("doc_id") % 7).cast("string"),
+      lit(".com/p/"), id,
+      lit(" img http://cdn.d"), ((col("doc_id") * 3) % 7).cast("string"),
+      lit(".com/i.png"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFns.extractUrls(dirty)).as("url"))
+      .select(col("doc_id"), TextFns.urlHost(col("url")).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("domain"))
+  }
+
   // ---- corpus statistics ------------------------------------------
 
   /** Corpus vocabulary: top-50 tokens by frequency (count DESC, token
@@ -458,7 +480,8 @@ object TextPipeline {
     "token_hll" -> (tokenHll _),
     "dup_spans" -> (dupSpans _),
     "text_scrub" -> (textScrub _),
-    "length_quantiles" -> (lengthQuantiles _))
+    "length_quantiles" -> (lengthQuantiles _),
+    "link_domains" -> (linkDomains _))
 
   /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's
     * regexp_replace needs the explicit 'g' flag (Spark's replaces all
@@ -528,6 +551,17 @@ object TextPipeline {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "link_domains" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || ' see https://d' || CAST(doc_id % 7 AS VARCHAR)
+        |       || '.com/p/' || CAST(doc_id AS VARCHAR)
+        |       || ' img http://cdn.d' || CAST((doc_id * 3) % 7 AS VARCHAR)
+        |       || '.com/i.png' AS dirty FROM documents),
+        |u AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(dirty, 'https?://\S+')) AS url FROM d)
+        |SELECT regexp_extract(url, 'https?://([^/\s]+)', 1) AS domain,
+        |  COUNT(*) AS n_links, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
     "length_quantiles" ->
       s"""WITH t AS (SELECT source, n_chars,
          |  CAST(len($toksSql) AS BIGINT) AS n_toks FROM documents)

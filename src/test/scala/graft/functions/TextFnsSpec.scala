@@ -91,6 +91,17 @@ class TextFnsSpec extends SparkSpec {
     assert((row.getLong(1), row.getLong(2), row.getLong(3)) == (2L, 1L, 1L))
   }
 
+  test("extractUrls and urlHost pull links and their domains in order") {
+    val ss = spark; import ss.implicits._
+    val got = Seq("pre https://a.io/x?q=1 mid http://b.co post no.scheme.here")
+      .toDF("text").select(
+        TextFns.extractUrls(col("text")).as("urls"),
+        transform(TextFns.extractUrls(col("text")),
+          u => TextFns.urlHost(u)).as("hosts")).head()
+    assert(got.getSeq[String](0) == Seq("https://a.io/x?q=1", "http://b.co"))
+    assert(got.getSeq[String](1) == Seq("a.io", "b.co"))
+  }
+
   test("scrubText leaves clean text intact (modulo whitespace collapse)") {
     val ss = spark; import ss.implicits._
     val got = Seq("plain words,  punctuation. kept! v1.2 a@ b.c")
