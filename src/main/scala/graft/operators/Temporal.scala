@@ -31,24 +31,31 @@ import org.apache.spark.sql.functions._
 object Temporal {
 
   /** For each left row, the LATEST right row with `rightTs <=
-    * leftTs` (and same key), i.e. the classic backward as-of join.
-    * Right payload columns come back prefixed, null when no right row
-    * precedes. `tolerance` (seconds) drops matches older than
-    * `leftTs - tolerance`.
+    * leftTs` (and same key), i.e. the classic backward as-of join —
+    * or, with `forward = true`, the EARLIEST right row with
+    * `rightTs >= leftTs`. Right payload columns come back prefixed,
+    * null when no right row qualifies. `tolerance` (seconds) drops
+    * matches farther than `tolerance` from `leftTs` in the join
+    * direction. Timestamps must be numeric (epoch-style): the forward
+    * variant is the backward one on the negated time axis, which
+    * preserves the single-shuffle running-`last` shape for both
+    * directions.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String,
                rightPrefix: String = "right_",
-               toleranceSec: Option[Long] = None): DataFrame = {
+               toleranceSec: Option[Long] = None,
+               forward: Boolean = false): DataFrame = {
+    def ord(c: Column): Column = if (forward) -c else c
     val rightPayload = right.columns.filterNot(c => keyCols.contains(c))
-    val l = left.withColumn("__ts", col(leftTs))
+    val l = left.withColumn("__ts", ord(col(leftTs)))
       .withColumn("__side", lit(1))
       .withColumn("__r", lit(null).cast(
         org.apache.spark.sql.types.StructType(
           right.select(rightPayload.map(col): _*).schema.fields)))
     val r = right.select(
       keyCols.map(col) ++ Seq(
-        col(rightTs).as("__ts"), lit(0).as("__side"),
+        ord(col(rightTs)).as("__ts"), lit(0).as("__side"),
         struct(rightPayload.map(col): _*).as("__r")): _*)
     // right rows sort BEFORE left rows at equal ts → ties match
     // (at-or-before semantics)

@@ -25,6 +25,27 @@ class TemporalSpec extends SparkSpec {
       ("C", 9L, 5L, None)))        // no quotes for the key at all
   }
 
+  test("asOfJoin forward matches the earliest at-or-after right row; tolerance caps the lookahead") {
+    val ss = spark; import ss.implicits._
+    val trades = Seq(("A", 10L, 1L), ("A", 21L, 2L), ("B", 5L, 3L))
+      .toDF("sym", "ts", "qty")
+    val quotes = Seq(("A", 10L, 100.0), ("A", 20L, 101.0), ("A", 30L, 102.0))
+      .toDF("sym", "qts", "px")
+    val got = Temporal.asOfJoin(trades, quotes, Seq("sym"), "ts", "qts",
+        forward = true)
+      .select(col("sym"), col("ts"), col("right_px"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(got == Set(
+      ("A", 10L, Some(100.0)), // equal ts matches (at-or-after)
+      ("A", 21L, Some(102.0)), // skips the 20 quote, takes the next
+      ("B", 5L, None)))        // no quotes for the key
+    val tight = Temporal.asOfJoin(trades, quotes, Seq("sym"), "ts", "qts",
+        forward = true, toleranceSec = Some(5L))
+      .filter(col("ts") === 21L).select("right_px").collect().head
+    assert(tight.isNullAt(0), "match farther than the lookahead must drop")
+  }
+
   test("asOfJoin tolerance drops stale matches") {
     val ss = spark; import ss.implicits._
     val l = Seq(("A", 100L, 1L)).toDF("k", "ts", "v")
