@@ -37,4 +37,34 @@ object Packing {
       .withColumn("chunk_id",
         floor((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
   }
+
+  /** The dual of packing: SPLIT each document into fixed token windows
+    * of `chunkSize` every `stride` tokens (overlapping when
+    * stride < chunkSize) — context-window chunking for embedding /
+    * retrieval corpora. Pure per-row explode (no window, no shuffle):
+    * each of 1000 executors chunks its own rows. Window starts are
+    * 0, stride, 2·stride, … up to the last multiple of stride below
+    * the token count, so every token is covered iff
+    * stride <= chunkSize; empty docs yield no chunks.
+    *
+    * @param docs    input with `idCol` and a pre-staged token array
+    *                `toksCol` (HOF cost contract: pass a materialized
+    *                attribute, not an inline tokenize)
+    * @return (id, chunk_start, chunk_tokens, chunk_text)
+    */
+  def chunkByTokenWindow(docs: DataFrame, idCol: Column, toksCol: Column,
+                         chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize for full coverage")
+    val n = size(toksCol).cast("long")
+    docs
+      .filter(size(toksCol) > 0)
+      .withColumn("__start", explode(sequence(lit(0L),
+        floor((n - 1L) / stride) * stride, lit(stride.toLong))))
+      .select(idCol.as("id"),
+        col("__start").as("chunk_start"),
+        least(lit(chunkSize.toLong), n - col("__start")).as("chunk_tokens"),
+        array_join(slice(toksCol, (col("__start") + 1L).cast("int"),
+          lit(chunkSize)), " ").as("chunk_text"))
+  }
 }

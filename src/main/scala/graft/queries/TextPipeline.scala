@@ -351,6 +351,16 @@ object TextPipeline {
       .orderBy(col("domain"))
   }
 
+  /** Context-window chunking (the split dual of [[seqPack]]):
+    * 64-token windows every 48 tokens over each document — no shuffle,
+    * pure per-row explode from the shared tokenized frame.
+    */
+  def docChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.chunkByTokenWindow(
+      tokenizedDocs(s, dir), col("doc_id"), col("__toks"),
+      chunkSize = 64, stride = 48)
+      .orderBy(col("id"), col("chunk_start"))
+
   // ---- corpus statistics ------------------------------------------
 
   /** Corpus vocabulary: top-50 tokens by frequency (count DESC, token
@@ -481,7 +491,8 @@ object TextPipeline {
     "dup_spans" -> (dupSpans _),
     "text_scrub" -> (textScrub _),
     "length_quantiles" -> (lengthQuantiles _),
-    "link_domains" -> (linkDomains _))
+    "link_domains" -> (linkDomains _),
+    "doc_chunks" -> (docChunks _))
 
   /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's
     * regexp_replace needs the explicit 'g' flag (Spark's replaces all
@@ -551,6 +562,15 @@ object TextPipeline {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, toks,
+         |  unnest(range(0, ((len(toks) - 1) // 48) * 48 + 1, 48)) AS s FROM f)
+         |SELECT doc_id AS id, s AS chunk_start,
+         |  LEAST(64, len(toks) - s) AS chunk_tokens,
+         |  array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk_text
+         |FROM c ORDER BY id, chunk_start""".stripMargin,
     "link_domains" ->
       """WITH d AS (SELECT doc_id,
         |  text || ' see https://d' || CAST(doc_id % 7 AS VARCHAR)

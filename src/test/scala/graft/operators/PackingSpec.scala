@@ -30,6 +30,24 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("chunkByTokenWindow covers every token with the declared overlap; empty docs vanish") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions.split
+    // 10 tokens, chunkSize 4, stride 3 → starts 0,3,6,9
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, ""), (3L, "x y"))
+      .toDF("doc_id", "text").withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", org.apache.spark.sql.functions.filter(
+        col("toks"), t => t =!= ""))
+    val got = Packing.chunkByTokenWindow(docs, col("doc_id"), col("toks"),
+        chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 4L, "a b c d"), (1L, 3L, 4L, "d e f g"),
+      (1L, 6L, 4L, "g h i j"), (1L, 9L, 1L, "j"),   // tail chunk clamps
+      (3L, 0L, 2L, "x y")))                          // short doc: one chunk
+  }
+
   test("content-hash split is stable, exhaustive, and roughly 80/10/10") {
     val ss = spark; import ss.implicits._
     val docs = (0 until 1000).map(i => s"document number $i with some words")
