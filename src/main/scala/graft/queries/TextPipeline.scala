@@ -351,6 +351,25 @@ object TextPipeline {
       .orderBy(col("domain"))
   }
 
+  /** Curation selection: the 5 highest-quality docs per source
+    * (quality DESC, doc_id ASC — a total order, so both engines rank
+    * identically on the round-6 score). Plans as WindowGroupLimit:
+    * the rank<=k predicate is pushed into the shuffle so each
+    * partition keeps a bounded candidate set — the "keep best N per
+    * slice" pass runs on the full corpus without a global sort.
+    */
+  def qualityTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    tokenizedDocs(s, dir)
+      .select(col("source"), col("doc_id"),
+        TextFns.qualityScoreOf(col("text"), col("__toks")).as("quality"))
+      .withColumn("rk", rank().over(w).cast(LongType))
+      .filter(col("rk") <= 5)
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Context-window chunking (the split dual of [[seqPack]]):
     * 64-token windows every 48 tokens over each document — no shuffle,
     * pure per-row explode from the shared tokenized frame.
@@ -492,7 +511,8 @@ object TextPipeline {
     "text_scrub" -> (textScrub _),
     "length_quantiles" -> (lengthQuantiles _),
     "link_domains" -> (linkDomains _),
-    "doc_chunks" -> (docChunks _))
+    "doc_chunks" -> (docChunks _),
+    "quality_topk" -> (qualityTopk _))
 
   /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's
     * regexp_replace needs the explicit 'g' flag (Spark's replaces all
@@ -562,6 +582,26 @@ object TextPipeline {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "quality_topk" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id, source, text,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) END AS awl,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter(toks, w -> list_contains($stopList, w))) AS DOUBLE) / len(toks) END AS sr
+         |  FROM t),
+         |q AS (SELECT doc_id, source,
+         |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+         |      + (CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+         |      + least(sr * 5.0, 1.0) * 0.2
+         |      + greatest(0.0, 1.0 - pr * 4.0) * 0.2, 6) AS quality FROM m),
+         |r AS (SELECT source, doc_id, quality,
+         |  rank() OVER (PARTITION BY source
+         |               ORDER BY quality DESC, doc_id ASC) AS rk FROM q)
+         |SELECT source, rk, doc_id, quality FROM r
+         |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     "doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |f AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
