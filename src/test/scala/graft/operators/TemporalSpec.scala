@@ -58,6 +58,22 @@ class TemporalSpec extends SparkSpec {
     assert(tight.isNullAt(0), "match older than the tolerance must drop")
   }
 
+  test("asOfJoin composite keys partition matches independently") {
+    val ss = spark; import ss.implicits._
+    val l = Seq(("A", "x", 10L, 1L), ("A", "y", 10L, 2L), ("B", "x", 10L, 3L))
+      .toDF("k1", "k2", "ts", "v")
+    val r = Seq(("A", "x", 5L, 1.0), ("A", "y", 7L, 2.0), ("B", "y", 3L, 9.0))
+      .toDF("k1", "k2", "rts", "p")
+    val got = Temporal.asOfJoin(l, r, Seq("k1", "k2"), "ts", "rts")
+      .select(col("k1"), col("k2"), col("right_p"))
+      .collect().map(x => (x.getString(0), x.getString(1),
+        Option(x.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(got == Set(
+      ("A", "x", Some(1.0)),
+      ("A", "y", Some(2.0)),   // same k1, different k2 — no bleed
+      ("B", "x", None)))       // (B,x) must not see (B,y)'s quote
+  }
+
   test("rangeJoin equals the naive overlap θ-join, without the cross product") {
     val ss = spark; import ss.implicits._
     val rnd = new scala.util.Random(11)
