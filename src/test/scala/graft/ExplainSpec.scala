@@ -129,6 +129,19 @@ class ExplainSpec extends SparkSpec {
       s"range join must never fall back to a nested loop:\n$p")
   }
 
+  test("quality_topk: rank<=k is bounded map-side AND post-shuffle (WindowGroupLimit)") {
+    val p = plan("quality_topk")
+    assert(count(p, "WindowGroupLimit") >= 2,
+      s"per-source top-K must keep bounded candidates on both sides of the shuffle:\n$p")
+  }
+
+  test("doc_chunks: chunking is a pure explode — no join, no aggregate") {
+    val p = plan("doc_chunks")
+    assert(p.contains("Generate") && !p.contains("Join") &&
+      !p.contains("HashAggregate"),
+      s"chunking must not shuffle or aggregate:\n$p")
+  }
+
   test("pair-generation self-joins stay shuffled even from a cached (precise-stats) input") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Dedup
