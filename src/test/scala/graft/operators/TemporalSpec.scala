@@ -74,6 +74,23 @@ class TemporalSpec extends SparkSpec {
       ("B", "x", None)))       // (B,x) must not see (B,y)'s quote
   }
 
+  test("rangeJoin result is bucketWidth-invariant (1, tiny, interval-sized, huge)") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(7)
+    val l = Seq.tabulate(40) { i =>
+      val s = rnd.nextInt(300).toLong; ("k" + (i % 2), s, s + rnd.nextInt(50))
+    }.toDF("k", "ls", "le")
+    val r = Seq.tabulate(40) { i =>
+      val s = rnd.nextInt(300).toLong; ("k" + (i % 2), s, s + rnd.nextInt(50))
+    }.toDF("k", "rs", "re")
+    def run(w: Long) = Temporal.rangeJoin(l, r, Seq("k"), "ls", "le", "rs", "re", w)
+      .select("k", "ls", "le", "rs", "re").collect().map(_.toSeq).toSet
+    val widths = Seq(1L, 7L, 50L, 100000L).map(run)
+    assert(widths.head.nonEmpty)
+    assert(widths.distinct.size == 1,
+      "bucket width is a performance knob — it must never change the result")
+  }
+
   test("rangeJoin equals the naive overlap θ-join, without the cross product") {
     val ss = spark; import ss.implicits._
     val rnd = new scala.util.Random(11)
