@@ -100,6 +100,46 @@ object Profile {
       return
     }
 
+    // SPARK_GRAFT_PROFILE_SCRUB=1: decompose text_scrub — which of
+    // (dirty construction, count extract, scrub replace, global sort)
+    // actually costs, then exit.
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_SCRUB")) {
+      Tables.enableInputCache()
+      import graft.functions.TextFns
+      val base = Tables.documents(spark, sfDir)
+      val id = col("doc_id").cast("string")
+      def dirty = concat(
+        col("text"),
+        lit(" visit https://ex"), id, lit(".com/a?b="), id,
+        lit(" mail u"), id, lit("@ex.org from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7"),
+        when(col("doc_id") % 3 === 0, lit(" http://dup.io/x")).otherwise(lit("")))
+      def d = base.select(col("doc_id"), dirty.as("__dirty"))
+      time("dirty only")(d)
+      time("dirty + pii extract_all")(
+        d.withColumn("__pii", TextFns.piiMatches(col("__dirty"))))
+      time("dirty + counts (staged pii)")(
+        d.withColumn("__pii", TextFns.piiMatches(col("__dirty")))
+          .select(col("doc_id"),
+            TextFns.countUrlsOf(col("__pii")).as("n_urls"),
+            TextFns.countEmailsOf(col("__pii")).as("n_emails"),
+            TextFns.countIpsOf(col("__pii")).as("n_ips")))
+      time("dirty + scrub only")(
+        d.select(col("doc_id"), TextFns.scrubText(col("__dirty")).as("clean_text")))
+      time("full minus orderBy")(
+        d.withColumn("__pii", TextFns.piiMatches(col("__dirty")))
+          .select(col("doc_id"),
+            TextFns.countUrlsOf(col("__pii")).as("n_urls"),
+            TextFns.countEmailsOf(col("__pii")).as("n_emails"),
+            TextFns.countIpsOf(col("__pii")).as("n_ips"),
+            TextFns.scrubText(col("__dirty")).as("clean_text"))
+          .withColumn("clean_chars", length(col("clean_text")).cast("long")))
+      time("full (gated query)")(
+        graft.queries.TextPipeline.queries("text_scrub")(spark, sfDir))
+      spark.stop()
+      return
+    }
+
     import graft.functions.TextFns
     val docs = Tables.documents(spark, sfDir)
 

@@ -195,6 +195,44 @@ object TextFns {
   def countMatches(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern)).cast("long")
 
+  /** Fused PII alternation: recognizes a URL, email, or IPv4 at each
+    * position in ONE pass. Alternation is leftmost-first in BOTH Java
+    * regex and RE2, so at the same start position a URL beats an email
+    * beats an IP, and each character is consumed by at most one match —
+    * a well-defined single-consumption semantic (the chained
+    * replace-URL-then-email-then-IP form had the same effect on
+    * disjoint matches but 7 full-text traversals; this form needs 3:
+    * one extract_all for counts, one fused replace, one whitespace
+    * collapse).
+    */
+  val piiPattern: String = s"($urlPattern)|($emailPattern)|($ipPattern)"
+
+  /** All PII matches (whole-match text, document order) under the
+    * fused pattern. Stage this array once per row (class doc) and
+    * derive the per-kind counts with the `*Of` classifiers below —
+    * the array is short (a handful of matches), so classification is
+    * O(matches), not O(document).
+    */
+  def piiMatches(text: Column): Column =
+    regexp_extract_all(text, lit(piiPattern), lit(0))
+
+  /** URL count over a staged [[piiMatches]] array. Classification by
+    * containment is exact: only the URL alternative can produce "://"
+    * (the email and IP character classes admit neither ':' nor '/').
+    */
+  def countUrlsOf(pii: Column): Column =
+    size(filter(pii, m => m.contains("://"))).cast("long")
+
+  /** Email count over a staged [[piiMatches]] array: a non-URL match
+    * containing '@' (the IP alternative is digits and dots only).
+    */
+  def countEmailsOf(pii: Column): Column =
+    size(filter(pii, m => !m.contains("://") && m.contains("@"))).cast("long")
+
+  /** IPv4 count over a staged [[piiMatches]] array: the remainder. */
+  def countIpsOf(pii: Column): Column =
+    size(filter(pii, m => !m.contains("://") && !m.contains("@"))).cast("long")
+
   /** All URLs in `text`, in document order — the extraction dual of
     * the scrub: link-graph and per-domain statistics for web-corpus
     * curation start here.
@@ -207,16 +245,13 @@ object TextFns {
     regexp_extract(url, "https?://([^/\\s]+)", 1)
 
   /** Scrub URLs, emails and IPv4s to spaces, collapse whitespace,
-    * trim — the standard redaction pass before tokenization. Fixed
-    * order (URL → email → IP) so overlapping matches resolve
-    * identically in every engine.
+    * trim — the standard redaction pass before tokenization. One
+    * fused [[piiPattern]] replace + one whitespace collapse (2
+    * traversals, vs 4 for the chained form); leftmost-first
+    * alternation resolves overlaps identically in every engine.
     */
   def scrubText(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(text, urlPattern, " "),
-          emailPattern, " "),
-        ipPattern, " "),
+      regexp_replace(text, piiPattern, " "),
       "\\s+", " "))
 }

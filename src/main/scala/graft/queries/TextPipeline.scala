@@ -308,7 +308,9 @@ object TextPipeline {
     * gets one URL + one email + one IPv4 appended, docs with
     * doc_id % 3 == 0 a second URL — exercising the replace-ALL
     * semantics (DuckDB needs the explicit 'g' flag). The oracle
-    * restates the construction and the scrub chain verbatim.
+    * restates the construction and the fused single-pass derivation
+    * verbatim (one extract_all for the classified counts, one fused
+    * replace for the scrub — see [[TextFns.piiPattern]]).
     */
   def textScrub(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("string")
@@ -318,15 +320,28 @@ object TextPipeline {
       lit(" mail u"), id, lit("@ex.org from 10.0."),
       (col("doc_id") % 256).cast("string"), lit(".7"),
       when(col("doc_id") % 3 === 0, lit(" http://dup.io/x")).otherwise(lit("")))
+    // ONE exchange does double duty: range-partitioning on doc_id both
+    // spreads the single-row-group scan across every core for the
+    // regex stage AND establishes the output order — ordered range
+    // partitions + a per-partition sort produce exactly the file
+    // layout a global orderBy would (which is itself a range exchange
+    // + local sort), without a second shuffle of the wide text rows.
     Tables.documents(s, dir)
       .select(col("doc_id"), dirty.as("__dirty"))
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+      // stage the fused-pattern match array ONCE per row (non-cheap +
+      // multi-referenced, so CollapseProject keeps it separate) and
+      // classify the short matches — 3 full-text regex traversals
+      // total (extract_all, fused replace, \s+ collapse) vs 7 for the
+      // count×3 + chained-replace form.
+      .withColumn("__pii", TextFns.piiMatches(col("__dirty")))
       .select(col("doc_id"),
-        TextFns.countMatches(col("__dirty"), TextFns.urlPattern).as("n_urls"),
-        TextFns.countMatches(col("__dirty"), TextFns.emailPattern).as("n_emails"),
-        TextFns.countMatches(col("__dirty"), TextFns.ipPattern).as("n_ips"),
+        TextFns.countUrlsOf(col("__pii")).as("n_urls"),
+        TextFns.countEmailsOf(col("__pii")).as("n_emails"),
+        TextFns.countIpsOf(col("__pii")).as("n_ips"),
         TextFns.scrubText(col("__dirty")).as("clean_text"))
       .withColumn("clean_chars", length(col("clean_text")).cast(LongType))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   /** Per-domain link statistics — the extraction dual of [[textScrub]]
@@ -342,7 +357,7 @@ object TextPipeline {
       lit(".com/p/"), id,
       lit(" img http://cdn.d"), ((col("doc_id") * 3) % 7).cast("string"),
       lit(".com/i.png"))
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), explode(TextFns.extractUrls(dirty)).as("url"))
       .select(col("doc_id"), TextFns.urlHost(col("url")).as("domain"))
       .groupBy(col("domain"))
@@ -641,21 +656,24 @@ object TextPipeline {
         |       || '@ex.org from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
         |       || CASE WHEN doc_id % 3 = 0 THEN ' http://dup.io/x' ELSE '' END
         |       AS dirty FROM documents),
-        |s AS (SELECT doc_id, dirty,
-        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |    dirty, 'https?://\S+', ' ', 'g'),
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', ' ', 'g'),
-        |    '[0-9]{1,3}(\.[0-9]{1,3}){3}', ' ', 'g'),
+        |p AS (SELECT doc_id, dirty,
+        |  regexp_extract_all(dirty, '(https?://\S+)'
+        |    || '|([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+)'
+        |    || '|([0-9]{1,3}(\.[0-9]{1,3}){3})') AS pii,
+        |  trim(regexp_replace(regexp_replace(dirty, '(https?://\S+)'
+        |    || '|([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+)'
+        |    || '|([0-9]{1,3}(\.[0-9]{1,3}){3})', ' ', 'g'),
         |    '\s+', ' ', 'g')) AS clean_text FROM d)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(dirty, 'https?://\S+')) AS BIGINT) AS n_urls,
-        |  CAST(len(regexp_extract_all(dirty,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(dirty,
-        |    '[0-9]{1,3}(\.[0-9]{1,3}){3}')) AS BIGINT) AS n_ips,
+        |  CAST(len(list_filter(pii, m -> contains(m, '://'))) AS BIGINT)
+        |    AS n_urls,
+        |  CAST(len(list_filter(pii, m -> NOT contains(m, '://')
+        |    AND contains(m, '@'))) AS BIGINT) AS n_emails,
+        |  CAST(len(list_filter(pii, m -> NOT contains(m, '://')
+        |    AND NOT contains(m, '@'))) AS BIGINT) AS n_ips,
         |  clean_text,
         |  CAST(length(clean_text) AS BIGINT) AS clean_chars
-        |FROM s ORDER BY doc_id""".stripMargin,
+        |FROM p ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       s"""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          |FROM (SELECT doc_id, $normSql AS norm FROM documents)

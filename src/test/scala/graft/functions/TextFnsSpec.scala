@@ -82,13 +82,32 @@ class TextFnsSpec extends SparkSpec {
     val ss = spark; import ss.implicits._
     val dirty = "see https://a.io/x?q=1 or http://b.co mail bob.s+1@ex-a.org " +
       "from 10.0.255.7 then\t more   text"
-    val row = Seq(dirty).toDF("text").select(
-      TextFns.scrubText(col("text")).as("clean"),
-      TextFns.countMatches(col("text"), TextFns.urlPattern).as("u"),
-      TextFns.countMatches(col("text"), TextFns.emailPattern).as("e"),
-      TextFns.countMatches(col("text"), TextFns.ipPattern).as("i")).head()
+    val row = Seq(dirty).toDF("text")
+      .withColumn("pii", TextFns.piiMatches(col("text")))
+      .select(
+        TextFns.scrubText(col("text")).as("clean"),
+        TextFns.countUrlsOf(col("pii")).as("u"),
+        TextFns.countEmailsOf(col("pii")).as("e"),
+        TextFns.countIpsOf(col("pii")).as("i")).head()
     assert(row.getString(0) == "see or mail from then more text")
     assert((row.getLong(1), row.getLong(2), row.getLong(3)) == (2L, 1L, 1L))
+  }
+
+  test("fused PII pass: single consumption, URL beats embedded email/IP") {
+    val ss = spark; import ss.implicits._
+    // the email and the dotted quad sit INSIDE the URL's \S+ span: the
+    // fused leftmost-first alternation consumes them as one URL match,
+    // so they are neither double-counted nor double-scrubbed
+    val dirty = "go https://h.io/u@e.org/10.1.2.3 end plus lone 10.9.9.9"
+    val row = Seq(dirty).toDF("text")
+      .withColumn("pii", TextFns.piiMatches(col("text")))
+      .select(
+        TextFns.scrubText(col("text")).as("clean"),
+        TextFns.countUrlsOf(col("pii")).as("u"),
+        TextFns.countEmailsOf(col("pii")).as("e"),
+        TextFns.countIpsOf(col("pii")).as("i")).head()
+    assert(row.getString(0) == "go end plus lone")
+    assert((row.getLong(1), row.getLong(2), row.getLong(3)) == (1L, 0L, 1L))
   }
 
   test("extractUrls and urlHost pull links and their domains in order") {
