@@ -90,14 +90,12 @@ object Ingest {
         if (!env.ok || env.resultItems.isEmpty) done = true
         else {
           for (it <- env.resultItems) {
-            // Schema-drift-tolerant field coalescing (merlin_etl.py:276-284)
-            val addr = Seq("TokenHolderAddress", "tokenHolderAddress",
-              "HolderAddress", "holderAddress", "address")
-              .flatMap(it.get).headOption
-            val qty = Seq("TokenHolderQuantity", "quantity", "balance")
-              .flatMap(it.get).headOption
-            Seq("decimals", "tokenDecimal").flatMap(it.get).headOption
-              .flatMap(parseInt).foreach(d => decimals = d) // sticky detection
+            // Schema-drift-tolerant field coalescing (merlin_etl.py:276-284),
+            // shared with the DSv2 reader via [[HolderFields]]
+            val addr = graft.sources.HolderFields.addr(it)
+            val qty = graft.sources.HolderFields.qty(it)
+            graft.sources.HolderFields.dec(it)
+              .foreach(d => decimals = d) // sticky detection
             (addr, qty) match {
               case (Some(a), Some(q)) =>
                 rows += Row(triggerId, token.toLowerCase, a.toLowerCase, decimals, q)
@@ -126,6 +124,110 @@ object Ingest {
     }
   }
 
+  /** E2 ingest over a DUMPED page directory via the partition-parallel
+    * DSv2 `merlin` source ([[graft.sources.MerlinSource]]) — the bulk/
+    * offline-backfill twin of [[holdersSnapshot]] (SURVEY S1's named
+    * v2). Produces a byte-identical `holders_raw` state to the
+    * sequential loop (IngestSpec proves it on shared fixtures) while
+    * the page PARSE work scales with the cluster.
+    *
+    * The two order-dependent pieces of the loop are reconstructed from
+    * per-page metadata (ONE tiny aggregate — one row per dumped page,
+    * bounded by `maxPages`, planning-scale not data-scale):
+    *
+    *  - '''Termination''': the loop stops at the first `!ok`/empty
+    *    page and AFTER the first short page. Both are visible in the
+    *    per-page RAW item counts (the reader emits items before any
+    *    null-drop, so a dropped row can never masquerade as a short
+    *    page); the replayed cutoff keeps exactly the pages the loop
+    *    would have processed. Pages past the cutoff were read
+    *    speculatively and are filtered — bounded waste, no wrong rows.
+    *  - '''Sticky decimals''': within a page, `last(decimals_obs)
+    *    ignoreNulls` over `(page, idx)` — a PER-PAGE window, so it
+    *    parallelizes; across pages, the carry-in value per page is
+    *    computed on the driver from per-page last-observed values and
+    *    broadcast as a literal map. Together they give each row the
+    *    exact "latest observation at or before me" the sequential
+    *    loop gave it.
+    */
+  def holdersSnapshotParallel(spark: SparkSession, store: MerlStore, dumpDir: String,
+                              token: String, bucketStartUtc: java.time.Instant,
+                              triggerId: String, pageSize: Int = 100,
+                              maxPages: Int = 10000, defaultDecimals: Int = 18,
+                              pagesPerPartition: Int = 8): SnapshotResult = {
+    import org.apache.spark.sql.expressions.Window
+    val jobId = store.jobStart("holders_6h")
+    try {
+      val raw = spark.read.format("merlin")
+        .option("dir", dumpDir).option("contractaddress", token)
+        .option("pagesize", pageSize).option("maxpages", maxPages)
+        .option("pagesperpartition", pagesPerPartition)
+        .load()
+
+      val meta = raw.groupBy(col("page")).agg(
+          count(lit(1)).as("cnt"),
+          max(when(col("decimals_obs").isNotNull, struct(col("idx"), col("decimals_obs"))))
+            .getField("decimals_obs").as("last_dec"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getInt(2)))))
+        .toMap
+
+      // Replay the sequential loop's control flow over the metadata.
+      val carryIn = scala.collection.mutable.Map.empty[Int, Int]
+      var sticky = defaultDecimals
+      var lastKept = 0
+      var pages = 0
+      var p = 1
+      var continue = true
+      while (continue && p <= maxPages) {
+        meta.get(p) match {
+          case Some((cnt, lastDec)) if cnt > 0 =>
+            carryIn(p) = sticky
+            lastDec.foreach(sticky = _)
+            lastKept = p
+            pages += 1
+            if (cnt < pageSize) continue = false else p += 1
+          case _ => continue = false
+        }
+      }
+
+      val w = Window.partitionBy(col("page")).orderBy(col("idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val carryLit = typedLit(carryIn.toMap)
+      val frame = raw.filter(col("page") <= lit(lastKept))
+        .withColumn("dec_eff", coalesce(
+          last(col("decimals_obs"), ignoreNulls = true).over(w),
+          element_at(carryLit, col("page"))))
+        .filter(col("holder_address").isNotNull && col("quantity_raw").isNotNull)
+        .select(
+          lit(triggerId).as("trigger_id"),
+          lit(token.toLowerCase).as("contract_address"),
+          lower(col("holder_address")).as("holder_address"),
+          col("dec_eff").cast(IntegerType).as("token_decimal"),
+          col("quantity_raw"))
+        .withColumn("bucket_start_utc", lit(java.sql.Timestamp.from(bucketStartUtc)))
+        .withColumn("bucket_unix", unix_timestamp(col("bucket_start_utc")))
+        .withColumn("quantity_18d", AmountFns.scale18(col("quantity_raw")))
+
+      val rows =
+        if (lastKept == 0) 0L
+        else {
+          frame.persist()
+          try {
+            val c = frame.count()
+            if (c > 0) store.upsertHolders(frame)
+            c
+          } finally frame.unpersist(blocking = false)
+        }
+      store.jobFinish(jobId, "success",
+        stats = Some(s"""{"rows":$rows,"pages":$pages,"token":"$token","decimals":$sticky}"""))
+      SnapshotResult(rows, pages, token, sticky)
+    } catch {
+      case e: Throwable =>
+        store.jobFinish(jobId, "error", error = Some(e.toString)); throw e
+    }
+  }
+
   final case class HoldersTop100Result(snapshot: SnapshotResult, top100Rows: Long,
                                        bucketStartUtc: java.time.Instant, triggerId: String)
 
@@ -141,12 +243,20 @@ object Ingest {
   def holdersAndTop100(spark: SparkSession, store: MerlStore, client: ExplorerClient,
                        token: String, asOf: java.time.Instant,
                        pageSize: Int = 500, maxPages: Int = 100000, k: Int = 100,
-                       notifier: Option[Report.Notifier] = None): HoldersTop100Result = {
+                       notifier: Option[Report.Notifier] = None,
+                       parallelDumpDir: Option[String] = None): HoldersTop100Result = {
     val bucketStart = java.time.Instant.ofEpochSecond(asOf.getEpochSecond / 21600 * 21600)
     val triggerId = java.time.format.DateTimeFormatter.ofPattern("yyyy/MM/dd-HH:mm")
       .withZone(java.time.ZoneOffset.UTC).format(asOf)
-    val snap = holdersSnapshot(spark, store, client, token, bucketStart, triggerId,
-      pageSize, maxPages)
+    // Behind-a-flag DSv2 path: a dump directory routes the snapshot
+    // through the partition-parallel merlin reader instead of the
+    // driver-side page loop (identical resulting state — IngestSpec).
+    val snap = parallelDumpDir match {
+      case Some(d) => holdersSnapshotParallel(spark, store, d, token, bucketStart,
+        triggerId, pageSize, maxPages)
+      case None => holdersSnapshot(spark, store, client, token, bucketStart, triggerId,
+        pageSize, maxPages)
+    }
     val top = graft.domain.Top100.computeForToken(store.read("holders_raw"), token, k)
     store.refreshTop100(top)
     // count THIS bucket's refreshed rows — the table keeps earlier

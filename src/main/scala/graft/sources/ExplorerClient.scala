@@ -125,6 +125,33 @@ class FileTransport(dir: String) extends ExplorerTransport {
       .replaceAll("[^A-Za-z0-9&=_.-]", "_") + ".json"
 }
 
+/** Field-name coalescing for explorer schema drift
+  * (`merlin_etl.py:276-284`): holder pages arrive with any of several
+  * key spellings per field. ONE definition shared by the driver-side
+  * page loop ([[graft.pipelines.Ingest.holdersSnapshot]]) and the
+  * partition-parallel DSv2 reader ([[MerlinSource]]) so the two paths
+  * cannot drift apart.
+  */
+object HolderFields {
+  val Addr: Seq[String] = Seq("TokenHolderAddress", "tokenHolderAddress",
+    "HolderAddress", "holderAddress", "address")
+  val Qty: Seq[String] = Seq("TokenHolderQuantity", "quantity", "balance")
+  val Dec: Seq[String] = Seq("decimals", "tokenDecimal")
+
+  def addr(it: Map[String, String]): Option[String] = Addr.flatMap(it.get).headOption
+  def qty(it: Map[String, String]): Option[String] = Qty.flatMap(it.get).headOption
+  def dec(it: Map[String, String]): Option[Int] =
+    Dec.flatMap(it.get).headOption.flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+
+  /** The exact request params `ExplorerClient.holderPage` sends — the
+    * DSv2 planner uses these to locate dumped page files.
+    */
+  def pageParams(token: String, page: Int, pageSize: Int): Map[String, String] =
+    Map("module" -> "token", "action" -> "tokenholderlist",
+      "contractaddress" -> token, "page" -> page.toString,
+      "offset" -> pageSize.toString)
+}
+
 /** Parsed API envelope. `result` is either a scalar (block probes) or
   * a list of string-keyed records (holder / tx pages).
   */
@@ -159,9 +186,7 @@ class ExplorerClient(transport: ExplorerTransport) {
 
   /** S5: one `token.tokenholderlist` page. */
   def holderPage(token: String, page: Int, pageSize: Int): Envelope =
-    call(Map("module" -> "token", "action" -> "tokenholderlist",
-      "contractaddress" -> token, "page" -> page.toString,
-      "offset" -> pageSize.toString))
+    call(HolderFields.pageParams(token, page, pageSize))
 
   /** S6: one `account.tokentx` page from a start block, ascending
     * (ascending order is what makes the cursor's running max correct —
