@@ -82,5 +82,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_dot(a, b) takes exactly two arrays")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sum_uint"),
+      new ExpressionInfo(classOf[SumBigUInt].getName, "graft_sum_uint"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_sum_uint(digits) takes exactly one string column")
+        SumBigUInt(children.head)
+      }))
   }
 }

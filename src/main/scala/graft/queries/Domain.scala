@@ -71,6 +71,22 @@ object Domain {
           .as("balance"))
       .orderBy(col("contract_address"), col("rnk"), col("holder_address"))
 
+  /** Exact uint256 total holdings of each token's Top-100 (the
+    * reference's NUMERIC(78,0) SUM, `schema.sql:49`): the 40-digit
+    * whale makes Decimal(38) `sum` null out, so the total flows
+    * through the native BigInteger aggregate
+    * ([[graft.plans.SumBigUInt]], `graft_sum_uint`) — exact at any
+    * width, partial-aggregated map-side. The DuckDB oracle states the
+    * same total via two-limb HUGEINT arithmetic (hi·10^18 + lo with
+    * carry), rendered to the identical decimal string.
+    */
+  def top100Holdings(s: SparkSession, dir: String): DataFrame =
+    Top100.compute(holdersFixture(s, dir))
+      .groupBy(col("contract_address"), col("bucket_unix").cast(LongType).as("bucket_unix"))
+      .agg(count(lit(1)).as("n_top"),
+        call_function("graft_sum_uint", col("balance_raw")).as("total_raw"))
+      .orderBy(col("contract_address"), col("bucket_unix"))
+
   /** M3/M4: Top-100 partition-overwrite refresh, run twice — the
     * stored table must equal a single refresh.
     */
@@ -172,6 +188,7 @@ object Domain {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "top100_domain" -> (top100Domain _),
+    "top100_holdings" -> (top100Holdings _),
     "top100_refresh" -> (top100Refresh _),
     "holders_upsert" -> (holdersUpsert _),
     "tx_insert_ignore" -> (txInsertIgnore _),
@@ -216,6 +233,30 @@ object Domain {
         |       CAST(quantity_raw AS DOUBLE) / power(10.0, token_decimal) AS balance
         |FROM ranked WHERE rnk <= 100
         |ORDER BY contract_address, rnk, holder_address""".stripMargin),
+    "top100_holdings" -> (holdersCte +
+      """, top AS (SELECT contract_address, bucket_unix, quantity_raw
+        |          FROM ranked WHERE rnk <= 100),
+        |limbs AS (
+        |  SELECT contract_address, bucket_unix,
+        |         CAST(CASE WHEN length(quantity_raw) > 18
+        |              THEN substr(quantity_raw, 1, length(quantity_raw) - 18)
+        |              ELSE '0' END AS HUGEINT) AS hi,
+        |         CAST(CASE WHEN length(quantity_raw) > 18
+        |              THEN substr(quantity_raw, length(quantity_raw) - 17, 18)
+        |              ELSE quantity_raw END AS HUGEINT) AS lo
+        |  FROM top),
+        |sums AS (
+        |  SELECT contract_address, bucket_unix, COUNT(*) AS n_top,
+        |         SUM(hi) AS sh, SUM(lo) AS sl
+        |  FROM limbs GROUP BY contract_address, bucket_unix)
+        |SELECT contract_address, bucket_unix, CAST(n_top AS BIGINT) AS n_top,
+        |       CASE WHEN sh + sl // 1000000000000000000 = 0
+        |            THEN CAST(sl % 1000000000000000000 AS VARCHAR)
+        |            ELSE CAST(sh + sl // 1000000000000000000 AS VARCHAR) ||
+        |                 lpad(CAST(sl % 1000000000000000000 AS VARCHAR), 18, '0')
+        |       END AS total_raw
+        |FROM sums
+        |ORDER BY contract_address, bucket_unix""".stripMargin),
     "top100_refresh" -> (holdersCte +
       """SELECT contract_address, bucket_unix, CAST(rnk AS BIGINT) AS rnk, holder_address
         |FROM ranked WHERE rnk <= 100
