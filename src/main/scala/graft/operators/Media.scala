@@ -115,28 +115,21 @@ object Media {
   }
 
   /** Codegen'd byte-level features over the pixels column: mean
-    * brightness and an 8-bin histogram — pure expressions (no UDF, no
-    * shuffle), so quality filters on these prune before any decode-
-    * downstream stage materializes. Bytes are unpacked via hex() +
-    * fixed-width substrings (Spark has no direct binary subscript);
-    * fine at stub sizes, and a custom `Expression` with doGenCode is
-    * the drop-in upgrade for production pixel counts.
+    * brightness and an 8-bin histogram — native Catalyst expressions
+    * ([[graft.plans.UnsignedByteSum]] / [[graft.plans.ByteHistogram8]],
+    * tight primitive loops via `doGenCode`), no UDF, no shuffle, so
+    * quality filters on these prune before any decode-downstream stage
+    * materializes. At production pixel counts (MB payloads) the former
+    * hex()+substr unpack was O(bytes) interpreted string slicing per
+    * row; the native loop keeps the "drop dark images" path inside
+    * whole-stage codegen at any payload size (MediaSpec pins ≥1 MB).
     */
-  def imageFeatures(decoded: DataFrame): DataFrame = {
-    val unpacked = decoded.withColumn("__hex", hex(col("pixels")))
-      .withColumn("__bytes",
-        when(length(col("pixels")) === 0, array().cast("array<int>"))
-          .otherwise(transform(sequence(lit(0), length(col("pixels")) - 1),
-            i => conv(col("__hex").substr(i * 2 + 1, lit(2)), 16, 10).cast("int"))))
-    unpacked
+  def imageFeatures(decoded: DataFrame): DataFrame =
+    decoded
       .withColumn("brightness",
-        aggregate(col("__bytes"), lit(0L), (a, v) => a + v).cast("double")
-          / greatest(size(col("__bytes")), lit(1)))
-      .withColumn("histogram8",
-        transform(sequence(lit(0), lit(7)), bin =>
-          size(filter(col("__bytes"), v => floor(v / 32) === bin))))
-      .drop("__bytes", "__hex")
-  }
+        call_function("graft_byte_sum", col("pixels")).cast("double")
+          / greatest(length(col("pixels")), lit(1)))
+      .withColumn("histogram8", call_function("graft_byte_hist8", col("pixels")))
 
   // ---- audio -------------------------------------------------------
 

@@ -83,6 +83,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_byte_sum"),
+      new ExpressionInfo(classOf[UnsignedByteSum].getName, "graft_byte_sum"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_byte_sum(binary) takes exactly one argument")
+        UnsignedByteSum(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_byte_hist8"),
+      new ExpressionInfo(classOf[ByteHistogram8].getName, "graft_byte_hist8"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_byte_hist8(binary) takes exactly one argument")
+        ByteHistogram8(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_sum_uint"),
       new ExpressionInfo(classOf[SumBigUInt].getName, "graft_sum_uint"),
       (children: Seq[Expression]) => {

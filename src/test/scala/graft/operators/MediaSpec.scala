@@ -35,6 +35,35 @@ class MediaSpec extends SparkSpec {
     assert(f.getSeq[Int](1) == Seq(0, 0, 0, 9, 0, 0, 0, 0))
   }
 
+  test("imageFeatures at a production-size payload (≥1 MB) through the native byte expressions") {
+    val ss = spark; import ss.implicits._
+    // 646×646×3 ≈ 1.25 MB of pixels — the payload size where the old
+    // hex()+substr unpack was O(bytes) interpreted string slicing
+    val (w, h, c) = (646, 646, 3)
+    val payload = Media.stubImage(9L, w, h, c)
+    assert(payload.length > 1024 * 1024)
+    val d = Media.decodeImages(Seq((9L, payload)).toDF("id", "payload"))
+    val f = Media.imageFeatures(d)
+
+    // no hex-unpack anywhere in the plan; features come from the
+    // native codegen'd expressions
+    val plan = f.queryExecution.executedPlan.toString
+    assert(!plan.contains("hex("), s"hex-path must be gone, plan:\n$plan")
+    assert(plan.contains("graft_byte_sum") && plan.contains("graft_byte_hist8"))
+
+    // exact against a direct Scala computation on the same bytes
+    val px = payload.drop(9)
+    val expectedBrightness = px.map(_ & 0xff).map(_.toLong).sum.toDouble / (w * h * c)
+    val expectedHist = {
+      val counts = new Array[Int](8)
+      px.foreach(b => counts((b & 0xff) >>> 5) += 1)
+      counts.toSeq
+    }
+    val row = f.select(col("brightness"), col("histogram8")).head()
+    assert(row.getDouble(0) == expectedBrightness)
+    assert(row.getSeq[Int](1) == expectedHist)
+  }
+
   test("resizeImages nearest-neighbor halves dimensions") {
     val d = Media.decodeImages(images).filter(col("id") === 1L)
     val r = Media.resizeImages(d, 2, 2)
