@@ -357,29 +357,30 @@ object Dedup {
         .select(idCol.as("doc_id"), TextFns.tokens(textCol).as("__toks")),
       maxDist, maxPieceFreq)
 
-  /** [[simhashPairs]] over a pre-tokenized frame (doc_id, __toks) —
-    * same M7 rationale as [[minhashCandidatesOfTokens]].
+  /** 64-bit SimHash signatures (doc_id, sh) from a pre-tokenized
+    * frame — the shared signature stage of [[simhashPairsOfTokens]],
+    * exposed so the quality gate can brute-force the true Hamming-≤d
+    * pair set over the IDENTICAL fingerprints the pigeonhole path
+    * prunes.
+    *
+    * Execution shape (same rationale as minhashCandidates): tokens
+    * exploded to (doc_id, hash) rows, the 64 bit-counters are 64
+    * branch-free weighted-sum AGGREGATE columns in one codegen'd
+    * hash aggregate, and the fingerprint is a 64-term OR over their
+    * signs. Two-level: occurrences first collapse to (doc, hash,
+    * count) — a cheap 2-long-key aggregate with map-side combine —
+    * so the 64-expression stage runs once per DISTINCT token, not
+    * once per occurrence (natural text repeats tokens 2-3×, and
+    * c·(2·bit−1) ≡ the per-occurrence ±1 sum exactly). Docs with
+    * zero tokens drop out of pairing here (they are exact duplicates
+    * of each other — Dedup.exact's domain).
     */
-  def simhashPairsOfTokens(toks: DataFrame,
-                           maxDist: Int = 3, maxPieceFreq: Long = 1000L): DataFrame = {
-    val chunks = maxDist + 1
-    val bitsPer = 64 / chunks
-    // Execution shape (same rationale as minhashCandidates): tokens
-    // exploded to (doc_id, hash) rows, the 64 bit-counters are 64
-    // branch-free weighted-sum AGGREGATE columns in one codegen'd
-    // hash aggregate, and the fingerprint is a 64-term OR over their
-    // signs. Two-level: occurrences first collapse to (doc, hash,
-    // count) — a cheap 2-long-key aggregate with map-side combine —
-    // so the 64-expression stage runs once per DISTINCT token, not
-    // once per occurrence (natural text repeats tokens 2-3×, and
-    // c·(2·bit−1) ≡ the per-occurrence ±1 sum exactly). Docs with
-    // zero tokens drop out of pairing here (they are exact duplicates
-    // of each other — Dedup.exact's domain).
+  def simhashSignaturesOfTokens(toks: DataFrame): DataFrame = {
     val bitCols = (0 until 64).map(k =>
       sum(col("__c") *
         (call_function("shiftright", col("__h"), lit(k))
           .bitwiseAND(1) * 2 - 1)).as(s"__c$k"))
-    val sh = toks
+    toks
       .select(col("doc_id"), explode(col("__toks")).as("__t"))
       .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
       .groupBy(col("doc_id"), col("__h")).agg(count(lit(1)).as("__c"))
@@ -388,26 +389,84 @@ object Dedup {
         (0 until 64).map(k =>
           when(col(s"__c$k") > 0, lit(1L << k)).otherwise(0L))
           .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+  }
+
+  /** [[simhashPairs]] over a pre-tokenized frame (doc_id, __toks) —
+    * same M7 rationale as [[minhashCandidatesOfTokens]].
+    *
+    * Hot buckets RECURSE instead of dropping: the round-6 flat cap
+    * silently lost 32% of true ≤6-distance pairs at sf0.1 (measured
+    * by the QualityMetrics simhash_recall gate — 10545/15581), because
+    * on low-entropy corpora true near-dup pairs CONCENTRATE in the
+    * over-full pieces the cap exists to bound. Rows landing in a
+    * too-hot (chunk, piece) bucket are re-bucketed by a SECOND
+    * pigeonhole over the complement bits: within such a bucket the
+    * pair already agrees on its chunk, so its ≤maxDist differing bits
+    * all fall in the remaining 64−bitsPer bits — splitting those into
+    * (maxDist+1) fresh sub-chunks guarantees ≥1 agreeing sub-chunk.
+    * Sub-buckets still over the cap are finally dropped (a genuinely
+    * f²-dense near-dup mass — exact-dedup's domain), so the join
+    * stays bounded at f·(maxDist+1) extra rows for hot mass f, never
+    * quadratic.
+    */
+  def simhashPairsOfTokens(toks: DataFrame,
+                           maxDist: Int = 3, maxPieceFreq: Long = 1000L): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    val sh = simhashSignaturesOfTokens(toks)
     val banded0 = sh.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
         call_function("shiftright", col("sh"), c * bitsPer)
           .bitwiseAND(lit((1L << bitsPer) - 1)))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
-    val banded =
-      if (maxPieceFreq == Long.MaxValue) banded0
+
+    def pairsOf(banded: DataFrame, keys: Seq[String]): DataFrame = {
+      val aCols = keys.map(col) :+ col("doc_id").as("id_a") :+ col("sh").as("sh_a")
+      val bCols = keys.map(col) :+ col("doc_id").as("id_b") :+ col("sh").as("sh_b")
+      val l = banded.select(aCols: _*)
+      val r = banded.select(bCols: _*)
+      // Pinned shuffled self-join — see minhashCandidates.
+      l.hint("shuffle_hash").join(r, keys).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        .filter(col("hamming") <= maxDist)
+    }
+
+    val candidates =
+      if (maxPieceFreq == Long.MaxValue) pairsOf(banded0, Seq("chunk", "piece"))
       else {
-        val kept = banded0.groupBy(col("chunk"), col("piece"))
-          .agg(count(lit(1)).as("__f")).filter(col("__f") <= maxPieceFreq)
-          .select(col("chunk"), col("piece"))
-        banded0.join(kept, Seq("chunk", "piece"), "left_semi")
+        val freq = banded0.groupBy(col("chunk"), col("piece"))
+          .agg(count(lit(1)).as("__f"))
+        val cold = banded0.join(
+          freq.filter(col("__f") <= maxPieceFreq).select("chunk", "piece"),
+          Seq("chunk", "piece"), "left_semi")
+        val hot = banded0.join(
+          freq.filter(col("__f") > maxPieceFreq).select("chunk", "piece"),
+          Seq("chunk", "piece"), "left_semi")
+        // Complement of chunk c's bit range: high bits shifted down
+        // into place, OR'd with the untouched low bits — a
+        // (64−bitsPer)-bit value whose sub-chunks partition every bit
+        // the pair may still differ in.
+        val subBits = (64 - bitsPer + chunks - 1) / chunks
+        val lowMask = call_function("shiftleft", lit(1L), col("chunk") * bitsPer) - 1
+        val rest = call_function("shiftleft",
+          call_function("shiftrightunsigned", col("sh"), (col("chunk") + 1) * bitsPer),
+          col("chunk") * bitsPer)
+          .bitwiseOR(col("sh").bitwiseAND(lowMask))
+        val subBanded0 = hot.withColumn("__rest", rest)
+          .select(col("doc_id"), col("sh"), col("chunk"), col("piece"),
+            posexplode(transform(sequence(lit(0), lit(chunks - 1)), sc =>
+              call_function("shiftrightunsigned", col("__rest"), sc * subBits)
+                .bitwiseAND(lit((1L << subBits) - 1)))))
+          .withColumnRenamed("pos", "subchunk").withColumnRenamed("col", "subpiece")
+        val subKept = subBanded0.join(
+          subBanded0.groupBy(col("chunk"), col("piece"), col("subchunk"), col("subpiece"))
+            .agg(count(lit(1)).as("__f")).filter(col("__f") <= maxPieceFreq)
+            .select("chunk", "piece", "subchunk", "subpiece"),
+          Seq("chunk", "piece", "subchunk", "subpiece"), "left_semi")
+        pairsOf(cold, Seq("chunk", "piece"))
+          .unionByName(pairsOf(subKept, Seq("chunk", "piece", "subchunk", "subpiece")))
       }
-    val l = banded.select(col("chunk"), col("piece"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("chunk"), col("piece"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    // Pinned shuffled self-join — see minhashCandidates.
-    l.hint("shuffle_hash").join(r, Seq("chunk", "piece")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .filter(col("hamming") <= maxDist)
-      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+    candidates.groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 }

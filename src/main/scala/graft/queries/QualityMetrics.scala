@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Quantified quality gates for the five rows-only approximate
+  * queries — the surfaces whose VALUES no portable oracle can restate
+  * (xxhash64-based candidate generation, engine-specific HLL layout),
+  * so their correctness otherwise rests on specs alone. Each metric
+  * is a deterministic Spark-side relation comparing the approximate
+  * gated query against its exact gated twin:
+  *
+  *  - `minhash_recall`:  |minhash_pairs ∩ ngram_jaccard| / |ngram_jaccard|
+  *    — the fraction of true θ≥0.5 trigram-Jaccard pairs the
+  *    32×4-band MinHash candidate pass surfaces.
+  *  - `simhash_recall`:  pigeonhole pairs vs the brute-force
+  *    Hamming-≤6 pair set over the IDENTICAL 64-bit fingerprints
+  *    ([[Dedup.simhashSignaturesOfTokens]]) — isolates exactly the
+  *    loss the hot-bucket cap (maxPieceFreq) can introduce. The truth
+  *    side is an O(n²) sketch-pair scan — 8-byte signatures, so 5k
+  *    docs ⇒ 12.5M XOR+popcounts; a gate computation, not a pipeline
+  *    operator (the pigeonhole path exists precisely to avoid this at
+  *    corpus scale).
+  *  - `knn_lsh_recall@5` / `knn_ivf_recall@5`: per-(query, neighbor)
+  *    overlap with the hash-gated brute-force top-5.
+  *  - `token_hll_accuracy`: 1 − max relative error of the HLL
+  *    estimates vs the exact distinct counts, across every per-source
+  *    row AND the union row.
+  *
+  * All metrics are oriented so BIGGER IS BETTER and gated by a floor
+  * (`pass = value ≥ floor`), so one schema serves the whole table and
+  * a regression in any of them is a uniform `pass = false`. Floors
+  * sit ~10-15 points under the measured sf0.001–0.1 values (which are
+  * 1.0 for everything but the knn paths on this corpus) — tight
+  * enough that a parameter or logic regression trips them, loose
+  * enough that seed-free hash determinism keeps them stable.
+  *
+  * [[graft.Quality]] dumps this table per round as QUALITY_r{N}.json;
+  * ContractSpec asserts every floor in CI.
+  */
+object QualityMetrics {
+
+  /** Per-metric floors (min acceptable value). Calibration, measured
+    * across sf0.001/sf0.01/sf0.1: minhash 1.0 everywhere; simhash
+    * 0.97–0.994 (the sub-pigeonhole recursion — the flat round-6 cap
+    * measured 0.68 at sf0.1); lsh 0.56–0.70; ivf (trained quantizer)
+    * 0.68–0.80; hll 1.0 at these cardinalities.
+    */
+  val floors: Map[String, Double] = Map(
+    "minhash_recall" -> 0.9,
+    "simhash_recall" -> 0.9,
+    "knn_lsh_recall@5" -> 0.5,
+    "knn_ivf_recall@5" -> 0.6,
+    "token_hll_accuracy" -> 0.95)
+
+  /** Recall of `cand` over `truth`, both keyed (id_a, id_b), as a
+    * one-row relation. Left-semi intersection then two tiny one-row
+    * aggregates — no driver-side set math.
+    */
+  private def recallOf(name: String, cand: DataFrame, truth: DataFrame): DataFrame = {
+    val t = truth.select(col("id_a"), col("id_b"))
+    val hit = t.join(cand.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_semi")
+    hit.agg(count(lit(1)).as("numer"))
+      .crossJoin(t.agg(count(lit(1)).as("denom")))
+      .select(lit(name).as("metric"),
+        round(col("numer").cast("double") / col("denom"), 6).as("value"),
+        col("numer"), col("denom"))
+  }
+
+  private def keyed(df: DataFrame, a: String, b: String): DataFrame =
+    df.select(col(a).as("id_a"), col(b).as("id_b"))
+
+  /** True Hamming-≤maxDist pair set by brute force over the simhash
+    * fingerprints — quadratic in documents but linear in BYTES (8 per
+    * signature), used only as gate truth.
+    */
+  private def simhashTruth(s: SparkSession, dir: String, maxDist: Int): DataFrame = {
+    val sig = Dedup.simhashSignaturesOfTokens(
+      TextPipeline.tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")))
+    val a = sig.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sig.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** HLL accuracy: 1 − max over (per-source rows + union row) of
+    * |approx − exact| / exact.
+    */
+  private def hllAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextPipeline.tokenizedDocs(s, dir)
+      .select(col("source"), explode(col("__toks")).as("token"))
+    val exact = toks.groupBy(col("source"))
+      .agg(countDistinct(col("token")).as("exact"))
+      .unionByName(toks.agg(countDistinct(col("token")).as("exact"))
+        .select(lit("__union__").as("source"), col("exact")))
+    TextPipeline.tokenHll(s, dir).join(exact, "source")
+      .agg(
+        round(lit(1.0) - max(abs(col("approx_distinct") - col("exact"))
+          / col("exact")), 6).as("value"),
+        count(lit(1)).as("denom"))
+      .select(lit("token_hll_accuracy").as("metric"), col("value"),
+        lit(null).cast("long").as("numer"), col("denom"))
+  }
+
+  /** The full quality table: (metric, value, numer, denom, floor,
+    * pass), one row per gated approximate surface.
+    */
+  def metrics(s: SparkSession, dir: String): DataFrame = {
+    val rows = Seq(
+      recallOf("minhash_recall",
+        TextPipeline.minhashPairs(s, dir),
+        TextPipeline.ngramPairs05(s, dir)),
+      recallOf("simhash_recall",
+        TextPipeline.simhashPairs(s, dir),
+        simhashTruth(s, dir, maxDist = 6)),
+      recallOf("knn_lsh_recall@5",
+        keyed(TextPipeline.knnLsh(s, dir), "query_id", "neighbor_id"),
+        keyed(TextPipeline.knnBruteforce(s, dir), "query_id", "neighbor_id")),
+      recallOf("knn_ivf_recall@5",
+        keyed(TextPipeline.knnIvf(s, dir), "query_id", "neighbor_id"),
+        keyed(TextPipeline.knnBruteforce(s, dir), "query_id", "neighbor_id")),
+      hllAccuracy(s, dir))
+    val all = rows.reduce(_ unionByName _)
+    val floorCol = floors.foldLeft(lit(Double.NaN)) { case (acc, (m, f)) =>
+      when(col("metric") === m, lit(f)).otherwise(acc)
+    }
+    all.withColumn("floor", floorCol)
+      .withColumn("pass", col("value") >= col("floor"))
+      .orderBy(col("metric"))
+  }
+}

@@ -48,7 +48,7 @@ object TextPipeline {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def ngramPairs05(s: SparkSession, dir: String): DataFrame =
+  private[queries] def ngramPairs05(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate((s, dir),
       Dedup.ngramJaccardPairsOfTokens(
         tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")),
@@ -74,7 +74,7 @@ object TextPipeline {
   private val toksCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
     toksCache.getOrElseUpdate((s, dir),
       Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -238,21 +238,22 @@ object TextPipeline {
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
-    Similarity.lshTopK(q, c, k = 5, bits = 8, probeDist = 2)
+    Similarity.lshTopK(q, c, k = 5, bits = 8, probeDist = 3)
       .select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rank").cast(LongType).as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF approximate top-5 (rows-only: recall depends on the coarse
-    * quantizer; exact-duplicate recall is spec-tested).
+  /** IVF approximate top-5 over k-means-TRAINED coarse centroids
+    * (rows-only: recall depends on the quantizer; recall@5 vs the
+    * brute-force twin is floor-gated in QualityMetrics).
     */
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
-    Similarity.ivfTopK(q, c, k = 5, nCentroids = 16, nProbe = 4)
+    Similarity.ivfTopKTrained(q, c, k = 5, nCentroids = 16, nProbe = 6)
       .select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rank").cast(LongType).as("rank"))
       .orderBy(col("query_id"), col("rank"))

@@ -33,4 +33,20 @@ class ContractSpec extends SparkSpec {
   test("the flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  /** The five rows-only approximate queries carry FLOOR-GATED numeric
+    * quality: recall vs their hash-gated exact twins (+ HLL accuracy
+    * vs the exact distinct counts). A recall regression here fails CI
+    * exactly like a hash mismatch would — see QualityMetrics for the
+    * per-metric derivations and calibration; graft.Quality dumps the
+    * same table per round as QUALITY_r{N}.json.
+    */
+  test("every approximate query clears its quality floor") {
+    val rows = queries.QualityMetrics.metrics(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == queries.QualityMetrics.floors.keySet,
+      "quality metric set drifted from the declared floors")
+    val failing = rows.filterNot(_.getBoolean(5))
+      .map(r => s"${r.getString(0)} = ${r.getDouble(1)} < floor ${r.getDouble(4)}")
+    assert(failing.isEmpty, s"quality floors violated: ${failing.mkString("; ")}")
+  }
 }
