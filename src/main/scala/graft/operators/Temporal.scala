@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   *    honesty: a window partition is one task, so a single key holding
   *    a large fraction of all rows serializes there — with
   *    high-cardinality keys (user/symbol/doc ids) this is the right
-  *    trade at any scale; for a pathological hot key, pre-split it by
-  *    coarse time bucket and as-of join per bucket with the previous
-  *    bucket's last right row appended.
+  *    trade at any scale; for a pathological hot key use
+  *    [[asOfJoinSkewed]], which pre-splits by coarse time bucket and
+  *    carries the previous bucket's last right row across boundaries.
   *  - [[rangeJoin]] is interval bucketing: explode each interval to
   *    the fixed-width buckets it covers, equi-join on (key, bucket),
   *    dedup, verify true overlap. Pair work is proportional to
@@ -63,7 +63,91 @@ object Temporal {
       keyCols.map(col) ++ Seq(col("__ts"), col("__side"), col("__r")) ++
         left.columns.filterNot(c => keyCols.contains(c)).map(col): _*)
       .unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    matchAndExtract(unioned, keyCols.map(col), rightPayload, rightPrefix,
+      toleranceSec)
+  }
+
+  /** Skew-resistant as-of join: identical semantics to [[asOfJoin]]
+    * but the single keyed window — one task per key — is replaced by
+    * a window per (key, coarse time bucket), so a pathological hot
+    * key (one key holding half of all rows) spreads across
+    * rows-span / `bucketWidth` tasks instead of serializing in one.
+    *
+    * Correctness across bucket boundaries: a left row early in bucket
+    * `b` may need a right row from an earlier bucket. We aggregate
+    * the last right row per (key, bucket) — a map-side-combinable
+    * `max(struct(ts, payload))` — then run ONE small window over the
+    * per-bucket aggregate frame (|keys| × |buckets| rows, data-size
+    * independent) to carry the running last right row into each later
+    * bucket, and inject it as a synthetic right row that sorts first
+    * (its timestamp is from an earlier bucket, hence below the bucket
+    * floor). The carried row keeps its original timestamp, so
+    * `toleranceSec` stays exact.
+    *
+    * Tie note: with duplicate right timestamps per key, [[asOfJoin]]
+    * picks an arbitrary one of the tied payloads while this variant
+    * picks the struct-max; equal on any input whose (key, ts) is
+    * unique on the right, which the equivalence spec pins.
+    */
+  def asOfJoinSkewed(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                     leftTs: String, rightTs: String, bucketWidth: Long,
+                     rightPrefix: String = "right_",
+                     toleranceSec: Option[Long] = None,
+                     forward: Boolean = false): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def ord(c: Column): Column = if (forward) -c else c
+    def bkt(c: Column): Column = floor(c / bucketWidth).cast("long")
+    val rightPayload = right.columns.filterNot(c => keyCols.contains(c))
+    val keyC = keyCols.map(col)
+
+    val r = right.select(
+      keyC ++ Seq(ord(col(rightTs)).as("__ts"),
+        struct(rightPayload.map(col): _*).as("__r")): _*)
+      .withColumn("__bkt", bkt(col("__ts")))
+    val l = left.withColumn("__ts", ord(col(leftTs)))
+      .withColumn("__bkt", bkt(col("__ts")))
+
+    // Last right row per (key, bucket): partial-aggregated map-side,
+    // shuffle carries one struct per group.
+    val perBucket = r.groupBy(keyC :+ col("__bkt"): _*)
+      .agg(max(struct(col("__ts"), col("__r"))).as("__lastr"))
+    // Every bucket either side occupies; right-only buckets must stay
+    // in the carry window so their payload propagates across gaps.
+    val allBuckets = l.select(keyC :+ col("__bkt"): _*).distinct()
+      .unionByName(perBucket.select(keyC :+ col("__bkt"): _*)).distinct()
+    val wCarry = Window.partitionBy(keyC: _*).orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = allBuckets
+      .join(perBucket, keyCols :+ "__bkt", "left")
+      .withColumn("__carry", last(col("__lastr"), ignoreNulls = true).over(wCarry))
+      .filter(col("__carry").isNotNull)
+      .select(keyC ++ Seq(col("__bkt"),
+        col("__carry").getField("__ts").as("__ts"),
+        lit(0).as("__side"),
+        col("__carry").getField("__r").as("__r")): _*)
+
+    val rTagged = r.select(keyC ++ Seq(col("__bkt"), col("__ts"),
+      lit(0).as("__side"), col("__r")): _*)
+    val lTagged = l.select(
+      keyC ++ Seq(col("__bkt"), col("__ts"), lit(1).as("__side"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          right.select(rightPayload.map(col): _*).schema.fields)).as("__r")) ++
+        left.columns.filterNot(c => keyCols.contains(c)).map(col): _*)
+    val unioned = lTagged
+      .unionByName(rTagged, allowMissingColumns = true)
+      .unionByName(carried, allowMissingColumns = true)
+    matchAndExtract(unioned, keyC :+ col("__bkt"), rightPayload, rightPrefix,
+      toleranceSec)
+  }
+
+  /** Shared tail of the as-of variants: one window pass over the
+    * tagged union carrying the latest right payload/timestamp forward,
+    * keep left rows, apply tolerance, unpack the payload struct.
+    */
+  private def matchAndExtract(unioned: DataFrame, partCols: Seq[Column],
+                              rightPayload: Seq[String], rightPrefix: String,
+                              toleranceSec: Option[Long]): DataFrame = {
+    val w = Window.partitionBy(partCols: _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
@@ -77,7 +161,7 @@ object Temporal {
         when(col("__matchTs") >= col("__ts") - t, col("__matchTs"))))
     rightPayload.foldLeft(tol) { (df, c) =>
       df.withColumn(rightPrefix + c, col("__match").getField(c))
-    }.drop("__ts", "__side", "__r", "__match", "__matchTs")
+    }.drop("__ts", "__side", "__r", "__match", "__matchTs", "__bkt")
   }
 
   /** Interval-overlap join: pairs of (left, right) rows sharing a key

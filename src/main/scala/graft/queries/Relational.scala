@@ -277,6 +277,27 @@ object Relational {
       .orderBy(col("user_id"), col("purchase_id"))
   }
 
+  /** Same relation as [[asofJoin]] through the skew-resistant
+    * coarse-bucket variant (1-hour buckets) — the identical DuckDB
+    * ASOF oracle makes any divergence between the two implementations
+    * a hash mismatch in the per-round gate, not just a spec failure.
+    */
+  def asofJoinSkewed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("epoch_s", unix_timestamp(col("ts").cast(TimestampType)))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("epoch_s").as("pts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("epoch_s").as("cts"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.operators.Temporal.asOfJoinSkewed(purchases, clicks,
+        Seq("user_id"), "pts", "cts", bucketWidth = 3600L, rightPrefix = "m_")
+      .select(col("user_id"), col("purchase_id"), col("pts"),
+        col("m_click_id").as("click_id"), col("m_cts").as("click_ts"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
   /** Forward as-of: each purchase matched to the SAME user's earliest
     * at-or-after click — gated against DuckDB's ASOF with a `>=`
     * condition. Same pre-dedup as [[asofJoin]].
@@ -320,6 +341,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "asof_join" -> (asofJoin _),
+    "asof_join_skewed" -> (asofJoinSkewed _),
     "asof_join_fwd" -> (asofJoinFwd _),
     "range_join" -> (rangeJoinQ _),
     "top100_rank" -> (top100Rank _),
@@ -361,6 +383,17 @@ object Relational {
         |SELECT p.user_id, p_start, p_end, c_start, c_end
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND p_start <= c_end AND c_start <= p_end""".stripMargin,
+    "asof_join_skewed" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, es AS pts
+        |      FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, es AS cts, MAX(event_id) AS click_id
+        |      FROM e WHERE event_type = 'click' GROUP BY user_id, es)
+        |SELECT p.user_id, p.purchase_id, p.pts, c.click_id, c.cts AS click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.cts <= p.pts
+        |ORDER BY p.user_id, p.purchase_id""".stripMargin,
     "asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),

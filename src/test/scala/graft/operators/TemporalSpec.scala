@@ -74,6 +74,50 @@ class TemporalSpec extends SparkSpec {
       ("B", "x", None)))       // (B,x) must not see (B,y)'s quote
   }
 
+  test("asOfJoinSkewed equals asOfJoin on a hot-key fixture (one key = 50% of rows), all variants") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(42)
+    // "HOT" holds half of all rows on both sides; the rest spread
+    // over 50 keys. Right (key, ts) kept unique so the tie-order
+    // caveat in the Scaladoc never kicks in.
+    def side(n: Int, tsCol: String): org.apache.spark.sql.DataFrame = {
+      val rows = scala.collection.mutable.LinkedHashMap[(String, Long), Double]()
+      var i = 0
+      while (rows.size < n) {
+        val k = if (i % 2 == 0) "HOT" else "k" + rnd.nextInt(50)
+        rows.getOrElseUpdate((k, rnd.nextInt(5000).toLong), rnd.nextDouble())
+        i += 1
+      }
+      rows.toSeq.map { case ((k, t), v) => (k, t, v) }.toDF("k", tsCol, "v")
+    }
+    val l = side(400, "ts")
+    val r = side(400, "rts").withColumnRenamed("v", "p")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "ts", "v", "right_p").collect().map(_.toSeq).toSet
+    for (fwd <- Seq(false, true); tol <- Seq(None, Some(300L));
+         width <- Seq(1L, 97L, 1000L, 100000L)) {
+      val plain = norm(Temporal.asOfJoin(l, r, Seq("k"), "ts", "rts",
+        toleranceSec = tol, forward = fwd))
+      val skewed = norm(Temporal.asOfJoinSkewed(l, r, Seq("k"), "ts", "rts",
+        bucketWidth = width, toleranceSec = tol, forward = fwd))
+      assert(skewed == plain,
+        s"mismatch at forward=$fwd tolerance=$tol bucketWidth=$width")
+    }
+  }
+
+  test("asOfJoinSkewed carries the last right row across empty buckets") {
+    val ss = spark; import ss.implicits._
+    // right row at t=3, then a long gap: buckets 1..9 are right-empty
+    // and the left rows at t=55 and t=95 must still see it.
+    val l = Seq(("A", 55L, 1L), ("A", 95L, 2L)).toDF("k", "ts", "v")
+    val r = Seq(("A", 3L, 7.5)).toDF("k", "rts", "p")
+    val got = Temporal.asOfJoinSkewed(l, r, Seq("k"), "ts", "rts",
+        bucketWidth = 10L)
+      .select("ts", "right_p").collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSet
+    assert(got == Set((55L, 7.5), (95L, 7.5)))
+  }
+
   test("rangeJoin result is bucketWidth-invariant (1, tiny, interval-sized, huge)") {
     val ss = spark; import ss.implicits._
     val rnd = new scala.util.Random(7)
