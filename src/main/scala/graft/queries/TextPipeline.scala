@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFns
 import graft.operators.{Dedup, Similarity}
+import graft.pipelines.Corpus
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -501,7 +502,39 @@ object TextPipeline {
       col("vec_id"), col("embedding"), col("label"), threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** End-to-end corpus preparation ([[graft.pipelines.Corpus.prepare]])
+    * surfaced as per-stage accounting: input size, survivors after
+    * exact dedup / near-dup pruning / the quality floor, split sizes,
+    * and the packed-chunk totals. Every stage is an operator the
+    * oracle already gates individually (dedup_exact, ngram_jaccard +
+    * dedup_components, text_stats, doc_sample, seq_pack); the oracle
+    * here restates the whole composition as one CTE chain, so stage
+    * wiring bugs (e.g. pruning against the wrong survivor set) hash-
+    * mismatch even though each piece is green on its own.
+    */
+  def corpusPrepare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val (prepared, stats) = Corpus.prepare(docs)
+    val stages = Seq(
+      ("1_input", stats.input),
+      ("2_exact_survivors", stats.afterExact),
+      ("3_neardup_survivors", stats.afterNearDup),
+      ("4_quality_survivors", stats.afterQuality)).toDF("stage", "n")
+    val splits = prepared
+      .groupBy(concat(lit("5_split_"), col("split")).as("stage"))
+      .agg(count(lit(1)).as("n"))
+    val chunks = prepared
+      .agg(countDistinct(col("shard"), col("chunk_id")).as("n"))
+      .select(lit("6_packed_chunks").as("stage"), col("n"))
+    val toks = prepared.agg(sum(col("n_tokens")).as("n"))
+      .select(lit("7_packed_tokens").as("stage"), col("n"))
+    stages.unionByName(splits).unionByName(chunks).unionByName(toks)
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_prepare" -> (corpusPrepare _),
     "dedup_exact" -> (dedupExact _),
     "ngram_jaccard" -> (ngramJaccard _),
     "minhash_pairs" -> (minhashPairs _),
@@ -559,8 +592,14 @@ object TextPipeline {
     * (freq-capped shingle blocking), ending in `pairs(id_a, id_b,
     * jaccard)` — consumed by ngram_jaccard and dedup_components.
     */
-  private val ngramCteSql: String =
-    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  private val ngramCteSql: String = ngramCteSqlOver("documents")
+
+  /** [[ngramCteSql]] over an arbitrary (doc_id, text) relation — the
+    * corpus_prepare oracle re-derives the pair frame over exact-dedup
+    * survivors instead of the full table.
+    */
+  private def ngramCteSqlOver(from: String): String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM $from),
        |grams AS (
        |  SELECT doc_id, unnest(list_distinct(
        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -679,6 +718,66 @@ object TextPipeline {
       s"""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          |FROM (SELECT doc_id, $normSql AS norm FROM documents)
          |GROUP BY norm ORDER BY keep_id""".stripMargin,
+    // the full Corpus.prepare composition restated as one CTE chain:
+    // exact survivors → near-dup graph over SURVIVORS (not the full
+    // table) → transitive-closure losers → quality floor → md5 split →
+    // per-shard packing, reduced to per-stage accounting
+    "corpus_prepare" ->
+      s"""WITH RECURSIVE
+         |surv AS (SELECT MIN(doc_id) AS doc_id
+         |         FROM (SELECT doc_id, $normSql AS norm FROM documents)
+         |         GROUP BY norm),
+         |sd AS (SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)),
+         |${ngramCteSqlOver("sd")},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |losers AS (SELECT src AS doc_id FROM reach
+         |           GROUP BY src HAVING LEAST(src, MIN(dst)) <> src),
+         |nd AS (SELECT * FROM sd
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |tq AS (SELECT doc_id, text, $toksSql AS toks FROM nd),
+         |mq AS (SELECT doc_id, text, toks,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) END AS awl,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter(toks, w -> list_contains($stopList, w))) AS DOUBLE) / len(toks) END AS sr
+         |  FROM tq),
+         |qs AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_toks
+         |       FROM mq
+         |       WHERE round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+         |           + (CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+         |           + least(sr * 5.0, 1.0) * 0.2
+         |           + greatest(0.0, 1.0 - pr * 4.0) * 0.2, 6) >= 0.3),
+         |p AS (SELECT doc_id, n_toks,
+         |  CASE WHEN substring(md5(text), 1, 2) < 'cc' THEN 'train'
+         |       WHEN substring(md5(text), 1, 2) < 'e6' THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  doc_id % 8 AS shard,
+         |  SUM(n_toks) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM qs)
+         |SELECT stage, n FROM (
+         |  SELECT '1_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+         |  UNION ALL
+         |  SELECT '2_exact_survivors', CAST(COUNT(*) AS BIGINT) FROM surv
+         |  UNION ALL
+         |  SELECT '3_neardup_survivors', CAST(COUNT(*) AS BIGINT) FROM nd
+         |  UNION ALL
+         |  SELECT '4_quality_survivors', CAST(COUNT(*) AS BIGINT) FROM qs
+         |  UNION ALL
+         |  SELECT '5_split_' || split, CAST(COUNT(*) AS BIGINT) FROM p GROUP BY split
+         |  UNION ALL
+         |  SELECT '6_packed_chunks', CAST(COUNT(*) AS BIGINT) FROM (
+         |    SELECT DISTINCT shard, FLOOR((cum - n_toks) / 2048) FROM p)
+         |  UNION ALL
+         |  SELECT '7_packed_tokens', CAST(SUM(n_toks) AS BIGINT) FROM p
+         |) ORDER BY stage""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH $ngramCteSql
          |SELECT id_a, id_b, jaccard FROM pairs
