@@ -2,7 +2,7 @@ package graft.pipelines
 
 import graft.domain.MerlStore
 import graft.functions.AmountFns
-import graft.sources.{Envelope, ExplorerClient}
+import graft.sources.{Envelope, ExplorerClient, HadoopTransport}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -368,6 +368,128 @@ object Ingest {
     }
   }
 
+  /** E1 ingest over a DUMPED page directory via the partition-parallel
+    * DSv2 `merlin` source in tokentx mode — the bulk/offline-backfill
+    * twin of [[walletTokenTx]] (SURVEY S6's v2), producing identical
+    * `wallet_transactions` + cursor state to the sequential loop on
+    * the same dump (MerlinSourceSpec proves it) while the page PARSE
+    * work scales with the cluster.
+    *
+    * The order dependence is stronger here than for holders: page
+    * N+1's REQUEST — its `startblock` param, hence its dump filename —
+    * carries the running max block of pages 1..N. So the source parses
+    * every candidate (page, startblock) file in parallel, and this
+    * function replays the chain over a per-file metadata aggregate
+    * (raw count + max parsed block; one row per dumped file,
+    * planning-scale): start at (1, cursor), follow (page+1,
+    * max-so-far) while pages are full, stop at the first missing/!ok/
+    * empty file or after a short page — exactly the sequential control
+    * flow. Files the chain never visits (stale runs, pages past
+    * termination) were parsed speculatively and are filtered — bounded
+    * waste, never wrong rows. The terminating probe's status/message
+    * (the cursor metadata the reference records, merlin_etl.py:463) is
+    * re-read with ONE bounded driver-side call.
+    */
+  def walletTokenTxParallel(spark: SparkSession, store: MerlStore, dumpDir: String,
+                            wallet: String, token: String, startBlock: Long = 0,
+                            pageSize: Int = 100, maxPages: Int = 100000,
+                            pagesPerPartition: Int = 8): TokenTxResult = {
+    val stream = s"tokentx:${wallet.toLowerCase}:${token.toLowerCase}"
+    val initBlock = store.cursorGet(stream).map(_._1).filter(_ > 0)
+      .map(math.max(_, startBlock)).getOrElse(startBlock)
+    val jobId = store.jobStart("wallet_tx_hourly")
+    try {
+      val raw = spark.read.format("merlin")
+        .option("mode", "tokentx").option("dir", dumpDir)
+        .option("address", wallet).option("contractaddress", token)
+        .option("pagesize", pageSize).option("maxpages", maxPages)
+        .option("pagesperpartition", pagesPerPartition)
+        .load()
+
+      val meta = raw.groupBy(col("page"), col("start_block")).agg(
+          count(lit(1)).as("cnt"),
+          max(coalesce(col("block_number").try_cast(LongType), lit(0L))).as("max_blk"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+
+      // Replay the sequential loop's control flow over the metadata.
+      var lastBlock = initBlock
+      var page = 1
+      var pages = 0
+      var lastDonePage = 0
+      var done = false
+      var lastProbe: Option[(Int, Long)] = None
+      val kept = scala.collection.mutable.Map.empty[Int, Long]
+      var totalRows = 0L
+      while (!done && pages < maxPages) {
+        lastProbe = Some((page, lastBlock))
+        meta.get((page, lastBlock)) match {
+          case Some((cnt, maxBlk)) if cnt > 0 =>
+            kept(page) = lastBlock
+            totalRows += cnt
+            lastBlock = math.max(lastBlock, maxBlk)
+            pages += 1
+            lastDonePage = page
+            if (cnt < pageSize) done = true else page += 1
+          case _ => done = true
+        }
+      }
+
+      // The final probe's envelope → cursor metadata (one bounded
+      // read; a missing file resolves to the explorer's no-data
+      // envelope, exactly what the sequential loop's probe saw).
+      val metaJson = lastProbe match {
+        case Some((p, s)) =>
+          val env = new ExplorerClient(new HadoopTransport(dumpDir))
+            .tokenTxPage(wallet, token, s, p, pageSize)
+          s"""{"status":"${env.status}","message":"${env.message}"}"""
+        case None => "{}"
+      }
+
+      // Keep exactly the chain's (page, startblock) files, then mirror
+      // the sequential loop's per-field parse-with-default semantics
+      // as codegen'd expressions (try_cast ≡ parse_int-style
+      // null-on-failure).
+      val keptLit = typedLit(kept.toMap)
+      val parsed = raw
+        .filter(element_at(keptLit, col("page")) === col("start_block"))
+        .select(
+          lit(wallet.toLowerCase).as("wallet_address"),
+          lit(token.toLowerCase).as("contract_address"),
+          coalesce(col("block_number").try_cast(LongType), lit(0L)).as("block_number"),
+          coalesce(col("time_stamp").try_cast(LongType), lit(0L)).as("block_time_unix"),
+          col("tx_hash"),
+          col("nonce").try_cast(LongType).as("nonce"),
+          col("block_hash"),
+          coalesce(lower(col("from_address")), lit("")).as("from_address"),
+          coalesce(lower(col("to_address")), lit("")).as("to_address"),
+          when(col("value_raw").isNull || col("value_raw") === "", "0")
+            .otherwise(col("value_raw")).as("value_raw"),
+          col("token_name"),
+          col("token_symbol"),
+          coalesce(col("token_decimal").try_cast(IntegerType), lit(18)).as("token_decimal"),
+          coalesce(col("transaction_index").try_cast(IntegerType), lit(0)).as("transaction_index"),
+          col("gas").try_cast(LongType).as("gas"),
+          col("gas_price"),
+          col("gas_used").try_cast(LongType).as("gas_used"),
+          col("cumulative_gas_used").try_cast(LongType).as("cumulative_gas_used"),
+          col("input"),
+          col("confirmations").try_cast(LongType).as("confirmations"))
+
+      if (totalRows > 0)
+        store.appendWalletTransactions(txEnrich(parsed),
+          contracts = Some(Seq(token.toLowerCase)))
+      store.cursorUpsert(stream, Some(lastBlock), Some(lastDonePage), metaJson)
+      store.jobFinish(jobId, "success", stats = Some(
+        s"""{"rows":$totalRows,"pages":$pages,"wallet":"$wallet","token":"$token","last_block":$lastBlock}"""))
+      TokenTxResult(totalRows, pages, wallet, token, lastBlock)
+    } catch {
+      case e: Throwable =>
+        store.jobFinish(jobId, "error", error = Some(e.toString)); throw e
+    }
+  }
+
   private val txIngestSchema = StructType(Seq(
     StructField("wallet_address", StringType), StructField("contract_address", StringType),
     StructField("block_number", LongType), StructField("block_time_unix", LongType),
@@ -381,8 +503,14 @@ object Ingest {
     StructField("input", StringType), StructField("confirmations", LongType)))
 
   private def txFrame(spark: SparkSession, rows: Seq[Row]): DataFrame =
-    spark.createDataFrame(rows.asJava, txIngestSchema)
-      .withColumn("wallet_name", lit(null).cast(StringType))
+    txEnrich(spark.createDataFrame(rows.asJava, txIngestSchema))
+
+  /** Shared post-parse enrichment of a txIngestSchema-shaped frame —
+    * ONE definition for the sequential loop and the DSv2 parallel
+    * path, so the derived columns cannot drift.
+    */
+  private def txEnrich(df: DataFrame): DataFrame =
+    df.withColumn("wallet_name", lit(null).cast(StringType))
       .withColumn("wallet_tag", lit(null).cast(StringType))
       .withColumn("block_time_utc", timestamp_seconds(col("block_time_unix")))
       .withColumn("value_18d", AmountFns.scale18(col("value_raw")))

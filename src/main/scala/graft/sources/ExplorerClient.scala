@@ -108,21 +108,52 @@ class HttpTransport(baseUrl: String, apiKey: String, qps: Double = 3.0,
   * treats as termination — so partial fixture sets behave like a
   * short API history.
   */
+object FileTransport {
+  /** The dump filename a given request resolves to — ONE definition
+    * shared by [[FileTransport]], [[HadoopTransport]] and the DSv2
+    * planner so file naming cannot drift between writer and readers.
+    */
+  def name(params: Map[String, String]): String =
+    params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("&")
+      .replaceAll("[^A-Za-z0-9&=_.-]", "_") + ".json"
+
+  /** Envelope a missing page resolves to (the explorer's own
+    * no-data response shape).
+    */
+  val NoData: String = """{"status":"0","message":"No data found","result":[]}"""
+}
+
 class FileTransport(dir: String) extends ExplorerTransport {
   override def get(params: Map[String, String]): String = {
-    val name = params.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$k=$v" }.mkString("&")
-      .replaceAll("[^A-Za-z0-9&=_.-]", "_")
-    val p = java.nio.file.Paths.get(dir, s"$name.json")
+    val p = java.nio.file.Paths.get(dir, FileTransport.name(params))
     if (java.nio.file.Files.exists(p))
       new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-    else """{"status":"0","message":"No data found","result":[]}"""
+    else FileTransport.NoData
   }
 
   /** The fixture filename a given request resolves to (test helper). */
-  def fixtureName(params: Map[String, String]): String =
-    params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("&")
-      .replaceAll("[^A-Za-z0-9&=_.-]", "_") + ".json"
+  def fixtureName(params: Map[String, String]): String = FileTransport.name(params)
+}
+
+/** [[FileTransport]] resolved through the Hadoop FileSystem API: the
+  * same dump-file naming, but `dir` may live on any Hadoop-supported
+  * filesystem (`file:`, `hdfs:`, `s3a:`, …) — the layout a
+  * 1000-executor backfill actually uses. Constructed executor-side by
+  * the DSv2 readers (transports are not serialized).
+  */
+class HadoopTransport(dir: String) extends ExplorerTransport {
+  override def get(params: Map[String, String]): String = {
+    val p = new org.apache.hadoop.fs.Path(dir, FileTransport.name(params))
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        new String(out.toByteArray, "UTF-8")
+      } finally in.close()
+    } else FileTransport.NoData
+  }
 }
 
 /** Field-name coalescing for explorer schema drift
@@ -150,6 +181,39 @@ object HolderFields {
     Map("module" -> "token", "action" -> "tokenholderlist",
       "contractaddress" -> token, "page" -> page.toString,
       "offset" -> pageSize.toString)
+}
+
+/** Raw `account.tokentx` item surface — the schema-name → envelope-key
+  * mapping and the exact request params, shared by the sequential page
+  * loop ([[graft.pipelines.Ingest.walletTokenTx]] via
+  * `ExplorerClient.tokenTxPage`) and the partition-parallel DSv2
+  * reader ([[MerlinSource]] tokentx mode) so the two paths cannot
+  * drift apart.
+  */
+object TxFields {
+  /** DSv2 column name → raw envelope key, in schema order. */
+  val Keys: Seq[(String, String)] = Seq(
+    "block_number" -> "blockNumber", "time_stamp" -> "timeStamp",
+    "tx_hash" -> "hash", "nonce" -> "nonce", "block_hash" -> "blockHash",
+    "from_address" -> "from", "to_address" -> "to", "value_raw" -> "value",
+    "token_name" -> "tokenName", "token_symbol" -> "tokenSymbol",
+    "token_decimal" -> "tokenDecimal", "transaction_index" -> "transactionIndex",
+    "gas" -> "gas", "gas_price" -> "gasPrice", "gas_used" -> "gasUsed",
+    "cumulative_gas_used" -> "cumulativeGasUsed", "input" -> "input",
+    "confirmations" -> "confirmations")
+
+  /** The exact request params `ExplorerClient.tokenTxPage` sends. The
+    * `startblock` value is the loop's RUNNING max block — page N+1's
+    * filename depends on page N's contents, which is why the DSv2
+    * planner lists candidate files by pattern and replays the chain
+    * from per-page metadata instead of probing filenames directly.
+    */
+  def pageParams(wallet: String, token: String, startBlock: Long,
+                 page: Int, pageSize: Int): Map[String, String] =
+    Map("module" -> "account", "action" -> "tokentx",
+      "address" -> wallet, "contractaddress" -> token,
+      "startblock" -> startBlock.toString, "endblock" -> "99999999",
+      "sort" -> "asc", "page" -> page.toString, "offset" -> pageSize.toString)
 }
 
 /** Parsed API envelope. `result` is either a scalar (block probes) or
@@ -194,8 +258,5 @@ class ExplorerClient(transport: ExplorerTransport) {
     */
   def tokenTxPage(wallet: String, token: String, startBlock: Long,
                   page: Int, pageSize: Int): Envelope =
-    call(Map("module" -> "account", "action" -> "tokentx",
-      "address" -> wallet, "contractaddress" -> token,
-      "startblock" -> startBlock.toString, "endblock" -> "99999999",
-      "sort" -> "asc", "page" -> page.toString, "offset" -> pageSize.toString))
+    call(TxFields.pageParams(wallet, token, startBlock, page, pageSize))
 }

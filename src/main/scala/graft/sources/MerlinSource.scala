@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.util
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -10,47 +11,56 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
-import scala.jdk.CollectionConverters._
 
-/** Partition-parallel DSv2 reader for dumped explorer holder pages —
-  * the "v2 evolution" of the driver-side ingest (SURVEY S1;
-  * `merlin_etl.py:87-101`). The live API is rate-limited to ~3 QPS, so
-  * the online page loop is driver-side by design; this source covers
-  * the case the driver loop cannot: a bulk/offline BACKFILL over a
-  * directory of dumped JSON pages (the [[FileTransport]] layout),
-  * where there is no rate limit and the read should scale with the
-  * cluster, not with one driver thread.
+/** Partition-parallel DSv2 reader for dumped explorer pages — the
+  * "v2 evolution" of the driver-side ingest (SURVEY S1/S6;
+  * `merlin_etl.py:87-101,346-479`). The live API is rate-limited to
+  * ~3 QPS, so the online page loop is driver-side by design; this
+  * source covers the case the driver loop cannot: a bulk/offline
+  * BACKFILL over a directory of dumped JSON pages (the
+  * [[FileTransport]] layout), where there is no rate limit and the
+  * read should scale with the cluster, not with one driver thread.
   *
-  * Layout of the scan:
-  *  - `planInputPartitions` probes the dump directory for the
-  *    contiguous page prefix `1..K` (filename existence only — no
-  *    file contents are read on the driver) and splits it into
-  *    [[MerlinPartition]] page ranges of `pagesPerPartition`.
-  *  - Each [[MerlinPageReader]] re-parses its pages through the SAME
-  *    [[ExplorerClient]] + [[HolderFields]] coalescing as the online
-  *    loop, emitting one row per RAW envelope item — including items
-  *    the pipeline later null-drops — so downstream termination logic
-  *    (short page = raw item count < pageSize) sees exactly what the
-  *    sequential loop saw.
-  *  - Column pruning is pushed down ([[SupportsPushDownRequiredColumns]]):
-  *    a count-only pass over the dump reads no string columns.
+  * Two modes (`mode` option):
   *
-  * Termination (`status != "1"` / empty / short page) and sticky
-  * decimals are ORDER-dependent, so they stay out of the parallel
-  * reader: [[graft.pipelines.Ingest.holdersSnapshotParallel]] applies
-  * them from per-page metadata (a tiny aggregate) — see there for the
-  * exact-equivalence argument vs the sequential loop.
+  *  - `holders` (default): `token.tokenholderlist` pages. Page N's
+  *    filename is a pure function of (token, N, pageSize), so the
+  *    planner enumerates the contiguous page prefix `1..K` directly
+  *    from ONE directory listing and splits it into page-range
+  *    partitions.
+  *  - `tokentx`: `account.tokentx` pages. Page N+1's filename embeds
+  *    the RUNNING max block of pages `1..N` (the loop's resume
+  *    cursor), so filenames depend on page CONTENTS and a prefix walk
+  *    is impossible without reading data. The planner instead lists
+  *    ALL candidate files for (wallet, token, pageSize) by name
+  *    pattern — any page, any startblock — and partitions them for
+  *    parallel parsing; [[graft.pipelines.Ingest.walletTokenTxParallel]]
+  *    replays the chain over a per-page metadata aggregate (count +
+  *    max block per file — planning-scale, not data-scale) to decide
+  *    which files the sequential loop would actually have fetched.
+  *    Stale files from older runs parse speculatively and are
+  *    filtered by the replay — bounded waste, never wrong rows.
   *
-  * Schema: `page INT, idx INT, holder_address STRING, quantity_raw
-  * STRING, decimals_obs INT` — `idx` is the item's position within its
-  * page (the loop's processing order), `decimals_obs` the raw observed
-  * decimals field (null when the item carries none).
+  * All filesystem access goes through the Hadoop FileSystem API
+  * ([[HadoopTransport]] / `listStatus`), so the dump dir may live on
+  * `file:`, `hdfs:` or `s3a:` — the layouts a real backfill uses —
+  * not only a shared POSIX mount.
+  *
+  * Column pruning is pushed down ([[SupportsPushDownRequiredColumns]]):
+  * a count-only pass over the dump reads no string columns.
+  *
+  * Termination (`status != "1"` / empty / short page) and the other
+  * order-dependent loop pieces (sticky decimals, running cursor) stay
+  * OUT of the parallel reader — see
+  * [[graft.pipelines.Ingest.holdersSnapshotParallel]] and
+  * [[graft.pipelines.Ingest.walletTokenTxParallel]] for the replay
+  * equivalence arguments.
   */
 class MerlinSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "merlin"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    MerlinSource.Schema
+    MerlinOptions(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -58,30 +68,58 @@ class MerlinSource extends TableProvider with DataSourceRegister {
 }
 
 object MerlinSource {
-  val Schema: StructType = StructType(Seq(
+  /** `holders` mode: one row per raw envelope item. `idx` is the
+    * item's position within its page (the loop's processing order),
+    * `decimals_obs` the raw observed decimals field (null when the
+    * item carries none).
+    */
+  val HolderSchema: StructType = StructType(Seq(
     StructField("page", IntegerType, nullable = false),
     StructField("idx", IntegerType, nullable = false),
     StructField("holder_address", StringType),
     StructField("quantity_raw", StringType),
     StructField("decimals_obs", IntegerType)))
+
+  /** `tokentx` mode: one row per raw envelope item, every API field as
+    * the raw STRING the envelope carried (parsing happens downstream
+    * in DataFrame expressions, mirroring the sequential loop's
+    * parse-with-default semantics). `start_block` is the file's
+    * `startblock` request param — the chain-replay key.
+    */
+  val TokenTxSchema: StructType = StructType(
+    Seq(
+      StructField("page", IntegerType, nullable = false),
+      StructField("start_block", LongType, nullable = false),
+      StructField("idx", IntegerType, nullable = false)) ++
+      TxFields.Keys.map { case (name, _) => StructField(name, StringType) })
 }
 
-final case class MerlinOptions(dir: String, token: String, pageSize: Int,
-                               maxPages: Int, pagesPerPartition: Int)
+final case class MerlinOptions(mode: String, dir: String, token: String,
+                               wallet: String, pageSize: Int,
+                               maxPages: Int, pagesPerPartition: Int) {
+  def schema: StructType =
+    if (mode == "tokentx") MerlinSource.TokenTxSchema else MerlinSource.HolderSchema
+}
 
 object MerlinOptions {
   def apply(o: CaseInsensitiveStringMap): MerlinOptions = {
     require(o.containsKey("dir"), "merlin source requires option 'dir'")
     require(o.containsKey("contractaddress"), "merlin source requires option 'contractaddress'")
-    MerlinOptions(o.get("dir"), o.get("contractaddress"),
+    val mode = Option(o.get("mode")).getOrElse("holders").toLowerCase
+    require(mode == "holders" || mode == "tokentx",
+      s"merlin source mode must be 'holders' or 'tokentx', got '$mode'")
+    require(mode != "tokentx" || o.containsKey("address"),
+      "merlin tokentx mode requires option 'address' (the wallet)")
+    MerlinOptions(mode, o.get("dir"), o.get("contractaddress"),
+      Option(o.get("address")).getOrElse(""),
       o.getInt("pagesize", 100), o.getInt("maxpages", 10000),
       math.max(o.getInt("pagesperpartition", 8), 1))
   }
 }
 
 class MerlinTable(opts: MerlinOptions) extends Table with SupportsRead {
-  override def name(): String = s"merlin(${opts.dir}, ${opts.token})"
-  override def schema(): StructType = MerlinSource.Schema
+  override def name(): String = s"merlin(${opts.mode}, ${opts.dir}, ${opts.token})"
+  override def schema(): StructType = opts.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -90,13 +128,13 @@ class MerlinTable(opts: MerlinOptions) extends Table with SupportsRead {
 
 class MerlinScanBuilder(opts: MerlinOptions)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = MerlinSource.Schema
+  private var required: StructType = opts.schema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands back a subset of our schema (possibly empty for
     // pure counts); keep our canonical field order for the reader.
     required = StructType(
-      MerlinSource.Schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+      opts.schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan = new MerlinScan(opts, required)
 }
@@ -105,20 +143,65 @@ class MerlinScan(opts: MerlinOptions, required: StructType) extends Scan with Ba
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"merlin holder pages: dir=${opts.dir} token=${opts.token} pageSize=${opts.pageSize}"
+    s"merlin ${opts.mode} pages: dir=${opts.dir} token=${opts.token} pageSize=${opts.pageSize}"
 
-  /** Contiguous page prefix 1..K present in the dump (existence probes
-    * only — O(K) local stat calls, no content reads on the driver),
-    * capped at maxPages, chunked into page-range partitions.
+  /** ONE `listStatus` on the dump dir (driver-side; any Hadoop
+    * filesystem) — no file contents are read during planning.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val t = new FileTransport(opts.dir)
+  private def listNames(): Set[String] = {
+    val path = new org.apache.hadoop.fs.Path(opts.dir)
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    try path.getFileSystem(conf).listStatus(path).map(_.getPath.getName).toSet
+    catch { case _: java.io.FileNotFoundException => Set.empty }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (opts.mode == "tokentx") planTokenTx() else planHolders()
+
+  /** Contiguous page prefix 1..K present in the dump, capped at
+    * maxPages, chunked into page-range partitions. A dump whose page 1
+    * is MISSING while later pages for the same token exist cannot have
+    * been produced by the sequential loop (which always starts at
+    * page 1) — fail fast on the corrupt/partial dump instead of
+    * silently ingesting nothing.
+    */
+  private def planHolders(): Array[InputPartition] = {
+    val names = listNames()
+    def pageName(p: Int): String =
+      FileTransport.name(HolderFields.pageParams(opts.token, p, opts.pageSize))
     var k = 0
-    while (k < opts.maxPages && java.nio.file.Files.exists(java.nio.file.Paths.get(
-      opts.dir, t.fixtureName(HolderFields.pageParams(opts.token, k + 1, opts.pageSize)))))
-      k += 1
+    while (k < opts.maxPages && names.contains(pageName(k + 1))) k += 1
+    if (k == 0) {
+      // `page` sorts last in the param string, so the page-0 name
+      // minus its "0.json" tail is the shared prefix of every page of
+      // this (token, pageSize) dump.
+      val prefix = pageName(0).stripSuffix("0.json")
+      require(!names.exists(_.startsWith(prefix)),
+        s"merlin dump at ${opts.dir} has holder pages for ${opts.token} but no page 1 — " +
+          "partial or corrupt dump (the sequential loop always writes page 1 first)")
+    }
     (1 to k).grouped(opts.pagesPerPartition)
       .map(r => MerlinPartition(r.head, r.last): InputPartition).toArray
+  }
+
+  /** Every candidate tokentx file for (wallet, token, pageSize),
+    * parsed as (page, startblock) out of the filename — the chain walk
+    * over contents happens downstream over per-page metadata.
+    */
+  private def planTokenTx(): Array[InputPartition] = {
+    val marker = FileTransport.name(
+      TxFields.pageParams(opts.wallet, opts.token, 0L, 0, opts.pageSize))
+    val prefix = marker.stripSuffix("page=0&sort=asc&startblock=0.json")
+    val rx = (java.util.regex.Pattern.quote(prefix) +
+      "page=(\\d+)&sort=asc&startblock=(\\d+)\\.json").r
+    val files = listNames().toSeq.flatMap {
+      case rx(p, s) => Some((p.toInt, s.toLong))
+      case _ => None
+    }.sorted
+    files.grouped(opts.pagesPerPartition)
+      .map(g => MerlinTxPartition(g): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -126,15 +209,19 @@ class MerlinScan(opts: MerlinOptions, required: StructType) extends Scan with Ba
 }
 
 final case class MerlinPartition(firstPage: Int, lastPage: Int) extends InputPartition
+final case class MerlinTxPartition(pages: Seq[(Int, Long)]) extends InputPartition
 
 class MerlinReaderFactory(opts: MerlinOptions, fields: Array[String])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new MerlinPageReader(opts, fields, partition.asInstanceOf[MerlinPartition])
+    partition match {
+      case p: MerlinPartition => new MerlinPageReader(opts, fields, p)
+      case p: MerlinTxPartition => new MerlinTxPageReader(opts, fields, p)
+    }
 }
 
-/** Executor-side reader: parses each page in its range through
-  * [[ExplorerClient]] (constructed here — transports are not
+/** Executor-side holder-page reader: parses each page in its range
+  * through [[ExplorerClient]] (constructed here — transports are not
   * serialized) and emits raw items projected to the pruned schema.
   * Pages that are `!ok` or empty contribute no rows; the downstream
   * cutoff logic recognizes that as the loop's termination point.
@@ -142,9 +229,9 @@ class MerlinReaderFactory(opts: MerlinOptions, fields: Array[String])
 class MerlinPageReader(opts: MerlinOptions, fields: Array[String], part: MerlinPartition)
   extends PartitionReader[InternalRow] {
 
-  private val client = new ExplorerClient(new FileTransport(opts.dir))
+  private val client = new ExplorerClient(new HadoopTransport(opts.dir))
   private var page = part.firstPage - 1
-  private var items: Seq[Map[String, String]] = Nil
+  private var items: IndexedSeq[Map[String, String]] = IndexedSeq.empty
   private var idx = 0
   private var row: InternalRow = _
 
@@ -153,7 +240,7 @@ class MerlinPageReader(opts: MerlinOptions, fields: Array[String], part: MerlinP
       if (page >= part.lastPage) return false
       page += 1
       val env = client.holderPage(opts.token, page, opts.pageSize)
-      items = if (env.ok) env.resultItems else Nil
+      items = if (env.ok) env.resultItems.toIndexedSeq else IndexedSeq.empty
       idx = 0
     }
     val it = items(idx)
@@ -164,6 +251,53 @@ class MerlinPageReader(opts: MerlinOptions, fields: Array[String], part: MerlinP
       case "holder_address" => utf8(HolderFields.addr(it))
       case "quantity_raw" => utf8(HolderFields.qty(it))
       case "decimals_obs" => HolderFields.dec(it).map(Int.box).orNull
+    }
+    row = new GenericInternalRow(values)
+    idx += 1
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+/** Executor-side tokentx-page reader: each (page, startblock) file in
+  * the partition parses through [[ExplorerClient]] and emits one row
+  * per raw item with every field as its raw string. `!ok`/empty files
+  * contribute no rows — the chain replay treats the absence as the
+  * loop's termination probe.
+  */
+class MerlinTxPageReader(opts: MerlinOptions, fields: Array[String], part: MerlinTxPartition)
+  extends PartitionReader[InternalRow] {
+
+  private val client = new ExplorerClient(new HadoopTransport(opts.dir))
+  private val keyOf = TxFields.Keys.toMap
+  private var remaining = part.pages
+  private var page = 0
+  private var startBlock = 0L
+  private var items: IndexedSeq[Map[String, String]] = IndexedSeq.empty
+  private var idx = 0
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    while (idx >= items.size) {
+      remaining match {
+        case (p, s) +: rest =>
+          remaining = rest
+          page = p
+          startBlock = s
+          val env = client.tokenTxPage(opts.wallet, opts.token, s, p, opts.pageSize)
+          items = if (env.ok) env.resultItems.toIndexedSeq else IndexedSeq.empty
+          idx = 0
+        case _ => return false
+      }
+    }
+    val it = items(idx)
+    val values: Array[Any] = fields.map {
+      case "page" => page
+      case "start_block" => startBlock
+      case "idx" => idx
+      case f => it.get(keyOf(f)).map(UTF8String.fromString).orNull
     }
     row = new GenericInternalRow(values)
     idx += 1

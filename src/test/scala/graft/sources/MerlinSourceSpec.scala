@@ -112,14 +112,156 @@ class MerlinSourceSpec extends SparkSpec {
     assert(!rowsB.exists(_(2).toString.startsWith("0xghost")))
   }
 
-  test("empty dump and missing-first-page dump produce empty state on both paths") {
+  test("empty dump is empty on both paths; missing-first-page dump fails fast on the parallel path") {
     val (dump, t) = freshFixtures()
     val token = "0xnone"
-    // page 2 exists but page 1 doesn't → contiguous prefix is empty
+    val bucket = java.time.Instant.parse("2024-01-15T06:00:00Z")
+    // truly empty dump: both paths produce empty state
+    val s0 = new MerlStore(spark, Files.createTempDirectory("graft_e0").toString)
+    val r0 = Ingest.holdersSnapshotParallel(spark, s0, dump, token, bucket,
+      "2024/01/15-06", 2, 10000)
+    assert(r0.rows == 0)
+    // page 2 exists but page 1 doesn't: a faithful dump of the
+    // sequential loop always starts at page 1, so this is a partial/
+    // corrupt dump — the planner refuses instead of silently
+    // ingesting nothing (the sequential loop, by contrast, cannot
+    // tell and returns empty)
     write(dump, t, token, 2, 2, s"""{"status":"1","message":"OK","result":[
       |${item("0xA1", "1")}]}""".stripMargin)
-    val (rA, rB, rowsA, rowsB) = bothPaths(dump, token, pageSize = 2)
-    assert(rA.rows == 0 && rB.rows == 0 && rowsA.isEmpty && rowsB.isEmpty)
+    val client = new ExplorerClient(new FileTransport(dump))
+    val sA = new MerlStore(spark, Files.createTempDirectory("graft_e1").toString)
+    val rA = Ingest.holdersSnapshot(spark, sA, client, token, bucket,
+      "2024/01/15-06", 2, 10000)
+    assert(rA.rows == 0)
+    val sB = new MerlStore(spark, Files.createTempDirectory("graft_e2").toString)
+    val err = intercept[Exception] {
+      Ingest.holdersSnapshotParallel(spark, sB, dump, token, bucket,
+        "2024/01/15-06", 2, 10000)
+    }
+    assert(err.getMessage.contains("no page 1"))
+  }
+
+  // ---- tokentx mode -------------------------------------------------
+
+  private def writeTx(dir: String, t: FileTransport, wallet: String, token: String,
+                      start: Long, page: Int, size: Int, body: String): Unit =
+    Files.writeString(Paths.get(dir,
+      t.fixtureName(TxFields.pageParams(wallet, token, start, page, size))), body)
+
+  private def txItem(block: Long, hash: String): String =
+    s"""{"blockNumber":"$block","timeStamp":"${1700000000L + block}","hash":"$hash",
+       |"nonce":"1","blockHash":"0xb$block","from":"0xF$block","to":"0xT$block",
+       |"value":"${block * 10}","tokenName":"Tok","tokenSymbol":"TK",
+       |"tokenDecimal":"8","transactionIndex":"0","gas":"21000","gasPrice":"1000",
+       |"gasUsed":"21000","cumulativeGasUsed":"42000","input":"0x",
+       |"confirmations":"5"}""".stripMargin
+
+  /** Run both tokentx ingest paths on the same dump; return results,
+    * stored tables (sans the wall-clock ingested_at) and cursors.
+    */
+  private def bothTxPaths(dump: String, wallet: String, token: String, pageSize: Int,
+                          pagesPerPartition: Int = 2,
+                          seedCursor: Option[(Long, Int)] = None) = {
+    val storeA = new MerlStore(spark, Files.createTempDirectory("graft_txseq").toString)
+    val storeB = new MerlStore(spark, Files.createTempDirectory("graft_txpar").toString)
+    val stream = s"tokentx:${wallet.toLowerCase}:${token.toLowerCase}"
+    seedCursor.foreach { case (b, p) =>
+      storeA.cursorUpsert(stream, Some(b), Some(p))
+      storeB.cursorUpsert(stream, Some(b), Some(p))
+    }
+    val client = new ExplorerClient(new FileTransport(dump))
+    val rA = Ingest.walletTokenTx(spark, storeA, client, wallet, token,
+      pageSize = pageSize)
+    val rB = Ingest.walletTokenTxParallel(spark, storeB, dump, wallet, token,
+      pageSize = pageSize, pagesPerPartition = pagesPerPartition)
+    def rows(s: MerlStore) =
+      if (!Files.exists(Paths.get(s.path("wallet_transactions")))) Seq.empty[Seq[Any]]
+      else {
+        val df = s.read("wallet_transactions").drop("ingested_at")
+        df.select(df.columns.sorted.map(col): _*)
+          .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+      }
+    def cur(s: MerlStore) = s.read("ingestion_cursors")
+      .select("stream", "last_scanned_block", "last_page", "metadata")
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    (rA, rB, rows(storeA), rows(storeB), cur(storeA), cur(storeB))
+  }
+
+  test("tokentx: parallel chain replay ≡ sequential loop (running startblock, dup overlap, decoy + ghost files)") {
+    val (dump, t) = freshFixtures()
+    val (w, tok) = ("0xW1", "0xAbC")
+    // page 1 @ startblock 0: full (blocks 10, 20) → next request
+    // carries startblock=20
+    writeTx(dump, t, w, tok, 0, 1, 2,
+      s"""{"status":"1","message":"OK","result":[${txItem(10, "0xh1")},${txItem(20, "0xh2")}]}""")
+    // page 2 @ 20: re-fetch overlap (identical 0xh2 row — insert-ignore
+    // must drop it) + block 25, full → next carries 25
+    writeTx(dump, t, w, tok, 20, 2, 2,
+      s"""{"status":"1","message":"OK","result":[${txItem(20, "0xh2")},${txItem(25, "0xh3")}]}""")
+    // page 3 @ 25: SHORT, with a sparse item (missing to/gas/timeStamp,
+    // empty value) — parse-with-default parity — then terminate
+    writeTx(dump, t, w, tok, 25, 3, 2,
+      """{"status":"1","message":"OK","result":[{"blockNumber":"30","hash":"0xh4","value":""}]}""")
+    // decoy from a STALE run (page 2 @ startblock 0): the chain never
+    // requests it — its rows must not appear
+    writeTx(dump, t, w, tok, 0, 2, 2,
+      s"""{"status":"1","message":"OK","result":[${txItem(999, "0xEVIL")}]}""")
+    // ghost past termination (page 4 @ 30): only reachable if page 3
+    // had been full — must be filtered
+    writeTx(dump, t, w, tok, 30, 4, 2,
+      s"""{"status":"1","message":"OK","result":[${txItem(40, "0xGHOST")},${txItem(41, "0xGHOST2")}]}""")
+
+    for (ppp <- Seq(1, 2, 10)) {
+      val (rA, rB, rowsA, rowsB, curA, curB) =
+        bothTxPaths(dump, w, tok, pageSize = 2, pagesPerPartition = ppp)
+      assert(rA.rows == 5 && rA.pages == 3 && rA.lastBlock == 30)
+      assert((rB.rows, rB.pages, rB.lastBlock) == ((rA.rows, rA.pages, rA.lastBlock)),
+        s"result mismatch at pagesPerPartition=$ppp")
+      assert(rowsA == rowsB, s"stored rows differ at pagesPerPartition=$ppp")
+      assert(curA == curB, s"cursors differ at pagesPerPartition=$ppp")
+      assert(rowsB.nonEmpty && curB.nonEmpty)
+      assert(!rowsB.exists(_.exists(v => v != null &&
+        (v.toString.contains("EVIL") || v.toString.contains("GHOST")))))
+    }
+
+    // pin the interesting semantics once explicitly
+    val (_, _, _, rowsB, _, curB) = bothTxPaths(dump, w, tok, pageSize = 2)
+    // 5 raw rows, one TxKey-identical overlap dropped → 4 stored
+    assert(rowsB.size == 4)
+    // cursor: final block 30, last done page 3, short-page OK meta
+    assert(curB == Seq(Seq("tokentx:0xw1:0xabc", 30L, 3,
+      """{"status":"1","message":"OK"}""")))
+  }
+
+  test("tokentx: error envelope mid-chain terminates both paths identically, meta records the probe") {
+    val (dump, t) = freshFixtures()
+    val (w, tok) = ("0xW2", "0xDeF")
+    writeTx(dump, t, w, tok, 0, 1, 2,
+      s"""{"status":"1","message":"OK","result":[${txItem(10, "0xa1")},${txItem(20, "0xa2")}]}""")
+    writeTx(dump, t, w, tok, 20, 2, 2,
+      """{"status":"0","message":"NOTOK","result":[]}""")
+    val (rA, rB, rowsA, rowsB, curA, curB) = bothTxPaths(dump, w, tok, pageSize = 2)
+    assert(rA.rows == 2 && rA.pages == 1 && rA.lastBlock == 20)
+    assert((rB.rows, rB.pages, rB.lastBlock) == ((rA.rows, rA.pages, rA.lastBlock)))
+    assert(rowsA == rowsB && curA == curB)
+    assert(curB.head(3) == """{"status":"0","message":"NOTOK"}""")
+  }
+
+  test("tokentx: cursor resume starts the chain at the saved block; stale pre-cursor files are skipped") {
+    val (dump, t) = freshFixtures()
+    val (w, tok) = ("0xW3", "0xAaA")
+    // stale page 1 from the pre-cursor era — must be skipped by BOTH
+    writeTx(dump, t, w, tok, 0, 1, 2,
+      s"""{"status":"1","message":"OK","result":[${txItem(5, "0xOLD")},${txItem(9, "0xOLD2")}]}""")
+    // the resumed chain: page 1 @ saved block 20, short
+    writeTx(dump, t, w, tok, 20, 1, 2,
+      s"""{"status":"1","message":"OK","result":[${txItem(25, "0xn1")}]}""")
+    val (rA, rB, rowsA, rowsB, curA, curB) =
+      bothTxPaths(dump, w, tok, pageSize = 2, seedCursor = Some((20L, 1)))
+    assert(rA.rows == 1 && rA.lastBlock == 25)
+    assert((rB.rows, rB.lastBlock) == ((rA.rows, rA.lastBlock)))
+    assert(rowsA == rowsB && curA == curB)
+    assert(!rowsB.exists(_.exists(v => v != null && v.toString.contains("OLD"))))
   }
 
   test("scan is partition-parallel and column-pruned") {
