@@ -127,8 +127,18 @@ class MerlinTable(opts: MerlinOptions) extends Table with SupportsRead {
 }
 
 class MerlinScanBuilder(opts: MerlinOptions)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
   private var required: StructType = opts.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Fields whose raw item value the readers can test without building
+    * a row: every string-valued envelope field. Position/int columns
+    * (page/idx/start_block/decimals_obs) stay post-scan.
+    */
+  private def stringFields: Set[String] =
+    if (opts.mode == "tokentx") TxFields.Keys.map(_._1).toSet
+    else Set("holder_address", "quantity_raw")
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands back a subset of our schema (possibly empty for
@@ -136,14 +146,39 @@ class MerlinScanBuilder(opts: MerlinOptions)
     required = StructType(
       opts.schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new MerlinScan(opts, required)
+  /** Cheap per-item predicates (address equality, non-null) evaluate
+    * during page parsing, before any row is materialized — the
+    * filtered-out items never deserialize past the envelope map.
+    * Accepted filters are FULLY applied at the source (matching rows
+    * only), so just the rejected remainder stays post-scan.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo(a, _: String) => stringFields.contains(a)
+      case IsNotNull(a) => stringFields.contains(a)
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new MerlinScan(opts, required, pushed.toSeq.collect {
+    case EqualTo(a, v: String) => a -> Some(v)
+    case IsNotNull(a) => a -> None
+  })
 }
 
-class MerlinScan(opts: MerlinOptions, required: StructType) extends Scan with Batch {
+class MerlinScan(opts: MerlinOptions, required: StructType,
+                 preds: Seq[(String, Option[String])]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"merlin ${opts.mode} pages: dir=${opts.dir} token=${opts.token} pageSize=${opts.pageSize}"
+  override def description(): String = {
+    val p = preds.map { case (f, Some(v)) => s"$f = $v"
+                        case (f, None) => s"$f IS NOT NULL" }.mkString(", ")
+    s"merlin ${opts.mode} pages: dir=${opts.dir} token=${opts.token} " +
+      s"pageSize=${opts.pageSize}, pushed=[$p]"
+  }
 
   /** ONE `listStatus` on the dump dir (driver-side; any Hadoop
     * filesystem) — no file contents are read during planning.
@@ -205,18 +240,31 @@ class MerlinScan(opts: MerlinOptions, required: StructType) extends Scan with Ba
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MerlinReaderFactory(opts, required.fieldNames)
+    new MerlinReaderFactory(opts, required.fieldNames, preds)
 }
 
 final case class MerlinPartition(firstPage: Int, lastPage: Int) extends InputPartition
 final case class MerlinTxPartition(pages: Seq[(Int, Long)]) extends InputPartition
 
-class MerlinReaderFactory(opts: MerlinOptions, fields: Array[String])
+class MerlinReaderFactory(opts: MerlinOptions, fields: Array[String],
+                          preds: Seq[(String, Option[String])])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case p: MerlinPartition => new MerlinPageReader(opts, fields, p)
-      case p: MerlinTxPartition => new MerlinTxPageReader(opts, fields, p)
+      case p: MerlinPartition => new MerlinPageReader(opts, fields, preds, p)
+      case p: MerlinTxPartition => new MerlinTxPageReader(opts, fields, preds, p)
+    }
+}
+
+/** Pushed-filter evaluation over a raw envelope item: every predicate
+  * must hold on the item's coalesced string value.
+  */
+private object MerlinPredicates {
+  def ok(preds: Seq[(String, Option[String])],
+         valueOf: String => Option[String]): Boolean =
+    preds.forall {
+      case (f, None) => valueOf(f).isDefined
+      case (f, Some(v)) => valueOf(f).contains(v)
     }
 }
 
@@ -226,7 +274,8 @@ class MerlinReaderFactory(opts: MerlinOptions, fields: Array[String])
   * Pages that are `!ok` or empty contribute no rows; the downstream
   * cutoff logic recognizes that as the loop's termination point.
   */
-class MerlinPageReader(opts: MerlinOptions, fields: Array[String], part: MerlinPartition)
+class MerlinPageReader(opts: MerlinOptions, fields: Array[String],
+                       preds: Seq[(String, Option[String])], part: MerlinPartition)
   extends PartitionReader[InternalRow] {
 
   private val client = new ExplorerClient(new HadoopTransport(opts.dir))
@@ -235,26 +284,38 @@ class MerlinPageReader(opts: MerlinOptions, fields: Array[String], part: MerlinP
   private var idx = 0
   private var row: InternalRow = _
 
+  private def valueOf(it: Map[String, String])(f: String): Option[String] = f match {
+    case "holder_address" => HolderFields.addr(it)
+    case "quantity_raw" => HolderFields.qty(it)
+    case _ => None
+  }
+
   override def next(): Boolean = {
-    while (idx >= items.size) {
-      if (page >= part.lastPage) return false
-      page += 1
-      val env = client.holderPage(opts.token, page, opts.pageSize)
-      items = if (env.ok) env.resultItems.toIndexedSeq else IndexedSeq.empty
-      idx = 0
+    while (true) {
+      while (idx >= items.size) {
+        if (page >= part.lastPage) return false
+        page += 1
+        val env = client.holderPage(opts.token, page, opts.pageSize)
+        items = if (env.ok) env.resultItems.toIndexedSeq else IndexedSeq.empty
+        idx = 0
+      }
+      val it = items(idx)
+      if (MerlinPredicates.ok(preds, valueOf(it))) {
+        def utf8(v: Option[String]): Any = v.map(UTF8String.fromString).orNull
+        val values: Array[Any] = fields.map {
+          case "page" => page
+          case "idx" => idx
+          case "holder_address" => utf8(HolderFields.addr(it))
+          case "quantity_raw" => utf8(HolderFields.qty(it))
+          case "decimals_obs" => HolderFields.dec(it).map(Int.box).orNull
+        }
+        row = new GenericInternalRow(values)
+        idx += 1
+        return true
+      }
+      idx += 1
     }
-    val it = items(idx)
-    def utf8(v: Option[String]): Any = v.map(UTF8String.fromString).orNull
-    val values: Array[Any] = fields.map {
-      case "page" => page
-      case "idx" => idx
-      case "holder_address" => utf8(HolderFields.addr(it))
-      case "quantity_raw" => utf8(HolderFields.qty(it))
-      case "decimals_obs" => HolderFields.dec(it).map(Int.box).orNull
-    }
-    row = new GenericInternalRow(values)
-    idx += 1
-    true
+    false
   }
 
   override def get(): InternalRow = row
@@ -267,7 +328,8 @@ class MerlinPageReader(opts: MerlinOptions, fields: Array[String], part: MerlinP
   * contribute no rows — the chain replay treats the absence as the
   * loop's termination probe.
   */
-class MerlinTxPageReader(opts: MerlinOptions, fields: Array[String], part: MerlinTxPartition)
+class MerlinTxPageReader(opts: MerlinOptions, fields: Array[String],
+                         preds: Seq[(String, Option[String])], part: MerlinTxPartition)
   extends PartitionReader[InternalRow] {
 
   private val client = new ExplorerClient(new HadoopTransport(opts.dir))
@@ -280,28 +342,34 @@ class MerlinTxPageReader(opts: MerlinOptions, fields: Array[String], part: Merli
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    while (idx >= items.size) {
-      remaining match {
-        case (p, s) +: rest =>
-          remaining = rest
-          page = p
-          startBlock = s
-          val env = client.tokenTxPage(opts.wallet, opts.token, s, p, opts.pageSize)
-          items = if (env.ok) env.resultItems.toIndexedSeq else IndexedSeq.empty
-          idx = 0
-        case _ => return false
+    while (true) {
+      while (idx >= items.size) {
+        remaining match {
+          case (p, s) +: rest =>
+            remaining = rest
+            page = p
+            startBlock = s
+            val env = client.tokenTxPage(opts.wallet, opts.token, s, p, opts.pageSize)
+            items = if (env.ok) env.resultItems.toIndexedSeq else IndexedSeq.empty
+            idx = 0
+          case _ => return false
+        }
       }
+      val it = items(idx)
+      if (MerlinPredicates.ok(preds, f => keyOf.get(f).flatMap(it.get))) {
+        val values: Array[Any] = fields.map {
+          case "page" => page
+          case "start_block" => startBlock
+          case "idx" => idx
+          case f => it.get(keyOf(f)).map(UTF8String.fromString).orNull
+        }
+        row = new GenericInternalRow(values)
+        idx += 1
+        return true
+      }
+      idx += 1
     }
-    val it = items(idx)
-    val values: Array[Any] = fields.map {
-      case "page" => page
-      case "start_block" => startBlock
-      case "idx" => idx
-      case f => it.get(keyOf(f)).map(UTF8String.fromString).orNull
-    }
-    row = new GenericInternalRow(values)
-    idx += 1
-    true
+    false
   }
 
   override def get(): InternalRow = row

@@ -264,6 +264,56 @@ class MerlinSourceSpec extends SparkSpec {
     assert(!rowsB.exists(_.exists(v => v != null && v.toString.contains("OLD"))))
   }
 
+  test("pushed filters drop rows inside the scan; rejected predicates stay post-scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val (dump, t) = freshFixtures()
+    val token = "0xpf"
+    write(dump, t, token, 1, 3, s"""{"status":"1","message":"OK","result":[
+      |${item("0xA1", "100")}, ${item("0xA2", "200", Some(8))},
+      |{"TokenHolderAddress":"0xNOQ"}]}""".stripMargin)
+    write(dump, t, token, 2, 3, s"""{"status":"1","message":"OK","result":[
+      |${item("0xB1", "300")}, ${item("0xA1", "999")}, ${item("0xB3", "500")}]}""".stripMargin)
+    val raw = spark.read.format("merlin")
+      .option("dir", dump).option("contractaddress", token)
+      .option("pagesize", 3).load()
+
+    def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case b: BatchScanExec => b }.get
+
+    // address equality: only matching items materialize rows
+    val q = raw.filter(col("holder_address") === "0xA1")
+      .select("page", "quantity_raw")
+    assert(q.collect().map(_.getString(1)).sorted.toSeq == Seq("100", "999"))
+    val scan = scanOf(q)
+    assert(scan.scan.description().contains("holder_address = 0xA1"),
+      s"push not advertised: ${scan.scan.description()}")
+    assert(scan.metrics("numOutputRows").value == 2,
+      "scan must emit ONLY the matching rows, not filter them post-scan")
+
+    // non-null push: the no-quantity item drops at the source
+    val qn = raw.filter(col("quantity_raw").isNotNull)
+    assert(qn.collect().length == 5)
+    assert(scanOf(qn).metrics("numOutputRows").value == 5)
+
+    // a predicate on an int column is rejected → correct post-scan
+    val qr = raw.filter(col("decimals_obs") === 8)
+    assert(qr.collect().map(_.getAs[String]("holder_address")).toSeq == Seq("0xA2"))
+    assert(scanOf(qr).scan.description().contains("pushed=[]"))
+
+    // tokentx mode: from_address equality prunes at the source too
+    val (w, tk) = ("0xWp", "0xTp")
+    writeTx(dump, t, w, tk, 0, 1, 2,
+      s"""{"status":"1","message":"OK","result":[${txItem(10, "0xp1")},${txItem(20, "0xp2")}]}""")
+    val rawTx = spark.read.format("merlin")
+      .option("mode", "tokentx").option("dir", dump)
+      .option("address", w).option("contractaddress", tk)
+      .option("pagesize", 2).load()
+    val qt = rawTx.filter(col("from_address") === "0xF10").select("tx_hash")
+    assert(qt.collect().map(_.getString(0)).toSeq == Seq("0xp1"))
+    assert(scanOf(qt).metrics("numOutputRows").value == 1)
+  }
+
   test("scan is partition-parallel and column-pruned") {
     val (dump, t) = freshFixtures()
     val token = "0xbig"
