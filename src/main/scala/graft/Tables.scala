@@ -107,8 +107,14 @@ object Tables {
     * input tables cache; mutable store tables ([[graft.domain.MerlStore]])
     * never pass through here and always re-list.
     */
-  private val resolved =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  private val resolved = new SessionCache[(String, String)]
+
+  /** Drop (and unpersist) every relation memoized for `spark` — the
+    * explicit lifecycle hook; application end evicts automatically.
+    */
+  def evictSession(spark: SparkSession): Unit = resolved.evictSession(spark)
+
+  private[graft] def cacheSize: Int = resolved.size
 
   /** Opt-in hot-table cache for long-lived service shapes (Bench):
     * static input tables are additionally REPARTITIONED to the core
@@ -148,13 +154,13 @@ object Tables {
       "supplier", "part", "nation", "region", "events")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    resolved.computeIfAbsent((System.identityHashCode(spark), dir, name), _ => {
+    resolved.getOrElseUpdate(spark, (dir, name)) {
       val df = load(spark, dir, name)
       if (inputCache.get && cacheable(name))
         df.repartition(spark.sparkContext.defaultParallelism)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
-    })
+    }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The events fixture carries INT64 TIMESTAMP(NANOS) — illegal for

@@ -75,22 +75,19 @@ object Relational {
     * temp-table reuse — because three queries and the bench all
     * consume it.
     */
-  private val flowsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val flowsCache = new graft.SessionCache[String]
 
   /** M7 cache lifecycle: unpersist and drop every flows frame memoized
-    * for `s`. Bench/tests can leave the cache to die with the session,
-    * but a long-lived service must call this at the end of each batch
-    * cycle or the persisted frames (and their plan lineage) accumulate
-    * for the session's lifetime.
+    * for `s`. Bench/tests can leave the cache to die with the session
+    * (application end evicts automatically — [[graft.SessionCache]]),
+    * but a long-lived service should call this at the end of each
+    * batch cycle or the persisted frames (and their plan lineage)
+    * accumulate for the session's lifetime.
     */
-  def evictFlowsCache(s: SparkSession): Unit =
-    flowsCache.keys.filter(_._1 eq s).foreach { k =>
-      flowsCache.remove(k).foreach(_.unpersist(blocking = false))
-    }
+  def evictFlowsCache(s: SparkSession): Unit = flowsCache.evictSession(s)
 
   private def flowsDec(s: SparkSession, dir: String): DataFrame =
-    flowsCache.getOrElseUpdate((s, dir), {
+    flowsCache.getOrElseUpdate(s, dir)({
       val ev = Tables.events(s, dir)
       val asOf = ev.agg(max(col("ts")).as("__asof"))
       val windowed = ev.join(broadcast(asOf),

@@ -46,22 +46,17 @@ object TextPipeline {
     * per batch cycle (same lifecycle contract as
     * [[Relational.evictFlowsCache]]).
     */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pairsCache = new graft.SessionCache[String]
 
   private[queries] def ngramPairs05(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, dir),
+    pairsCache.getOrElseUpdate(s, dir)(
       Dedup.ngramJaccardPairsOfTokens(
         tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")),
         n = 3, threshold = 0.5).persist())
 
   def evictPairsCache(s: SparkSession): Unit = {
-    pairsCache.keys.filter(_._1 eq s).foreach { k =>
-      pairsCache.remove(k).foreach(_.unpersist(blocking = false))
-    }
-    toksCache.keys.filter(_._1 eq s).foreach { k =>
-      toksCache.remove(k).foreach(_.unpersist(blocking = false))
-    }
+    pairsCache.evictSession(s)
+    toksCache.evictSession(s)
   }
 
   /** Tokenized documents (doc_id, text, lang, __toks), persisted and
@@ -72,11 +67,10 @@ object TextPipeline {
     * lifecycle as [[pairsCache]]. Already spread across cores
     * (core-count partitions) when materialized.
     */
-  private val toksCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val toksCache = new graft.SessionCache[String]
 
   private[queries] def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
-    toksCache.getOrElseUpdate((s, dir),
+    toksCache.getOrElseUpdate(s, dir)(
       Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"), TextFns.tokens(col("text")).as("__toks"))
