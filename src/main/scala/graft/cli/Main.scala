@@ -82,6 +82,29 @@ object Main {
         finally exec.shutdownNow()
     }
 
+  /** In-engine parity with the reference's per-token flock mutual
+    * exclusion (`ingest_tokentx_top100.sh:13-18`): take a NON-BLOCKING
+    * exclusive OS lock on `path` and run `body` under it. If another
+    * process — or another thread of this JVM — already holds the lock,
+    * SKIP the body and return None: overlap runs exit cleanly (the
+    * reference prints a notice and `exit 0`), they do not fail. The
+    * lock releases on completion, error, or process death (OS file
+    * locks die with their holder, same as flock's fd 9).
+    */
+  private[cli] def withFileLock[T](path: Option[String])(body: => T): Option[T] =
+    path match {
+      case None => Some(body)
+      case Some(p) =>
+        val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(p),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val lock =
+          try ch.tryLock()
+          catch { case _: java.nio.channels.OverlappingFileLockException => null }
+        if (lock == null) { ch.close(); None }
+        else try Some(body) finally { lock.release(); ch.close() }
+    }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
@@ -109,7 +132,10 @@ object Main {
         }
       }
 
-    val out = withTimeout(f.get("timeout-sec").map(_.toLong),
+    // --lock-file <path>: reference flock twin — a second concurrent
+    // invocation on the same lock file skips its command and exits 0.
+    val out = withFileLock(f.get("lock-file")) {
+      withTimeout(f.get("timeout-sec").map(_.toLong),
       () => spark.sparkContext.cancelAllJobs()) { args(0) match {
       case "block_by_time" =>
         val r = Ingest.blockByTime(spark, store, client,
@@ -163,8 +189,13 @@ object Main {
         """{"sent":true}"""
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2); ""
-    } }
-    println(out)
+    } } }
+    out match {
+      case Some(o) => println(o)
+      case None =>
+        // the reference's overlap notice, as the CLI's JSON shape
+        println(s"""{"skipped":"lock_held","lock":"${f("lock-file")}"}""")
+    }
     spark.stop()
   }
 }

@@ -48,4 +48,41 @@ class MainSpec extends AnyFunSuite {
     }
     assert(boom.getMessage == "boom")
   }
+
+  test("withFileLock: a concurrent second invocation skips cleanly without interleaving writes") {
+    val lock = Files.createTempFile("graft", ".lock").toString
+    val log = Files.createTempFile("graft", ".writes")
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val finish = new java.util.concurrent.CountDownLatch(1)
+
+    // invocation A holds the lock mid-"ingest"
+    val a = new Thread(() => {
+      Main.withFileLock(Some(lock)) {
+        Files.writeString(log, "A-start;", java.nio.file.StandardOpenOption.APPEND)
+        started.countDown()
+        finish.await()
+        Files.writeString(log, "A-end;", java.nio.file.StandardOpenOption.APPEND)
+      }
+    })
+    a.start()
+    started.await()
+
+    // invocation B (same token → same lock file) must SKIP — None, no
+    // body execution, no write between A's writes
+    val b = Main.withFileLock(Some(lock)) {
+      Files.writeString(log, "B;", java.nio.file.StandardOpenOption.APPEND)
+      "ran"
+    }
+    assert(b.isEmpty, "second concurrent invocation must skip, not run or block")
+
+    finish.countDown()
+    a.join()
+    assert(Files.readString(log) == "A-start;A-end;",
+      "the loser must leave no writes interleaved with the holder's")
+
+    // after release, the next run acquires normally
+    assert(Main.withFileLock(Some(lock)) { 42 }.contains(42))
+    // and no lock file → no gating
+    assert(Main.withFileLock(None) { 7 }.contains(7))
+  }
 }
