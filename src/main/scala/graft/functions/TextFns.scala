@@ -204,6 +204,18 @@ object TextFns {
     * disjoint matches but 7 full-text traversals; this form needs 3:
     * one extract_all for counts, one fused replace, one whitespace
     * collapse).
+    *
+    * COUNT-SEMANTICS CONTRACT: the per-kind counts derived from this
+    * pass (n_urls / n_emails / n_ips) count single-consumption
+    * matches, NOT independent per-pattern occurrences. On ADJACENT
+    * PII with no separator the two differ: in `a@b.cohttp://x` the
+    * email match consumes through `cohttp`, so this pass counts
+    * 1 email + 0 URLs where three independent countMatches passes
+    * counted 1 email + 1 URL. Scrub output is identical either way
+    * (both replace every consumed span); only the counts on such
+    * degenerate adjacency differ. Consumers that need the old
+    * independent counts should call [[countMatches]] per pattern on
+    * the ORIGINAL text.
     */
   val piiPattern: String = s"($urlPattern)|($emailPattern)|($ipPattern)"
 

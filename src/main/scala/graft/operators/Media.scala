@@ -124,12 +124,16 @@ object Media {
     * row; the native loop keeps the "drop dark images" path inside
     * whole-stage codegen at any payload size (MediaSpec pins ≥1 MB).
     */
-  def imageFeatures(decoded: DataFrame): DataFrame =
+  def imageFeatures(decoded: DataFrame): DataFrame = {
+    // self-registering: analyzes on sessions built without the
+    // spark.sql.extensions config (driver smoke session, notebooks)
+    graft.plans.GraftExtensions.ensureRegistered(decoded.sparkSession)
     decoded
       .withColumn("brightness",
         call_function("graft_byte_sum", col("pixels")).cast("double")
           / greatest(length(col("pixels")), lit(1)))
       .withColumn("histogram8", call_function("graft_byte_hist8", col("pixels")))
+  }
 
   // ---- audio -------------------------------------------------------
 

@@ -73,35 +73,51 @@ case class DotProduct(left: Expression, right: Expression)
   * [[graft.GraftSession]]'s builder; callable via
   * `call_function("graft_dot", a, b)`).
   */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_dot"),
+object GraftExtensions {
+  private[plans] val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot(a, b) takes exactly two arrays")
         DotProduct(children.head, children(1))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("graft_byte_sum"),
+      }),
+    (new FunctionIdentifier("graft_byte_sum"),
       new ExpressionInfo(classOf[UnsignedByteSum].getName, "graft_byte_sum"),
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_byte_sum(binary) takes exactly one argument")
         UnsignedByteSum(children.head)
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("graft_byte_hist8"),
+      }),
+    (new FunctionIdentifier("graft_byte_hist8"),
       new ExpressionInfo(classOf[ByteHistogram8].getName, "graft_byte_hist8"),
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_byte_hist8(binary) takes exactly one argument")
         ByteHistogram8(children.head)
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("graft_sum_uint"),
+      }),
+    (new FunctionIdentifier("graft_sum_uint"),
       new ExpressionInfo(classOf[SumBigUInt].getName, "graft_sum_uint"),
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_sum_uint(digits) takes exactly one string column")
         SumBigUInt(children.head)
       }))
+
+  /** Register the graft_* functions into an EXISTING session's
+    * registry — for operator entry points (e.g.
+    * [[graft.operators.Media.imageFeatures]],
+    * [[graft.queries.Domain]]) that must analyze on sessions built
+    * WITHOUT `spark.sql.extensions=graft.plans.GraftExtensions` (the
+    * driver's smoke session, user notebooks). Idempotent: already-
+    * registered names are left untouched.
+    */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
   }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(f => ext.injectFunction(f))
 }

@@ -80,12 +80,14 @@ object Domain {
     * same total via two-limb HUGEINT arithmetic (hi·10^18 + lo with
     * carry), rendered to the identical decimal string.
     */
-  def top100Holdings(s: SparkSession, dir: String): DataFrame =
+  def top100Holdings(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
     Top100.compute(holdersFixture(s, dir))
       .groupBy(col("contract_address"), col("bucket_unix").cast(LongType).as("bucket_unix"))
       .agg(count(lit(1)).as("n_top"),
         call_function("graft_sum_uint", col("balance_raw")).as("total_raw"))
       .orderBy(col("contract_address"), col("bucket_unix"))
+  }
 
   /** M3/M4: Top-100 partition-overwrite refresh, run twice — the
     * stored table must equal a single refresh.
@@ -233,6 +235,12 @@ object Domain {
         |       CAST(quantity_raw AS DOUBLE) / power(10.0, token_decimal) AS balance
         |FROM ranked WHERE rnk <= 100
         |ORDER BY contract_address, rnk, holder_address""".stripMargin),
+    // Oracle domain note: the two-limb HUGEINT split is exact only up
+    // to ~56 digits (hi = leading digits beyond the low 18 must fit
+    // HUGEINT's 38-digit range); the Spark side (SumBigUInt) is exact
+    // at ANY width up to the full NUMERIC(78,0) domain. The fixture's
+    // 40-digit whale sits comfortably inside the oracle's range — the
+    // gate restricts the ORACLE's input domain, not the operator's.
     "top100_holdings" -> (holdersCte +
       """, top AS (SELECT contract_address, bucket_unix, quantity_raw
         |          FROM ranked WHERE rnk <= 100),

@@ -35,6 +35,22 @@ class MediaSpec extends SparkSpec {
     assert(f.getSeq[Int](1) == Seq(0, 0, 0, 9, 0, 0, 0, 0))
   }
 
+  test("imageFeatures self-registers its functions on a session missing the extensions") {
+    val ss = spark; import ss.implicits._
+    // simulate a session built WITHOUT spark.sql.extensions: drop the
+    // functions from the registry; imageFeatures must restore them
+    // (GraftExtensions.ensureRegistered) instead of failing analysis
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = ss.sessionState.functionRegistry
+    reg.dropFunction(new FunctionIdentifier("graft_byte_sum"))
+    reg.dropFunction(new FunctionIdentifier("graft_byte_hist8"))
+    val flat = Array.fill(9)(100.toByte)
+    val payload = Media.ImageMagic ++ Array[Byte](0, 3, 0, 3, 1) ++ flat
+    val d = Media.decodeImages(Seq((7L, payload)).toDF("id", "payload"))
+    val f = Media.imageFeatures(d).select(col("brightness")).head()
+    assert(f.getDouble(0) == 100.0)
+  }
+
   test("imageFeatures at a production-size payload (≥1 MB) through the native byte expressions") {
     val ss = spark; import ss.implicits._
     // 646×646×3 ≈ 1.25 MB of pixels — the payload size where the old
