@@ -159,10 +159,25 @@ object Similarity {
                      nCentroids: Int = 16, nProbe: Int = 4, maxIter: Int = 5,
                      seed: Long = 42L,
                      queryId: String = "query_id", corpusId: String = "neighbor_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding"): DataFrame =
+    ivfTopKWithCentroids(queries, corpus,
+      kmeansCentroids(corpus, nCentroids, maxIter, seed, vecCol),
+      k, nProbe, queryId, corpusId, vecCol)
+
+  /** IVF top-k over a PRE-TRAINED centroid frame (`(centroid_id,
+    * centroid)` as produced by [[kmeansCentroids]]) — the production
+    * shape: the quantizer trains ONCE per corpus and every query
+    * batch probes the same frame, instead of re-running k-means per
+    * call.
+    */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
+                           centroids: DataFrame, k: Int, nProbe: Int = 4,
+                           queryId: String = "query_id",
+                           corpusId: String = "neighbor_id",
+                           vecCol: String = "embedding"): DataFrame = {
     val c = graft.Tables.spread(corpus).select(col(corpusId), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
-    val cents = kmeansCentroids(corpus, nCentroids, maxIter, seed, vecCol)
+    val cents = centroids
       .select(col("centroid_id").as("__centroid"), col("centroid").as("__centv"),
         norm(col("centroid")).as("__centn"))
     ivfProbe(queries, c, cents, k, nProbe, queryId, corpusId, vecCol)

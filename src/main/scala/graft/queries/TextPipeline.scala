@@ -57,6 +57,7 @@ object TextPipeline {
   def evictPairsCache(s: SparkSession): Unit = {
     pairsCache.evictSession(s)
     toksCache.evictSession(s)
+    centsCache.evictSession(s)
   }
 
   /** Tokenized documents (doc_id, text, lang, __toks), persisted and
@@ -239,6 +240,19 @@ object TextPipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The k-means coarse quantizer, trained ONCE per (session, dir) —
+    * the production IVF contract (a quantizer belongs to its corpus,
+    * not to a query batch); re-training per query re-ran Lloyd's full
+    * job set every call. 16 rows — the memo is the trained model, the
+    * persisted size is trivial.
+    */
+  private val centsCache = new graft.SessionCache[String]
+  private def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    centsCache.getOrElseUpdate(s, dir)(
+      Similarity.kmeansCentroids(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        k = 16).localCheckpoint())
+
   /** IVF approximate top-5 over k-means-TRAINED coarse centroids
     * (rows-only: recall depends on the quantizer; recall@5 vs the
     * brute-force twin is floor-gated in QualityMetrics).
@@ -248,7 +262,7 @@ object TextPipeline {
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
-    Similarity.ivfTopKTrained(q, c, k = 5, nCentroids = 16, nProbe = 6)
+    Similarity.ivfTopKWithCentroids(q, c, ivfCentroids(s, dir), k = 5, nProbe = 6)
       .select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rank").cast(LongType).as("rank"))
       .orderBy(col("query_id"), col("rank"))
