@@ -119,6 +119,33 @@ class ExplainSpec extends SparkSpec {
       s"both side filters must reach their parquet scans:\n$p")
   }
 
+  test("asof_join_skewed: every window partitions by (key, bucket) — a hot key can never serialize one task") {
+    val p = plan("asof_join_skewed")
+    // the match window (the one ordered by __ts, which sees every data
+    // row) must partition by BOTH the key and the coarse bucket; a
+    // key-only partition would re-create the hot-key serialization
+    // this operator exists to break. Window detail lines print as
+    // `Arguments: [...], [partitionCols], [orderCols]`.
+    val tsWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") &&
+        "\\], \\[[^\\]]*__ts#\\d+L? ASC[^\\]]*\\]\\s*$".r.findFirstIn(l).isDefined).toSeq
+    assert(tsWindows.nonEmpty, s"expected a __ts-ordered match window in:\n$p")
+    tsWindows.foreach { l =>
+      val part = "\\], \\[([^\\]]*)\\], \\[[^\\]]*\\]\\s*$".r
+        .findFirstMatchIn(l).map(_.group(1)).getOrElse("")
+      assert(part.contains("__bkt#"),
+        s"the match window must partition by (key, bucket); got partition [$part] in:\n$l")
+    }
+    assert(count(p, "Window") >= 2 && count(p, "Window") <= 6,
+      s"expected the carry window + the bucketed match window, got:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"skewed as-of must stay equi-join/window shaped:\n$p")
+    // the per-bucket last-right aggregate must partial-aggregate
+    assert(count(p, "HashAggregate") >= 2 || count(p, "SortAggregate") >= 2,
+      s"per-bucket right aggregation must have map-side partials:\n$p")
+  }
+
   test("range_join: bucketed candidates meet on an equi-join, never a nested loop") {
     val p = plan("range_join")
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
