@@ -42,24 +42,27 @@ object Corpus {
     def tally(df: DataFrame): Long = if (withStats) df.count() else -1L
     val input = tally(docs)
 
-    // 1. exact dedup: keep the min doc_id of each normalized-text group
+    // 1. exact dedup: keep the min doc_id of each normalized-text
+    //    group. Tokens are staged HERE, before the checkpoint, so the
+    //    single tokenization pass is materialized once and reused by
+    //    near-dup shingling, the quality score, and packing.
     val exact = Dedup.exactSurvivors(docs, col("doc_id"), col("text"))
+      .withColumn("__toks", TextFns.tokens(col("text")))
       .localCheckpoint() // three downstream consumers; truncate lineage once
     val nExact = tally(exact)
 
     // 2. near-dup pruning: pair graph → components → keep each
     //    component's minimum id (the same keep rule as exact dedup)
-    val toks = exact.select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
-    val pairs = Dedup.ngramJaccardPairsOfTokens(toks, n = 3, threshold = jaccard)
+    val pairs = Dedup.ngramJaccardPairsOfTokens(
+      exact.select(col("doc_id"), col("__toks")), n = 3, threshold = jaccard)
     val losers = Dedup.connectedComponents(pairs)
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
     val nearDeduped = exact.join(losers, Seq("doc_id"), "left_anti")
     val nNearDup = tally(nearDeduped)
 
-    // 3. quality floor — tokens staged once and reused by the score
+    // 3. quality floor over the staged tokens
     val scored = nearDeduped
-      .withColumn("__toks", TextFns.tokens(col("text")))
       .withColumn("quality", TextFns.qualityScoreOf(col("text"), col("__toks")))
       .filter(col("quality") >= minQuality)
     val nQuality = tally(scored)

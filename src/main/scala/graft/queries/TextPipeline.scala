@@ -524,18 +524,23 @@ object TextPipeline {
     import s.implicits._
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val (prepared, stats) = Corpus.prepare(docs)
+    // three aggregates consume the prepared frame; checkpoint a
+    // NARROW projection once (no text column) so the pipeline's
+    // tokenize/quality/pack chain runs once, not per consumer
+    val packed = prepared.select("split", "shard", "n_tokens", "chunk_id")
+      .localCheckpoint()
     val stages = Seq(
       ("1_input", stats.input),
       ("2_exact_survivors", stats.afterExact),
       ("3_neardup_survivors", stats.afterNearDup),
       ("4_quality_survivors", stats.afterQuality)).toDF("stage", "n")
-    val splits = prepared
+    val splits = packed
       .groupBy(concat(lit("5_split_"), col("split")).as("stage"))
       .agg(count(lit(1)).as("n"))
-    val chunks = prepared
+    val chunks = packed
       .agg(countDistinct(col("shard"), col("chunk_id")).as("n"))
       .select(lit("6_packed_chunks").as("stage"), col("n"))
-    val toks = prepared.agg(sum(col("n_tokens")).as("n"))
+    val toks = packed.agg(sum(col("n_tokens")).as("n"))
       .select(lit("7_packed_tokens").as("stage"), col("n"))
     stages.unionByName(splits).unionByName(chunks).unionByName(toks)
       .orderBy(col("stage"))
