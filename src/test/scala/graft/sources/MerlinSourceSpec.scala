@@ -264,6 +264,21 @@ class MerlinSourceSpec extends SparkSpec {
     assert(!rowsB.exists(_.exists(v => v != null && v.toString.contains("OLD"))))
   }
 
+  test("dump dirs resolve through the Hadoop FileSystem API: an explicit file: URI reads identically") {
+    val (dump, t) = freshFixtures()
+    val token = "0xuri"
+    write(dump, t, token, 1, 2, s"""{"status":"1","message":"OK","result":[
+      |${item("0xA1", "100")}]}""".stripMargin)
+    def rows(dir: String) = spark.read.format("merlin")
+      .option("dir", dir).option("contractaddress", token).option("pagesize", 2)
+      .load().select("page", "idx", "holder_address", "quantity_raw")
+      .collect().map(_.toSeq).toSeq
+    val plain = rows(dump)
+    val uri = rows("file:" + dump)
+    assert(plain.nonEmpty && plain == uri,
+      "a scheme-qualified Hadoop URI must read byte-identically to the bare path")
+  }
+
   test("pushed filters drop rows inside the scan; rejected predicates stay post-scan") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val (dump, t) = freshFixtures()
