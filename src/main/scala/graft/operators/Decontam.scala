@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Benchmark decontamination by exact n-gram membership — the
+  * GPT-3-style filter (Brown et al. 2020, appendix C: drop training
+  * documents sharing a 13-gram with an eval set): find every training
+  * document that contains a verbatim k-token gram also present in a
+  * held-out split.
+  *
+  * This is the EXACT complement of the near-dup decontamination gate
+  * (`decontamination`, trigram Jaccard ≥ 0.5 across splits): Jaccard
+  * catches paraphrase-level leakage, gram membership catches verbatim
+  * quote-level leakage that a whole-doc similarity score dilutes away
+  * (one leaked paragraph in a long doc moves Jaccard by ~0).
+  *
+  * Scale shape — the part that matters at 100 TB: the held-out side
+  * (benchmarks/eval sets) is small; the training side is the corpus.
+  * A naive exact check shuffles EVERY training gram occurrence into a
+  * join against the holdout grams. Here the holdout grams are folded
+  * into a Bloom filter by a distributed Catalyst aggregate
+  * (`BloomFilterAggregate` — map-side partial blooms, one
+  * `numBits`-sized buffer per partition, OR-merged), and the corpus
+  * scan drops non-member grams INSIDE whole-stage codegen via
+  * `BloomFilterMightContain` before anything shuffles. Only the ~fpp
+  * false-positive sliver plus true hits reach the exchange; the
+  * confirming equi-join against the real holdout set then kills the
+  * false positives, so the output is EXACT — the Bloom stage changes
+  * the cost, never the answer. This is the same plan shape Spark's
+  * own runtime row-level filters inject for selective joins
+  * (`InjectRuntimeFilter`), applied deliberately.
+  *
+  * The filter binary travels to executors as a foldable literal in
+  * the task closure (`BloomFilterMightContain` requires a constant or
+  * scalar subquery) — at fpp=1% that is ~1.2 bytes per holdout gram,
+  * e.g. ~120 MB for a 10^8-gram holdout, the standard broadcast
+  * tradeoff and far below the corpus-side shuffle it replaces.
+  *
+  * Reference scope: the reference engine has no decontamination
+  * surface; this extends the training-data family (SURVEY §2
+  * north-star operators) alongside dedup/similarity.
+  */
+object Decontam {
+
+  /** Per-doc distinct k-gram hashes with the doc's split label.
+    * 8-byte gram keys (xxhash64 of the space-joined gram) — identical
+    * to the [[Dedup.duplicatePassageStatsOfTokens]] contract: counts
+    * match the gram strings' absent 2^64 collisions.
+    */
+  private def distinctGramHashes(toks: DataFrame, k: Int): DataFrame =
+    toks.select(col("doc_id"), col("split"),
+        explode(array_distinct(TextFns.wordShinglesOf(col("__toks"), k))).as("__g"))
+      .select(col("doc_id"), col("split"), xxhash64(col("__g")).as("gram"))
+
+  /** Training docs leaking held-out content: (doc_id, n_leaked_grams)
+    * for every `train`-split doc sharing ≥1 distinct k-gram with any
+    * doc in `holdoutSplits`.
+    *
+    * @param toks (doc_id, split, __toks) — pre-tokenized docs (the
+    *             shared single-tokenization stage, M7)
+    * @param k    gram length in tokens (8 = the `dup_spans` passage
+    *             unit; GPT-3 used 13 — a policy knob, not structural)
+    * @param fpp  Bloom false-positive rate; only affects how much
+    *             survives to the confirming join, never the result
+    */
+  def leakedGrams(toks: DataFrame, k: Int = 8,
+                  holdoutSplits: Seq[String] = Seq("val", "test"),
+                  fpp: Double = 0.01): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(toks.sparkSession)
+    val grams = distinctGramHashes(toks, k)
+
+    // Holdout gram set: small by premise, consumed three times
+    // (sizing count, Bloom build, confirm join) — eager localCheckpoint
+    // computes it once and truncates lineage, storage reclaimed with
+    // the RDD (no persist-leak into long-lived sessions).
+    val holdout = grams.filter(col("split").isin(holdoutSplits: _*))
+      .select(col("gram")).distinct()
+      .localCheckpoint()
+    val nHoldout = math.max(holdout.count(), 1L)
+    val numBits = BloomFilter.optimalNumOfBits(nHoldout, fpp)
+
+    // One distributed pass folds the holdout grams into a single
+    // serialized Bloom filter (map-side partial blooms, OR-merge).
+    val bloom = holdout
+      .agg(call_function("graft_bloom_agg",
+        col("gram"), lit(nHoldout), lit(numBits)).as("__bf"))
+      .head.getAs[Array[Byte]](0)
+
+    // Corpus scan: membership test runs pre-shuffle in codegen; the
+    // equi-join after it sees only true hits + the fpp sliver.
+    grams.filter(col("split") === "train")
+      .filter(call_function("graft_bloom_contains", lit(bloom), col("gram")))
+      .join(holdout, Seq("gram"))
+      .groupBy(col("doc_id"))
+      // grams are per-doc distinct already, so count(*) = distinct grams
+      .agg(count(lit(1)).as("n_leaked_grams"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.pipelines
 
 import graft.functions.TextFns
 import graft.operators.{Dedup, Packing}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus preparation — the composed "switch to this
@@ -76,5 +76,79 @@ object Corpus {
       .drop("__toks")
 
     (prepared, PrepareStats(input, nExact, nNearDup, nQuality))
+  }
+
+  // ---- source-weighted mixture sampling ("data mixing") ------------
+
+  /** Per-source sampling rates for temperature-smoothed mixture
+    * sampling: the training-mix step that reweights a multi-source
+    * corpus so no giant source drowns the rest (the multilingual /
+    * multi-corpus sampling rule p_s ∝ T_s^α — Conneau & Lample 2019
+    * use α≈0.7, T5 and friends α≈0.5; α<1 flattens the source
+    * distribution, α=1 is proportional passthrough).
+    *
+    * rate_s = min(1, budget · w_s / Σw · 1/T_s), with w_s = T_s^α over
+    * per-source token totals T_s. In expectation the kept corpus holds
+    * `budget` tokens distributed ∝ w (sources too small for their
+    * target keep everything — rate caps at 1; the budget is a target,
+    * not a quota fill).
+    *
+    * Determinism contract (this feeds a per-doc keep/drop, so it is
+    * gate-critical): α=0.5 uses `sqrt` — correctly rounded in IEEE 754
+    * everywhere, unlike `pow`'s 1-ulp licence — and Σw is an explicit
+    * ordered left fold over sources (collect_list→sort→fold, seed 0.0,
+    * which is IEEE-identical to the oracle's list_reduce over the
+    * source-ordered list; a plain SUM's accumulation order is
+    * engine-private). The tiny per-source frame makes the fold free.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the corpus
+    * (the per-source totals), a source-count-sized driver-free fold,
+    * and a broadcast join back — the corpus itself is never shuffled.
+    */
+  def mixtureRates(docTokens: DataFrame, budget: Long,
+                   temperature: Double = 0.5): DataFrame = {
+    val tot = docTokens.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_in"), sum(col("__n")).as("tokens_in"))
+      .withColumn("__w",
+        if (temperature == 0.5) sqrt(col("tokens_in").cast("double"))
+        else pow(col("tokens_in").cast("double"), lit(temperature)))
+    val sumW = tot
+      .agg(sort_array(collect_list(struct(col("source"), col("__w")))).as("__l"))
+      .select(aggregate(col("__l"), lit(0.0),
+        (acc, x) => acc + x.getField("__w")).as("__sw"))
+    tot.crossJoin(broadcast(sumW))
+      .withColumn("rate", round(least(lit(1.0),
+        lit(budget.toDouble) * col("__w") / col("__sw")
+          / col("tokens_in").cast("double")), 6))
+      .select(col("source"), col("docs_in"), col("tokens_in"), col("rate"))
+  }
+
+  /** Deterministic acceptance predicate for a (rate, text) pair:
+    * content-hash sampling against the rate mapped onto the first 32
+    * md5 bits as a lexicographic hex threshold (lowercase hex compares
+    * identically in any engine; no RNG, no seed, re-ingest-stable —
+    * the [[TextFns.stableSample]] contract generalized to a computed
+    * rate). rate ≥ 1 short-circuits: a 9-hex-digit threshold would
+    * compare lexicographically BELOW 8-digit hashes starting ≥ '2'.
+    */
+  def mixtureAccept(textCol: Column, rateCol: Column): Column =
+    rateCol >= 1.0 ||
+      substring(TextFns.contentHash(textCol), 1, 8) <
+        lpad(lower(hex(floor(rateCol * lit(4294967296.0)).cast("long"))), 8, "0")
+
+  /** Mixture-sample `docs` (needs `text`, `source`, and a token count
+    * in `tokenCol`) to a ~`budget`-token corpus with per-source
+    * temperature weighting. Returns the kept docs with their source's
+    * `rate` attached. One aggregate + one broadcast join + one filter
+    * scan — the 100 TB plan has no corpus-side shuffle at all.
+    */
+  def mixtureSample(docs: DataFrame, tokenCol: Column, budget: Long,
+                    temperature: Double = 0.5): DataFrame = {
+    val withN = docs.withColumn("__n", tokenCol)
+    val rates = mixtureRates(withN.select(col("source"), col("__n")),
+      budget, temperature)
+    withN.join(broadcast(rates.select(col("source"), col("rate"))), "source")
+      .filter(mixtureAccept(col("text"), col("rate")))
+      .drop("__n")
   }
 }

@@ -99,6 +99,32 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_sum_uint(digits) takes exactly one string column")
         SumBigUInt(children.head)
+      }),
+    // Spark's own Bloom-filter Catalyst pair (the machinery behind
+    // InjectRuntimeFilter), surfaced as callable functions for the
+    // deliberate pre-shuffle membership pruning in
+    // [[graft.operators.Decontam]]: a distributed binary-buffer
+    // aggregate and a codegen'd membership predicate. Not registered
+    // by upstream's FunctionRegistry, hence the graft_ registration.
+    (new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_bloom_agg(hash, est_items, num_bits) takes exactly three arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2))
+      }),
+    (new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_bloom_contains(bloom, hash) takes exactly two arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
       }))
 
   /** Register the graft_* functions into an EXISTING session's

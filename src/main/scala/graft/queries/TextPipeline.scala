@@ -212,6 +212,46 @@ object TextPipeline {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Verbatim-leakage decontamination: train-split docs sharing an
+    * exact 8-token gram with the val/test splits, found through the
+    * Bloom-prefilter + exact-confirm pipeline ([[Decontam]]) — the
+    * Bloom stage changes where work happens (codegen'd pre-shuffle
+    * prune), never the answer, so the oracle states the plain exact
+    * semantics: distinct train grams ∩ distinct holdout grams, counted
+    * per doc.
+    */
+  def decontamGrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Decontam.leakedGrams(
+      tokenizedDocs(s, dir).select(col("doc_id"), col("__toks"),
+        TextFns.stableSplit(col("text")).as("split")),
+      k = 8)
+      .orderBy(col("doc_id"))
+
+  /** Mixture-sampling accounting: temperature-0.5 source weighting
+    * toward a 12k-token budget ([[Corpus.mixtureRates]]), per-source
+    * docs/tokens in vs kept. The kept set is decided per doc by the
+    * content-hash acceptance threshold, so the accounting hashes the
+    * whole sampling decision — rates, thresholds, and membership —
+    * not just the rate arithmetic.
+    */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = tokenizedDocs(s, dir)
+      .select(col("doc_id"), col("text"), col("source"),
+        size(col("__toks")).cast(LongType).as("__n"))
+    val rates = graft.pipelines.Corpus.mixtureRates(
+      docs.select(col("source"), col("__n")), budget = 12000L)
+    val kept = docs
+      .join(broadcast(rates.select(col("source"), col("rate"))), "source")
+      .filter(graft.pipelines.Corpus.mixtureAccept(col("text"), col("rate")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("__n")).as("tokens_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("docs_in"), col("tokens_in"), col("rate"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
   // ---- similarity --------------------------------------------------
 
   /** Exact cosine top-5 for the first 10 vectors as probes. */
@@ -565,6 +605,8 @@ object TextPipeline {
     "doc_sample" -> (docSample _),
     "seq_pack" -> (seqPack _),
     "decontamination" -> (decontamination _),
+    "decontam_grams" -> (decontamGrams _),
+    "corpus_mix" -> (corpusMix _),
     "text_repetition" -> (textRepetition _),
     "vocab_topk" -> (vocabTopk _),
     "distinct_tokens" -> (distinctTokens _),
@@ -856,6 +898,49 @@ object TextPipeline {
          |SELECT id_a, sa.split AS split_a, id_b, sb.split AS split_b, jaccard
          |FROM pairs JOIN sp sa ON id_a = sa.doc_id JOIN sp sb ON id_b = sb.doc_id
          |WHERE sa.split <> sb.split ORDER BY id_a, id_b""".stripMargin,
+    "decontam_grams" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks,
+         |             CASE WHEN substring(md5(text), 1, 2) < 'cc' THEN 'train'
+         |                  WHEN substring(md5(text), 1, 2) < 'e6' THEN 'val'
+         |                  ELSE 'test' END AS split
+         |           FROM documents),
+         |g AS (SELECT doc_id, split, unnest(list_distinct(
+         |        CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+         |             ELSE [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks) - 6)]
+         |        END)) AS gram FROM t),
+         |h AS (SELECT DISTINCT gram FROM g WHERE split IN ('val', 'test'))
+         |SELECT doc_id, COUNT(*) AS n_leaked_grams
+         |FROM g JOIN h USING (gram)
+         |WHERE split = 'train'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // corpus_mix restates the whole sampling decision: sqrt weights
+    // (correctly-rounded IEEE everywhere), Σw as the SAME ordered left
+    // fold both engines run sequentially (list_reduce seedless fold ≡
+    // Spark's 0.0-seeded fold — see dotSql), rate arithmetic in
+    // identical operation order, md5-prefix acceptance thresholds as
+    // lowercase-hex string comparison.
+    "corpus_mix" ->
+      s"""WITH t AS (SELECT doc_id, text, source,
+         |             CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+         |tot AS (SELECT source, COUNT(*) AS docs_in,
+         |               CAST(SUM(n) AS BIGINT) AS tokens_in,
+         |               sqrt(CAST(SUM(n) AS DOUBLE)) AS wt
+         |        FROM t GROUP BY source),
+         |sw AS (SELECT list_reduce(list(wt ORDER BY source), (x, y) -> x + y) AS sw
+         |       FROM tot),
+         |r AS (SELECT source, docs_in, tokens_in,
+         |        round(least(1.0, 12000.0 * wt / sw.sw / CAST(tokens_in AS DOUBLE)), 6) AS rate
+         |      FROM tot, sw),
+         |k AS (SELECT t.source, t.n FROM t JOIN r USING (source)
+         |      WHERE rate >= 1.0 OR substring(md5(text), 1, 8) <
+         |            lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0')),
+         |ka AS (SELECT source, COUNT(*) AS docs_kept,
+         |              CAST(SUM(n) AS BIGINT) AS tokens_kept
+         |       FROM k GROUP BY source)
+         |SELECT r.source, r.docs_in, r.tokens_in, r.rate,
+         |       COALESCE(ka.docs_kept, 0) AS docs_kept,
+         |       COALESCE(ka.tokens_kept, 0) AS tokens_kept
+         |FROM r LEFT JOIN ka USING (source) ORDER BY source""".stripMargin,
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |w AS (SELECT doc_id, g, COUNT(*) AS c

@@ -42,4 +42,43 @@ class CorpusSpec extends SparkSpec {
     assert(noStats == Corpus.PrepareStats(-1, -1, -1, -1))
     assert(lazyPrep.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
   }
+
+  test("mixtureRates matches the hand-computed temperature rule") {
+    val ss = spark; import ss.implicits._
+    // source a: 9 tokens (w=3), source b: 16 tokens (w=4); Σw=7.
+    // budget 14 → rate_a = 14·(3/7)/9 = 2/3, rate_b = 14·(4/7)/16 = 1/2
+    val dt = Seq(("a", 4L), ("a", 5L), ("b", 16L)).toDF("source", "__n")
+    val r = Corpus.mixtureRates(dt, budget = 14L)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(("a", 2L, 9L, 0.666667), ("b", 1L, 16L, 0.5)))
+  }
+
+  test("mixtureRates caps at 1 for sources under their target share") {
+    val ss = spark; import ss.implicits._
+    val dt = Seq(("tiny", 2L), ("huge", 10000L)).toDF("source", "__n")
+    val r = Corpus.mixtureRates(dt, budget = 500L)
+      .select("source", "rate").as[(String, Double)].collect().toMap
+    assert(r("tiny") == 1.0, s"tiny source must keep everything: $r")
+    assert(r("huge") < 1.0)
+  }
+
+  test("mixtureSample is deterministic and keeps rate-1 sources whole") {
+    val ss = spark; import ss.implicits._
+    val docs = (1 to 60).map { i =>
+      val src = if (i <= 5) "small" else "big"
+      (i.toLong, s"document number $i with body text repeated " * 3, src)
+    }.toDF("doc_id", "text", "source")
+    val n = length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1
+    val once = Corpus.mixtureSample(docs, n, budget = 200L)
+      .select("doc_id").as[Long].collect().toSet
+    val again = Corpus.mixtureSample(docs, n, budget = 200L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(once == again, "content-hash sampling must be re-run-stable")
+    val rates = Corpus.mixtureRates(
+      docs.withColumn("__n", n).select(col("source"), col("__n")), budget = 200L)
+      .select("source", "rate").as[(String, Double)].collect().toMap
+    if (rates("small") >= 1.0)
+      assert((1L to 5L).toSet.subsetOf(once), s"rate-1 source dropped docs: $once")
+    assert(once.nonEmpty && once.size < 60, "big source must be subsampled")
+  }
 }
