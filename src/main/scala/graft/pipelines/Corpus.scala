@@ -107,11 +107,17 @@ object Corpus {
     */
   def mixtureRates(docTokens: DataFrame, budget: Long,
                    temperature: Double = 0.5): DataFrame = {
+    // Source-count-sized frame consumed twice (Σw fold + the rate
+    // join) and again by every downstream consumer of the returned
+    // rates — eager localCheckpoint runs the corpus-wide aggregate
+    // ONCE; without it each consumer re-scans (and re-tokenizes) the
+    // whole corpus.
     val tot = docTokens.groupBy(col("source"))
       .agg(count(lit(1)).as("docs_in"), sum(col("__n")).as("tokens_in"))
       .withColumn("__w",
         if (temperature == 0.5) sqrt(col("tokens_in").cast("double"))
         else pow(col("tokens_in").cast("double"), lit(temperature)))
+      .localCheckpoint()
     val sumW = tot
       .agg(sort_array(collect_list(struct(col("source"), col("__w")))).as("__l"))
       .select(aggregate(col("__l"), lit(0.0),

@@ -125,6 +125,13 @@ object GraftExtensions {
           "graft_bloom_contains(bloom, hash) takes exactly two arguments")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1))
+      }),
+    (new FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZInterleave].getName, "graft_zorder"),
+      (children: Seq[Expression]) => {
+        require(children.size >= 2 && children.size <= 4,
+          "graft_zorder(c1, c2[, c3[, c4]]) takes two to four long columns")
+        ZInterleave(children)
       }))
 
   /** Register the graft_* functions into an EXISTING session's

@@ -335,8 +335,30 @@ object Relational {
       .select("user_id", "p_start", "p_end", "c_start", "c_end")
   }
 
+  /** Z-order clustering key ([[graft.operators.Layout]] family): the
+    * Morton address the layout operator range-partitions files by,
+    * hash-gated bit for bit — the oracle restates the interleave as an
+    * explicit per-bit sum, so the codegen'd [[graft.plans.ZInterleave]]
+    * is checked against independently-stated bit math. Keys are raw
+    * (part/supp ids are already dense rank space); the affine
+    * normalization wrapper is spec-tested in LayoutSpec.
+    */
+  def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey").cast(LongType).as("l_orderkey"),
+        col("l_linenumber").cast(LongType).as("l_linenumber"),
+        col("l_partkey").cast(LongType).as("l_partkey"),
+        col("l_suppkey").cast(LongType).as("l_suppkey"))
+      .withColumn("zkey",
+        graft.operators.Layout.zOrderKeyRaw(Seq(col("l_partkey"), col("l_suppkey"))))
+      .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      .limit(200)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
+    "zorder_key" -> (zorderKey _),
     "asof_join" -> (asofJoin _),
     "asof_join_skewed" -> (asofJoinSkewed _),
     "asof_join_fwd" -> (asofJoinFwd _),
@@ -445,6 +467,16 @@ object Relational {
       """WITH b AS (SELECT *, CAST(FLOOR(epoch(ts)/21600)*21600 AS BIGINT) AS bucket FROM events)
         |SELECT COUNT(*) AS rows_latest, COUNT(DISTINCT user_id) AS users_latest
         |FROM b WHERE bucket = (SELECT MAX(bucket) FROM b)""".stripMargin,
+    "zorder_key" ->
+      """WITH z AS (SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |                  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |                  CAST(l_partkey AS BIGINT) AS l_partkey,
+        |                  CAST(l_suppkey AS BIGINT) AS l_suppkey,
+        |                  CAST(list_sum([((CAST(l_partkey AS BIGINT) >> i) & 1) << (2*i) for i in range(0, 31)])
+        |                     + list_sum([((CAST(l_suppkey AS BIGINT) >> i) & 1) << (2*i + 1) for i in range(0, 31)])
+        |                    AS BIGINT) AS zkey
+        |           FROM lineitem)
+        |SELECT * FROM z ORDER BY zkey, l_orderkey, l_linenumber LIMIT 200""".stripMargin,
     "star_join" ->
       """SELECT r_name, n_name,
         |       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.plans.ZInterleave
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+class LayoutSpec extends SparkSpec {
+
+  test("ZInterleave matches hand-computed Morton addresses") {
+    def z(vals: Long*): Any =
+      ZInterleave(vals.map(v => Literal(v, LongType))).eval(null)
+    // x=5 (101), y=3 (011): bits → z0=x0=1, z1=y0=1, z2=x1=0, z3=y1=1,
+    // z4=x2=1, z5=y2=0 → 0b011011 = 27
+    assert(z(5L, 3L) == 27L)
+    assert(z(0L, 0L) == 0L)
+    // 3-dim: (2, 0, 1): z2=c2bit0=1 (4), z3=c0bit1=1 (8) → 12
+    assert(z(2L, 0L, 1L) == 12L)
+    // interleave is symmetric under argument swap of equal values
+    assert(z(7L, 7L) == 63L)
+  }
+
+  test("ZInterleave masks to 63/n bits and propagates null") {
+    def z(vals: Long*): Any =
+      ZInterleave(vals.map(v => Literal(v, LongType))).eval(null)
+    // n=2 → 31 bits per key: bit 31 and above of the input drop out
+    assert(z(1L << 31 | 5L, 3L) == z(5L, 3L))
+    assert(ZInterleave(Seq(Literal(null, LongType), Literal(1L, LongType)))
+      .eval(null) == null)
+  }
+
+  test("codegen and interpreted paths agree") {
+    val ss = spark; import ss.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(ss)
+    val df = Seq.tabulate(64)(i => (i * 2654435761L % (1L << 31), (i * 40503L) % (1L << 31)))
+      .toDF("x", "y")
+    val viaDf = df.select(Layout.zOrderKeyRaw(Seq(col("x"), col("y"))).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    val direct = df.collect().map { r =>
+      ZInterleave(Seq(Literal(r.getLong(0), LongType), Literal(r.getLong(1), LongType)))
+        .eval(null).asInstanceOf[Long]
+    }.toSeq
+    assert(viaDf == direct)
+  }
+
+  test("clusterByZOrder yields z-contiguous partitions, tight on both dims") {
+    val ss = spark; import ss.implicits._
+    // 32×32 grid, shuffled input order
+    val pts = scala.util.Random.shuffle(
+      (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)).toList)
+      .toDF("x", "y")
+    val clustered = Layout.clusterByZOrder(pts, Seq("x", "y"), nPartitions = 16)
+    assert(clustered.count() == 1024)
+
+    val ranges = clustered
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(min("x").as("x_lo"), max("x").as("x_hi"),
+        min("y").as("y_lo"), max("y").as("y_hi"), count(lit(1)).as("n"))
+      .collect()
+    // every partition spans ≤ half the domain on BOTH dims — the
+    // multi-dimensional locality a single-column sort cannot give
+    // (sorting by x alone leaves y spanning 0..31 in every file)
+    ranges.foreach { r =>
+      assert(r.getLong(2) - r.getLong(1) <= 16,
+        s"x-span too wide in partition ${r.getInt(0)}: $r")
+      assert(r.getLong(4) - r.getLong(3) <= 16,
+        s"y-span too wide in partition ${r.getInt(0)}: $r")
+    }
+  }
+
+  test("compact shrinks via narrow coalesce and preserves rows") {
+    val ss = spark; import ss.implicits._
+    val df = ss.range(0, 10000).toDF("id").repartition(32)
+    val compacted = Layout.compact(df, targetBytes = Long.MaxValue)
+    assert(compacted.rdd.getNumPartitions == 1)
+    assert(compacted.count() == 10000)
+    // shrink must not introduce an exchange
+    val plan = compacted.queryExecution.executedPlan.toString
+    assert(plan.contains("Coalesce"), s"expected narrow coalesce:\n$plan")
+    // a tiny target keeps (at least) the current layout rather than
+    // exploding the file count
+    val kept = Layout.compact(df, targetBytes = 1L)
+    assert(kept.rdd.getNumPartitions >= 32)
+  }
+}
