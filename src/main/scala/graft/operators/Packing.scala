@@ -38,6 +38,34 @@ object Packing {
         floor((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
   }
 
+  /** Reproducible global shuffle — the training-order step between
+    * curation and packing: every epoch needs the corpus in a
+    * different-but-reproducible random order, identical across
+    * re-runs, cluster sizes, and engines (no RNG, no
+    * `rand(seed)`-partition coupling). Order is the md5 of
+    * (seed, id): changing `seed` ("epoch-0", "epoch-1", …) reshuffles;
+    * fixing it makes the order a pure function of the data.
+    *
+    * Scale shape: shard = hash mod `nShards`, position = per-shard
+    * rank — ONE hash-partitioned exchange and per-shard sorts, never a
+    * global total-order sort; readers stream shards independently in
+    * (shard, pos) order.
+    *
+    * @return input + (shard int, pos long) — pos is 1-based within
+    *         shard, dense, gap-free
+    */
+  def deterministicShuffle(docs: DataFrame, idCol: Column, nShards: Int,
+                           seed: String): DataFrame = {
+    // 15 hex digits = 60 bits: inside Long range in both engines
+    val h = conv(substring(md5(concat(lit(seed), idCol.cast("string"))
+      .cast("binary")), 1, 15), 16, 10).cast("long")
+    docs.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), idCol)).cast("long"))
+      .drop("__h")
+  }
+
   /** The dual of packing: SPLIT each document into fixed token windows
     * of `chunkSize` every `stride` tokens (overlapping when
     * stride < chunkSize) — context-window chunking for embedding /

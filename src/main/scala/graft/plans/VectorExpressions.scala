@@ -126,6 +126,13 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1))
       }),
+    (new FunctionIdentifier("graft_mg"),
+      new ExpressionInfo(classOf[MisraGriesSketch].getName, "graft_mg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_mg(item, capacity) takes exactly two arguments")
+        MisraGriesSketch(children.head, children(1))
+      }),
     (new FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZInterleave].getName, "graft_zorder"),
       (children: Seq[Expression]) => {

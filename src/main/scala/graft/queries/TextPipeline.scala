@@ -194,6 +194,19 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Epoch-seeded reproducible training order
+    * ([[graft.operators.Packing.deterministicShuffle]]): every doc's
+    * (shard, pos) under seed "epoch-0", hash-gated — the oracle
+    * restates the md5 ordering, shard mod, and per-shard rank, so the
+    * whole training order (not just membership) is checked.
+    */
+  def shardShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.deterministicShuffle(
+      Tables.spread(Tables.documents(s, dir)).select(col("doc_id")),
+      col("doc_id"), nShards = 8, seed = "epoch-0")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
   /** Train/test decontamination: near-duplicate pairs (trigram Jaccard
     * ≥ 0.5) that CROSS the content-hash split boundary — the leakage a
     * training pipeline must catch before evaluation means anything.
@@ -460,6 +473,19 @@ object TextPipeline {
       .orderBy(col("n").desc, col("token").asc)
       .limit(50)
 
+  /** [[vocabTopk]] via the Misra–Gries exact-top-K composition
+    * ([[graft.operators.HeavyHitters.exactTopK]]) — same answer,
+    * hash-gated against the SAME exact oracle, but the scale path:
+    * shuffle volume O(capacity·partitions) instead of one row per
+    * distinct vocabulary item.
+    */
+  def vocabTopkMg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.exactTopK(
+      tokenizedDocs(s, dir).select(explode(col("__toks")).as("token")),
+      col("token"), k = 50, capacity = 4096)
+      .select(col("item").as("token"), col("n"))
+      .orderBy(col("n").desc, col("token").asc)
+
   /** Per-source document-length distribution: exact interpolated
     * percentiles of chars and tokens — the corpus-profiling pass that
     * sizes packing budgets and truncation limits. Both engines use the
@@ -604,11 +630,13 @@ object TextPipeline {
     "embed_quant" -> (embedQuant _),
     "doc_sample" -> (docSample _),
     "seq_pack" -> (seqPack _),
+    "shard_shuffle" -> (shardShuffle _),
     "decontamination" -> (decontamination _),
     "decontam_grams" -> (decontamGrams _),
     "corpus_mix" -> (corpusMix _),
     "text_repetition" -> (textRepetition _),
     "vocab_topk" -> (vocabTopk _),
+    "vocab_topk_mg" -> (vocabTopkMg _),
     "distinct_tokens" -> (distinctTokens _),
     "token_hll" -> (tokenHll _),
     "dup_spans" -> (dupSpans _),
@@ -898,6 +926,13 @@ object TextPipeline {
          |SELECT id_a, sa.split AS split_a, id_b, sb.split AS split_b, jaccard
          |FROM pairs JOIN sp sa ON id_a = sa.doc_id JOIN sp sb ON id_b = sb.doc_id
          |WHERE sa.split <> sb.split ORDER BY id_a, id_b""".stripMargin,
+    "shard_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |             CAST('0x' || substr(md5('epoch-0' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |           FROM documents)
+        |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
     "decontam_grams" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks,
          |             CASE WHEN substring(md5(text), 1, 2) < 'cc' THEN 'train'
@@ -960,6 +995,14 @@ object TextPipeline {
          |       round(1.0 - CAST(bl.d AS DOUBLE) / bl.n, 6) AS dup_bigram_ratio
          |FROM wl JOIN bl ON wl.doc_id = bl.doc_id ORDER BY wl.doc_id""".stripMargin,
     "vocab_topk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT unnest(toks) AS token FROM t)
+         |SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+         |ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    // vocab_topk_mg: the MG composition is EXACT by construction
+    // (certified recount), so it is gated against the identical
+    // plain-count oracle — no weaker floor needed.
+    "vocab_topk_mg" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |tok AS (SELECT unnest(toks) AS token FROM t)
          |SELECT token, COUNT(*) AS n FROM tok GROUP BY token

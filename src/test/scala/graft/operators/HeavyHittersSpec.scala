@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.plans.MisraGriesSketch
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+class HeavyHittersSpec extends SparkSpec {
+
+  private def sketch(capacity: Int) =
+    MisraGriesSketch(BoundReference(0, StringType, nullable = true),
+      Literal(capacity, IntegerType))
+
+  private def feed(agg: MisraGriesSketch,
+                   items: Seq[String]): scala.collection.mutable.HashMap[String, Long] = {
+    var buf = agg.createAggregationBuffer()
+    items.foreach { s =>
+      buf = agg.update(buf, InternalRow(UTF8String.fromString(s)))
+    }
+    buf
+  }
+
+  test("MG keeps every item with frequency > N/m (survival bound)") {
+    val agg = sketch(capacity = 3)
+    // N=20: a×9, b×6, others singletons. N/m = 6.67 → 'a' must survive
+    val stream = Seq.fill(9)("a") ++ Seq.fill(6)("b") ++
+      Seq("c", "d", "e", "f", "g")
+    val buf = feed(agg, scala.util.Random.shuffle(stream))
+    assert(buf.contains("a"), s"frequency-9 item evicted from $buf")
+    // weights are lower bounds: never above the true frequency
+    assert(buf("a") <= 9)
+    buf.get("b").foreach(w => assert(w <= 6))
+  }
+
+  test("MG merge respects capacity and preserves pointwise lower bounds") {
+    val agg = sketch(capacity = 3)
+    val a = feed(agg, Seq("x", "x", "x", "y", "y", "z"))
+    val b = feed(agg, Seq("x", "w", "w", "w", "v"))
+    val aCopy = a.clone()
+    val merged = agg.merge(a, b)
+    assert(merged.size <= 3, s"merge exceeded capacity: $merged")
+    // x had weight in both: merged weight is within N/m of 3+1
+    merged.get("x").foreach(w => assert(w <= aCopy("x") + 1))
+    // serialization round-trips the merged buffer exactly
+    assert(agg.deserialize(agg.serialize(merged)) == merged)
+  }
+
+  test("exactTopK matches the plain groupBy-count answer") {
+    val ss = spark; import ss.implicits._
+    // zipf-ish: token i appears 200/i times, i = 1..40
+    val rows = (1 to 40).flatMap(i => Seq.fill(200 / i)(s"tok$i"))
+    val df = scala.util.Random.shuffle(rows).toDF("t").repartition(8)
+    val viaMg = HeavyHitters.exactTopK(df, col("t"), k = 10, capacity = 64)
+      .as[(String, Long)].collect().toSeq
+    val exact = df.groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t").asc).limit(10)
+      .as[(String, Long)].collect().toSeq
+    assert(viaMg == exact)
+  }
+
+  test("exactTopK refuses rather than return uncertified ranks") {
+    val ss = spark; import ss.implicits._
+    // perfectly flat distribution, capacity far too small: the k-th
+    // count can never clear N/m
+    val df = (1 to 400).map(i => s"t${i % 100}").toDF("t")
+    val e = intercept[IllegalStateException] {
+      HeavyHitters.exactTopK(df, col("t"), k = 5, capacity = 8)
+    }
+    assert(e.getMessage.contains("capacity"), e.getMessage)
+  }
+}

@@ -62,4 +62,33 @@ class PackingSpec extends SparkSpec {
       .distinct().groupBy("h").count().filter(col("count") > 1).count()
     assert(twice == 0, "same content must map to one split")
   }
+
+  test("deterministicShuffle: reproducible, dense, epoch-sensitive") {
+    val ss = spark; import ss.implicits._
+    val docs = (1L to 500L).toDF("doc_id")
+    def order(seed: String): Seq[(Long, Int, Long)] =
+      Packing.deterministicShuffle(docs, col("doc_id"), nShards = 4, seed = seed)
+        .select("doc_id", "shard", "pos").as[(Long, Int, Long)]
+        .collect().sortBy(r => (r._2, r._3)).toSeq
+
+    val e0 = order("epoch-0")
+    // same seed, different physical layout → identical order
+    val e0again = Packing.deterministicShuffle(docs.repartition(13),
+        col("doc_id"), nShards = 4, seed = "epoch-0")
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._2, r._3)).toSeq
+    assert(e0 == e0again, "order must not depend on partitioning")
+
+    // every doc exactly once; pos dense 1..n per shard
+    assert(e0.map(_._1).sorted == (1L to 500L))
+    e0.groupBy(_._2).values.foreach { sh =>
+      assert(sh.map(_._3).sorted == (1L to sh.size))
+    }
+
+    // a different epoch seed produces a genuinely different order
+    val e1 = order("epoch-1")
+    assert(e0.map(_._1) != e1.map(_._1), "epoch seed must reshuffle")
+    // ...and not the sorted input order either
+    assert(e0.map(_._1) != (1L to 500L).toSeq, "shuffle must not be identity")
+  }
 }
