@@ -194,4 +194,46 @@ class ExplainSpec extends SparkSpec {
       }
     } finally docs.unpersist(blocking = false)
   }
+
+  test("zorder_key: the Morton expression stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("zorder_key")(spark, dir)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("graft_zorder"), s"missing zorder expr:\n$executed")
+    // the projection computing the z-address must carry the codegen
+    // stage prefix — a fallback to interpreted eval here puts O(rows)
+    // boxing on the clustering path
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(executed).isDefined,
+      s"z-address projection must be codegen'd:\n$executed")
+    assert(executed.contains("TakeOrderedAndProject"),
+      s"ordered limit must plan distributed, not global sort:\n$executed")
+  }
+
+  test("shard_shuffle: one hash exchange on shard, never a global total-order sort") {
+    val p = plan("shard_shuffle")
+    // the window partitions by shard — its exchange is hashpartitioning,
+    // and the only rangepartitioning allowed is the final presentation
+    // ORDER BY (which a sink would drop)
+    assert(p.contains("hashpartitioning(shard"),
+      s"per-shard window must hash-partition by shard:\n$p")
+    assert(count(p, "rangepartitioning") <= 1,
+      s"only the presentation sort may range-partition:\n$p")
+  }
+
+  test("vocab_topk_mg: the MG aggregate plans with a map-side partial") {
+    import org.apache.spark.sql.functions.{col, explode, lit}
+    import graft.plans.GraftExtensions
+    GraftExtensions.ensureRegistered(spark)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("t"))
+    val agg = toks.agg(org.apache.spark.sql.functions.call_function(
+      "graft_mg", col("t"), lit(64)))
+    val p = agg.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // TypedImperativeAggregate must run as ObjectHashAggregate with a
+    // partial phase: each partition ships ONE <=capacity summary, not
+    // its rows
+    assert(p.contains("ObjectHashAggregate"), s"expected object hash agg:\n$p")
+    assert(p.toLowerCase.contains("partial_graft_mg"),
+      s"MG must have a map-side partial phase:\n$p")
+  }
 }
