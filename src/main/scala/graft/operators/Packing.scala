@@ -27,11 +27,22 @@ object Packing {
     * @return input + (shard, n_tokens, cum_tokens, chunk_id)
     */
   def packByTokenBudget(docs: DataFrame, idCol: Column, nTokensCol: Column,
-                        budget: Int, nShards: Int): DataFrame = {
-    val w = Window.partitionBy(col("shard")).orderBy(idCol)
+                        budget: Int, nShards: Int): DataFrame =
+    packSharded(docs.withColumn("shard", pmod(idCol, lit(nShards)).cast("int")),
+      idCol, nTokensCol, budget)
+
+  /** Packing core over a PRE-ASSIGNED `shard` column and an arbitrary
+    * in-shard order — the generalization that lets
+    * [[deterministicShuffle]]'s (shard, pos) drive pack order instead
+    * of raw ids ([[graft.pipelines.Corpus.prepare]]'s shuffled mode).
+    * Same single per-shard windowed cumsum; `orderCol` must be unique
+    * within a shard for a deterministic chunking.
+    */
+  def packSharded(docs: DataFrame, orderCol: Column, nTokensCol: Column,
+                  budget: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .withColumn("shard", pmod(idCol, lit(nShards)).cast("int"))
       .withColumn("n_tokens", nTokensCol.cast("long"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("chunk_id",

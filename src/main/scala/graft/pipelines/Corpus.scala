@@ -34,11 +34,20 @@ object Corpus {
     *                   passes you don't want on a 100 TB production
     *                   run (pass false → stats are -1, pipeline stays
     *                   one lazy plan until the caller's write)
+    * @param holdoutGramK >0 enables verbatim-leak decontamination:
+    *                   train docs sharing a k-gram with val/test are
+    *                   dropped (Bloom-prefiltered exact filter)
+    * @param mixBudget  >0 enables temperature mixture sampling toward
+    *                   this token budget (docs must carry `source`)
+    * @param shuffleSeed non-null packs in epoch-seeded reproducible
+    *                   shuffle order instead of id order
     * @return (prepared frame with split/shard/chunk assignment, per-stage row accounting)
     */
   def prepare(docs: DataFrame, jaccard: Double = 0.5, minQuality: Double = 0.3,
               budget: Int = 2048, nShards: Int = 8,
-              withStats: Boolean = true): (DataFrame, PrepareStats) = {
+              withStats: Boolean = true, holdoutGramK: Int = 0,
+              mixBudget: Long = 0L,
+              shuffleSeed: String = null): (DataFrame, PrepareStats) = {
     def tally(df: DataFrame): Long = if (withStats) df.count() else -1L
     val input = tally(docs)
 
@@ -67,12 +76,37 @@ object Corpus {
       .filter(col("quality") >= minQuality)
     val nQuality = tally(scored)
 
-    // 4. stable split + 5. token-budget packing (train split packs;
-    //    val/test keep their assignment unpacked is a policy choice —
-    //    here all splits pack, callers filter)
-    val prepared = Packing.packByTokenBudget(
-      scored.withColumn("split", TextFns.stableSplit(col("text"))),
-      col("doc_id"), size(col("__toks")), budget, nShards)
+    // 4. stable split
+    val withSplit = scored.withColumn("split", TextFns.stableSplit(col("text")))
+
+    // 4b (opt-in). verbatim-leak decontamination: drop train docs
+    //     sharing a k-gram with the val/test splits (the Bloom-
+    //     prefiltered exact filter; see Decontam.leakedGrams).
+    val cleaned =
+      if (holdoutGramK <= 0) withSplit
+      else withSplit.join(
+        graft.operators.Decontam.leakedGrams(
+          withSplit.select(col("doc_id"), col("__toks"), col("split")),
+          k = holdoutGramK).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+
+    // 4c (opt-in). temperature mixture sampling toward a token budget
+    //     (requires a `source` column; keeps the per-source `rate`).
+    val mixed =
+      if (mixBudget <= 0L) cleaned
+      else mixtureSample(cleaned, size(col("__toks")).cast("long"), mixBudget)
+
+    // 5. token-budget packing — id order by default; epoch-seeded
+    //    reproducible shuffle order when `shuffleSeed` is given (the
+    //    training-order contract: same seed ⇒ same chunks, any
+    //    cluster size).
+    val prepared = (if (shuffleSeed == null)
+      Packing.packByTokenBudget(mixed, col("doc_id"), size(col("__toks")),
+        budget, nShards)
+    else
+      Packing.packSharded(
+        Packing.deterministicShuffle(mixed, col("doc_id"), nShards, shuffleSeed),
+        col("pos"), size(col("__toks")), budget))
       .drop("__toks")
 
     (prepared, PrepareStats(input, nExact, nNearDup, nQuality))

@@ -43,6 +43,59 @@ class CorpusSpec extends SparkSpec {
     assert(lazyPrep.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
   }
 
+  test("prepare full composition: decontam + mixture + shuffled packing") {
+    val ss = spark; import ss.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    // build docs where split assignment is content-driven; find one
+    // doc that stably lands in val/test to act as the holdout leak
+    // per-doc distinct vocabulary: no 8-gram is shared between any
+    // two docs except the planted quote (shared runs stay < 8 tokens)
+    val base = (1 to 40).map { i =>
+      (i.toLong,
+        s"the quick document $i holds " +
+          (1 to 8).map(j => s"w${i}x$j").mkString(" ") + s" plus tail $i end",
+        if (i % 2 == 0) "web" else "books")
+    }
+    // choose the planted docs by their POST-plant split (split is a
+    // content hash, so plant first, then look)
+    val planted = base.map { case (id, text, src) => (id, s"$text $quote", src) }
+    val postSplits = planted.toDF("doc_id", "text", "source")
+      .select(col("doc_id"),
+        graft.functions.TextFns.stableSplit(col("text")).as("split"))
+      .as[(Long, String)].collect().toMap
+    val holdoutId = postSplits.collectFirst { case (id, s) if s != "train" => id }.get
+    val trainId = postSplits.collectFirst { case (id, s) if s == "train" => id }.get
+    val docs = base.map { case (id, text, src) =>
+      if (id == holdoutId || id == trainId) (id, s"$text $quote", src)
+      else (id, text, src)
+    }.toDF("doc_id", "text", "source")
+
+    val (prepared, _) = Corpus.prepare(docs, jaccard = 0.9, minQuality = 0.1,
+      budget = 64, nShards = 2, withStats = false,
+      holdoutGramK = 8, mixBudget = 100000L, shuffleSeed = "epoch-0")
+    val rows = prepared.select("doc_id", "split", "shard", "pos", "chunk_id", "rate")
+      .collect()
+    val kept = rows.map(_.getLong(0)).toSet
+    assert(!kept.contains(trainId), "leaking train doc must be decontaminated away")
+    assert(kept.contains(holdoutId), "holdout doc itself stays")
+    // mixture budget is huge → rate 1.0 everywhere, nothing sampled out
+    assert(kept.size == 39, s"expected only the leaked train doc dropped: ${kept.size}")
+    assert(rows.forall(_.getDouble(5) == 1.0))
+    // shuffled packing: within a shard, chunk_id is monotone in pos
+    rows.groupBy(_.getInt(2)).values.foreach { sh =>
+      val byPos = sh.sortBy(_.getLong(3)).map(_.getLong(4))
+      assert(byPos.sorted.sameElements(byPos), "chunk_id must be monotone in pos")
+    }
+    // reproducibility: identical run → identical chunk assignment
+    val (again, _) = Corpus.prepare(docs, jaccard = 0.9, minQuality = 0.1,
+      budget = 64, nShards = 2, withStats = false,
+      holdoutGramK = 8, mixBudget = 100000L, shuffleSeed = "epoch-0")
+    val a = rows.map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    val b = again.select("doc_id", "shard", "pos", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b, "shuffled packing must be reproducible")
+  }
+
   test("mixtureRates matches the hand-computed temperature rule") {
     val ss = spark; import ss.implicits._
     // source a: 9 tokens (w=3), source b: 16 tokens (w=4); Σw=7.
