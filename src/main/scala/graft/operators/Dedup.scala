@@ -363,32 +363,22 @@ object Dedup {
     * pair set over the IDENTICAL fingerprints the pigeonhole path
     * prunes.
     *
-    * Execution shape (same rationale as minhashCandidates): tokens
-    * exploded to (doc_id, hash) rows, the 64 bit-counters are 64
-    * branch-free weighted-sum AGGREGATE columns in one codegen'd
-    * hash aggregate, and the fingerprint is a 64-term OR over their
-    * signs. Two-level: occurrences first collapse to (doc, hash,
-    * count) — a cheap 2-long-key aggregate with map-side combine —
-    * so the 64-expression stage runs once per DISTINCT token, not
-    * once per occurrence (natural text repeats tokens 2-3×, and
-    * c·(2·bit−1) ≡ the per-occurrence ±1 sum exactly). Docs with
+    * Execution shape: ONE codegen'd projection —
+    * [[graft.plans.SimHash64]] folds each doc's token array into its
+    * signature map-side (xxhash64 per occurrence, 64 bit counters,
+    * sign combine), replacing the former explode → (doc, hash, count)
+    * aggregate → 64-column sum aggregate pipeline and its TWO
+    * exchanges with zero exchanges (bit-identical: the per-distinct
+    * c·(2·bit−1) weighting ≡ the per-occurrence ±1 sum). Docs with
     * zero tokens drop out of pairing here (they are exact duplicates
     * of each other — Dedup.exact's domain).
     */
   def simhashSignaturesOfTokens(toks: DataFrame): DataFrame = {
-    val bitCols = (0 until 64).map(k =>
-      sum(col("__c") *
-        (call_function("shiftright", col("__h"), lit(k))
-          .bitwiseAND(1) * 2 - 1)).as(s"__c$k"))
+    graft.plans.GraftExtensions.ensureRegistered(toks.sparkSession)
     toks
-      .select(col("doc_id"), explode(col("__toks")).as("__t"))
-      .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
-      .groupBy(col("doc_id"), col("__h")).agg(count(lit(1)).as("__c"))
-      .groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(k =>
-          when(col(s"__c$k") > 0, lit(1L << k)).otherwise(0L))
-          .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+        call_function("graft_simhash64", col("__toks")).as("sh"))
+      .filter(col("sh").isNotNull) // empty-token docs drop, as before
   }
 
   /** [[simhashPairs]] over a pre-tokenized frame (doc_id, __toks) —

@@ -126,6 +126,13 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1))
       }),
+    (new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_simhash64(tokens) takes exactly one array<string> column")
+        SimHash64(children.head)
+      }),
     (new FunctionIdentifier("graft_mg"),
       new ExpressionInfo(classOf[MisraGriesSketch].getName, "graft_mg"),
       (children: Seq[Expression]) => {

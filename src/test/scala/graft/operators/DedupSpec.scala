@@ -87,6 +87,40 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 3))
   }
 
+  test("graft_simhash64 is bit-identical to the aggregate formulation") {
+    val ss = spark; import ss.implicits._
+    // repeated tokens exercise the multiplicity weighting; doc 4 is
+    // empty (must vanish); fixed seed keeps the fixture reproducible
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(30)(i => s"tok$i")
+    val docs = ((1 to 20).map { id =>
+      (id.toLong, Seq.fill(5 + rnd.nextInt(40))(vocab(rnd.nextInt(30))))
+    } :+ (99L, Seq.empty[String])).toDF("doc_id", "__toks")
+
+    val fast = Dedup.simhashSignaturesOfTokens(docs)
+      .as[(Long, Long)].collect().toMap
+
+    // the pre-round-8 pipeline: explode → xxhash → (doc, hash, count)
+    // → 64 weighted-sum aggregate columns → sign OR
+    val bitCols = (0 until 64).map(k =>
+      sum(col("__c") *
+        (call_function("shiftright", col("__h"), lit(k))
+          .bitwiseAND(1) * 2 - 1)).as(s"__c$k"))
+    val slow = docs
+      .select(col("doc_id"), explode(col("__toks")).as("__t"))
+      .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
+      .groupBy(col("doc_id"), col("__h")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(k =>
+          when(col(s"__c$k") > 0, lit(1L << k)).otherwise(0L))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+      .as[(Long, Long)].collect().toMap
+
+    assert(fast == slow, "expression and aggregate signatures must agree")
+    assert(!fast.contains(99L), "empty docs must drop")
+  }
+
   test("duplicatePassageStats counts shared k-gram spans per doc") {
     val ss = spark; import ss.implicits._
     // k=3 grams: docs 1 and 2 share the span "a b c d" → grams
