@@ -73,16 +73,14 @@ object Dedup {
   def minhashCandidatesOfTokens(toks: DataFrame, shingleLen: Int = 3,
                                 bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val hashed = toks
-      .select(col("doc_id"),
-        explode(TextFns.wordShinglesOf(col("__toks"), shingleLen)).as("__s"))
-      .select(col("doc_id"), xxhash64(col("__s")).as("__h"))
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("__h"))).as(s"__m$i"))
-    val sigs = hashed.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+    // ONE codegen'd projection computes the whole signature map-side
+    // (plans/MinHashSig) — the former explode → m-column MIN aggregate
+    // shape and its shingle-occurrence exchange are gone; bit-identical
+    // (DedupSpec proves expression ≡ aggregate).
+    graft.plans.GraftExtensions.ensureRegistered(toks.sparkSession)
+    val sigs = toks.select(col("doc_id"),
+      call_function("graft_minhash", col("__toks"),
+        lit(shingleLen), lit(numHashes)).as("sig"))
 
     // Explode to one row per band; the bucket key hashes the band's
     // signature slice, so the join key is (band, 8-byte bucket).

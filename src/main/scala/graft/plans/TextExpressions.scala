@@ -100,3 +100,114 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** Full MinHash signature (m 64-bit minima over word k-shingles) of a
+  * token array in ONE codegen'd pass — the same structural upgrade as
+  * [[SimHash64]] for [[graft.operators.Dedup.minhashCandidatesOfTokens]]'s
+  * signature stage: the former shape exploded every shingle into a
+  * (doc, hash) row and ran an m-column MIN aggregate (one exchange of
+  * all shingle occurrences, m aggregate buffers per doc); this folds
+  * each doc map-side — zero exchanges, the signature is a projection.
+  *
+  * Bit identity with the aggregate formulation:
+  *  - shingles: space-joined k-windows over the token array; docs
+  *    shorter than k yield ONE whole-doc shingle (empty docs: the
+  *    empty string) — exactly `TextFns.wordShinglesOf`;
+  *    `UTF8String.concatWs` skips null elements like `array_join`.
+  *  - hash i of shingle s: `xxhash64(i, xxhash64(s))` ≡
+  *    `hashLong(hashUTF8String(s, 42), hashInt(i, 42))` — the i-seed
+  *    prefixes are constants, precomputed once per operator instance.
+  *  - MIN over shingle occurrences (duplicates can't change a min).
+  */
+case class MinHashSig(child: Expression, shingleLen: Int, numHashes: Int)
+  extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash requires array<string>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  // hashInt(i, 42) prefixes — shared across rows, serialization-safe
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = shingleLen
+    val winLen = if (n < k) n else k
+    val nWin = if (n < k) 1 else n - k + 1
+    val sigs = Array.fill(numHashes)(Long.MaxValue)
+    val parts = new Array[UTF8String](winLen)
+    var w = 0
+    while (w < nWin) {
+      var j = 0
+      while (j < winLen) {
+        parts(j) = if (arr.isNullAt(w + j)) null else arr.getUTF8String(w + j)
+        j += 1
+      }
+      val h = XXH64.hashUTF8String(UTF8String.concatWs(sep, parts: _*), 42L)
+      var i = 0
+      while (i < numHashes) {
+        val hi = XXH64.hashLong(h, seeds(i))
+        if (hi < sigs(i)) sigs(i) = hi
+        i += 1
+      }
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      val seedsRef = ctx.addReferenceObj("mhSeeds", seeds, "long[]")
+      val sepRef = ctx.addReferenceObj("mhSep", sep, utf8)
+      val n = ctx.freshName("n")
+      val winLen = ctx.freshName("winLen")
+      val nWin = ctx.freshName("nWin")
+      val sigs = ctx.freshName("sigs")
+      val parts = ctx.freshName("parts")
+      val w = ctx.freshName("w")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val hi = ctx.freshName("hi")
+      s"""
+         |int $n = $a.numElements();
+         |int $winLen = ($n < $shingleLen) ? $n : $shingleLen;
+         |int $nWin = ($n < $shingleLen) ? 1 : $n - $shingleLen + 1;
+         |long[] $sigs = new long[$numHashes];
+         |java.util.Arrays.fill($sigs, Long.MAX_VALUE);
+         |$utf8[] $parts = new $utf8[$winLen];
+         |for (int $w = 0; $w < $nWin; $w++) {
+         |  for (int $j = 0; $j < $winLen; $j++) {
+         |    $parts[$j] = $a.isNullAt($w + $j) ? null : $a.getUTF8String($w + $j);
+         |  }
+         |  long $h = $xxh.hashUTF8String($utf8.concatWs($sepRef, $parts), 42L);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $hi = $xxh.hashLong($h, $seedsRef[$i]);
+         |    if ($hi < $sigs[$i]) $sigs[$i] = $hi;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sigs);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

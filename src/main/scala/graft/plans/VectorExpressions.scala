@@ -133,6 +133,17 @@ object GraftExtensions {
           "graft_simhash64(tokens) takes exactly one array<string> column")
         SimHash64(children.head)
       }),
+    (new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_minhash(tokens, shingleLen, numHashes) takes three arguments")
+        require(children(1).foldable && children(2).foldable,
+          "graft_minhash shingleLen/numHashes must be literals")
+        MinHashSig(children.head,
+          children(1).eval(null).asInstanceOf[Number].intValue(),
+          children(2).eval(null).asInstanceOf[Number].intValue())
+      }),
     (new FunctionIdentifier("graft_mg"),
       new ExpressionInfo(classOf[MisraGriesSketch].getName, "graft_mg"),
       (children: Seq[Expression]) => {

@@ -121,6 +121,38 @@ class DedupSpec extends SparkSpec {
     assert(!fast.contains(99L), "empty docs must drop")
   }
 
+  test("graft_minhash is bit-identical to the aggregate formulation") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector.tabulate(25)(i => s"word$i")
+    // includes a short doc (< shingleLen) and an empty doc — both take
+    // the whole-doc-shingle path ("" for the empty one)
+    val docs = ((1 to 15).map { id =>
+      (id.toLong, Seq.fill(2 + rnd.nextInt(30))(vocab(rnd.nextInt(25))))
+    } :+ (98L, Seq("solo")) :+ (99L, Seq.empty[String]))
+      .toDF("doc_id", "__toks")
+    val k = 3; val m = 32
+
+    graft.plans.GraftExtensions.ensureRegistered(ss)
+    val fast = docs.select(col("doc_id"),
+        call_function("graft_minhash", col("__toks"), lit(k), lit(m)).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+
+    // the pre-round-8 pipeline: explode shingles → xxhash → m MIN cols
+    val minCols = (0 until m).map(i =>
+      min(xxhash64(lit(i), col("__h"))).as(s"__m$i"))
+    val slow = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.wordShinglesOf(col("__toks"), k)).as("__s"))
+      .select(col("doc_id"), xxhash64(col("__s")).as("__h"))
+      .groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until m).map(i => col(s"__m$i")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+
+    assert(fast == slow, "expression and aggregate signatures must agree")
+    assert(fast.contains(99L), "empty docs keep their whole-doc shingle")
+  }
+
   test("duplicatePassageStats counts shared k-gram spans per doc") {
     val ss = spark; import ss.implicits._
     // k=3 grams: docs 1 and 2 share the span "a b c d" → grams
