@@ -41,6 +41,70 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming verbatim-leak decontamination: consume new document
+    * files from `srcDir`, drop every doc sharing an exact `k`-gram
+    * with the STATIC holdout, append survivors to `destDir` — the
+    * "benchmark firewall" run continuously in front of a training-data
+    * lake instead of as a batch sweep.
+    *
+    * Execution shape: the holdout gram set and its Bloom filter are
+    * built ONCE at query start (the holdout is small and static by
+    * premise — the same premise as [[graft.operators.Decontam]]); each
+    * micro-batch then runs the identical Bloom-prune → confirm-join →
+    * anti-join composition via `foreachBatch`, so per-batch semantics
+    * are EXACTLY the batch operator's (exact at any fpp) and the
+    * checkpoint gives exactly-once file consumption. Stateless per
+    * batch — no streaming state beyond the source offsets.
+    *
+    * @param holdoutToks static (…, __toks) frame of held-out docs
+    * @return survivors schema: (doc_id, text)
+    */
+  def decontamStream(spark: SparkSession, srcDir: String,
+                     holdoutToks: DataFrame, destDir: String,
+                     checkpointDir: String, k: Int = 8,
+                     fpp: Double = 0.01): Unit = {
+    import graft.functions.TextFns
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val holdoutGrams = holdoutToks
+      .select(explode(array_distinct(
+        TextFns.wordShinglesOf(col("__toks"), k))).as("__g"))
+      .select(xxhash64(col("__g")).as("gram")).distinct()
+      .localCheckpoint()
+    val nHoldout = math.max(holdoutGrams.count(), 1L)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(nHoldout, fpp)
+    val bloom = holdoutGrams
+      .agg(call_function("graft_bloom_agg",
+        col("gram"), lit(nHoldout), lit(numBits)).as("__bf"))
+      .head.getAs[Array[Byte]](0)
+
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(docsSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val toks = batch.select(col("doc_id"), col("text"),
+          TextFns.tokens(col("text")).as("__toks"))
+        val leaked = toks
+          .select(col("doc_id"), explode(array_distinct(
+            TextFns.wordShinglesOf(col("__toks"), k))).as("__g"))
+          .select(col("doc_id"), xxhash64(col("__g")).as("gram"))
+          .filter(call_function("graft_bloom_contains", lit(bloom), col("gram")))
+          .join(holdoutGrams, Seq("gram"), "left_semi")
+          .select(col("doc_id")).distinct()
+        batch.join(leaked, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text"))
+          .write.mode("append").parquet(destDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Windowed rollup of the incrementally-built table — bucket
     * partition pruning applies because [[ingestIncrement]] partitioned
     * by bucket_unix.

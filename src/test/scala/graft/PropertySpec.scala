@@ -107,4 +107,49 @@ class PropertySpec extends SparkSpec {
     assert(a == b)
     assert(streams.forall { case (s, b1, b2) => a(s) == math.max(b1, b2) })
   }
+
+  test("z-order address laws: per-dim monotone, bounded, dim-swap = bit-swap") {
+    import graft.plans.ZInterleave
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.LongType
+    def z(vals: Long*): Long =
+      ZInterleave(vals.map(v => Literal(v, LongType))).eval(null).asInstanceOf[Long]
+    val cases = sample(Gen.listOfN(200, for {
+      x <- Gen.chooseNum(0L, (1L << 31) - 2)
+      y <- Gen.chooseNum(0L, (1L << 31) - 1)
+    } yield (x, y)), 13L)
+    for ((x, y) <- cases) {
+      // monotone in each dimension with the other fixed — the property
+      // file-level min/max pruning relies on
+      assert(z(x + 1, y) > z(x, y), s"x-monotonicity at ($x,$y)")
+      if (y < (1L << 31) - 1) assert(z(x, y + 1) > z(x, y), s"y-monotonicity at ($x,$y)")
+      // 2 dims × 31 bits → always below 2^62, never negative
+      assert(z(x, y) >= 0L && z(x, y) < (1L << 62), s"bounds at ($x,$y)")
+      // swapping dims swaps the even/odd bit planes: z(x,y) and z(y,x)
+      // carry the same multiset of bits
+      assert(java.lang.Long.bitCount(z(x, y)) == java.lang.Long.bitCount(z(y, x)))
+    }
+    // interleave distributes over per-dim maxima: the address of the
+    // per-dim max bounds every address in a file (min/max skipping)
+    for (((x1, y1), (x2, y2)) <- cases.zip(cases.reverse)) {
+      val zmax = z(math.max(x1, x2), math.max(y1, y2))
+      assert(zmax >= z(x1, y1) || zmax >= z(x2, y2))
+    }
+  }
+
+  test("deterministicShuffle is a permutation for any shard count (batch property)") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.Packing
+    val n = 400
+    val docs = (1L to n.toLong).toDF("doc_id")
+    for (shards <- Seq(1, 3, 32)) {
+      val out = Packing.deterministicShuffle(docs, col("doc_id"), shards, "s")
+        .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+      assert(out.map(_._1).sorted.toSeq == (1L to n.toLong))
+      assert(out.forall(r => r._2 >= 0 && r._2 < shards))
+      out.groupBy(_._2).values.foreach { sh =>
+        assert(sh.map(_._3).sorted.toSeq == (1L to sh.size.toLong))
+      }
+    }
+  }
 }

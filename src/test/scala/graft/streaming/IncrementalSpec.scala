@@ -101,6 +101,36 @@ class IncrementalSpec extends SparkSpec {
     assert(n == ev.count(), "all original events survive, duplicates dropped")
   }
 
+  test("decontamStream equals batch decontamination across incremental runs") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("decontam_stream").toString
+    val src = base + "/src"; val dest = base + "/dest"; val ck = base + "/ck"
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+
+    val holdout = Seq((100L, s"held out benchmark item says $quote plainly"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("__toks"))
+
+    def mkDocs(ids: Range, leakId: Long) = ids.map { i =>
+      val body = (1 to 10).map(j => s"w${i}x$j").mkString(" ")
+      (i.toLong, if (i.toLong == leakId) s"$body $quote" else s"intro $body outro")
+    }.toDF("doc_id", "text")
+
+    // run 1: docs 1-20, doc 7 leaks the quote
+    mkDocs(1 to 20, leakId = 7L).write.parquet(src)
+    Incremental.decontamStream(spark, src, holdout, dest, ck, k = 8)
+    val after1 = spark.read.parquet(dest).select("doc_id").as[Long].collect().toSet
+    assert(after1 == ((1L to 20L).toSet - 7L), s"run1 survivors: $after1")
+
+    // run 2: docs 21-30 arrive, doc 25 leaks; run 1's files not reread
+    mkDocs(21 to 30, leakId = 25L).write.mode("append").parquet(src)
+    Incremental.decontamStream(spark, src, holdout, dest, ck, k = 8)
+    val after2 = spark.read.parquet(dest).select("doc_id").as[Long].collect().toSet
+    assert(after2 == ((1L to 30L).toSet - 7L - 25L), s"run2 survivors: $after2")
+  }
+
   test("streamingTop100 converges to the batch Top-K across runs with balance decreases") {
     val ss = spark; import ss.implicits._
     val src = Files.createTempDirectory("top_src").toString + "/t"
