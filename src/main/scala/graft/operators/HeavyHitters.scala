@@ -80,4 +80,66 @@ object HeavyHitters {
       .toDF("item", "n")
       .orderBy(col("n").desc, col("item").asc)
   }
+
+  /** Per-GROUP certified-exact top-K — the grouped shape where the
+    * mergeable MG buffer earns its keep: ONE aggregate produces every
+    * group's candidate summary (map-side partials merge per group, ≤
+    * `capacity` state each), candidates explode back to (group, item)
+    * rows and recount in ONE more pass — fully distributed, nothing
+    * group-cardinality-sized ever reaches the driver (unlike
+    * [[exactTopK]]'s single global summary, which is one row by
+    * construction). Certification is per group, the same two
+    * sufficient conditions; any uncertified group REFUSES with the
+    * offending groups named.
+    *
+    * Output: (grp, item, n, rnk) for rnk ≤ k, ordered by
+    * (grp, rnk, item).
+    */
+  def exactTopKPerGroup(items: DataFrame, groupCol: Column, itemCol: Column,
+                        k: Int, capacity: Int = 4096): DataFrame = {
+    val spark = items.sparkSession
+    GraftExtensions.ensureRegistered(spark)
+    val it = items.select(groupCol.cast("string").as("grp"),
+      itemCol.cast("string").as("item"))
+
+    // pass 1: per-group N + MG summary; candidates stay distributed
+    val summaries = it.groupBy(col("grp")).agg(
+      count(lit(1)).as("__n"),
+      call_function("graft_mg", col("item"), lit(capacity)).as("__mg"))
+      .localCheckpoint() // group-count-sized; feeds candidates AND certification
+    val cands = summaries.select(col("grp"),
+      explode(map_keys(col("__mg"))).as("item"))
+
+    // pass 2: exact recount of candidates per group; the frame is
+    // candidate-sized (≤ groups·capacity) and feeds both the
+    // certification scan and the returned ranking — checkpoint so the
+    // corpus recount runs once
+    val confirmed = it.join(cands, Seq("grp", "item"), "left_semi")
+      .groupBy(col("grp"), col("item")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp")).orderBy(col("n").desc, col("item").asc)
+    val ranked = confirmed.withColumn("rnk", row_number().over(w))
+
+    // certify per group: full coverage (Σ confirmed = N) or k-th
+    // count clears N/m — evaluated over the candidate-sized frame
+    val cert = ranked.groupBy(col("grp"))
+      .agg(sum(col("n")).as("__sum"),
+        max(when(col("rnk") === k, col("n"))).as("__kth"),
+        count(lit(1)).as("__cand"))
+      .join(summaries.select(col("grp"), col("__n")), "grp")
+      .withColumn("__ok",
+        col("__sum") === col("__n") ||
+          (col("__cand") >= k && col("__kth") * capacity > col("__n")))
+    val bad = cert.filter(!col("__ok")).select("grp").collect().map(_.getString(0))
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"MG capacity $capacity cannot certify exact top-$k for groups: " +
+          bad.sorted.mkString(", ") + ". Retry with a larger capacity.")
+
+    ranked.filter(col("rnk") <= k)
+      .select(col("grp"), col("item"), col("n"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("grp"), col("rnk"), col("item"))
+  }
 }

@@ -486,6 +486,21 @@ object TextPipeline {
       .select(col("item").as("token"), col("n"))
       .orderBy(col("n").desc, col("token").asc)
 
+  /** Per-source top-10 tokens via the GROUPED Misra–Gries composition
+    * ([[graft.operators.HeavyHitters.exactTopKPerGroup]]) — per-group
+    * mergeable summaries, distributed candidate recount, per-group
+    * exactness certification; gated against a plain per-source
+    * count + row_number oracle.
+    */
+  def sourceTopkMg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.exactTopKPerGroup(
+      tokenizedDocs(s, dir)
+        .select(col("source"), explode(col("__toks")).as("token")),
+      col("source"), col("token"), k = 10, capacity = 4096)
+      .select(col("grp").as("source"), col("item").as("token"),
+        col("n"), col("rnk"))
+      .orderBy(col("source"), col("rnk"))
+
   /** Per-source document-length distribution: exact interpolated
     * percentiles of chars and tokens — the corpus-profiling pass that
     * sizes packing budgets and truncation limits. Both engines use the
@@ -637,6 +652,7 @@ object TextPipeline {
     "text_repetition" -> (textRepetition _),
     "vocab_topk" -> (vocabTopk _),
     "vocab_topk_mg" -> (vocabTopkMg _),
+    "source_topk_mg" -> (sourceTopkMg _),
     "distinct_tokens" -> (distinctTokens _),
     "token_hll" -> (tokenHll _),
     "dup_spans" -> (dupSpans _),
@@ -999,6 +1015,15 @@ object TextPipeline {
          |tok AS (SELECT unnest(toks) AS token FROM t)
          |SELECT token, COUNT(*) AS n FROM tok GROUP BY token
          |ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "source_topk_mg" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |tok AS (SELECT source, unnest(toks) AS token FROM t),
+         |c AS (SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token),
+         |r AS (SELECT source, token, n,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, token ASC) AS BIGINT) AS rnk
+         |      FROM c)
+         |SELECT source, token, n, rnk FROM r WHERE rnk <= 10
+         |ORDER BY source, rnk""".stripMargin,
     // vocab_topk_mg: the MG composition is EXACT by construction
     // (certified recount), so it is gated against the identical
     // plain-count oracle — no weaker floor needed.

@@ -61,6 +61,44 @@ class HeavyHittersSpec extends SparkSpec {
     assert(viaMg == exact)
   }
 
+  test("exactTopKPerGroup matches per-group groupBy-count, fully distributed") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(3)
+    // three groups with different zipf-ish mixes
+    val rows = for {
+      g <- Seq("a", "b", "c")
+      i <- 1 to 30
+      _ <- 1 to (120 / i + rnd.nextInt(2))
+    } yield (g, s"${g}tok$i")
+    val df = scala.util.Random.shuffle(rows).toDF("g", "t").repartition(8)
+    val viaMg = HeavyHitters.exactTopKPerGroup(df, col("g"), col("t"),
+        k = 5, capacity = 64)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("n").desc, col("t").asc)
+    val exact = df.groupBy("g", "t").agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("g"), col("t"), col("n"), col("rnk"))
+      .orderBy(col("g"), col("rnk"), col("t"))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(viaMg == exact)
+  }
+
+  test("exactTopKPerGroup refuses naming only the uncertifiable groups") {
+    val ss = spark; import ss.implicits._
+    // group "flat" is uniform over 100 items (uncertifiable at cap 8);
+    // group "sharp" is a single repeated item (trivially certified)
+    val rows = (1 to 400).map(i => ("flat", s"t${i % 100}")) ++
+      (1 to 50).map(_ => ("sharp", "only"))
+    val e = intercept[IllegalStateException] {
+      HeavyHitters.exactTopKPerGroup(rows.toDF("g", "t"), col("g"), col("t"),
+        k = 5, capacity = 8)
+    }
+    assert(e.getMessage.contains("flat") && !e.getMessage.contains("sharp"),
+      e.getMessage)
+  }
+
   test("exactTopK refuses rather than return uncertified ranks") {
     val ss = spark; import ss.implicits._
     // perfectly flat distribution, capacity far too small: the k-th
