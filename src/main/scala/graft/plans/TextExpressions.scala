@@ -211,3 +211,79 @@ case class MinHashSig(child: Expression, shingleLen: Int, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
+
+/** Per-doc token multiset statistics (total, distinct, top frequency)
+  * in ONE map-side pass — the third signature-stage fold (after
+  * [[SimHash64]] and [[MinHashSig]]): the repetition-quality metrics
+  * (`text_repetition`) formerly exploded every token/bigram occurrence
+  * into rows and ran TWO two-level groupBy pipelines (four exchanges);
+  * `graft_tok_stats(arr)` computes the same (n, d, top) struct per doc
+  * inside the scan, and the Gopher-style ratios become plain column
+  * arithmetic over it.
+  *
+  * Semantics match the aggregate formulation exactly: n = non-null
+  * element count, d = distinct element count (string equality), top =
+  * max multiplicity; EMPTY (or all-null) array → NULL (explode dropped
+  * those docs). The heavy lifting lives in an interpreted kernel
+  * invoked from codegen — a per-row hash map is not worth inlining,
+  * but the call keeps the surrounding stage inside whole-stage
+  * codegen.
+  */
+case class TokenStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_tok_stats requires array<string>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("d", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_tok_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenStatsKernel.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.plans.TokenStatsKernel.compute($a);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+}
+
+object TokenStatsKernel {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def compute(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Long]()
+    var total = 0L
+    var top = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        // copy: getUTF8String may point into reused row buffers
+        val t = arr.getUTF8String(i).clone()
+        val c = counts.merge(t, 1L, (x, y) => x + y)
+        if (c > top) top = c
+        total += 1L
+      }
+      i += 1
+    }
+    if (total == 0L) null
+    else new GenericInternalRow(Array[Any](total, counts.size.toLong, top))
+  }
+}

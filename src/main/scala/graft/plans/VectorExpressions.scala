@@ -144,6 +144,13 @@ object GraftExtensions {
           children(1).eval(null).asInstanceOf[Number].intValue(),
           children(2).eval(null).asInstanceOf[Number].intValue())
       }),
+    (new FunctionIdentifier("graft_tok_stats"),
+      new ExpressionInfo(classOf[TokenStats].getName, "graft_tok_stats"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_tok_stats(tokens) takes exactly one array<string> column")
+        TokenStats(children.head)
+      }),
     (new FunctionIdentifier("graft_mg"),
       new ExpressionInfo(classOf[MisraGriesSketch].getName, "graft_mg"),
       (children: Seq[Expression]) => {

@@ -152,20 +152,23 @@ object TextPipeline {
     * the oracle verbatim.
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val staged = tokenizedDocs(s, dir).select(col("doc_id"), col("__toks"))
-    def level(gramCol: org.apache.spark.sql.Column) = staged
-      .select(col("doc_id"), explode(gramCol).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n"), count(lit(1)).as("d"), max(col("c")).as("top"))
-    val words = level(col("__toks"))
-      .select(col("doc_id"), col("n").as("n_tokens"), col("d").as("n_distinct"),
-        round(lit(1.0) - col("d").cast(DoubleType) / col("n"), 6).as("dup_word_ratio"),
-        round(col("top").cast(DoubleType) / col("n"), 6).as("top_word_ratio"))
-    val bigrams = level(TextFns.wordShinglesOf(col("__toks"), 2))
+    // per-doc multiset stats fold map-side (plans/TokenStats) — the
+    // former two explode → two-level groupBy pipelines (4 exchanges)
+    // are now two struct columns in the scan projection; the ratios
+    // are the same post-aggregation arithmetic as before
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    tokenizedDocs(s, dir)
       .select(col("doc_id"),
-        round(lit(1.0) - col("d").cast(DoubleType) / col("n"), 6).as("dup_bigram_ratio"))
-    words.join(bigrams, "doc_id").orderBy(col("doc_id"))
+        call_function("graft_tok_stats", col("__toks")).as("w"),
+        call_function("graft_tok_stats",
+          TextFns.wordShinglesOf(col("__toks"), 2)).as("b"))
+      .filter(col("w").isNotNull)
+      .select(col("doc_id"),
+        col("w.n").as("n_tokens"), col("w.d").as("n_distinct"),
+        round(lit(1.0) - col("w.d").cast(DoubleType) / col("w.n"), 6).as("dup_word_ratio"),
+        round(col("w.top").cast(DoubleType) / col("w.n"), 6).as("top_word_ratio"),
+        round(lit(1.0) - col("b.d").cast(DoubleType) / col("b.n"), 6).as("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))
   }
 
   /** Content-hash stable sampling + train/val/test split: md5-driven,
