@@ -82,6 +82,18 @@ object Layout {
       .drop("__z")
   }
 
+  /** Cluster and WRITE: the end-to-end layout pass a table-maintenance
+    * job runs — z-order the rows, then write one file per range so
+    * every parquet footer carries tight min/max on all clustered
+    * columns. `maxRecordsPerFile` is deliberately NOT set: a range
+    * partition must stay one file or the in-partition sort's
+    * file-level min/max tightness splits unpredictably.
+    */
+  def writeClustered(df: DataFrame, path: String, cols: Seq[String],
+                     nFiles: Int): Unit =
+    clusterByZOrder(df, cols, nFiles)
+      .write.mode("overwrite").parquet(path)
+
   /** Re-size `df` to ~`targetBytes` output partitions using the
     * optimizer's size estimate (column-pruned, filter-adjusted — the
     * same number AQE plans with). Shrinking uses `coalesce`, a NARROW

@@ -70,6 +70,40 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("writeClustered produces files with disjoint z-ranges, prunable on both dims") {
+    val ss = spark; import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zorder_write").toString + "/t"
+    val pts = scala.util.Random.shuffle(
+      (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)).toList)
+      .toDF("x", "y")
+    Layout.writeClustered(pts, dir, Seq("x", "y"), nFiles = 8)
+
+    val back = ss.read.parquet(dir)
+    assert(back.count() == 1024)
+    graft.plans.GraftExtensions.ensureRegistered(ss)
+    // per-FILE key ranges from the data actually on disk
+    val ranges = back
+      .withColumn("f", input_file_name())
+      .withColumn("z", Layout.zOrderKeyRaw(Seq(col("x"), col("y"))))
+      .groupBy("f")
+      .agg(min("z").as("z_lo"), max("z").as("z_hi"),
+        min("x").as("x_lo"), max("x").as("x_hi"))
+      .collect()
+    assert(ranges.length == 8, s"expected 8 files, got ${ranges.length}")
+    // z-ranges pairwise disjoint: file-level min/max skipping on the
+    // clustering key prunes exactly
+    val sorted = ranges.sortBy(_.getLong(1))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) < b.getLong(1),
+        s"overlapping z-ranges: $a vs $b")
+      case _ =>
+    }
+    // and each file stays tight on a RAW dimension too (≤ half domain)
+    sorted.foreach { r =>
+      assert(r.getLong(4) - r.getLong(3) <= 16, s"x-span too wide: $r")
+    }
+  }
+
   test("compact shrinks via narrow coalesce and preserves rows") {
     val ss = spark; import ss.implicits._
     val df = ss.range(0, 10000).toDF("id").repartition(32)
