@@ -78,32 +78,13 @@ case class MisraGriesSketch(child: Expression, capacityExpr: Expression,
                       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
     if (v == null) return buf
-    val item = v.asInstanceOf[UTF8String].toString
-    buf.get(item) match {
-      case Some(c) => buf.update(item, c + 1L)
-      case None if buf.size < capacity => buf.update(item, 1L)
-      case None => // decrement-all eviction (amortized by prior inserts)
-        val dead = mutable.ArrayBuffer.empty[String]
-        buf.mapValuesInPlace((_, c) => c - 1L)
-        buf.foreach { case (k, c) => if (c <= 0L) dead += k }
-        dead.foreach(buf.remove)
-    }
+    MGKernel.update(buf, v.asInstanceOf[UTF8String].toString, capacity)
     buf
   }
 
   override def merge(buf: mutable.HashMap[String, Long],
                      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    other.foreach { case (k, c) => buf.update(k, buf.getOrElse(k, 0L) + c) }
-    if (buf.size > capacity) {
-      // subtract the (m+1)-th largest weight, drop the non-positive
-      val weights = buf.values.toArray
-      java.util.Arrays.sort(weights)
-      val cut = weights(weights.length - capacity - 1)
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.mapValuesInPlace((_, c) => c - cut)
-      buf.foreach { case (k, c) => if (c <= 0L) dead += k }
-      dead.foreach(buf.remove)
-    }
+    MGKernel.merge(buf, other, capacity)
     buf
   }
 
@@ -148,4 +129,42 @@ case class MisraGriesSketch(child: Expression, capacityExpr: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MisraGriesSketch =
     copy(child = newLeft, capacityExpr = newRight)
+}
+
+/** The Misra–Gries update/merge rules, shared by the
+  * [[MisraGriesSketch]] aggregate and the streaming keyed-state
+  * surface ([[graft.streaming.Incremental.heavyHittersStream]]) — a
+  * streaming run IS repeated mergeable-summary merging, so both
+  * surfaces carry identical bounds by construction.
+  */
+object MGKernel {
+
+  /** One occurrence of `item` into `buf` under the MG rule. */
+  def update(buf: mutable.HashMap[String, Long], item: String,
+             capacity: Int): Unit =
+    buf.get(item) match {
+      case Some(c) => buf.update(item, c + 1L)
+      case None if buf.size < capacity => buf.update(item, 1L)
+      case None => // decrement-all eviction (amortized by prior inserts)
+        val dead = mutable.ArrayBuffer.empty[String]
+        buf.mapValuesInPlace((_, c) => c - 1L)
+        buf.foreach { case (k, c) => if (c <= 0L) dead += k }
+        dead.foreach(buf.remove)
+    }
+
+  /** Merge `other` into `buf` (Agarwal et al. 2012): pointwise sums,
+    * then subtract the (m+1)-th largest weight and drop non-positive. */
+  def merge(buf: mutable.HashMap[String, Long],
+            other: scala.collection.Map[String, Long], capacity: Int): Unit = {
+    other.foreach { case (k, c) => buf.update(k, buf.getOrElse(k, 0L) + c) }
+    if (buf.size > capacity) {
+      val weights = buf.values.toArray
+      java.util.Arrays.sort(weights)
+      val cut = weights(weights.length - capacity - 1)
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.mapValuesInPlace((_, c) => c - cut)
+      buf.foreach { case (k, c) => if (c <= 0L) dead += k }
+      dead.foreach(buf.remove)
+    }
+  }
 }

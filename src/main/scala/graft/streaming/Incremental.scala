@@ -105,6 +105,44 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Continuously-maintained per-group heavy hitters: the
+    * [[graft.plans.MGKernel]] Misra–Gries rules as `mapGroupsWithState`
+    * keyed state — the streaming twin of
+    * [[graft.operators.HeavyHitters.exactTopKPerGroup]]'s pass 1.
+    * Each micro-batch folds its rows into the group's bounded summary
+    * (state ≤ `capacity` entries per group, FOREVER, regardless of
+    * vocabulary growth) and emits the current top-`k` lower-bound
+    * weights. A streaming run is repeated mergeable-summary updating,
+    * so the MG bounds hold over the FULL stream history: every item
+    * with total frequency > N/capacity is in the emitted set, weights
+    * are within N/capacity below truth. Exactness certification needs
+    * the recount pass — run the batch composition over the lake when
+    * an exact answer is required; this surface is the cheap continuous
+    * monitor (trending tokens, hot keys, drift alarms).
+    *
+    * @param docs streaming Dataset of (group, item) pairs
+    * @return per micro-batch: (group, item, weight_lb, rnk ≤ k)
+    */
+  def heavyHittersStream(docs: org.apache.spark.sql.Dataset[(String, String)],
+                         k: Int = 10, capacity: Int = 256)
+      : org.apache.spark.sql.Dataset[(String, String, Long, Int)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], (String, String, Long, Int)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        case (grp, rows, state: GroupState[Map[String, Long]]) =>
+          val buf = scala.collection.mutable.HashMap.from(
+            state.getOption.getOrElse(Map.empty))
+          rows.foreach { case (_, item) => graft.plans.MGKernel.update(buf, item, capacity) }
+          state.update(buf.toMap)
+          buf.toSeq.sortBy { case (item, w) => (-w, item) }.take(k)
+            .zipWithIndex.iterator
+            .map { case ((item, w), i) => (grp, item, w, i + 1) }
+      }
+  }
+
   /** Windowed rollup of the incrementally-built table — bucket
     * partition pruning applies because [[ingestIncrement]] partitioned
     * by bucket_unix.

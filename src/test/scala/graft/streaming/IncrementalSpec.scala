@@ -101,6 +101,55 @@ class IncrementalSpec extends SparkSpec {
     assert(n == ev.count(), "all original events survive, duplicates dropped")
   }
 
+  test("heavyHittersStream: MG bounds hold across checkpointed runs") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("hh_stream").toString
+    val src = base + "/src"; val ck = base + "/ck"
+    val schema = org.apache.spark.sql.Encoders.product[(String, String)].schema
+
+    // memory sink cannot resume a checkpoint; foreachBatch can — each
+    // run buffers its own emissions (last batch wins per run)
+    def run(): Seq[(String, Long, Int)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Int)]
+      val in = spark.readStream.schema(schema).parquet(src).as[(String, String)]
+      val q = Incremental.heavyHittersStream(in, k = 5, capacity = 8)
+        .toDF("g", "item", "w", "rnk")
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= b.filter(col("g") === "A").select("item", "w", "rnk")
+              .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      buf.toSeq
+    }
+
+    // batch 1: "hot" appears 40× among 40 singletons in group A
+    (Seq.fill(40)(("A", "hot")) ++ (1 to 40).map(i => ("A", s"noise$i")))
+      .toDF("_1", "_2").write.parquet(src)
+    val r1 = run().map(r => r._1 -> r._2).toMap
+    assert(r1.contains("hot"), s"freq > N/m item must survive batch 1: $r1")
+    assert(r1("hot") <= 40, "weight is a lower bound, never above truth")
+
+    // batch 2: 30 more "hot" + fresh noise; state carries across runs
+    (Seq.fill(30)(("A", "hot")) ++ (1 to 30).map(i => ("A", s"late$i")))
+      .toDF("_1", "_2").write.mode("append").parquet(src)
+    val r2 = run()
+    val hot = r2.find(_._1 == "hot").getOrElse(fail(s"hot lost after merge: ${r2.toSeq}"))
+    // total freq 70 over N=140 at m=8: bound guarantees survival AND
+    // weight within N/m of truth
+    assert(hot._2 <= 70 && hot._2 >= 70 - 140 / 8, s"weight bound violated: $hot")
+    assert(hot._3 == 1, "hot must rank first")
+    assert(r2.length <= 5, "emits at most k rows per group")
+  }
+
   test("decontamStream equals batch decontamination across incremental runs") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
