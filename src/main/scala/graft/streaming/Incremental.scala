@@ -106,16 +106,20 @@ object Incremental {
   }
 
   /** Continuously-maintained per-group heavy hitters: the
-    * [[graft.plans.MGKernel]] Misra–Gries rules as `mapGroupsWithState`
-    * keyed state — the streaming twin of
+    * [[graft.plans.MGKernel]] Misra–Gries rules as
+    * `flatMapGroupsWithState` keyed state — the streaming twin of
     * [[graft.operators.HeavyHitters.exactTopKPerGroup]]'s pass 1.
     * Each micro-batch folds its rows into the group's bounded summary
     * (state ≤ `capacity` entries per group, FOREVER, regardless of
     * vocabulary growth) and emits the current top-`k` lower-bound
     * weights. A streaming run is repeated mergeable-summary updating,
-    * so the MG bounds hold over the FULL stream history: every item
-    * with total frequency > N/capacity is in the emitted set, weights
-    * are within N/capacity below truth. Exactness certification needs
+    * so the MG bounds hold over the FULL stream history — for the
+    * STATE: every item with total frequency > N/capacity is in the
+    * group's state, weights within N/capacity below truth. The
+    * EMISSION truncates that state to the k largest weights (raise
+    * `k` toward `capacity` if the consumer needs every
+    * above-threshold item). Null items are skipped, matching the
+    * batch aggregate. Exactness certification needs
     * the recount pass — run the batch composition over the lake when
     * an exact answer is required; this surface is the cheap continuous
     * monitor (trending tokens, hot keys, drift alarms).
@@ -135,7 +139,9 @@ object Incremental {
         case (grp, rows, state: GroupState[Map[String, Long]]) =>
           val buf = scala.collection.mutable.HashMap.from(
             state.getOption.getOrElse(Map.empty))
-          rows.foreach { case (_, item) => graft.plans.MGKernel.update(buf, item, capacity) }
+          rows.foreach { case (_, item) =>
+            if (item != null) graft.plans.MGKernel.update(buf, item, capacity)
+          }
           state.update(buf.toMap)
           buf.toSeq.sortBy { case (item, w) => (-w, item) }.take(k)
             .zipWithIndex.iterator

@@ -120,10 +120,11 @@ class IncrementalSpec extends SparkSpec {
         .option("checkpointLocation", ck)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          buf.synchronized {
-            buf ++= b.filter(col("g") === "A").select("item", "w", "rnk")
-              .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
-          }
+          // last non-empty batch wins: each batch's emission is the
+          // group's CURRENT top-k, so earlier batches are superseded
+          val rows = b.filter(col("g") === "A").select("item", "w", "rnk")
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+          buf.synchronized { if (rows.nonEmpty) { buf.clear(); buf ++= rows } }
           ()
         }
         .start()
