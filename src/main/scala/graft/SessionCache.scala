@@ -7,18 +7,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * temp-table-reuse frames ([[Tables]] resolved relations, the
   * activity flows frame, the text pipeline's token/pair frames).
   *
-  * Lifecycle contract:
-  *  - entries key on a per-session id held in a WEAK-keyed side map,
-  *    never on the session object, so the cache retains NO strong
-  *    reference to a stopped session;
-  *  - a new session (even over the same SparkContext) sees none of an
-  *    old session's frames — `newSession()`/restart cannot leak state;
+  * Lifecycle contract (stated precisely — cached DataFrames hold
+  * their session through `queryExecution`, so entries DO pin a
+  * session until evicted; the weak-keyed id map only guarantees the
+  * id bookkeeping itself never outlives a session):
+  *  - entry keys are (per-session id, key): a new session (even over
+  *    the same SparkContext) sees none of an old session's frames —
+  *    `newSession()`/restart cannot read stale state;
   *  - the first touch from a session registers ONE listener that
   *    evicts (and unpersists) all of that session's entries when the
-  *    application ends, so a long-lived multi-session service does not
-  *    accumulate dead frames;
-  *  - [[evictSession]] is the explicit per-batch-cycle hook for
-  *    services that outlive their working set.
+  *    APPLICATION ends — the floor guarantee for batch mains (Bench,
+  *    Verify, CLI), whose process exit is the session's end;
+  *  - a long-lived service creating per-tenant/per-request sessions
+  *    over one application MUST call [[evictSession]] when it retires
+  *    a session — there is no per-session end event in Spark to hook,
+  *    so un-evicted entries (and the sessions they reference) live
+  *    until application end. This is the deliberate trade for keeping
+  *    persisted frames reliably resident between queries.
   *
   * Entry creation uses `computeIfAbsent`, so a racing first touch
   * builds (and persists) the frame exactly once.

@@ -51,9 +51,56 @@ object Decontam {
     * match the gram strings' absent 2^64 collisions.
     */
   private def distinctGramHashes(toks: DataFrame, k: Int): DataFrame =
-    toks.select(col("doc_id"), col("split"),
-        explode(array_distinct(TextFns.wordShinglesOf(col("__toks"), k))).as("__g"))
-      .select(col("doc_id"), col("split"), xxhash64(col("__g")).as("gram"))
+    docGramHashes(toks.select(col("doc_id"), col("split"), col("__toks")), k)
+
+  /** Per-doc distinct k-gram hashes of a (…, doc_id, __toks) frame —
+    * passthrough columns are kept; the corpus-side twin of
+    * [[holdoutGramSet]] (same gram unit, same hash), shared with the
+    * streaming firewall's per-batch scan. */
+  def docGramHashes(toks: DataFrame, k: Int): DataFrame =
+    toks
+      .withColumn("__g", explode(array_distinct(
+        TextFns.wordShinglesOf(col("__toks"), k))))
+      .withColumn("gram", xxhash64(col("__g")))
+      .drop("__g", "__toks")
+
+  /** Distinct gram-hash set of a holdout frame (…, __toks) — the ONE
+    * derivation both the batch operator and the streaming firewall
+    * ([[graft.streaming.Incremental.decontamStream]]) share, so the
+    * gram unit/hash can never silently diverge between them. Eagerly
+    * checkpointed: small by premise, consumed several times.
+    */
+  def holdoutGramSet(holdoutToks: DataFrame, k: Int): DataFrame =
+    holdoutToks
+      .select(explode(array_distinct(
+        TextFns.wordShinglesOf(col("__toks"), k))).as("__g"))
+      .select(xxhash64(col("__g")).as("gram")).distinct()
+      .localCheckpoint()
+
+  /** Fold a (gram: long) frame into one serialized Bloom filter.
+    * `BloomFilterAggregate` clamps its sizing to the session's
+    * runtime-filter caps (default 4M items / 67.1M bits — sized for
+    * injected join filters, not a 10^8-gram holdout), so the caps are
+    * RAISED first when the requested size exceeds them; otherwise the
+    * build silently degrades to fpp in the tens of percent (result
+    * stays exact — the confirm join absorbs it — but the pre-shuffle
+    * prune stops pruning).
+    */
+  def buildBloom(grams: DataFrame, nItems: Long, fpp: Double): Array[Byte] = {
+    val spark = grams.sparkSession
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val numBits = BloomFilter.optimalNumOfBits(nItems, fpp)
+    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> nItems,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+      .foreach { case (conf, needed) =>
+        if (spark.conf.get(conf).toLong < needed)
+          spark.conf.set(conf, needed.toString)
+      }
+    grams
+      .agg(call_function("graft_bloom_agg",
+        col("gram"), lit(nItems), lit(numBits)).as("__bf"))
+      .head.getAs[Array[Byte]](0)
+  }
 
   /** Training docs leaking held-out content: (doc_id, n_leaked_grams)
     * for every `train`-split doc sharing ≥1 distinct k-gram with any
@@ -73,21 +120,13 @@ object Decontam {
     val grams = distinctGramHashes(toks, k)
 
     // Holdout gram set: small by premise, consumed three times
-    // (sizing count, Bloom build, confirm join) — eager localCheckpoint
-    // computes it once and truncates lineage, storage reclaimed with
-    // the RDD (no persist-leak into long-lived sessions).
-    val holdout = grams.filter(col("split").isin(holdoutSplits: _*))
-      .select(col("gram")).distinct()
-      .localCheckpoint()
+    // (sizing count, Bloom build, confirm join) — holdoutGramSet's
+    // eager localCheckpoint computes it once and truncates lineage,
+    // storage reclaimed with the RDD.
+    val holdout = holdoutGramSet(
+      toks.filter(col("split").isin(holdoutSplits: _*)), k)
     val nHoldout = math.max(holdout.count(), 1L)
-    val numBits = BloomFilter.optimalNumOfBits(nHoldout, fpp)
-
-    // One distributed pass folds the holdout grams into a single
-    // serialized Bloom filter (map-side partial blooms, OR-merge).
-    val bloom = holdout
-      .agg(call_function("graft_bloom_agg",
-        col("gram"), lit(nHoldout), lit(numBits)).as("__bf"))
-      .head.getAs[Array[Byte]](0)
+    val bloom = buildBloom(holdout, nHoldout, fpp)
 
     // Corpus scan: membership test runs pre-shuffle in codegen; the
     // equi-join after it sees only true hits + the fpp sliver.

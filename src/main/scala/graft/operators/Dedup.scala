@@ -78,9 +78,14 @@ object Dedup {
     // shape and its shingle-occurrence exchange are gone; bit-identical
     // (DedupSpec proves expression ≡ aggregate).
     graft.plans.GraftExtensions.ensureRegistered(toks.sparkSession)
+    // null-token docs yield a null sig — filter them out BEFORE
+    // banding: a null sig would hash to the constant bucket
+    // xxhash64(null) in every band, colliding all such docs pairwise
+    // (O(m²) join blowup; the pre-expression explode dropped them)
     val sigs = toks.select(col("doc_id"),
       call_function("graft_minhash", col("__toks"),
         lit(shingleLen), lit(numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
 
     // Explode to one row per band; the bucket key hashes the band's
     // signature slice, so the join key is (band, 8-byte bucket).

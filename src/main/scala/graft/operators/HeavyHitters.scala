@@ -41,7 +41,10 @@ object HeavyHitters {
     val spark = items.sparkSession
     GraftExtensions.ensureRegistered(spark)
     import spark.implicits._
+    // nulls are skipped by the MG sketch AND by the recount — drop
+    // them here too so the certification's N matches the bound's N
     val it = items.select(itemCol.cast("string").as("item"))
+      .filter(col("item").isNotNull)
 
     // pass 1: N and the merged MG summary in one scan
     val row = it.agg(
@@ -101,6 +104,7 @@ object HeavyHitters {
     GraftExtensions.ensureRegistered(spark)
     val it = items.select(groupCol.cast("string").as("grp"),
       itemCol.cast("string").as("item"))
+      .filter(col("item").isNotNull) // keep certification N ≡ MG's N
 
     // pass 1: per-group N + MG summary; candidates stay distributed
     val summaries = it.groupBy(col("grp")).agg(

@@ -102,9 +102,16 @@ object Layout {
     * needs a real round-robin exchange.
     */
   def compact(df: DataFrame, targetBytes: Long): DataFrame = {
+    // stats.sizeInBytes falls back to spark.sql.defaultSizeInBytes
+    // (Long.MaxValue by default) on stats-less relations: no basis to
+    // re-size, so return the frame unchanged rather than truncating
+    // the huge quotient into a 0/negative/absurd partition count
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val n = math.max(1, (bytes / math.max(targetBytes, 1L)).toLong +
-      (if (bytes % math.max(targetBytes, 1L) == 0) 0 else 1)).toInt
+    if (bytes >= BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes))
+      return df
+    val target = BigInt(math.max(targetBytes, 1L))
+    val quot = bytes / target + (if (bytes % target == 0) 0 else 1)
+    val n = quot.max(1).min(Int.MaxValue).toInt
     val cur = df.rdd.getNumPartitions
     if (n < cur) df.coalesce(n)
     else if (n == cur) df

@@ -84,11 +84,19 @@ object Corpus {
     //     prefiltered exact filter; see Decontam.leakedGrams).
     val cleaned =
       if (holdoutGramK <= 0) withSplit
-      else withSplit.join(
-        graft.operators.Decontam.leakedGrams(
-          withSplit.select(col("doc_id"), col("__toks"), col("split")),
-          k = holdoutGramK).select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
+      else {
+        // leakedGrams runs eager jobs (holdout count, Bloom build) and
+        // a train-side scan against its input — checkpoint the narrow
+        // (id, tokens, split) projection so those don't re-execute the
+        // pair-join/components/quality chain above per consumption
+        val tokSplit = withSplit
+          .select(col("doc_id"), col("__toks"), col("split"))
+          .localCheckpoint()
+        withSplit.join(
+          graft.operators.Decontam.leakedGrams(tokSplit, k = holdoutGramK)
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      }
 
     // 4c (opt-in). temperature mixture sampling toward a token budget
     //     (requires a `source` column; keeps the per-source `rate`).

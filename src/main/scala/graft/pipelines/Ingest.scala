@@ -29,6 +29,26 @@ import scala.jdk.CollectionConverters._
 object Ingest {
 
   /** `parse_int` (`merlin_etl.py:184-188`): null on failure. */
+  /** Cursor-metadata JSON for a probe envelope. Status/message are
+    * free text from the explorer — escape them (quotes, backslashes,
+    * control chars) so the stored metadata is always valid JSON; one
+    * shared helper for the sequential loop AND the parallel replay,
+    * so the two paths cannot drift.
+    */
+  private[pipelines] def probeMetaJson(status: String, message: String): String = {
+    def esc(v: String): String = {
+      val sb = new StringBuilder
+      v.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+    s"""{"status":"${esc(status)}","message":"${esc(message)}"}"""
+  }
+
   def parseLong(s: String): Option[Long] =
     Option(s).flatMap(v => scala.util.Try(v.trim.toLong).toOption)
   def parseInt(s: String): Option[Int] =
@@ -319,7 +339,7 @@ object Ingest {
       var done = false
       while (!done && pages < maxPages) {
         val env = client.tokenTxPage(wallet, token, lastBlock, page, pageSize)
-        meta = s"""{"status":"${env.status}","message":"${env.message}"}"""
+        meta = probeMetaJson(env.status, env.message)
         if (!env.ok || env.resultItems.isEmpty) done = true
         else {
           buffered ++= env.resultItems.map { it =>
@@ -443,7 +463,7 @@ object Ingest {
         case Some((p, s)) =>
           val env = new ExplorerClient(new HadoopTransport(dumpDir))
             .tokenTxPage(wallet, token, s, p, pageSize)
-          s"""{"status":"${env.status}","message":"${env.message}"}"""
+          probeMetaJson(env.status, env.message)
         case None => "{}"
       }
 

@@ -24,7 +24,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *
   * Null/empty contract: null array → null; EMPTY array → null (the
   * aggregate pipeline dropped zero-token docs via explode — null here
-  * lets callers filter identically); null elements are skipped.
+  * lets callers filter identically); null ELEMENTS are skipped — a
+  * deliberate divergence from the aggregate formulation, which counted
+  * an exploded null token as an occurrence at `xxhash64(null)` (= the
+  * seed). `TextFns.tokens` never emits null elements, so the two agree
+  * on every engine-produced input; callers feeding hand-built arrays
+  * with nulls get the skip semantics.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
   import org.apache.spark.sql.catalyst.util.ArrayData

@@ -64,19 +64,14 @@ object Incremental {
                      checkpointDir: String, k: Int = 8,
                      fpp: Double = 0.01): Unit = {
     import graft.functions.TextFns
+    import graft.operators.Decontam
     graft.plans.GraftExtensions.ensureRegistered(spark)
-    val holdoutGrams = holdoutToks
-      .select(explode(array_distinct(
-        TextFns.wordShinglesOf(col("__toks"), k))).as("__g"))
-      .select(xxhash64(col("__g")).as("gram")).distinct()
-      .localCheckpoint()
+    // shared derivation with the batch operator — same gram unit,
+    // same hash, same Bloom sizing (incl. the runtime-filter cap
+    // raise), so stream and sweep can never diverge
+    val holdoutGrams = Decontam.holdoutGramSet(holdoutToks, k)
     val nHoldout = math.max(holdoutGrams.count(), 1L)
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(nHoldout, fpp)
-    val bloom = holdoutGrams
-      .agg(call_function("graft_bloom_agg",
-        col("gram"), lit(nHoldout), lit(numBits)).as("__bf"))
-      .head.getAs[Array[Byte]](0)
+    val bloom = Decontam.buildBloom(holdoutGrams, nHoldout, fpp)
 
     val docsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
@@ -88,12 +83,9 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val toks = batch.select(col("doc_id"), col("text"),
-          TextFns.tokens(col("text")).as("__toks"))
-        val leaked = toks
-          .select(col("doc_id"), explode(array_distinct(
-            TextFns.wordShinglesOf(col("__toks"), k))).as("__g"))
-          .select(col("doc_id"), xxhash64(col("__g")).as("gram"))
+        val leaked = Decontam.docGramHashes(
+            batch.select(col("doc_id"),
+              TextFns.tokens(col("text")).as("__toks")), k)
           .filter(call_function("graft_bloom_contains", lit(bloom), col("gram")))
           .join(holdoutGrams, Seq("gram"), "left_semi")
           .select(col("doc_id")).distinct()

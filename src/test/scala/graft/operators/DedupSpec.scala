@@ -153,6 +153,22 @@ class DedupSpec extends SparkSpec {
     assert(fast.contains(99L), "empty docs keep their whole-doc shingle")
   }
 
+  test("null-token docs never enter minhash banding (no constant-bucket blowup)") {
+    val ss = spark; import ss.implicits._
+    // three docs with NULL token arrays + two real docs: the null docs
+    // must produce zero pairs (a null sig would collide them all in
+    // every band at the constant bucket xxhash64(null))
+    val docs = Seq(
+      (1L, Seq("shared", "words", "here", "now")),
+      (2L, Seq("shared", "words", "here", "now")),
+      (10L, null), (11L, null), (12L, null))
+      .toDF("doc_id", "__toks")
+    val pairs = Dedup.minhashCandidatesOfTokens(docs, shingleLen = 3,
+        bands = 4, rowsPerBand = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"null docs must not pair: $pairs")
+  }
+
   test("duplicatePassageStats counts shared k-gram spans per doc") {
     val ss = spark; import ss.implicits._
     // k=3 grams: docs 1 and 2 share the span "a b c d" → grams

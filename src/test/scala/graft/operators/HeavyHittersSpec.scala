@@ -99,6 +99,16 @@ class HeavyHittersSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("null items do not poison certification (N counts non-nulls only)") {
+    val ss = spark; import ss.implicits._
+    // 500 nulls + 20 distinct singletons: the nulls are invisible to
+    // the sketch AND the recount, so coverage must still certify
+    val df = (Seq.fill(500)(null: String) ++ (1 to 20).map(i => s"t$i")).toDF("t")
+    val r = HeavyHitters.exactTopK(df, col("t"), k = 5, capacity = 64)
+      .as[(String, Long)].collect()
+    assert(r.length == 5 && r.forall(_._2 == 1L))
+  }
+
   test("exactTopK refuses rather than return uncertified ranks") {
     val ss = spark; import ss.implicits._
     // perfectly flat distribution, capacity far too small: the k-th

@@ -227,4 +227,15 @@ class IngestSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(rows.toSeq == Seq((1700000000L, "before", 12399L)), "update-on-conflict keeps latest")
   }
+
+  test("probeMetaJson escapes free-text explorer messages into valid JSON") {
+    val j = Ingest.probeMetaJson("0", """rate "limit" hit \ retry
+later""")
+    // parseable by the engine's own JSON reader
+    val ss = spark; import ss.implicits._
+    val parsed = ss.read.json(Seq(j).toDS())
+    val row = parsed.select("status", "message").collect().head
+    assert(row.getString(0) == "0")
+    assert(row.getString(1).contains("\"limit\"") && row.getString(1).contains("\\"))
+  }
 }
