@@ -82,6 +82,35 @@ object Layout {
       .drop("__z")
   }
 
+  /** [[clusterByZOrder]] with QUANTILE rank mapping — the skew-robust
+    * variant: the affine min→max map hands a hot value most of the
+    * rank space (one giant z-range swallows the row mass and range
+    * partitioning degenerates), while per-dimension approxQuantile
+    * boundaries give every bucket equal row mass by construction, so
+    * partitions stay balanced under any value distribution. Boundary
+    * computation is one bounded pass (Greenwald–Khanna sketch,
+    * O(buckets) doubles to the driver); the per-row map is a
+    * codegen'd binary search ([[graft.plans.BucketIndex]]).
+    */
+  def clusterByZOrderQuantile(df: DataFrame, cols: Seq[String],
+                              nPartitions: Int,
+                              buckets: Int = 1024): DataFrame = {
+    GraftExtensions.ensureRegistered(df.sparkSession)
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(cols.toArray, probs, 0.001)
+    val ranked = cols.zip(bounds).map { case (c, b) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.plans.BucketIndex(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            col(c).cast("double")),
+          b.toIndexedSeq))
+    }
+    df.withColumn("__z", zOrderKeyRaw(ranked))
+      .repartitionByRange(nPartitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
   /** Cluster and WRITE: the end-to-end layout pass a table-maintenance
     * job runs — z-order the rows, then write one file per range so
     * every parquet footer carries tight min/max on all clustered

@@ -113,3 +113,59 @@ case class ZInterleave(children: Seq[Expression]) extends Expression {
       newChildren: IndexedSeq[Expression]): ZInterleave =
     copy(children = newChildren)
 }
+
+/** Bucket index of a double against a sorted boundary array (binary
+  * search, upper-bound semantics: bucket = count of boundaries ≤ x) —
+  * the skew-robust rank map for Z-order clustering
+  * ([[graft.operators.Layout.clusterByZOrderQuantile]]): affine
+  * min→max normalization collapses under skew (one hot value owns
+  * most of the rank space), while quantile boundaries give every
+  * bucket equal row mass by construction. Boundaries ride in the
+  * expression (driver-computed via approxQuantile — O(buckets)
+  * doubles, never the data); duplicates (degenerate quantiles on
+  * heavy skew) are handled by the upper-bound rule. Null → null.
+  */
+case class BucketIndex(child: Expression, boundaries: Seq[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bucket requires a double argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bucket"
+
+  @transient private lazy val bounds: Array[Double] = boundaries.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[Double]
+    // upper bound: first index with bounds(i) > x
+    var lo = 0; var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) <= x) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("bucketBounds", bounds, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      s"""
+         |int $lo = 0; int $hi = $bRef.length;
+         |while ($lo < $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($bRef[$mid] <= $x) $lo = $mid + 1; else $hi = $mid;
+         |}
+         |${ev.value} = (long) $lo;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketIndex =
+    copy(child = newChild)
+}

@@ -104,6 +104,48 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("BucketIndex: upper-bound binary search, duplicates, nulls") {
+    import graft.plans.BucketIndex
+    import org.apache.spark.sql.types.DoubleType
+    def b(x: java.lang.Double, bounds: Double*): Any =
+      BucketIndex(Literal(x, DoubleType), bounds.toIndexedSeq).eval(null)
+    assert(b(0.5, 1.0, 2.0, 3.0) == 0L)
+    assert(b(1.0, 1.0, 2.0, 3.0) == 1L)   // boundary ≤ x counts
+    assert(b(9.9, 1.0, 2.0, 3.0) == 3L)
+    assert(b(2.0, 2.0, 2.0, 2.0) == 3L)   // degenerate duplicates
+    assert(b(null, 1.0, 2.0) == null)
+  }
+
+  test("quantile z-order keeps x-discrimination under a wide-domain outlier") {
+    val ss = spark; import ss.implicits._
+    // one wei-scale outlier stretches the affine span to 1e18: every
+    // normal x (< 1e6) collapses to rank 0 — the x dimension vanishes
+    // from the affine z-address and files stop pruning on x. Quantile
+    // buckets are mass-based, immune to the outlier.
+    val rnd = new scala.util.Random(17)
+    val pts = (1 to 4000).map { i =>
+      val x = if (i == 1) 1000000000000000000L else rnd.nextInt(1000000).toLong
+      (x, (i % 64).toLong)
+    }.toDF("x", "y")
+    def medianSpan(df: org.apache.spark.sql.DataFrame): Long = {
+      val spans = df.withColumn("pid", spark_partition_id())
+        .filter(col("x") < 1000000L)
+        .groupBy("pid").agg((max("x") - min("x")).as("span"))
+        .select("span").as[Long].collect().sorted
+      spans(spans.length / 2)
+    }
+    val affine = medianSpan(Layout.clusterByZOrder(pts, Seq("x", "y"), 32))
+    val quant = medianSpan(Layout.clusterByZOrderQuantile(pts, Seq("x", "y"), 32,
+      buckets = 256))
+    assert(affine > 900000L,
+      s"fixture check: affine should be x-blind under the outlier ($affine)")
+    assert(quant < affine / 2,
+      s"quantile partitions must stay x-tight: $quant vs affine $affine")
+    assert(Layout.clusterByZOrderQuantile(pts, Seq("x", "y"), 8).count() == 4000)
+    // NOTE: 32 partitions = 5 z-bits, ~2-3 of them x-bits — the
+    // quantile map should cut the median x-span well below half
+  }
+
   test("compact shrinks via narrow coalesce and preserves rows") {
     val ss = spark; import ss.implicits._
     val df = ss.range(0, 10000).toDF("id").repartition(32)
