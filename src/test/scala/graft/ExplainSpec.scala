@@ -220,6 +220,19 @@ class ExplainSpec extends SparkSpec {
       s"only the presentation sort may range-partition:\n$p")
   }
 
+  test("text_repetition: per-doc metrics are map-side — one exchange total (the presentation sort)") {
+    val p = plan("text_repetition")
+    // the former shape paid FOUR aggregate exchanges (two explode →
+    // two-level groupBy pipelines); the expression fold leaves only
+    // the shared input staging (Tables.spread's row-group-spreading
+    // round robin) and the final ORDER BY's range exchange. Formatted
+    // plans print each node twice (tree + detail), hence <= 4 matches
+    // for <= 2 exchange NODES.
+    assert(count(p, "Exchange") <= 4, s"expected <=2 exchange nodes:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+      s"no aggregate may remain in the per-doc metric path:\n$p")
+  }
+
   test("vocab_topk_mg: the MG aggregate plans with a map-side partial") {
     import org.apache.spark.sql.functions.{col, explode, lit}
     import graft.plans.GraftExtensions
