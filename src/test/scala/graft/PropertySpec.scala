@@ -137,6 +137,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BucketIndex binary search equals the linear-scan definition") {
+    import graft.plans.BucketIndex
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.DoubleType
+    val cases = sample(Gen.listOfN(150, for {
+      nb <- Gen.chooseNum(1, 40)
+      bounds <- Gen.listOfN(nb, Gen.chooseNum(-100.0, 100.0))
+      x <- Gen.chooseNum(-150.0, 150.0)
+    } yield (bounds.sorted, x)), 23L)
+    for ((bounds, x) <- cases) {
+      val got = BucketIndex(Literal(x, DoubleType), bounds.toIndexedSeq)
+        .eval(null).asInstanceOf[Long]
+      val want = bounds.count(_ <= x).toLong
+      assert(got == want, s"x=$x bounds=$bounds")
+    }
+  }
+
+  test("MinHash signature is duplicate-invariant (min over a multiset)") {
+    import graft.plans.MinHashSig
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    def sig(toks: Seq[String]): Seq[Long] =
+      MinHashSig(Literal(
+        new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any]),
+        ArrayType(StringType)), 3, 16)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+    val base = Seq("a", "b", "c", "d", "e", "f")
+    // determinism: identical input, identical signature
+    assert(sig(base) == sig(base))
+    // min-over-multiset law: a doc whose shingle set is a SUPERSET
+    // (doubling the doc adds seam shingles, drops none) can only keep
+    // or DECREASE each of the 16 minima
+    val single = sig(base)
+    val doubled = sig(base ++ base)
+    single.zip(doubled).foreach { case (s, d) => assert(d <= s) }
+  }
+
   test("deterministicShuffle is a permutation for any shard count (batch property)") {
     val ss = spark; import ss.implicits._
     import graft.operators.Packing
