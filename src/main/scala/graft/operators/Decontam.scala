@@ -90,16 +90,24 @@ object Decontam {
     val spark = grams.sparkSession
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val numBits = BloomFilter.optimalNumOfBits(nItems, fpp)
-    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> nItems,
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
-      .foreach { case (conf, needed) =>
-        if (spark.conf.get(conf).toLong < needed)
-          spark.conf.set(conf, needed.toString)
+    // Raise the caps only for the duration of the build: they also size
+    // Spark's own InjectRuntimeFilter blooms, so leaving them raised
+    // would inflate every later query's injected-filter buffers.
+    val raised = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> nItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+      .flatMap { case (conf, needed) =>
+        val prev = spark.conf.get(conf)
+        if (prev.toLong < needed) {
+          spark.conf.set(conf, needed.toString); Some(conf -> prev)
+        } else None
       }
-    grams
-      .agg(call_function("graft_bloom_agg",
-        col("gram"), lit(nItems), lit(numBits)).as("__bf"))
-      .head.getAs[Array[Byte]](0)
+    try
+      grams
+        .agg(call_function("graft_bloom_agg",
+          col("gram"), lit(nItems), lit(numBits)).as("__bf"))
+        .head.getAs[Array[Byte]](0)
+    finally raised.foreach { case (conf, prev) => spark.conf.set(conf, prev) }
   }
 
   /** Training docs leaking held-out content: (doc_id, n_leaked_grams)

@@ -4,6 +4,7 @@ import graft.functions.TextFns
 import graft.operators.{Dedup, Packing}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** End-to-end corpus preparation — the composed "switch to this
   * library" entry point over the individually-gated stages: exact
@@ -55,9 +56,16 @@ object Corpus {
     //    group. Tokens are staged HERE, before the checkpoint, so the
     //    single tokenization pass is materialized once and reused by
     //    near-dup shingling, the quality score, and packing.
+    // persist, NOT localCheckpoint: this frame is corpus-sized, and
+    // localCheckpoint's truncated lineage would make an executor loss
+    // unrecoverable at the 100 TB target. persist keeps the (short,
+    // deterministic) lineage so lost blocks recompute; disk spill
+    // bounds memory. The small frames elsewhere (holdout grams, MG
+    // summaries, edge frames) keep localCheckpoint — there eager
+    // truncation is the point and loss exposure is trivial.
     val exact = Dedup.exactSurvivors(docs, col("doc_id"), col("text"))
       .withColumn("__toks", TextFns.tokens(col("text")))
-      .localCheckpoint() // three downstream consumers; truncate lineage once
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nExact = tally(exact)
 
     // 2. near-dup pruning: pair graph → components → keep each
@@ -86,12 +94,14 @@ object Corpus {
       if (holdoutGramK <= 0) withSplit
       else {
         // leakedGrams runs eager jobs (holdout count, Bloom build) and
-        // a train-side scan against its input — checkpoint the narrow
+        // a train-side scan against its input — persist the narrow
         // (id, tokens, split) projection so those don't re-execute the
-        // pair-join/components/quality chain above per consumption
+        // pair-join/components/quality chain above per consumption.
+        // persist (lineage kept), not localCheckpoint: corpus-sized,
+        // same recoverability argument as `exact` above.
         val tokSplit = withSplit
           .select(col("doc_id"), col("__toks"), col("split"))
-          .localCheckpoint()
+          .persist(StorageLevel.MEMORY_AND_DISK)
         withSplit.join(
           graft.operators.Decontam.leakedGrams(tokSplit, k = holdoutGramK)
             .select(col("doc_id")),

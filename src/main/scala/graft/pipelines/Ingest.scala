@@ -28,7 +28,6 @@ import scala.jdk.CollectionConverters._
   */
 object Ingest {
 
-  /** `parse_int` (`merlin_etl.py:184-188`): null on failure. */
   /** Cursor-metadata JSON for a probe envelope. Status/message are
     * free text from the explorer — escape them (quotes, backslashes,
     * control chars) so the stored metadata is always valid JSON; one
@@ -49,6 +48,7 @@ object Ingest {
     s"""{"status":"${esc(status)}","message":"${esc(message)}"}"""
   }
 
+  /** `parse_int` (`merlin_etl.py:184-188`): null on failure. */
   def parseLong(s: String): Option[Long] =
     Option(s).flatMap(v => scala.util.Try(v.trim.toLong).toOption)
   def parseInt(s: String): Option[Int] =
