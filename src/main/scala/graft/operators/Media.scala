@@ -7,20 +7,25 @@ import org.apache.spark.sql.functions._
   * payload columns plus a typed metadata struct, with decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * The Spark-side plumbing is real — schemas, per-partition codec
-  * lifecycle, batch shape, partition parallelism. The CODECS are
-  * deterministic STUBS over a toy container format (this container
-  * ships no image/audio libraries): a real deployment swaps
-  * [[StubCodec]] for a JNI/libvips/ffmpeg codec with the same
-  * signature and everything else stands.
+  * Codecs, by format:
+  *  - PNG / JPEG: REAL decode via the JDK's `javax.imageio`
+  *    ([[ImageIoCodec]] — no external dependency).
+  *  - WAV (RIFF PCM, 8/16-bit): REAL decode via a pure-Scala chunk
+  *    parser ([[WavCodec]]).
+  *  - The toy IMG0/AUD0/VID0 containers ([[StubCodec]] /
+  *    [[StubAudioCodec]]): deterministic fixtures that keep the oracle
+  *    gates engine-checkable; also the swap-in seam for a JNI /
+  *    libvips / ffmpeg codec (same signature, everything else stands).
+  *  The default codecs ([[AutoCodec]] / [[AutoAudioCodec]]) route by
+  *  magic bytes, so one `decodeImages` call handles a mixed corpus.
   *
   * Execution model: decode runs in `mapPartitions`, NOT per-row UDFs,
   * because real codecs amortize expensive init (decoder tables, GPU
-  * contexts) per partition — the stub mirrors that shape with an
-  * explicit per-partition `open()`. Pure byte-level features
-  * (brightness, histograms) stay in codegen'd expressions — at 100 TB
-  * that keeps the common filter path ("drop dark images") inside
-  * whole-stage codegen with no serialization boundary.
+  * contexts) per partition — `open()` is the per-partition init point
+  * (ImageIO plugin scan + cache config lands there). Pure byte-level
+  * features (brightness, histograms) stay in codegen'd expressions —
+  * at 100 TB that keeps the common filter path ("drop dark images")
+  * inside whole-stage codegen with no serialization boundary.
   */
 object Media {
 
@@ -56,8 +61,9 @@ object Media {
     def decode(payload: Array[Byte]): Option[(ImageMeta, Array[Byte])]
   }
 
-  /** STUB codec: parses the toy header. Replace with a real decoder —
-    * same signature, same pipeline.
+  /** STUB codec: parses the toy IMG0 header — the deterministic
+    * fixture format for oracle gates, and the swap-in seam for a
+    * native codec (same signature, same pipeline).
     */
   object StubCodec extends Codec {
     override def open(): Unit = () // real impl: init decode tables / native ctx
@@ -74,6 +80,77 @@ object Media {
     }
   }
 
+  /** REAL image codec: PNG and JPEG via the JDK's `javax.imageio`
+    * (present in every JRE — zero added dependencies). Decodes to
+    * interleaved pixel bytes: 1 channel for grayscale images (raw
+    * raster samples — `getRGB` would gamma-map gray through sRGB),
+    * RGB for color, RGBA when the image carries alpha. PNG decode is
+    * lossless → byte-exact and engine-independent; JPEG decode is
+    * deterministic for a fixed JRE decoder (asserted decode-twice in
+    * MediaSpec) but only pixel-approximate vs the encoder's input, as
+    * JPEG is lossy.
+    */
+  object ImageIoCodec extends Codec {
+    /** magic-byte sniff — which container javax.imageio should see */
+    def formatOf(p: Array[Byte]): String =
+      if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') "png"
+      else if (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff) "jpeg"
+      else null
+
+    override def open(): Unit =
+      // per-partition init: no temp-file cache (executor scratch dirs
+      // may be read-only; in-memory streams are faster anyway)
+      javax.imageio.ImageIO.setUseCache(false)
+
+    override def decode(p: Array[Byte]): Option[(ImageMeta, Array[Byte])] = {
+      val fmt = formatOf(p)
+      if (fmt == null) None
+      else
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          val cm = img.getColorModel
+          val c = if (cm.getNumComponents == 1) 1 else if (cm.hasAlpha) 4 else 3
+          val out = new Array[Byte](w * h * c)
+          if (c == 1) {
+            val raster = img.getRaster
+            var i = 0; var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { out(i) = raster.getSample(x, y, 0).toByte; i += 1; x += 1 }
+              y += 1
+            }
+          } else {
+            var i = 0; var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val argb = img.getRGB(x, y)
+                out(i) = ((argb >> 16) & 0xff).toByte
+                out(i + 1) = ((argb >> 8) & 0xff).toByte
+                out(i + 2) = (argb & 0xff).toByte
+                if (c == 4) out(i + 3) = ((argb >>> 24) & 0xff).toByte
+                i += c; x += 1
+              }
+              y += 1
+            }
+          }
+          (ImageMeta(w, h, c, fmt), out)
+        } catch { case _: java.io.IOException => None } // truncated/corrupt → drop
+    }
+  }
+
+  /** Default codec: route by magic bytes — IMG0 fixtures to the stub,
+    * PNG/JPEG to javax.imageio — so one decode pass handles a mixed
+    * corpus and the deterministic oracle gates keep their fixtures.
+    */
+  object AutoCodec extends Codec {
+    override def open(): Unit = { StubCodec.open(); ImageIoCodec.open() }
+    override def decode(p: Array[Byte]): Option[(ImageMeta, Array[Byte])] =
+      if (p.length >= 4 && p(0) == 'I' && p(1) == 'M' && p(2) == 'G' && p(3) == '0')
+        StubCodec.decode(p)
+      else ImageIoCodec.decode(p)
+  }
+
   /** Decode a (id: Long, payload: Binary) frame into
     * (id, width, height, channels, format, pixels) — one codec open
     * per partition, rows that fail to decode are dropped (counted
@@ -81,7 +158,7 @@ object Media {
     */
   def decodeImages(df: DataFrame, idCol: String = "id",
                    payloadCol: String = "payload",
-                   codec: Codec = StubCodec): DataFrame = {
+                   codec: Codec = AutoCodec): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val in = df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
@@ -184,6 +261,73 @@ object Media {
     }
   }
 
+  /** REAL audio codec: RIFF/WAVE PCM (the interchange format every
+    * recorder emits) via a pure-Scala chunk walker — format 1 (integer
+    * PCM), 8-bit unsigned or 16-bit signed little-endian, any channel
+    * count. Samples come back channel-interleaved exactly as stored
+    * (lossless → byte-exact); `n_samples` counts TOTAL samples across
+    * channels, matching what the feature expressions fold over.
+    * Unknown chunks (LIST, fact, cue…) are skipped by size, as the
+    * spec requires; non-PCM (float, ADPCM, extensible) and truncated
+    * payloads are dropped, same contract as the image side.
+    */
+  object WavCodec extends AudioCodec {
+    private def le16(p: Array[Byte], o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    private def le32(p: Array[Byte], o: Int): Int = le16(p, o) | (le16(p, o + 2) << 16)
+    private def tag(p: Array[Byte], o: Int, s: String): Boolean =
+      p(o) == s(0) && p(o + 1) == s(1) && p(o + 2) == s(2) && p(o + 3) == s(3)
+
+    override def open(): Unit = ()
+    override def decode(p: Array[Byte]): Option[(AudioMeta, Array[Int])] = {
+      if (p.length < 12 || !tag(p, 0, "RIFF") || !tag(p, 8, "WAVE")) None
+      else {
+        var off = 12
+        var rate = -1; var channels = -1; var bits = -1; var pcm = true
+        var dataOff = -1; var dataLen = -1
+        while (off + 8 <= p.length) {
+          val sz = le32(p, off + 4)
+          if (tag(p, off, "fmt ") && off + 8 + 16 <= p.length) {
+            pcm = le16(p, off + 8) == 1
+            channels = le16(p, off + 10)
+            rate = le32(p, off + 12)
+            bits = le16(p, off + 22)
+          } else if (tag(p, off, "data") && dataOff < 0) {
+            dataOff = off + 8
+            dataLen = math.max(0, math.min(sz, p.length - dataOff))
+          }
+          off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+        }
+        if (!pcm || rate <= 0 || channels <= 0 || dataOff < 0 ||
+            (bits != 8 && bits != 16)) None
+        else {
+          val n = dataLen / (bits / 8)
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            out(i) =
+              if (bits == 16) {
+                val raw = le16(p, dataOff + 2 * i)
+                if (raw >= 0x8000) raw - 0x10000 else raw // sign-extend
+              } else (p(dataOff + i) & 0xff) - 128 // 8-bit WAV is unsigned, center it
+            i += 1
+          }
+          Some((AudioMeta(rate, channels, n), out))
+        }
+      }
+    }
+  }
+
+  /** Default audio codec: AUD0 fixtures to the stub, RIFF/WAVE to the
+    * real PCM parser — mirror of [[AutoCodec]].
+    */
+  object AutoAudioCodec extends AudioCodec {
+    override def open(): Unit = { StubAudioCodec.open(); WavCodec.open() }
+    override def decode(p: Array[Byte]): Option[(AudioMeta, Array[Int])] =
+      if (p.length >= 4 && p(0) == 'A' && p(1) == 'U' && p(2) == 'D' && p(3) == '0')
+        StubAudioCodec.decode(p)
+      else WavCodec.decode(p)
+  }
+
   /** Decode (id, payload) audio rows to (id, sample_rate, n_samples,
     * samples: array<int>) — mapPartitions with one codec open per
     * partition, undecodable rows dropped (same contract as
@@ -191,7 +335,7 @@ object Media {
     */
   def decodeAudio(df: DataFrame, idCol: String = "id",
                   payloadCol: String = "payload",
-                  codec: AudioCodec = StubAudioCodec): DataFrame = {
+                  codec: AudioCodec = AutoAudioCodec): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val in = df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]

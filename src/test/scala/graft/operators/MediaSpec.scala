@@ -114,6 +114,132 @@ class MediaSpec extends SparkSpec {
     assert(r.getAs[Int]("zero_crossings") == zc)
   }
 
+  // ---- real codecs: PNG/JPEG (javax.imageio) and RIFF/WAVE PCM ----
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG (RGB) decodes byte-exactly through the default codec") {
+    val ss = spark; import ss.implicits._
+    val (w, h) = (3, 2)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // known pixel function, all channels distinct, spans byte range
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 40) << 16) | ((y * 90 + 5) << 8) | (x * 70 + y * 11))
+    val d = Media.decodeImages(Seq((1L, pngBytes(img))).toDF("id", "payload")).head()
+    assert((d.getAs[Int]("width"), d.getAs[Int]("height"),
+      d.getAs[Int]("channels"), d.getAs[String]("format")) == ((w, h, 3, "png")))
+    val px = d.getAs[Array[Byte]]("pixels")
+    val want = (for (y <- 0 until h; x <- 0 until w)
+      yield Seq((x * 40).toByte, (y * 90 + 5).toByte, (x * 70 + y * 11).toByte)).flatten
+    assert(px.toSeq == want, "PNG is lossless: decoded pixels must be byte-exact")
+  }
+
+  test("real PNG (grayscale) decodes via raw raster samples, 1 channel") {
+    val ss = spark; import ss.implicits._
+    val (w, h) = (4, 3)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 60 + y * 17) % 256)
+    val d = Media.decodeImages(Seq((2L, pngBytes(img))).toDF("id", "payload")).head()
+    assert(d.getAs[Int]("channels") == 1 && d.getAs[String]("format") == "png")
+    val want = (for (y <- 0 until h; x <- 0 until w) yield ((x * 60 + y * 17) % 256).toByte).toSeq
+    assert(d.getAs[Array[Byte]]("pixels").toSeq == want,
+      "gray must come from raster samples, not sRGB-mapped getRGB")
+  }
+
+  test("real JPEG decodes with correct dims and deterministically (decode-twice)") {
+    val ss = spark; import ss.implicits._
+    val (w, h) = (16, 8)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, 0x808080) // constant mid-gray
+    val bos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val payload = bos.toByteArray
+    val rows = Media.decodeImages(Seq((3L, payload), (4L, payload)).toDF("id", "payload"))
+      .orderBy("id").collect()
+    assert(rows.length == 2)
+    val first = rows(0)
+    assert((first.getAs[Int]("width"), first.getAs[Int]("height"),
+      first.getAs[String]("format")) == ((w, h, "jpeg")))
+    assert(first.getAs[Array[Byte]]("pixels").sameElements(rows(1).getAs[Array[Byte]]("pixels")),
+      "JPEG decode must be deterministic for a fixed decoder")
+    // lossy but close: constant-color image decodes within a small tolerance
+    val px = first.getAs[Array[Byte]]("pixels").map(_ & 0xff)
+    assert(px.forall(v => math.abs(v - 0x80) <= 4), s"max dev ${px.map(v => math.abs(v - 0x80)).max}")
+  }
+
+  /** Minimal RIFF/WAVE PCM writer for fixtures: optional junk chunk
+    * before fmt/data exercises the chunk-skip path.
+    */
+  private def wavBytes(samples: Array[Int], rate: Int = 8000, bits: Int = 16,
+                       channels: Int = 1, fmtCode: Int = 1,
+                       withJunkChunk: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    def tag(s: String): Unit = s.foreach(c => bos.write(c.toInt))
+    val dataLen = samples.length * (bits / 8)
+    val junkLen = if (withJunkChunk) 8 + 6 else 0 // "LIST" + size + 6 bytes (odd→padded)
+    tag("RIFF"); w32(4 + junkLen + 24 + 8 + dataLen + (dataLen & 1)); tag("WAVE")
+    if (withJunkChunk) { tag("LIST"); w32(5); Seq(1, 2, 3, 4, 5).foreach(bos.write); bos.write(0) } // odd size + pad byte
+    tag("fmt "); w32(16); w16(fmtCode); w16(channels); w32(rate)
+    w32(rate * channels * bits / 8); w16(channels * bits / 8); w16(bits)
+    tag("data"); w32(dataLen)
+    samples.foreach { s =>
+      if (bits == 16) w16(if (s < 0) s + 0x10000 else s)
+      else bos.write((s + 128) & 0xff)
+    }
+    if (dataLen % 2 == 1) bos.write(0)
+    bos.toByteArray
+  }
+
+  test("real WAV (16-bit PCM) decodes byte-exactly; features flow unchanged") {
+    val ss = spark; import ss.implicits._
+    val want = Array(0, 1000, -1000, 32767, -32768, 7, -7, 12345)
+    val clips = Seq((10L, wavBytes(want, rate = 44100))).toDF("id", "payload")
+    val r = Media.audioFeatures(Media.decodeAudio(clips)).head()
+    assert(r.getAs[Int]("sample_rate") == 44100 && r.getAs[Int]("n_samples") == want.length)
+    assert(r.getAs[scala.collection.Seq[Int]]("samples").toSeq == want.toSeq,
+      "WAV PCM is lossless: samples must round-trip sign-exact")
+    assert(r.getAs[Int]("peak") == 32768)
+    val zc = want.sliding(2).count(p => p(0) * p(1) < 0)
+    assert(r.getAs[Int]("zero_crossings") == zc)
+  }
+
+  test("WAV edge shapes: 8-bit unsigned, stereo interleave, junk chunks, non-PCM dropped") {
+    val ss = spark; import ss.implicits._
+    val eight = Array(-128, 0, 127, 5)             // 8-bit: stored unsigned, centered on decode
+    val stereo = Array(100, -100, 200, -200)       // L R L R
+    val clips = Seq(
+      (1L, wavBytes(eight, bits = 8)),
+      (2L, wavBytes(stereo, channels = 2, withJunkChunk = true)),
+      (3L, wavBytes(Array(1, 2, 3), fmtCode = 3)), // IEEE float → not PCM → dropped
+      (4L, "RIFFgarbage".getBytes("UTF-8"))).toDF("id", "payload")
+    val got = Media.decodeAudio(clips).orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L), "non-PCM and malformed must drop")
+    assert(got(0).getAs[scala.collection.Seq[Int]]("samples").toSeq == eight.toSeq)
+    val st = got(1)
+    assert(st.getAs[scala.collection.Seq[Int]]("samples").toSeq == stereo.toSeq &&
+      st.getAs[Int]("n_samples") == 4, "junk chunk must be skipped by size")
+  }
+
+  test("default codec routes a mixed corpus by magic: IMG0 + PNG + JPEG + garbage") {
+    val ss = spark; import ss.implicits._
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000)
+    val mixed = Seq(
+      (1L, Media.stubImage(1L, 4, 4, 3)),
+      (2L, pngBytes(img)),
+      (3L, Array[Byte](9, 9, 9))).toDF("id", "payload")
+    val got = Media.decodeImages(mixed).select("id", "format").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "img0"), (2L, "png")))
+  }
+
   test("sampleFrames keeps every stride-th frame of a video payload") {
     val ss = spark; import ss.implicits._
     val vid = Seq((5L, Media.stubVideo(5L, frames = 6, w = 4, h = 4, c = 1)))
