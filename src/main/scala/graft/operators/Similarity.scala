@@ -89,8 +89,19 @@ object Similarity {
   private def planeComponent(p: Int, d: Column): Column =
     (xxhash64(lit(p), d).cast("double") / lit(Long.MaxValue.toDouble))
 
-  /** b-bit sign sketch of a vector under `bits` hashed hyperplanes. */
-  def signSketch(vec: Column, bits: Int): Column = {
+  /** b-bit sign sketch of a vector under `bits` hashed hyperplanes —
+    * the native one-pass codegen'd [[graft.plans.SignSketch]]
+    * expression (bit-identical to [[signSketchComposed]], which ran
+    * `bits` interpreted HOF folds per vector in the LSH hot loop).
+    */
+  def signSketch(vec: Column, bits: Int): Column =
+    call_function("graft_signsketch", vec, lit(bits))
+
+  /** Built-ins-only sign sketch (same planes, same fold — `bits`
+    * interpreted passes): the portability fallback and the
+    * property-test twin that pins the native expression's contract.
+    */
+  def signSketchComposed(vec: Column, bits: Int): Column = {
     val dims = sequence(lit(0), size(vec) - 1)
     val bitsCols = (0 until bits).map { p =>
       val proj = aggregate(
@@ -302,6 +313,9 @@ object Similarity {
               queryId: String = "query_id", corpusId: String = "neighbor_id",
               vecCol: String = "embedding"): DataFrame = {
     require(bits <= 30, s"sign sketch wider than 30 bits ($bits) explodes the probe set")
+    // self-registering, same rationale as Media.imageFeatures: analyze
+    // on sessions built without the spark.sql.extensions config
+    graft.plans.GraftExtensions.ensureRegistered(queries.sparkSession)
     val masks = probeMasks(bits, probeDist)
     val q = queries.select(col(queryId), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"), signSketch(col(vecCol), bits).as("__qs"))

@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the embedding hot loop.
   *
@@ -66,6 +66,95 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native sign-LSH sketch of an embedding: bit p of the result is set
+  * iff the projection of the vector onto pseudo-random hyperplane p is
+  * strictly positive. Hyperplane component (p, d) is
+  * `xxhash64(p: int, d: int)` mapped into [−1, 1) by dividing by
+  * Long.MaxValue — exactly the composed
+  * `aggregate(zip_with(vec, sequence(...), ...))` form this replaces
+  * ([[graft.operators.Similarity.signSketchComposed]]): same
+  * seed-chained XXH64 (seed 42, the SQL `xxhash64` function's), same
+  * left-to-right fold, same float→double widening, so sketches are
+  * bit-identical (property-tested) and existing bucket assignments
+  * don't move.
+  *
+  * Why native: the composed form ran `bits` independent interpreted
+  * HOF folds per vector — 16 full passes with boxed lambda evaluation
+  * in the LSH path's hottest loop. Here all `bits` accumulators
+  * advance in ONE pass over the vector inside whole-stage codegen.
+  */
+case class SignSketch(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if bits >= 1 && bits <= 30 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+      s"graft_signsketch bits must be in [1, 30], got $bits")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_signsketch requires array<float>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_signsketch"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val acc = new Array[Double](bits)
+    var d = 0
+    while (d < n) {
+      val x = v.getFloat(d).toDouble
+      var p = 0
+      while (p < bits) {
+        // seed chain of xxhash64(lit(p), d): hashInt(p, 42) then hashInt(d, ·)
+        acc(p) += x * (XXH64.hashInt(d, SignSketch.planeSeeds(p)).toDouble /
+          Long.MaxValue.toDouble)
+        p += 1
+      }
+      d += 1
+    }
+    var sketch = 0L
+    var p = 0
+    while (p < bits) { if (acc(p) > 0.0) sketch |= 1L << p; p += 1 }
+    sketch
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val seeds = ctx.addReferenceObj("planeSeeds",
+        java.util.Arrays.copyOf(SignSketch.planeSeeds, bits), "long[]")
+      val n = ctx.freshName("n"); val d = ctx.freshName("d")
+      val p = ctx.freshName("p"); val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x"); val sk = ctx.freshName("sk")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $acc = new double[$bits];
+         |for (int $d = 0; $d < $n; $d++) {
+         |  double $x = (double) $a.getFloat($d);
+         |  for (int $p = 0; $p < $bits; $p++) {
+         |    $acc[$p] += $x * ((double) $xxh.hashInt($d, $seeds[$p]) / 9.223372036854775807E18D);
+         |  }
+         |}
+         |long $sk = 0L;
+         |for (int $p = 0; $p < $bits; $p++) {
+         |  if ($acc[$p] > 0.0D) $sk |= 1L << $p;
+         |}
+         |${ev.value} = $sk;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignSketch =
+    copy(child = newChild)
+}
+
+object SignSketch {
+  /** hashInt(p, 42) prefixes of the seed chain — shared across rows
+    * and instances, serialization-safe (static, rebuilt per JVM).
+    */
+  private[plans] val planeSeeds: Array[Long] =
+    Array.tabulate(30)(p => XXH64.hashInt(p, 42L))
 }
 
 /** Session extensions registering graft's native expressions
@@ -157,6 +246,15 @@ object GraftExtensions {
         require(children.size == 2,
           "graft_mg(item, capacity) takes exactly two arguments")
         MisraGriesSketch(children.head, children(1))
+      }),
+    (new FunctionIdentifier("graft_signsketch"),
+      new ExpressionInfo(classOf[SignSketch].getName, "graft_signsketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_signsketch(vec, bits) takes exactly two arguments")
+        require(children(1).foldable, "graft_signsketch bits must be a literal")
+        SignSketch(children.head,
+          children(1).eval(null).asInstanceOf[Number].intValue())
       }),
     (new FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZInterleave].getName, "graft_zorder"),

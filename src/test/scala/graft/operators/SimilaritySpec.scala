@@ -29,6 +29,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.sortBy(_._2) == Seq((10L, 1), (11L, 2)))
   }
 
+  test("graft_signsketch is bit-identical to the composed HOF formulation") {
+    val ss = spark; import ss.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(ss)
+    // mixed dims, signs, magnitudes, zero vectors, an empty vector;
+    // fixed seed keeps the fixture reproducible
+    val rnd = new scala.util.Random(13)
+    val vecs = (1 to 50).map { id =>
+      val dim = 1 + rnd.nextInt(96)
+      (id.toLong, Array.fill(dim)((rnd.nextGaussian() * 3).toFloat))
+    } ++ Seq((98L, Array.fill(8)(0.0f)), (99L, Array.empty[Float]))
+    val df = vecs.toDF("id", "embedding")
+    for (bits <- Seq(1, 8, 16, 30)) {
+      val fast = df.select(col("id"),
+          Similarity.signSketch(col("embedding"), bits).as("s"))
+        .as[(Long, Long)].collect().toMap
+      val slow = df.select(col("id"),
+          Similarity.signSketchComposed(col("embedding"), bits).as("s"))
+        .as[(Long, Long)].collect().toMap
+      assert(fast == slow, s"bits=$bits: native and composed sketches must agree")
+    }
+  }
+
   test("lshTopK always finds an exact duplicate vector at rank 1") {
     val ss = spark; import ss.implicits._
     // corpus = shifted copies of the queries: identical vectors share a
