@@ -298,37 +298,60 @@ object Similarity {
     (0 to dist).flatMap(d =>
       (0 until bits).combinations(d).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
 
-  /** Approximate cosine top-k via sign-LSH bucket pruning, multi-probe:
-    * each query sketch is expanded into every sketch within `probeDist`
-    * Hamming distance (XOR with the precomputed mask set), and
-    * candidates come from an EQUI-join `probe == corpus_sketch` — a
-    * hash join on an 8-byte key, never a nested-loop filter over all
-    * (query, corpus) pairs. A (q,c) pair matches exactly one mask
-    * (qs XOR cs), so the expansion introduces no duplicate pairs.
-    * Recall/latency trade-off is (bits, probeDist); exactness is
-    * recovered as probeDist → bits.
+  /** Approximate cosine top-k via sign-LSH bucket pruning, multi-probe
+    * and multi-table:
+    *  - each of `tables` tables is an independent `bits`-wide slice of
+    *    ONE wide native sketch ([[graft.plans.SignSketch]] — all
+    *    tables' hyperplanes fold in a single codegen'd pass);
+    *  - within a table, each query sketch expands into every sketch
+    *    within `probeDist` Hamming distance (XOR with the precomputed
+    *    mask set), and candidates come from an EQUI-join
+    *    `(table, probe) == (table, corpus_slice)` — a hash join on a
+    *    compact key, never a nested-loop filter over all (query,
+    *    corpus) pairs;
+    *  - a near pair missed by one table's planes is caught by
+    *    another's: union recall ≈ 1 − (1 − p)^L for per-table recall
+    *    p (the standard LSH amplification), at L× candidate cost.
+    * A pair can collide in several tables, so candidates dedup through
+    * a tiny (query, neighbor) aggregate before ranking. Trade-off
+    * surface is (bits, probeDist, tables); exactness is recovered as
+    * probeDist → bits (any tables).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              bits: Int = 16, probeDist: Int = 2,
+              bits: Int = 16, probeDist: Int = 2, tables: Int = 1,
               queryId: String = "query_id", corpusId: String = "neighbor_id",
               vecCol: String = "embedding"): DataFrame = {
-    require(bits <= 30, s"sign sketch wider than 30 bits ($bits) explodes the probe set")
+    require(tables >= 1 && bits * tables <= 30,
+      s"sign sketch wider than 30 bits (${bits}x$tables) explodes the probe set")
     // self-registering, same rationale as Media.imageFeatures: analyze
     // on sessions built without the spark.sql.extensions config
     graft.plans.GraftExtensions.ensureRegistered(queries.sparkSession)
     val masks = probeMasks(bits, probeDist)
+    val tableIds = array((0 until tables).map(t => lit(t)): _*)
+    val sliceMask = lit((1L << bits) - 1)
+    def tableSlice(sketch: Column, t: Column): Column =
+      call_function("shiftright", sketch, t * lit(bits)).bitwiseAND(sliceMask)
     val q = queries.select(col(queryId), col(vecCol).as("__qv"),
-      norm(col(vecCol)).as("__qn"), signSketch(col(vecCol), bits).as("__qs"))
+      norm(col(vecCol)).as("__qn"), signSketch(col(vecCol), bits * tables).as("__qs"))
+      .withColumn("__t", explode(tableIds))
       .withColumn("__mask", explode(array(masks.map(m => lit(m)): _*)))
-      .withColumn("__probe", col("__mask").bitwiseXOR(col("__qs")))
-      .drop("__mask")
+      .withColumn("__probe", col("__mask").bitwiseXOR(tableSlice(col("__qs"), col("__t"))))
+      .drop("__mask", "__qs")
     val c = graft.Tables.spread(corpus).select(col(corpusId), col(vecCol).as("__cv"),
-      norm(col(vecCol)).as("__cn"), signSketch(col(vecCol), bits).as("__cs"))
+      norm(col(vecCol)).as("__cn"), signSketch(col(vecCol), bits * tables).as("__cs"))
+      .withColumn("__ct", explode(tableIds))
+      .withColumn("__cslice", tableSlice(col("__cs"), col("__ct")))
+      .drop("__cs")
     val cand = c.join(broadcast(q),
-      col("__probe") === col("__cs") && col(queryId) =!= col(corpusId))
+      col("__ct") === col("__t") && col("__probe") === col("__cslice") &&
+        col(queryId) =!= col(corpusId))
+    // score pre-dedup (one cheap native dot per candidate row), then
+    // collapse multi-table collisions: values are identical per pair,
+    // max() keeps the aggregate deterministic
     val scored = cand.select(col(queryId), col(corpusId),
       round(cosineWithNorms(col("__qv"), col("__cv"),
         col("__qn"), col("__cn")), 6).as("cos"))
+      .groupBy(col(queryId), col(corpusId)).agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cos").desc, col(corpusId).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -290,7 +290,10 @@ object TextPipeline {
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
-    Similarity.lshTopK(q, c, k = 5, bits = 8, probeDist = 3)
+    // 3 tables × 8 bits from one 24-bit native sketch: per-table
+    // recall ~0.62 (the round-8 single-table figure) amplifies to
+    // ~1-(1-0.62)^3 ≈ 0.95 unioned, still all equi-joins
+    Similarity.lshTopK(q, c, k = 5, bits = 8, probeDist = 3, tables = 3)
       .select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rank").cast(LongType).as("rank"))
       .orderBy(col("query_id"), col("rank"))

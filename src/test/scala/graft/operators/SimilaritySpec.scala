@@ -68,6 +68,30 @@ class SimilaritySpec extends SparkSpec {
     assert(top1.forall { case (q, n, c) => n == 100L + q && c == 1.0 })
   }
 
+  test("multi-table lshTopK: recall dominates single-table; full probe ≡ brute force; no dup ranks") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(29)
+    val vecs = (0 until 120).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val corpus = vecs.map { case (i, v) => (1000L + i, v) }.toDF("neighbor_id", "embedding")
+    val queries = vecs.take(12).toDF("query_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(queries, corpus, k = 3))
+
+    // same plane budget per table; three tables can only add candidates
+    val one = pairs(Similarity.lshTopK(queries, corpus, k = 3, bits = 6, probeDist = 1, tables = 1))
+    val three = pairs(Similarity.lshTopK(queries, corpus, k = 3, bits = 6, probeDist = 1, tables = 3))
+    assert((three & truth).size >= (one & truth).size,
+      "multi-table union recall must dominate table 1 alone")
+
+    // probeDist = bits ⇒ every bucket probed in table 0 ⇒ exact, any tables
+    val exact = Similarity.lshTopK(queries, corpus, k = 3, bits = 4, probeDist = 4, tables = 2)
+    assert(pairs(exact) == truth, "full probe must recover brute force")
+    // multi-table collisions must not produce duplicate (query, rank) slots
+    val ranks = exact.select("query_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(ranks.size == ranks.distinct.size && ranks.groupBy(_._1).forall(_._2.size == 3))
+  }
+
   test("ivfTopK finds an exact duplicate vector at rank 1 through its centroid list") {
     val ss = spark; import ss.implicits._
     val vecs = (0 until 30).map(i =>
