@@ -140,6 +140,73 @@ object Temporal {
       toleranceSec)
   }
 
+  /** Skew probe for the as-of variants: estimate the hottest key's
+    * total row count (both sides) from a fixed-seed sample. Returns
+    * `None` when no key is hot enough to serialize a window task —
+    * take [[asOfJoin]] — or `Some(bucketWidth)` sized so the hot key's
+    * time span spreads over ~`targetHotTasks` window partitions —
+    * take [[asOfJoinSkewed]].
+    *
+    * Cost: one sampled aggregate + a 1-row TakeOrdered, run EAGERLY at
+    * plan-build time (two small jobs). At 100 TB that is a 0.1–1%
+    * scan deciding whether to pay the carry machinery — the same
+    * trade AQE's skew-join stats make, but across the window operator
+    * Spark's AQE cannot re-plan.
+    */
+  private[operators] def probeAsOfSkew(left: DataFrame, right: DataFrame,
+                                       keyCols: Seq[String],
+                                       leftTs: String, rightTs: String,
+                                       hotKeyRowThreshold: Long,
+                                       targetHotTasks: Int,
+                                       sampleFraction: Double): Option[Long] = {
+    val keyC = keyCols.map(col)
+    def side(df: DataFrame, ts: String): DataFrame =
+      df.select(keyC :+ col(ts).cast("long").as("__ts"): _*)
+    val all = side(left, leftTs).unionByName(side(right, rightTs))
+    val f = math.min(1.0, sampleFraction)
+    val sampled = if (f >= 1.0) all else all.sample(withReplacement = false, f, seed = 42L)
+    val top = sampled.groupBy(keyC: _*)
+      .agg(count(lit(1)).as("__n"), min(col("__ts")).as("__lo"), max(col("__ts")).as("__hi"))
+      .orderBy(col("__n").desc +: keyC.map(_.asc): _*)
+      .limit(1).collect()
+    top.headOption.flatMap { row =>
+      val est = (row.getAs[Long]("__n") / f).toLong
+      if (est < hotKeyRowThreshold) None
+      else {
+        val span = math.max(1L, row.getAs[Long]("__hi") - row.getAs[Long]("__lo"))
+        Some(math.max(1L, span / math.max(1, targetHotTasks)))
+      }
+    }
+  }
+
+  /** Adaptive as-of join: [[probeAsOfSkew]] decides, per input, whether
+    * the hot-key mitigation is worth its carry machinery — unskewed
+    * inputs pay only the probe over the plain [[asOfJoin]], skewed
+    * inputs get [[asOfJoinSkewed]] with a bucketWidth derived from the
+    * hot key's actual time span (instead of a caller-guessed constant).
+    * Semantics are identical either way on inputs whose right (key,
+    * ts) is unique (the [[asOfJoinSkewed]] tie note).
+    *
+    * `hotKeyRowThreshold` defaults to 2M rows — the point where one
+    * window task's sort+scan visibly serializes a stage; below it the
+    * plain path's single shuffle wins on any cluster.
+    */
+  def asOfJoinAuto(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   leftTs: String, rightTs: String,
+                   rightPrefix: String = "right_",
+                   toleranceSec: Option[Long] = None,
+                   forward: Boolean = false,
+                   hotKeyRowThreshold: Long = 2000000L,
+                   targetHotTasks: Int = 64,
+                   sampleFraction: Double = 0.01): DataFrame =
+    probeAsOfSkew(left, right, keyCols, leftTs, rightTs,
+        hotKeyRowThreshold, targetHotTasks, sampleFraction) match {
+      case None => asOfJoin(left, right, keyCols, leftTs, rightTs,
+        rightPrefix, toleranceSec, forward)
+      case Some(w) => asOfJoinSkewed(left, right, keyCols, leftTs, rightTs,
+        bucketWidth = w, rightPrefix, toleranceSec, forward)
+    }
+
   /** Shared tail of the as-of variants: one window pass over the
     * tagged union carrying the latest right payload/timestamp forward,
     * keep left rows, apply tolerance, unpack the payload struct.

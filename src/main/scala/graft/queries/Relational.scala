@@ -274,10 +274,16 @@ object Relational {
       .orderBy(col("user_id"), col("purchase_id"))
   }
 
-  /** Same relation as [[asofJoin]] through the skew-resistant
-    * coarse-bucket variant (1-hour buckets) — the identical DuckDB
-    * ASOF oracle makes any divergence between the two implementations
-    * a hash mismatch in the per-round gate, not just a spec failure.
+  /** Same relation as [[asofJoin]] through the ADAPTIVE skew path
+    * ([[graft.operators.Temporal.asOfJoinAuto]]): a sampled
+    * key-frequency probe decides per input whether the hot-key carry
+    * machinery is worth paying — on this unskewed corpus it selects
+    * the plain path (probe cost only, round-9 fix for the r8
+    * "unskewed premium" finding); a hot key would get the bucketed
+    * variant with a span-derived width. The identical DuckDB ASOF
+    * oracle makes any divergence between the paths a hash mismatch in
+    * the per-round gate, not just a spec failure; the forced-skewed
+    * machinery itself stays equivalence-pinned in TemporalSpec.
     */
   def asofJoinSkewed(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -288,8 +294,8 @@ object Relational {
     val clicks = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id"), col("epoch_s").as("cts"))
       .agg(max(col("event_id")).as("click_id"))
-    graft.operators.Temporal.asOfJoinSkewed(purchases, clicks,
-        Seq("user_id"), "pts", "cts", bucketWidth = 3600L, rightPrefix = "m_")
+    graft.operators.Temporal.asOfJoinAuto(purchases, clicks,
+        Seq("user_id"), "pts", "cts", rightPrefix = "m_")
       .select(col("user_id"), col("purchase_id"), col("pts"),
         col("m_click_id").as("click_id"), col("m_cts").as("click_ts"))
       .orderBy(col("user_id"), col("purchase_id"))

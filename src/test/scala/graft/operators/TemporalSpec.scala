@@ -105,6 +105,37 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoinAuto probes skew: plain path on uniform keys, derived-width skewed path on a hot key") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(7)
+    val uniformL = (1 to 300).map(i => ("k" + (i % 60), rnd.nextInt(5000).toLong, i.toLong))
+      .toDF("k", "ts", "v")
+    val uniformR = (1 to 300).map(i => ("k" + (i % 60), rnd.nextInt(5000).toLong, rnd.nextDouble()))
+      .distinct.toDF("k", "rts", "p").dropDuplicates("k", "rts")
+    val hotL = (1 to 300).map(i =>
+      (if (i % 2 == 0) "HOT" else "k" + (i % 40), rnd.nextInt(5000).toLong, i.toLong))
+      .toDF("k", "ts", "v")
+
+    // probe decision itself (sampleFraction 1.0 = exact counts):
+    // uniform keys stay under the threshold → None → plain path
+    assert(Temporal.probeAsOfSkew(uniformL, uniformR, Seq("k"), "ts", "rts",
+      hotKeyRowThreshold = 100L, targetHotTasks = 8, sampleFraction = 1.0).isEmpty)
+    // the hot key trips it → Some(width) with width ≈ span/targetHotTasks
+    val w = Temporal.probeAsOfSkew(hotL, uniformR, Seq("k"), "ts", "rts",
+      hotKeyRowThreshold = 100L, targetHotTasks = 8, sampleFraction = 1.0)
+    assert(w.nonEmpty && w.get >= 1L && w.get <= 5000L / 8 + 1,
+      s"derived width $w should spread the hot span over ~8 tasks")
+
+    // end-to-end: auto equals plain on BOTH shapes (forced-exact probe)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "ts", "v", "right_p").collect().map(_.toSeq).toSet
+    for (l <- Seq(uniformL, hotL)) {
+      val auto = norm(Temporal.asOfJoinAuto(l, uniformR, Seq("k"), "ts", "rts",
+        hotKeyRowThreshold = 100L, targetHotTasks = 8, sampleFraction = 1.0))
+      assert(auto == norm(Temporal.asOfJoin(l, uniformR, Seq("k"), "ts", "rts")))
+    }
+  }
+
   test("asOfJoinSkewed carries the last right row across empty buckets") {
     val ss = spark; import ss.implicits._
     // right row at t=3, then a long gap: buckets 1..9 are right-empty
