@@ -70,9 +70,19 @@ object TextFns {
   /** BPE-ish subword count estimate: word chunks + digit runs +
     * punctuation marks each count as a token (GPT-2-style pre-tokenizer
     * regex, simplified to an engine-portable character-class form).
+    * The SQL-oracle-expressible upper bound; [[bpeTokenCountLearned]]
+    * is the real learned count.
     */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** TRUE learned-BPE token count under a trained merge table
+    * ([[Bpe.train]]): per-word greedy merge application evaluated by
+    * the native `graft_bpe_count` expression — the merge table rides
+    * the plan as a foldable literal, one shared encoder per plan.
+    */
+  def bpeTokenCountLearned(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("graft_bpe_count", text, lit(Bpe.serializeMerges(merges)))
 
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column =

@@ -247,6 +247,13 @@ object GraftExtensions {
           "graft_mg(item, capacity) takes exactly two arguments")
         MisraGriesSketch(children.head, children(1))
       }),
+    (new FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[BpeCount].getName, "graft_bpe_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_bpe_count(text, merges) takes exactly two arguments")
+        BpeCount(children.head, children(1))
+      }),
     (new FunctionIdentifier("graft_signsketch"),
       new ExpressionInfo(classOf[SignSketch].getName, "graft_signsketch"),
       (children: Seq[Expression]) => {

@@ -4,10 +4,10 @@ import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Quantified quality gates for the five rows-only approximate
-  * queries — the surfaces whose VALUES no portable oracle can restate
-  * (xxhash64-based candidate generation, engine-specific HLL layout),
-  * so their correctness otherwise rests on specs alone. Each metric
+/** Quantified quality gates for the rows-only queries — the surfaces
+  * whose VALUES no portable oracle can restate (xxhash64-based
+  * candidate generation, engine-specific HLL layout, the BPE greedy
+  * merge loop), so their correctness otherwise rests on specs alone. Each metric
   * is a deterministic Spark-side relation comparing the approximate
   * gated query against its exact gated twin:
   *
@@ -54,7 +54,8 @@ object QualityMetrics {
     "simhash_recall" -> 0.9,
     "knn_lsh_recall@5" -> 0.7,
     "knn_ivf_recall@5" -> 0.6,
-    "token_hll_accuracy" -> 0.95)
+    "token_hll_accuracy" -> 0.95,
+    "bpe_compression" -> 1.5)
 
   /** Recall of `cand` over `truth`, both keyed (id_a, id_b), as a
     * one-row relation. Left-semi intersection then two tiny one-row
@@ -107,11 +108,29 @@ object QualityMetrics {
         lit(null).cast("long").as("numer"), col("denom"))
   }
 
+  /** BPE compression: corpus characters (whitespace included) per
+    * learned-BPE token — how much text one learned token covers on
+    * average. A merge-table regression (empty table, broken encode
+    * loop, broken trainer) collapses this toward ~1.2 (char-level
+    * tokenization: every non-space char its own token); a healthy
+    * 256-merge table on this corpus measures well above the 1.5
+    * floor.
+    */
+  private def bpeCompression(s: SparkSession, dir: String): DataFrame =
+    TextPipeline.bpeTokens(s, dir)
+      .agg(
+        round(sum(col("n_chars")).cast("double")
+          / sum(col("n_bpe_learned")), 6).as("value"),
+        count(lit(1)).as("denom"))
+      .select(lit("bpe_compression").as("metric"), col("value"),
+        lit(null).cast("long").as("numer"), col("denom"))
+
   /** The full quality table: (metric, value, numer, denom, floor,
     * pass), one row per gated approximate surface.
     */
   def metrics(s: SparkSession, dir: String): DataFrame = {
     val rows = Seq(
+      bpeCompression(s, dir),
       recallOf("minhash_recall",
         TextPipeline.minhashPairs(s, dir),
         TextPipeline.ngramPairs05(s, dir)),

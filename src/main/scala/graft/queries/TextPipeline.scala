@@ -134,6 +134,42 @@ object TextPipeline {
         TextFns.qualityScoreOf(col("text"), col("__toks")).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** BPE merge table trained ONCE per (session, dir) — a tokenizer
+    * belongs to its corpus like the IVF quantizer does (ivfCentroids'
+    * memo rationale): training is an eager word-count aggregate +
+    * driver-side merge learning, so re-training per query would re-run
+    * the corpus scan every call. Plain memo keyed by session id (the
+    * value is a merge list, not a DataFrame, so SessionCache's
+    * unpersist lifecycle doesn't apply; entries are trivially small).
+    */
+  private val bpeMergesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(String, String)]]()
+  private[queries] def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergesMemo.computeIfAbsent((graft.SessionCache.idOf(s), dir), _ =>
+      graft.functions.Bpe.train(
+        Tables.documents(s, dir).select(col("text")), col("text"),
+        numMerges = 256, maxWords = 65536))
+
+  /** TRUE learned-BPE token counts (rows-only: the greedy merge loop
+    * is not SQL-expressible) next to the two oracle-gated counts —
+    * `n_bpe_learned ≤ n_bpe_pretokens·(maxlen+1)` by construction and
+    * the compression it buys is floor-gated in QualityMetrics
+    * (`bpe_compression`); exact encode behavior is pinned in BpeSpec
+    * against the published Sennrich et al. 2016 example.
+    */
+  def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    val merges = bpeMerges(s, dir)
+    Tables.spread(Tables.documents(s, dir))
+      .select(
+        col("doc_id"),
+        TextFns.bpeTokenCountLearned(col("text"), merges).cast(LongType)
+          .as("n_bpe_learned"),
+        TextFns.bpeTokenCount(col("text")).cast(LongType).as("n_pretokens"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Heuristic language ID vs the labeled truth column. */
   def langGuess(s: SparkSession, dir: String): DataFrame =
     tokenizedDocs(s, dir)
@@ -640,6 +676,7 @@ object TextPipeline {
     "minhash_pairs" -> (minhashPairs _),
     "simhash_pairs" -> (simhashPairs _),
     "text_stats" -> (textStats _),
+    "bpe_tokens" -> (bpeTokens _),
     "lang_guess" -> (langGuess _),
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_lsh" -> (knnLsh _),

@@ -19,7 +19,7 @@ class ContractSpec extends SparkSpec {
   test("the rows-only set is exactly the documented one") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("minhash_pairs", "simhash_pairs", "knn_lsh",
-      "knn_ivf", "token_hll"),
+      "knn_ivf", "token_hll", "bpe_tokens"),
       s"rows-only drift — every addition here needs a spec + a written reason: $rowsOnly")
   }
 

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 
 /** Automated plan audit: the properties a human would check with
   * `.explain("formatted")` on the headline queries — pushed filters,
@@ -120,7 +121,21 @@ class ExplainSpec extends SparkSpec {
   }
 
   test("asof_join_skewed: every window partitions by (key, bucket) — a hot key can never serialize one task") {
-    val p = plan("asof_join_skewed")
+    // Since round 9 the QUERY routes through asOfJoinAuto, whose probe
+    // correctly picks the PLAIN path on this unskewed corpus — so the
+    // bucketed-machinery plan contract is pinned on the operator with
+    // the skew decision forced, same inputs as the query.
+    val ev = graft.Tables.events(spark, dir)
+      .withColumn("epoch_s", unix_timestamp(col("ts").cast("timestamp")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("epoch_s").as("pts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("epoch_s").as("cts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val p = graft.operators.Temporal.asOfJoinSkewed(purchases, clicks,
+        Seq("user_id"), "pts", "cts", bucketWidth = 3600L, rightPrefix = "m_")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // the match window (the one ordered by __ts, which sees every data
     // row) must partition by BOTH the key and the coarse bucket; a
     // key-only partition would re-create the hot-key serialization
@@ -144,6 +159,12 @@ class ExplainSpec extends SparkSpec {
     // the per-bucket last-right aggregate must partial-aggregate
     assert(count(p, "HashAggregate") >= 2 || count(p, "SortAggregate") >= 2,
       s"per-bucket right aggregation must have map-side partials:\n$p")
+
+    // and the QUERY itself (auto path, unskewed corpus) must have
+    // selected the plain single-window plan — no carry machinery
+    val auto = plan("asof_join_skewed")
+    assert(!auto.contains("__bkt#") && count(auto, "Window") == 2,
+      s"auto path on unskewed data must take the plain single-window plan:\n$auto")
   }
 
   test("range_join: bucketed candidates meet on an equi-join, never a nested loop") {
