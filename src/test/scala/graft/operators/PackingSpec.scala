@@ -30,6 +30,28 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packByTokenBudget composes with learned-BPE counts (real model-token budgets)") {
+    val ss = spark; import ss.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(ss)
+    import graft.functions.Bpe
+    val docs = (1 to 30).map(i =>
+      (i.toLong, Seq.fill(8)(Seq("lowest", "newest", "wide", "lower")(i % 4)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs.select(col("text")), col("text"), numMerges = 30)
+    val counted = docs.select(col("doc_id"),
+      TextFns.bpeTokenCountLearned(col("text"), merges).as("n"))
+    val packed = Packing.packByTokenBudget(counted, col("doc_id"), col("n"),
+      budget = 64, nShards = 2)
+    // every chunk's token sum stays within budget + one overflowing doc
+    val rows = packed.select(col("shard"), col("chunk_id"), col("n_tokens"))
+      .as[(Int, Long, Long)].collect()
+    val enc = new graft.functions.BpeEncoder(merges)
+    val maxDoc = docs.as[(Long, String)].collect().map(d => enc.countTokens(d._2)).max
+    rows.groupBy(r => (r._1, r._2)).values.foreach { chunk =>
+      assert(chunk.map(_._3).sum <= 64L + maxDoc)
+    }
+  }
+
   test("chunkByTokenWindow covers every token with the declared overlap; empty docs vanish") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions.split
