@@ -141,6 +141,144 @@ object Incremental {
       }
   }
 
+  /** CERTIFIED-EXACT streaming top-K per group — the streaming
+    * composition of the two batch passes in
+    * [[graft.operators.HeavyHitters.exactTopKPerGroup]]: a
+    * continuously-merged MG candidate summary (pass 1, incremental)
+    * plus a distributed recount against the accumulated history
+    * (pass 2, per micro-batch), certified by the same two sufficient
+    * conditions — so unlike [[heavyHittersStream]]'s lower bounds, the
+    * emitted ranks are EXACT or the batch refuses loudly.
+    *
+    * Per micro-batch, inside `foreachBatch`:
+    *  1. the batch lands in `stateDir/lake` partitioned by BATCH ID
+    *     with dynamic overwrite — a replayed batch (foreachBatch is
+    *     at-least-once on side effects) overwrites its own partition,
+    *     keeping lake counts exact;
+    *  2. the per-group MG summary table is advanced as a VERSION
+    *     `stateDir/summaries/v=<batchId>` = COMBINE(previous version,
+    *     batch MG aggregate): counters add per (group, item), then the
+    *     (capacity+1)-th largest weight subtracts from all and
+    *     non-positive entries drop — the Misra–Gries merge of Agarwal
+    *     et al., "Mergeable Summaries" (PODS'12), as three relational
+    *     ops. Versioning makes replay idempotent: a re-run of batch n
+    *     rebuilds v=n from v<n deterministically instead of
+    *     double-merging. Summary error after any merge sequence stays
+    *     ≤ N/capacity, so every item with true frequency > N/capacity
+    *     is a candidate — the certification bar below;
+    *  3. groups TOUCHED by the batch are recounted exactly against the
+    *     full lake (semi-join on candidates — only candidate rows
+    *     shuffle), certified per group (full coverage, or k-th count
+    *     clears N/capacity; otherwise IllegalStateException names the
+    *     groups), and their partitions of `outDir` are dynamically
+    *     overwritten. Untouched groups received no rows, so their
+    *     stored result is still exact — per-batch work scales with the
+    *     batch's groups, only the recount scan touches history.
+    *
+    * `outDir` is therefore always a certified-exact (grp, item, n,
+    * rnk ≤ k) table as of the last processed batch.
+    */
+  def certifiedTopKStream(spark: SparkSession, srcDir: String, stateDir: String,
+                          outDir: String, checkpointDir: String,
+                          k: Int = 10, capacity: Int = 256): Unit = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("item",
+        org.apache.spark.sql.types.StringType)))
+    val lakeDir = s"$stateDir/lake"
+    val summDir = s"$stateDir/summaries"
+
+    def versions(s: SparkSession): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(summDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+    }
+
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val s = batch0.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        // micro-batch-sized; consumed by the lake write, the summary
+        // merge, and the touched-group set
+        val batch = batch0.filter(col("item").isNotNull).localCheckpoint()
+
+        // 1. idempotent lake append
+        batch.withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(lakeDir)
+
+        // 2. versioned MG COMBINE
+        val prevV = versions(s).filter(_ < batchId).sorted.lastOption
+        val prev = prevV.map(v => s.read.parquet(s"$summDir/v=$v"))
+          .getOrElse(Seq.empty[(String, String, Long)].toDF("grp", "item", "w"))
+        val bSumm = batch.groupBy(col("grp"))
+          .agg(call_function("graft_mg", col("item"), lit(capacity)).as("__mg"))
+          .select(col("grp"), explode(col("__mg")))
+          .toDF("grp", "item", "w")
+        val wRank = Window.partitionBy(col("grp"))
+          .orderBy(col("w").desc, col("item").asc)
+        val wGrp = Window.partitionBy(col("grp"))
+        val merged = prev.unionByName(bSumm)
+          .groupBy(col("grp"), col("item")).agg(sum(col("w")).as("w"))
+          .withColumn("__rnk", row_number().over(wRank))
+          .withColumn("__wth",
+            max(when(col("__rnk") === capacity + 1, col("w"))).over(wGrp))
+          .withColumn("w", col("w") - coalesce(col("__wth"), lit(0L)))
+          .filter(col("w") > 0).select(col("grp"), col("item"), col("w"))
+        merged.write.mode("overwrite").parquet(s"$summDir/v=$batchId")
+        // GC: keep the current and one prior version (the only one a
+        // restart can replay from under AvailableNow's one-batch redo)
+        versions(s).filter(v => v < batchId && !prevV.contains(v)).foreach { v =>
+          val p = new org.apache.hadoop.fs.Path(s"$summDir/v=$v")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+
+        // 3. exact recount + certification for touched groups
+        val touched = batch.select(col("grp")).distinct()
+        val lake = s.read.parquet(lakeDir)
+          .join(touched, Seq("grp"), "left_semi")
+          .filter(col("item").isNotNull)
+        val cands = s.read.parquet(s"$summDir/v=$batchId")
+          .join(touched, Seq("grp"), "left_semi").select(col("grp"), col("item"))
+        val confirmed = lake.join(cands, Seq("grp", "item"), "left_semi")
+          .groupBy(col("grp"), col("item")).agg(count(lit(1)).as("n"))
+          .localCheckpoint() // candidate-sized; feeds certify + output
+        val ranked = confirmed.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("grp")).orderBy(col("n").desc, col("item").asc)))
+        val cert = ranked.groupBy(col("grp"))
+          .agg(sum(col("n")).as("__sum"),
+            max(when(col("rnk") === k, col("n"))).as("__kth"),
+            count(lit(1)).as("__cand"))
+          .join(lake.groupBy(col("grp")).agg(count(lit(1)).as("__n")), "grp")
+          .withColumn("__ok",
+            col("__sum") === col("__n") ||
+              (col("__cand") >= k && col("__kth") * capacity > col("__n")))
+        val bad = cert.filter(!col("__ok")).select(col("grp"))
+          .collect().map(_.getString(0))
+        if (bad.nonEmpty)
+          throw new IllegalStateException(
+            s"MG capacity $capacity cannot certify exact top-$k for groups: " +
+              bad.sorted.mkString(", ") + ". Retry with a larger capacity.")
+
+        // 4. idempotent per-group result refresh
+        ranked.filter(col("rnk") <= k)
+          .select(col("grp"), col("item"), col("n"),
+            col("rnk").cast("long").as("rnk"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("grp").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Windowed rollup of the incrementally-built table — bucket
     * partition pruning applies because [[ingestIncrement]] partitioned
     * by bucket_unix.

@@ -151,6 +151,68 @@ class IncrementalSpec extends SparkSpec {
     assert(r2.length <= 5, "emits at most k rows per group")
   }
 
+  test("certifiedTopKStream: streaming certified top-K equals batch exactTopKPerGroup across checkpointed runs") {
+    val ss = spark; import ss.implicits._
+    val base = Files.createTempDirectory("cert_topk").toString
+    val src = base + "/src"; val ck = base + "/ck"
+    val state = base + "/state"; val out = base + "/out"
+
+    def readOut() = ss.read.parquet(out)
+      .select("grp", "item", "n", "rnk")
+      .as[(String, String, Long, Long)].collect().toSet
+    def batchTwin() = {
+      val lake = ss.read.parquet(s"$state/lake")
+      graft.operators.HeavyHitters.exactTopKPerGroup(
+        lake, col("grp"), col("item"), k = 3, capacity = 16)
+        .as[(String, String, Long, Long)].collect().toSet
+    }
+
+    // batch 1: group A has >capacity distinct items but a skewed head
+    // (certifies via the k-th-count bound); group B fits entirely in
+    // the summary (certifies via full coverage)
+    val b1 = (Seq.fill(30)(("A", "a")) ++ Seq.fill(20)(("A", "b")) ++
+      Seq.fill(10)(("A", "c")) ++ (1 to 20).map(i => ("A", s"noise$i")) ++
+      Seq.fill(5)(("B", "x")) ++ Seq.fill(3)(("B", "y")) ++ Seq(("B", "z")))
+    b1.toDF("grp", "item").write.parquet(src)
+    Incremental.certifiedTopKStream(ss, src, state, out, ck, k = 3, capacity = 16)
+    val r1 = readOut()
+    assert(r1 == batchTwin(), "run 1: streaming result must equal the batch composition")
+    assert(r1.exists(r => r._1 == "A" && r._2 == "a" && r._3 == 30L && r._4 == 1L))
+
+    // batch 2 (restart from checkpoint): rank flip in A ("c" overtakes
+    // "b"), B untouched — its stored result must survive verbatim
+    val b2 = Seq.fill(25)(("A", "c")) ++ Seq.fill(4)(("A", "a"))
+    b2.toDF("grp", "item").write.mode("append").parquet(src)
+    Incremental.certifiedTopKStream(ss, src, state, out, ck, k = 3, capacity = 16)
+    val r2 = readOut()
+    assert(r2 == batchTwin(), "run 2: streaming result must equal batch over the FULL history")
+    assert(r2.exists(r => r._1 == "A" && r._2 == "c" && r._3 == 35L && r._4 == 1L),
+      "merged history must rank c (10+25) above a (34)")
+    assert(r2.filter(_._1 == "B") == r1.filter(_._1 == "B"),
+      "untouched group's certified result must persist across the restart")
+
+    // a third no-new-files run is a no-op (checkpoint is the cursor)
+    Incremental.certifiedTopKStream(ss, src, state, out, ck, k = 3, capacity = 16)
+    assert(readOut() == r2)
+  }
+
+  test("certifiedTopKStream REFUSES when the distribution is too flat to certify") {
+    val ss = spark; import ss.implicits._
+    val base = Files.createTempDirectory("cert_topk_flat").toString
+    // 40 distinct singletons at capacity 16: candidates cover < N and
+    // the k-th count (1) cannot clear N/m — must throw, not emit ranks
+    (1 to 40).map(i => ("FLAT", s"u$i")).toDF("grp", "item")
+      .write.parquet(base + "/src")
+    val e = intercept[Exception] {
+      Incremental.certifiedTopKStream(ss, base + "/src", base + "/state",
+        base + "/out", base + "/ck", k = 3, capacity = 16)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[IllegalStateException]),
+      s"expected the certification refusal, got: $e")
+  }
+
   test("decontamStream equals batch decontamination across incremental runs") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
