@@ -193,6 +193,62 @@ object Tables {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Register `dir`'s fixture tables as EXTERNAL parquet tables in a
+    * per-dir database and ANALYZE them — table-level row/byte counts
+    * plus (opt-out) all-column NDV/min/max stats — so Catalyst sizes
+    * joins from REAL catalog statistics (broadcast decisions, CBO join
+    * reordering when `spark.sql.cbo.enabled` is on) instead of raw
+    * file-size guesses. This is the metastore shape a 100 TB
+    * deployment runs with; the path-based readers above stay the
+    * zero-setup default, and the `shuffle_hash` pins on the pair
+    * self-joins remain in force as the safety net either way
+    * (ExplainSpec asserts both: stats-driven broadcasts appear, pins
+    * survive stats).
+    *
+    * `events` needs its nanos→micros conversion, which ANALYZE cannot
+    * see through a view — so the RAW file registers as `events_raw`
+    * (stats land there) and `events` is a conversion VIEW over it;
+    * Catalyst propagates the underlying column stats through the
+    * projection.
+    *
+    * Idempotent; returns the database name (`graft_<sanitized dir>`).
+    */
+  def registerCatalog(spark: SparkSession, dir: String,
+                      columnStats: Boolean = true): String = {
+    val db = "graft_" + dir.replaceAll("[^a-zA-Z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    def registerAndAnalyze(tbl: String, file: String): Unit = {
+      spark.sql(
+        s"CREATE TABLE IF NOT EXISTS $db.$tbl USING parquet LOCATION '$dir/$file'")
+      spark.sql(s"ANALYZE TABLE $db.$tbl COMPUTE STATISTICS")
+      if (columnStats) {
+        // ANALYZE FOR COLUMNS rejects nested types (array<float>
+        // embeddings) — collect NDV/min/max for the flat columns only
+        val atomic = spark.table(s"$db.$tbl").schema.fields.collect {
+          case f if !f.dataType.isInstanceOf[ArrayType] &&
+            !f.dataType.isInstanceOf[MapType] &&
+            !f.dataType.isInstanceOf[StructType] => f.name
+        }
+        if (atomic.nonEmpty)
+          spark.sql(s"ANALYZE TABLE $db.$tbl COMPUTE STATISTICS FOR COLUMNS " +
+            atomic.mkString(", "))
+      }
+    }
+    schemas.keySet.filterNot(_ == "events").toSeq.sorted
+      .foreach(n => registerAndAnalyze(n, s"$n.parquet"))
+    // events: nanos TIMESTAMP — stats on the raw table, view converts
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    registerAndAnalyze("events_raw", "events.parquet")
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $db.events AS
+         |SELECT event_id, timestamp_micros(ts div 1000) AS ts,
+         |       user_id, event_type, value, props
+         |FROM $db.events_raw""".stripMargin)
+    db
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

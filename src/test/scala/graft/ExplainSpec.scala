@@ -24,6 +24,49 @@ class ExplainSpec extends SparkSpec {
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
 
+  test("catalog + ANALYZE stats: joins size from real statistics, hint pins stay in force") {
+    import graft.operators.Dedup
+    val db = Tables.registerCatalog(spark, dir)
+    val prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    val prevReorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      // ANALYZE's row-count stats must actually land in the catalog
+      // and reach the optimizer (rowCount surfaces under CBO)
+      val stats = spark.table(s"$db.nation").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.exists(_.toLong == 25L),
+        s"ANALYZE must surface the exact nation row count, got $stats")
+      // star over CATALOG relations, NO broadcast() hints anywhere:
+      // the dims must broadcast purely from their analyzed sizes
+      val p = spark.sql(
+        s"""SELECT n.n_name, count(*) AS n, sum(o.o_totalprice) AS total
+           |FROM $db.orders o
+           |JOIN $db.customer c ON o.o_custkey = c.c_custkey
+           |JOIN $db.nation n ON c.c_nationkey = n.n_nationkey
+           |JOIN $db.region r ON n.n_regionkey = r.r_regionkey
+           |WHERE o.o_orderstatus = 'F' AND r.r_name = 'ASIA'
+           |GROUP BY n.n_name""".stripMargin)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(count(p, "BroadcastHashJoin") >= 3,
+        s"analyzed dims must broadcast from real stats, no hints:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no cross products under CBO:\n$p")
+
+      // and the anti-driver-broadcast pins survive stats + CBO: the
+      // pair self-join over a precisely-known-small catalog table must
+      // STILL plan shuffled
+      val docs = spark.table(s"$db.documents")
+      val pins = Dedup.minhashCandidates(docs, col("doc_id"), col("text"),
+        shingleLen = 3, bands = 8, rowsPerBand = 4)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(pins.contains("ShuffledHashJoin"),
+        s"shuffle_hash pin must survive catalog stats + CBO:\n$pins")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prev)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+    }
+  }
+
   test("star_join: dims broadcast, status filter pushed to the orders scan, fact columns pruned") {
     val p = plan("star_join")
     assert(count(p, "BroadcastHashJoin") >= 3, s"expected >=3 broadcast joins:\n$p")
