@@ -370,9 +370,48 @@ object Media {
         x => x)))
       .drop("__sq")
 
-  /** Sample every `stride`-th frame of a VID0 payload (frame-sample
-    * stage of a video pipeline): emits one IMG0 payload per kept
-    * frame as (id, frame_index, payload).
+  /** Every `stride`-th frame of a multi-frame GIF (the one REAL
+    * multi-frame container the JDK decodes natively), re-encoded as
+    * standalone PNG payloads so the kept frames flow through
+    * [[decodeImages]]/[[imageFeatures]] losslessly. Frames are decoded
+    * as stored — GIF disposal-method compositing (partial frames drawn
+    * over a canvas) is not applied, the right trade for a sampling
+    * stage whose consumers want per-frame features, not animation
+    * playback. A real video deployment swaps this per-payload function
+    * for an ffmpeg keyframe extractor with the same (bytes, stride) →
+    * frames signature.
+    */
+  private[operators] def gifFrames(p: Array[Byte], stride: Int): Seq[(Int, Array[Byte])] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(p))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Seq.empty
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          (0 until n by stride).map { i =>
+            val bos = new java.io.ByteArrayOutputStream
+            javax.imageio.ImageIO.write(r.read(i), "png", bos)
+            (i, bos.toByteArray)
+          }
+        } finally r.dispose()
+      }
+    } catch {
+      case _: java.io.IOException => Seq.empty // truncated/corrupt → drop
+    } finally iis.close()
+  }
+
+  private def isGif(p: Array[Byte]): Boolean =
+    p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'
+
+  /** Sample every `stride`-th frame of a video payload (frame-sample
+    * stage of a video pipeline): emits (id, frame_index, payload) with
+    * one standalone image payload per kept frame. Routes by magic like
+    * the image codecs: animated GIF → real ImageIO frame extraction
+    * (PNG payloads, [[gifFrames]]); toy VID0 fixtures → IMG0 payloads.
     */
   def sampleFrames(df: DataFrame, stride: Int, idCol: String = "id",
                    payloadCol: String = "payload"): DataFrame = {
@@ -380,7 +419,8 @@ object Media {
     import spark.implicits._
     val in = df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
     in.flatMap { case (id, p) =>
-      if (p.length < 6 || !p.take(4).sameElements(VideoMagic)) Iterator.empty
+      if (isGif(p)) gifFrames(p, stride).iterator.map { case (f, png) => (id, f, png) }
+      else if (p.length < 6 || !p.take(4).sameElements(VideoMagic)) Iterator.empty
       else {
         val n = ((p(4) & 0xff) << 8) | (p(5) & 0xff)
         var off = 6

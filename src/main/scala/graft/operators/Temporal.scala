@@ -231,6 +231,45 @@ object Temporal {
     }.drop("__ts", "__side", "__r", "__match", "__matchTs", "__bkt")
   }
 
+  /** Bucket width probe for [[rangeJoin]]: the median interval length
+    * from a fixed-seed sample of both sides. At the median, a typical
+    * interval explodes to ~2 buckets (bounded replication) while a
+    * bucket co-locates ~2 interval-lengths of data (bounded collision
+    * false positives) — the balanced point of the explode-vs-collision
+    * trade [[rangeJoin]]'s `bucketWidth` knob tunes, and result-
+    * invariant in any case (the spec proves width-invariance).
+    * Zero-length-dominated inputs floor at width 1.
+    */
+  private[operators] def probeRangeWidth(left: DataFrame, right: DataFrame,
+                                         leftStart: String, leftEnd: String,
+                                         rightStart: String, rightEnd: String,
+                                         sampleFraction: Double): Long = {
+    def lens(df: DataFrame, s: String, e: String): DataFrame =
+      df.select((col(e).cast("long") - col(s).cast("long")).as("__len"))
+    val all = lens(left, leftStart, leftEnd)
+      .unionByName(lens(right, rightStart, rightEnd))
+    val f = math.min(1.0, sampleFraction)
+    val sampled = if (f >= 1.0) all else all.sample(withReplacement = false, f, seed = 42L)
+    val m = sampled.agg(
+      percentile_approx(col("__len"), lit(0.5), lit(10000)).as("__m"))
+      .head().get(0)
+    math.max(1L, if (m == null) 1L else m.asInstanceOf[Number].longValue())
+  }
+
+  /** [[rangeJoin]] with the bucket width derived from a cheap sampled
+    * interval-length probe instead of a caller guess — same results at
+    * any width (bucketing only generates candidates; the exact overlap
+    * predicate decides), so the probe is purely a cost decision, the
+    * [[asOfJoinAuto]] pattern applied to the interval case.
+    */
+  def rangeJoinAuto(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                    leftStart: String, leftEnd: String,
+                    rightStart: String, rightEnd: String,
+                    sampleFraction: Double = 0.01): DataFrame =
+    rangeJoin(left, right, keyCols, leftStart, leftEnd, rightStart, rightEnd,
+      probeRangeWidth(left, right, leftStart, leftEnd, rightStart, rightEnd,
+        sampleFraction))
+
   /** Interval-overlap join: pairs of (left, right) rows sharing a key
     * whose [start, end] ranges overlap. Both sides' intervals explode
     * to `bucketWidth`-sized buckets; candidates meet on (key, bucket)

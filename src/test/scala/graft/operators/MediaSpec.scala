@@ -240,6 +240,47 @@ class MediaSpec extends SparkSpec {
     assert(got == Set((1L, "img0"), (2L, "png")))
   }
 
+  test("sampleFrames extracts real animated-GIF frames as decodable PNG payloads") {
+    val ss = spark; import ss.implicits._
+    // 4-frame animated GIF, each frame a distinct constant color from
+    // the 216-color web-safe cube (survives GIF palette quantization)
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00)
+    val bos = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(5, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 5) img.setRGB(x, y, c)
+      w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    w.endWriteSequence(); ios.close(); w.dispose()
+
+    val vids = Seq((7L, bos.toByteArray), (8L, "not a gif".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val sampled = Media.sampleFrames(vids, stride = 2)
+    val idx = sampled.select("id", "frame_index").as[(Long, Int)].collect().toSet
+    assert(idx == Set((7L, 0), (7L, 2)), "stride-2 over 4 GIF frames keeps 0 and 2")
+
+    // each kept frame decodes through the SAME image path, pixel-exact
+    val dec = Media.decodeImages(sampled.select(col("id"), col("payload")))
+      .join(sampled.select(col("id"), col("frame_index")), "id")
+    val byFrame = Media.decodeImages(sampled
+        .select(col("frame_index").as("id"), col("payload")))
+      .collect().map(r => r.getLong(0).toInt -> r).toMap
+    Seq(0, 2).foreach { f =>
+      val r = byFrame(f)
+      assert((r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[String]("format")) == ((5, 4, "png")))
+      val px = r.getAs[Array[Byte]]("pixels").map(_ & 0xff)
+      val c = colors(f)
+      val want = Seq((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)
+      px.grouped(3).foreach(g => assert(g.toSeq == want,
+        s"frame $f must be constant ${want.mkString(",")} got ${g.toSeq}"))
+    }
+  }
+
   test("sampleFrames keeps every stride-th frame of a video payload") {
     val ss = spark; import ss.implicits._
     val vid = Seq((5L, Media.stubVideo(5L, frames = 6, w = 4, h = 4, c = 1)))

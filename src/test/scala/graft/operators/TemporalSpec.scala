@@ -186,4 +186,30 @@ class TemporalSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("rangeJoinAuto derives a median-length width and matches the fixed-width result") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(19)
+    val l = Seq.tabulate(80) { i =>
+      val s = rnd.nextInt(1000).toLong; ("k" + (i % 3), s, s + 20 + rnd.nextInt(20))
+    }.toDF("k", "ls", "le")
+    val r = Seq.tabulate(80) { i =>
+      val s = rnd.nextInt(1000).toLong; ("k" + (i % 3), s, s + 20 + rnd.nextInt(20))
+    }.toDF("k", "rs", "re")
+    // exact probe (fraction 1.0): median of lengths in [20, 39]
+    val w = Temporal.probeRangeWidth(l, r, "ls", "le", "rs", "re", sampleFraction = 1.0)
+    assert(w >= 20L && w <= 39L, s"median-length width out of range: $w")
+    // zero-length intervals floor at 1
+    val pt = Seq(("k", 5L, 5L)).toDF("k", "ls", "le")
+    assert(Temporal.probeRangeWidth(pt, pt.toDF("k", "rs", "re"),
+      "ls", "le", "rs", "re", 1.0) == 1L)
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "ls", "le", "rs", "re").collect().map(_.toSeq).toSet
+    val auto = norm(Temporal.rangeJoinAuto(l, r, Seq("k"), "ls", "le", "rs", "re",
+      sampleFraction = 1.0))
+    val fixed = norm(Temporal.rangeJoin(l, r, Seq("k"), "ls", "le", "rs", "re",
+      bucketWidth = 64L))
+    assert(auto == fixed && auto.nonEmpty)
+  }
 }
