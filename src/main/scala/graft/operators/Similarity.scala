@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -121,20 +122,19 @@ object Similarity {
     *
     * Centroids here are a deterministic hash-ordered corpus sample
     * (k-means training is orthogonal to the pipeline shape and would
-    * slot in as a better `cents` frame). Assignment is an aggregate
-    * `max(struct(cos, centroid))` — one map-side-combinable hash
-    * aggregate, no per-corpus-row window shuffle.
+    * slot in as a better `cents` frame). Assignment is the native
+    * [[graft.plans.IvfAssign]] map over the driver-resident quantizer
+    * — no corpus-side join or shuffle at all.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
+              nCentroids: Int = 16, nProbe: Int = 4, nAssign: Int = 1,
               queryId: String = "query_id", corpusId: String = "neighbor_id",
               vecCol: String = "embedding"): DataFrame = {
     val c = graft.Tables.spread(corpus).select(col(corpusId), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
     val cents = c.orderBy(xxhash64(col(corpusId))).limit(nCentroids)
-      .select(col(corpusId).as("__centroid"), col("__cv").as("__centv"),
-        col("__cn").as("__centn"))
-    ivfProbe(queries, c, cents, k, nProbe, queryId, corpusId, vecCol)
+      .select(col(corpusId).as("__centroid"), col("__cv").as("__centv"))
+    ivfProbe(queries, c, cents, k, nProbe, nAssign, queryId, corpusId, vecCol)
   }
 
   /** Lloyd's k-means coarse-quantizer trainer for [[ivfTopK]] — the
@@ -167,13 +167,13 @@ object Similarity {
     * sampled centroid set mirrors density, k-means spreads it).
     */
   def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
-                     nCentroids: Int = 16, nProbe: Int = 4, maxIter: Int = 5,
-                     seed: Long = 42L,
+                     nCentroids: Int = 16, nProbe: Int = 4, nAssign: Int = 1,
+                     maxIter: Int = 5, seed: Long = 42L,
                      queryId: String = "query_id", corpusId: String = "neighbor_id",
                      vecCol: String = "embedding"): DataFrame =
     ivfTopKWithCentroids(queries, corpus,
       kmeansCentroids(corpus, nCentroids, maxIter, seed, vecCol),
-      k, nProbe, queryId, corpusId, vecCol)
+      k, nProbe, nAssign, queryId, corpusId, vecCol)
 
   /** IVF top-k over a PRE-TRAINED centroid frame (`(centroid_id,
     * centroid)` as produced by [[kmeansCentroids]]) — the production
@@ -183,58 +183,69 @@ object Similarity {
     */
   def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
                            centroids: DataFrame, k: Int, nProbe: Int = 4,
+                           nAssign: Int = 1,
                            queryId: String = "query_id",
                            corpusId: String = "neighbor_id",
                            vecCol: String = "embedding"): DataFrame = {
     val c = graft.Tables.spread(corpus).select(col(corpusId), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
     val cents = centroids
-      .select(col("centroid_id").as("__centroid"), col("centroid").as("__centv"),
-        norm(col("centroid")).as("__centn"))
-    ivfProbe(queries, c, cents, k, nProbe, queryId, corpusId, vecCol)
+      .select(col("centroid_id").as("__centroid"), col("centroid").as("__centv"))
+    ivfProbe(queries, c, cents, k, nProbe, nAssign, queryId, corpusId, vecCol)
   }
 
-  /** Shared IVF probe machinery: assign corpus rows to their best
-    * centroid (map-side-combinable `max(struct(cos, cid))`), expand
-    * each query to its nProbe best lists, equi-join on centroid id,
+  /** Shared IVF probe machinery: assign corpus rows to their
+    * `nAssign` best centroids and queries to their `nProbe` best, both
+    * through the native [[graft.plans.IvfAssign]] expression over the
+    * driver-resident quantizer, then equi-join on centroid id and
     * exact-score within the probed lists.
+    *
+    * The corpus side is a pure map — scan → assign → explode →
+    * broadcast-join — with ZERO corpus-wide exchanges (the previous
+    * form paid a broadcast-nested-loop join against the centroid frame
+    * plus a `groupBy(corpusId)` shuffle of the whole corpus just to
+    * pick each row's argmax list). Both sides rank with the identical
+    * comparator (cos desc, id desc), so a duplicate corpus vector and
+    * its query land in the same list on cosine ties.
+    *
+    * `nAssign > 1` is IVF multi-assignment ("spill"): each corpus
+    * vector is indexed under its runner-up centroids too, which is
+    * where single-assignment IVF loses recall (nearest neighbors
+    * sitting just across a Voronoi boundary from the probed cells).
+    * Cost is nAssign× index rows; candidates are deduped per
+    * (query, neighbor) before ranking.
     */
   private def ivfProbe(queries: DataFrame, c: DataFrame, cents: DataFrame,
-                       k: Int, nProbe: Int,
+                       k: Int, nProbe: Int, nAssign: Int,
                        queryId: String, corpusId: String, vecCol: String): DataFrame = {
-    val assigned = c.join(broadcast(cents), lit(true))
-      .select(col(corpusId), col("__cv"), col("__cn"),
-        struct(
-          cosineWithNorms(col("__cv"), col("__centv"), col("__cn"), col("__centn"))
-            .as("cos"),
-          col("__centroid").as("cid")).as("__cand"))
-      .groupBy(col(corpusId))
-      .agg(max(col("__cand")).as("__best"),
-        first(col("__cv")).as("__cv"), first(col("__cn")).as("__cn"))
-      .select(col(corpusId), col("__cv"), col("__cn"),
-        col("__best").getField("cid").as("__centroid"))
-    val q = queries.select(col(queryId), col(vecCol).as("__qv"),
-      norm(col(vecCol)).as("__qn"))
-    // tie-break DESC on centroid id to match the corpus side's
-    // max(struct(cos, cid)) larger-id-wins semantics — a cosine tie
-    // must send query and duplicate corpus vector to the same list
-    val probeW = Window.partitionBy(col(queryId))
-      .orderBy(col("__qc").desc, col("__centroid").desc)
-    val probes = q.join(broadcast(cents), lit(true))
-      .select(col(queryId), col("__qv"), col("__qn"), col("__centroid"),
-        cosineWithNorms(col("__qv"), col("__centv"), col("__qn"), col("__centn"))
-          .as("__qc"))
-      .withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nProbe)
-      .select(col(queryId), col("__qv"), col("__qn"), col("__centroid"))
+    // The quantizer collects to the driver: bounded by nCentroids BY
+    // CONSTRUCTION (16-256 rows — a coarse quantizer IS driver-sized;
+    // FAISS holds it in RAM on every worker for the same reason).
+    val centRows = cents.select(col("__centroid"), col("__centv")).collect()
+    val ids = centRows.map(_.getLong(0))
+    val vecs = centRows.map(_.getSeq[Float](1).toArray)
+    def assignTo(vec: Column, n: Int): Column = ColumnBridge.column(
+      graft.plans.IvfAssign(ColumnBridge.expression(vec), ids, vecs, n))
+
+    val assigned = c.select(col(corpusId), col("__cv"), col("__cn"),
+      explode(assignTo(col("__cv"), nAssign)).as("__centroid"))
+    val probes = queries.select(col(queryId), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"),
+        explode(assignTo(col(vecCol), nProbe)).as("__centroid"))
     val scored = assigned.join(broadcast(probes), Seq("__centroid"))
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId),
         round(cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")), 6)
           .as("cos"))
+    // Spilled indexing can surface the same (query, neighbor) through
+    // several probed lists; both copies carry the identical score, so
+    // the dedup is a pure duplicate drop, and it rides on the
+    // CANDIDATE set (already |q|·probe-fraction-sized), not the corpus.
+    val deduped = if (nAssign > 1)
+      scored.dropDuplicates(queryId, corpusId) else scored
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cos").desc, col(corpusId).asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    deduped.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   // ---- int8 quantization --------------------------------------------

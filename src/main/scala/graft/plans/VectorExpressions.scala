@@ -157,6 +157,155 @@ object SignSketch {
     Array.tabulate(30)(p => XXH64.hashInt(p, 42L))
 }
 
+/** Native IVF coarse-quantizer assignment: the top-`nAssign` centroid
+  * ids for a vector, ranked by cosine descending with larger-id-wins
+  * tie-breaking — exactly the `max(struct(cos, cid))` semantics of the
+  * join-and-aggregate form it replaces, extended to n > 1
+  * (multi-assignment "spill": boundary vectors land in their runner-up
+  * lists too, which is where single-assignment IVF loses recall).
+  *
+  * Why an expression and not a join: the quantizer is DRIVER-sized by
+  * construction (nCentroids rows), so shipping it into the expression
+  * as a reference object turns assignment into a pure map — the
+  * broadcast-nested-loop join against the centroid frame and the
+  * corpus-wide `groupBy(corpusId).agg(max(...))` exchange both
+  * disappear. On a 100 TB corpus that exchange was the IVF index
+  * build's only shuffle; now the build is embarrassingly parallel.
+  *
+  * Value contract per centroid j: cos = 0 when |v|·|c_j| = 0, else
+  * dot(v, c_j) / (|v|·|c_j|) with the same left-to-right double fold
+  * as [[graft.operators.Similarity.cosineWithNorms]] over `graft_dot`,
+  * so assignments agree bit-for-bit with the composed form
+  * (property-tested in SimilaritySpec).
+  *
+  * Carries non-literal Scala arrays → constructed via ColumnBridge,
+  * not the function registry (same route as the Layout boundary
+  * expressions).
+  */
+case class IvfAssign(child: Expression, centroidIds: Array[Long],
+                     centroidVecs: Array[Array[Float]], nAssign: Int)
+  extends UnaryExpression {
+
+  require(centroidIds.length == centroidVecs.length && centroidIds.nonEmpty,
+    "graft_ivf_assign: centroid ids and vectors must align and be non-empty")
+  require(nAssign >= 1, s"graft_ivf_assign: nAssign must be >= 1, got $nAssign")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_ivf_assign requires array<float>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ivf_assign"
+
+  // |c_j| per centroid, same sqrt(dot(c, c)) fold as Similarity.norm —
+  // computed once per (plan, quantizer), shared across rows.
+  @transient private lazy val centroidNorms: Array[Double] =
+    IvfAssign.norms(centroidVecs)
+
+  private def take = math.min(nAssign, centroidIds.length)
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val nd = v.numElements()
+    var nv = 0.0
+    var i = 0
+    while (i < nd) { val x = v.getFloat(i).toDouble; nv += x * x; i += 1 }
+    nv = math.sqrt(nv)
+    val k = centroidIds.length
+    val cos = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val c = centroidVecs(j)
+      val d = nv * centroidNorms(j)
+      if (d == 0.0) cos(j) = 0.0
+      else {
+        val n = math.min(nd, c.length)
+        var s = 0.0
+        var t = 0
+        while (t < n) { s += v.getFloat(t).toDouble * c(t).toDouble; t += 1 }
+        cos(j) = s / d
+      }
+      j += 1
+    }
+    val out = new Array[Long](take)
+    val used = new Array[Boolean](k)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      var jj = 0
+      while (jj < k) {
+        if (!used(jj) && (best < 0 || cos(jj) > cos(best) ||
+          (cos(jj) == cos(best) && centroidIds(jj) > centroidIds(best)))) best = jj
+        jj += 1
+      }
+      used(best) = true
+      out(r) = centroidIds(best)
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ids = ctx.addReferenceObj("centroidIds", centroidIds, "long[]")
+      val vecs = ctx.addReferenceObj("centroidVecs", centroidVecs, "float[][]")
+      val nrms = ctx.addReferenceObj("centroidNorms", centroidNorms, "double[]")
+      val nd = ctx.freshName("nd"); val nv = ctx.freshName("nv")
+      val cos = ctx.freshName("cos"); val used = ctx.freshName("used")
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val t = ctx.freshName("t")
+      val r = ctx.freshName("r"); val best = ctx.freshName("best")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      val c = ctx.freshName("c"); val n = ctx.freshName("n")
+      s"""
+         |int $nd = $a.numElements();
+         |double $nv = 0.0;
+         |for (int $i = 0; $i < $nd; $i++) {
+         |  double ${nv}_x = (double) $a.getFloat($i);
+         |  $nv += ${nv}_x * ${nv}_x;
+         |}
+         |$nv = java.lang.Math.sqrt($nv);
+         |double[] $cos = new double[$ids.length];
+         |for (int $j = 0; $j < $ids.length; $j++) {
+         |  double $d = $nv * $nrms[$j];
+         |  if ($d == 0.0D) { $cos[$j] = 0.0D; continue; }
+         |  float[] $c = $vecs[$j];
+         |  int $n = java.lang.Math.min($nd, $c.length);
+         |  double $s = 0.0;
+         |  for (int $t = 0; $t < $n; $t++) {
+         |    $s += (double) $a.getFloat($t) * (double) $c[$t];
+         |  }
+         |  $cos[$j] = $s / $d;
+         |}
+         |long[] $out = new long[${take}];
+         |boolean[] $used = new boolean[$ids.length];
+         |for (int $r = 0; $r < ${take}; $r++) {
+         |  int $best = -1;
+         |  for (int $j = 0; $j < $ids.length; $j++) {
+         |    if (!$used[$j] && ($best < 0 || $cos[$j] > $cos[$best] ||
+         |        ($cos[$j] == $cos[$best] && $ids[$j] > $ids[$best]))) $best = $j;
+         |  }
+         |  $used[$best] = true;
+         |  $out[$r] = $ids[$best];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IvfAssign =
+    copy(child = newChild)
+}
+
+object IvfAssign {
+  private[plans] def norms(vecs: Array[Array[Float]]): Array[Double] =
+    vecs.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { val x = c(i).toDouble; s += x * x; i += 1 }
+      math.sqrt(s)
+    }
+}
+
 /** Session extensions registering graft's native expressions
   * (public `SparkSessionExtensions` API — applied by
   * [[graft.GraftSession]]'s builder; callable via

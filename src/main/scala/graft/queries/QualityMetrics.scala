@@ -46,14 +46,15 @@ object QualityMetrics {
     * 0.97–0.994 (the sub-pigeonhole recursion — the flat round-6 cap
     * measured 0.68 at sf0.1); lsh 0.94 at sf0.1 since the 3-table
     * amplification (single-table measured 0.56–0.70 in rounds 7-8);
-    * ivf (trained quantizer) 0.68–0.80; hll 1.0 at these
-    * cardinalities.
+    * ivf (trained quantizer) 0.68–0.80 at nAssign = 1, 0.9 at sf0.1
+    * with nAssign = 2 multi-assignment (floor raised 0.6 → 0.75 in
+    * round 9); hll 1.0 at these cardinalities.
     */
   val floors: Map[String, Double] = Map(
     "minhash_recall" -> 0.9,
     "simhash_recall" -> 0.9,
     "knn_lsh_recall@5" -> 0.7,
-    "knn_ivf_recall@5" -> 0.6,
+    "knn_ivf_recall@5" -> 0.75,
     "token_hll_accuracy" -> 0.95,
     "bpe_compression" -> 1.5)
 

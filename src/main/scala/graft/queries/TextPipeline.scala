@@ -348,16 +348,20 @@ object TextPipeline {
         Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
         k = 16).localCheckpoint())
 
-  /** IVF approximate top-5 over k-means-TRAINED coarse centroids
-    * (rows-only: recall depends on the quantizer; recall@5 vs the
-    * brute-force twin is floor-gated in QualityMetrics).
+  /** IVF approximate top-5 over k-means-TRAINED coarse centroids with
+    * nAssign = 2 multi-assignment — each corpus vector is indexed
+    * under its two nearest lists, recovering the neighbors that sit
+    * just across a Voronoi boundary from the probed cells (rows-only:
+    * recall depends on the quantizer; recall@5 vs the brute-force twin
+    * is floor-gated in QualityMetrics).
     */
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
-    Similarity.ivfTopKWithCentroids(q, c, ivfCentroids(s, dir), k = 5, nProbe = 6)
+    Similarity.ivfTopKWithCentroids(q, c, ivfCentroids(s, dir), k = 5, nProbe = 6,
+      nAssign = 2)
       .select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rank").cast(LongType).as("rank"))
       .orderBy(col("query_id"), col("rank"))

@@ -285,6 +285,11 @@ class ExplainSpec extends SparkSpec {
   }
 
   test("text_repetition: per-doc metrics are map-side — one exchange total (the presentation sort)") {
+    // audit the canonical COLD plan: a prior suite in the same session
+    // (e.g. ContractSpec's quality sweep) may have left the memoized
+    // token frame persisted, and a cached-relation scan prints its
+    // build plan's exchanges too — suite-order-dependent counts
+    queries.TextPipeline.evictPairsCache(spark)
     val p = plan("text_repetition")
     // the former shape paid FOUR aggregate exchanges (two explode →
     // two-level groupBy pipelines); the expression fold leaves only

@@ -109,6 +109,83 @@ class SimilaritySpec extends SparkSpec {
     assert(top1.forall { case (q, n, c) => n == 100L + q && c == 1.0 })
   }
 
+  test("IvfAssign matches the composed cosine-argmax semantics, codegen and interpreted") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val rnd = new scala.util.Random(7)
+    val dims = 8
+    val cents = Array.tabulate(6)(j =>
+      Array.tabulate(dims)(_ => (rnd.nextFloat() - 0.5f) * 2f))
+    val ids = Array(40L, 41L, 42L, 43L, 44L, 45L)
+    // include a duplicate centroid (cosine tie -> larger id wins), a
+    // zero vector, and an empty vector among the probes
+    val dupCents = cents :+ cents(2).clone()
+    val dupIds = ids :+ 99L
+    val vecs: Seq[Array[Float]] =
+      (0 until 40).map(_ => Array.tabulate(dims)(_ => (rnd.nextFloat() - 0.5f) * 2f)) ++
+        Seq(Array.fill(dims)(0f), Array.empty[Float], cents(2).clone())
+    def reference(v: Array[Float], n: Int): Seq[Long] = {
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        val m = math.min(a.length, b.length)
+        while (i < m) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+      }
+      def nrm(a: Array[Float]) = math.sqrt(dot(a, a))
+      val nv = nrm(v)
+      val scored = dupCents.zip(dupIds).map { case (c, id) =>
+        val d = nv * nrm(c)
+        (if (d == 0.0) 0.0 else dot(v, c) / d, id)
+      }
+      scored.sortBy { case (cos, id) => (-cos, -id) }.take(n).map(_._2).toSeq
+    }
+    for (n <- Seq(1, 2, 7)) {
+      val df = vecs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+      val expr = graft.plans.IvfAssign(
+        ColumnBridge.expression(col("v")), dupIds, dupCents, n)
+      val got = df.select(col("i"), ColumnBridge.column(expr).as("a"))
+        .as[(Int, Seq[Long])].collect().sortBy(_._1).map(_._2)
+      val want = vecs.map(reference(_, math.min(n, dupIds.length)))
+      assert(got.toSeq == want.toSeq, s"nAssign=$n mismatch")
+      // interpreted eval (the non-codegen fallback) agrees with codegen
+      vecs.take(5).zip(got).foreach { case (v, g) =>
+        val ev = expr.copy(child = org.apache.spark.sql.catalyst.expressions.Literal
+          .create(v, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))
+          .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        assert(ev.toLongArray().toSeq == g, "interpreted/codegen divergence")
+      }
+    }
+  }
+
+  test("IVF multi-assignment: full probe equals brute force with no duplicate ranks; recall never drops") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 60).map(_ => Array.tabulate(8)(_ => (rnd.nextFloat() - 0.5f) * 2f))
+    val queries = vecs.take(8).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("query_id", "embedding")
+    val corpus = vecs.zipWithIndex.map { case (v, i) => (100L + i, v) }
+      .toDF("neighbor_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopK(queries, corpus, k = 3))
+    // spilled index + all lists probed: provably exact, and the
+    // (query, neighbor) dedup must leave exactly k ranks per query
+    val full = Similarity.ivfTopK(queries, corpus, k = 3,
+      nCentroids = 8, nProbe = 8, nAssign = 2)
+    assert(pairs(full) == brute)
+    val ranks = full.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("rank")).as("d"))
+      .as[(Long, Long, Long)].collect()
+    assert(ranks.forall { case (_, n, d) => n == 3L && d == 3L })
+    // at a fixed narrow probe, spilling can only ADD candidates:
+    // recall vs brute force is monotone in nAssign
+    def recall(nAssign: Int): Int =
+      (pairs(Similarity.ivfTopK(queries, corpus, k = 3,
+        nCentroids = 8, nProbe = 2, nAssign = nAssign)) & brute).size
+    assert(recall(2) >= recall(1))
+  }
+
   test("kmeansCentroids recovers the centers of a separable corpus") {
     val ss = spark; import ss.implicits._
     // 3 tight clusters around orthogonal axes
