@@ -402,6 +402,66 @@ object Dedup {
     * stays bounded at f·(maxDist+1) extra rows for hot mass f, never
     * quadratic.
     */
+  // ---- Winnowing fingerprints (MOSS) ------------------------------
+
+  /** Winnowing fingerprints per document (Schleimer et al. SIGMOD'03
+    * via the native [[graft.plans.WinnowFingerprints]] expression):
+    * (doc_id, pos, fp) — the ~2/(w+1)-sampled, position-robust
+    * char-k-gram fingerprint set over NORMALIZED text, guaranteeing a
+    * shared fingerprint for any cross-document match of length
+    * ≥ w + k − 1 normalized characters.
+    *
+    * Scale shape: fingerprinting is one map-side pass (the expression
+    * does hash + window selection per document — no gram explode, no
+    * per-gram shuffle); only the selected ~2/(w+1) fraction ever
+    * becomes rows.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: Column, textCol: Column,
+                         k: Int = 5, w: Int = 8): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
+    docs.select(idCol.as("doc_id"),
+        explode(call_function("graft_winnow",
+          TextFns.normText(textCol), lit(k), lit(w))).as("__key"))
+      .select(col("doc_id"),
+        col("__key").bitwiseAND(lit(graft.plans.WinnowFingerprints.PosMask))
+          .as("pos"),
+        call_function("shiftright", col("__key"),
+          lit(graft.plans.WinnowFingerprints.PosBits)).as("fp"))
+  }
+
+  /** Partial-overlap candidate pairs: documents sharing at least
+    * `minShared` distinct winnowing fingerprints, with the shared
+    * count (MOSS-style containment signal — catches a copied
+    * PARAGRAPH where whole-doc hashing and near-dup thresholds both
+    * miss, because the rest of the documents differ).
+    *
+    * Scale: the equi-join blocks on the fingerprint hash, so the
+    * pair-space is linear in fingerprint occurrences; `maxDocFreq`
+    * drops boilerplate fingerprints shared by too many documents (a
+    * fingerprint in f docs yields f(f−1)/2 pairs) — same stop-gram
+    * discipline as [[ngramJaccardPairs]]. The self-join is pinned
+    * shuffled-hash for the same anti-driver-broadcast reason as the
+    * banded MinHash join above.
+    */
+  def winnowOverlap(docs: DataFrame, idCol: Column, textCol: Column,
+                    k: Int = 5, w: Int = 8, minShared: Int = 2,
+                    maxDocFreq: Int = 50): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val kept = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select(col("fp"))
+    val capped = fps.join(kept, Seq("fp"))
+    val l = capped.select(col("fp"), col("doc_id").as("id_a"))
+    val r = capped.select(col("fp"), col("doc_id").as("id_b"))
+    l.hint("shuffle_hash").join(r, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def simhashPairsOfTokens(toks: DataFrame,
                            maxDist: Int = 3, maxPieceFreq: Long = 1000L): DataFrame = {
     val chunks = maxDist + 1

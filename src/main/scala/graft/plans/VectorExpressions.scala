@@ -412,6 +412,17 @@ object GraftExtensions {
         SignSketch(children.head,
           children(1).eval(null).asInstanceOf[Number].intValue())
       }),
+    (new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_winnow(text, k, w) takes exactly three arguments")
+        require(children(1).foldable && children(2).foldable,
+          "graft_winnow k/w must be literals")
+        WinnowFingerprints(children.head,
+          children(1).eval(null).asInstanceOf[Number].intValue(),
+          children(2).eval(null).asInstanceOf[Number].intValue())
+      }),
     (new FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZInterleave].getName, "graft_zorder"),
       (children: Seq[Expression]) => {

@@ -400,6 +400,40 @@ object TextPipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Winnowing fingerprint summary per document (k=8 char grams,
+    * w=10 windows — sized so a fingerprint pins a ≥17-char normalized
+    * phrase, discriminative on the small-vocabulary fixture text):
+    * count/sum/min/max over the selected fingerprint hashes. The
+    * aggregate pins the exact selected SET (count + sum + extremes
+    * over 31-bit hashes leave no room for a different selection to
+    * hash-collide), while keeping the gated output one row per doc.
+    * The oracle recomputes gram hashes as a list_reduce fold and the
+    * rightmost-min window selection as a windowed MIN over
+    * (hash, −pos)-encoded keys — same semantics, different machinery.
+    */
+  def winnowFps(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(Tables.documents(s, dir),
+        col("doc_id"), col("text"), k = 8, w = 10)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(col("fp")).as("fp_sum"),
+        min(col("fp")).as("fp_min"),
+        max(col("fp")).as("fp_max"))
+      .orderBy(col("doc_id"))
+
+  /** Partial-overlap pairs by shared winnowing fingerprints (MOSS
+    * containment detection — the copied-paragraph signal whole-doc
+    * hashing and Jaccard thresholds both miss). The doc-frequency cap
+    * is doing real work on this corpus: at sf0.1 it drops the
+    * template boilerplate fingerprints shared by >30 docs, leaving
+    * only genuinely duplicated content in the pair set.
+    */
+  def winnowOverlapPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowOverlap(Tables.documents(s, dir),
+        col("doc_id"), col("text"), k = 8, w = 10,
+        minShared = 5, maxDocFreq = 30)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Duplicate-passage statistics at k=8 tokens — the exact-substring
     * dedup signal (verbatim boilerplate spans shared across docs).
     * Spark blocks on hashed grams (8-byte shuffle keys); the oracle
@@ -703,6 +737,8 @@ object TextPipeline {
     "distinct_tokens" -> (distinctTokens _),
     "token_hll" -> (tokenHll _),
     "dup_spans" -> (dupSpans _),
+    "winnow_fps" -> (winnowFps _),
+    "winnow_overlap" -> (winnowOverlapPairs _),
     "text_scrub" -> (textScrub _),
     "length_quantiles" -> (lengthQuantiles _),
     "link_domains" -> (linkDomains _),
@@ -733,6 +769,44 @@ object TextPipeline {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Shared DuckDB CTE body for the winnowing oracles, ending in
+    * `wsel(doc_id, pos, fp)` — the selected fingerprint set at
+    * (k, w). Restates [[graft.plans.WinnowFingerprints]] through
+    * DIFFERENT machinery: gram hashes as an explicit list_reduce
+    * polynomial fold (the expression rolls), rightmost-min window
+    * selection as a windowed MIN over `hash·2^27 + (2^27−1 − pos)`
+    * keys (the expression scans each window) — min key ⇒ min hash,
+    * ties ⇒ max pos. Only full windows start a selection
+    * (`pos ≤ greatest(0, n_grams − w)`); a doc shorter than one
+    * window degenerates to a single global window on both sides.
+    */
+  private def winnowCteSql(k: Int, w: Int): String =
+    s"""wnorm AS (SELECT doc_id, $normSql AS n FROM documents),
+       |wgrams AS (
+       |  SELECT doc_id, p.p AS pos,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(generate_series(p.p + 1, p.p + $k),
+       |          i -> CAST(unicode(substring(n, CAST(i AS INT), 1)) AS BIGINT))),
+       |      (a, c) -> (a * 257 + c) % 2147483647) AS h,
+       |    length(n) - ${k - 1} AS n_grams
+       |  FROM wnorm, LATERAL (SELECT unnest(generate_series(0, length(n) - $k)) AS p) p
+       |  WHERE length(n) >= $k),
+       |wkeyed AS (
+       |  SELECT doc_id, pos, n_grams,
+       |    h * 134217728 + (134217727 - pos) AS key
+       |  FROM wgrams),
+       |wsel AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(134217727 - (mk % 134217728) AS BIGINT) AS pos,
+       |    CAST(mk // 134217728 AS BIGINT) AS fp
+       |  FROM (
+       |    SELECT doc_id, pos, n_grams,
+       |      min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |                     ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mk
+       |    FROM wkeyed) w
+       |  WHERE pos <= greatest(0, n_grams - $w))""".stripMargin
 
   /** Shared DuckDB CTE body: word-trigram near-dup pairs at θ=0.5
     * (freq-capped shingle blocking), ending in `pairs(id_a, id_b,
@@ -1094,6 +1168,21 @@ object TextPipeline {
          |             / COUNT(*), 6) AS dup_fraction
          |FROM g LEFT JOIN f USING (gram)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "winnow_fps" ->
+      s"""WITH ${winnowCteSql(8, 10)}
+         |SELECT doc_id, COUNT(*) AS n_fps,
+         |       CAST(SUM(fp) AS BIGINT) AS fp_sum,
+         |       MIN(fp) AS fp_min, MAX(fp) AS fp_max
+         |FROM wsel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "winnow_overlap" ->
+      s"""WITH ${winnowCteSql(8, 10)},
+         |wfp AS (SELECT DISTINCT doc_id, fp FROM wsel),
+         |wkept AS (SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) <= 30),
+         |wc AS (SELECT wfp.doc_id, wfp.fp FROM wfp JOIN wkept USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+         |FROM wc a JOIN wc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 5
+         |ORDER BY 1, 2""".stripMargin,
     "distinct_tokens" ->
       s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
          |tok AS (SELECT source, unnest(toks) AS token FROM t)
