@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -144,5 +144,66 @@ object Decontam {
       .groupBy(col("doc_id"))
       // grams are per-doc distinct already, so count(*) = distinct grams
       .agg(count(lit(1)).as("n_leaked_grams"))
+  }
+
+  /** Per-doc distinct winnowing fingerprints with passthrough columns
+    * — the winnow twin of [[docGramHashes]] (same selection as
+    * [[Dedup.winnowFingerprints]], positions dropped: membership is
+    * what decontamination tests).
+    */
+  def docWinnowFps(docs: DataFrame, textCol: Column,
+                   k: Int, w: Int): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
+    docs
+      .withColumn("__key", explode(call_function("graft_winnow",
+        TextFns.normText(textCol), lit(k), lit(w))))
+      .withColumn("fp", call_function("shiftright", col("__key"),
+        lit(graft.plans.WinnowFingerprints.PosBits)))
+      .drop("__key").drop(textCol).dropDuplicates()
+  }
+
+  /** Partial-copy decontamination: train-split docs sharing
+    * ≥ `minShared` distinct winnowing fingerprints with the val/test
+    * splits — (doc_id, n_leaked_fps).
+    *
+    * Where [[leakedGrams]] catches VERBATIM k-token spans, the winnow
+    * unit fires on any ≥ w+k−1-character normalized substring match
+    * (Schleimer et al.'s guarantee), at ~2/(w+1) of the gram volume —
+    * the partially-copied-benchmark-question case an exact-gram
+    * filter misses once a word is edited out of every k-gram.
+    * Identical scale shape: holdout fingerprint set (small by
+    * premise) → Bloom prefilter pre-shuffle in codegen → confirming
+    * equi-join, so fpp moves work, never the answer.
+    */
+  def winnowLeaks(docs: DataFrame, textCol: Column,
+                  k: Int = 8, w: Int = 10, minShared: Int = 1,
+                  maxDocFreq: Int = Int.MaxValue,
+                  holdoutSplits: Seq[String] = Seq("val", "test"),
+                  fpp: Double = 0.01): DataFrame = {
+    val fps = docWinnowFps(docs, textCol, k, w)
+    // Boilerplate exclusion: a fingerprint carried by more than
+    // `maxDocFreq` docs CORPUS-WIDE is template text, not leakage
+    // (the common-gram exclusion every exact-gram decontam pipeline
+    // applies too). Capping the fp is capping the match, so the train
+    // side needs no separate cap — and holdout membership rides the
+    // SAME map-side-combinable aggregate as the docfreq (one corpus
+    // pass, 8-byte keys), so the corpus is never join-shuffled or
+    // re-fingerprinted for the cap.
+    val holdout = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"),
+        max(when(col("split").isin(holdoutSplits: _*), 1).otherwise(0))
+          .as("__h"))
+      .filter(col("__h") === 1 &&
+        (if (maxDocFreq == Int.MaxValue) lit(true)
+         else col("__df") <= maxDocFreq))
+      .select(col("fp")).localCheckpoint()
+    val nHoldout = math.max(holdout.count(), 1L)
+    val bloom = buildBloom(holdout.select(col("fp").as("gram")), nHoldout, fpp)
+    fps.filter(col("split") === "train")
+      .filter(call_function("graft_bloom_contains", lit(bloom), col("fp")))
+      .join(holdout, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_leaked_fps"))
+      .filter(col("n_leaked_fps") >= minShared)
   }
 }

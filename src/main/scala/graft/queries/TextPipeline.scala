@@ -279,6 +279,24 @@ object TextPipeline {
       k = 8)
       .orderBy(col("doc_id"))
 
+  /** Partial-copy decontamination ([[graft.operators.Decontam
+    * .winnowLeaks]]): train docs sharing ≥5 distinct winnowing
+    * fingerprints with val/test after corpus-docfreq boilerplate
+    * exclusion (≤10 docs) — fires on any ≥17-char normalized
+    * substring match, catching the partially-edited leak the exact
+    * 8-token filter (`decontam_grams`) misses once one word changes
+    * per gram. The Bloom stage moves work (codegen'd pre-shuffle
+    * prune), never the answer; the oracle states the plain exact
+    * semantics over the winnow CTE.
+    */
+  def decontamWinnow(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Decontam.winnowLeaks(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextFns.stableSplit(col("text")).as("split")),
+      col("text"), k = 8, w = 10, minShared = 5, maxDocFreq = 10)
+      .orderBy(col("doc_id"))
+
   /** Mixture-sampling accounting: temperature-0.5 source weighting
     * toward a 12k-token budget ([[Corpus.mixtureRates]]), per-source
     * docs/tokens in vs kept. The kept set is decided per doc by the
@@ -729,6 +747,7 @@ object TextPipeline {
     "shard_shuffle" -> (shardShuffle _),
     "decontamination" -> (decontamination _),
     "decontam_grams" -> (decontamGrams _),
+    "decontam_winnow" -> (decontamWinnow _),
     "corpus_mix" -> (corpusMix _),
     "text_repetition" -> (textRepetition _),
     "vocab_topk" -> (vocabTopk _),
@@ -1168,6 +1187,23 @@ object TextPipeline {
          |             / COUNT(*), 6) AS dup_fraction
          |FROM g LEFT JOIN f USING (gram)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "decontam_winnow" ->
+      s"""WITH ${winnowCteSql(8, 10)},
+         |wsp AS (SELECT doc_id,
+         |          CASE WHEN substring(md5(text), 1, 2) < 'cc' THEN 'train'
+         |               WHEN substring(md5(text), 1, 2) < 'e6' THEN 'val'
+         |               ELSE 'test' END AS split
+         |        FROM documents),
+         |wfp AS (SELECT DISTINCT wsel.doc_id, wsp.split, fp
+         |        FROM wsel JOIN wsp USING (doc_id)),
+         |wkept AS (SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) <= 10),
+         |wh AS (SELECT DISTINCT fp FROM wfp JOIN wkept USING (fp)
+         |       WHERE split IN ('val', 'test'))
+         |SELECT doc_id, COUNT(*) AS n_leaked_fps
+         |FROM wfp JOIN wh USING (fp)
+         |WHERE split = 'train'
+         |GROUP BY doc_id HAVING COUNT(*) >= 5
+         |ORDER BY doc_id""".stripMargin,
     "winnow_fps" ->
       s"""WITH ${winnowCteSql(8, 10)}
          |SELECT doc_id, COUNT(*) AS n_fps,

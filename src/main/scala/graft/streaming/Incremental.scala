@@ -97,6 +97,62 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming partial-copy decontamination — the winnow twin of
+    * [[decontamStream]]: incoming docs are dropped when they share
+    * ≥ `minShared` distinct winnowing fingerprints with the static
+    * holdout (the partially-edited leak the exact-gram firewall
+    * misses — see [[graft.operators.Decontam.winnowLeaks]]). Same
+    * derivation sharing discipline: the holdout fingerprint set and
+    * the per-batch scan both go through [[graft.operators.Decontam
+    * .docWinnowFps]], so stream and batch sweep can never diverge on
+    * the fingerprint unit. Stateless beyond source offsets; the
+    * Bloom is built ONCE at query start.
+    *
+    * No corpus-docfreq boilerplate cap here: a stream has no corpus
+    * to measure frequency over — pre-compute the cap into
+    * `holdoutDocs` (drop its boilerplate fps) when template text is
+    * a concern.
+    *
+    * @param holdoutDocs static (doc_id, text) frame of held-out docs
+    * @return survivors schema: (doc_id, text)
+    */
+  def winnowDecontamStream(spark: SparkSession, srcDir: String,
+                           holdoutDocs: DataFrame, destDir: String,
+                           checkpointDir: String, k: Int = 8, w: Int = 10,
+                           minShared: Int = 1, fpp: Double = 0.01): Unit = {
+    import graft.operators.Decontam
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val holdoutFps = Decontam.docWinnowFps(holdoutDocs, col("text"), k, w)
+      .select(col("fp")).distinct().localCheckpoint()
+    val nHoldout = math.max(holdoutFps.count(), 1L)
+    val bloom = Decontam.buildBloom(
+      holdoutFps.select(col("fp").as("gram")), nHoldout, fpp)
+
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(docsSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val leaked = Decontam.docWinnowFps(batch, col("text"), k, w)
+          .filter(call_function("graft_bloom_contains", lit(bloom), col("fp")))
+          .join(holdoutFps, Seq("fp"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= minShared)
+          .select(col("doc_id"))
+        batch.join(leaked, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text"))
+          .write.mode("append").parquet(destDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Continuously-maintained per-group heavy hitters: the
     * [[graft.plans.MGKernel]] Misra–Gries rules as
     * `flatMapGroupsWithState` keyed state — the streaming twin of

@@ -243,6 +243,53 @@ class IncrementalSpec extends SparkSpec {
     assert(after2 == ((1L to 30L).toSet - 7L - 25L), s"run2 survivors: $after2")
   }
 
+  test("winnowDecontamStream drops partially-edited copies across incremental runs, matching batch") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("winnow_stream").toString
+    val src = base + "/src"; val dest = base + "/dest"; val ck = base + "/ck"
+    val para = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron"
+    // the leaked copy swaps one word: every 8-TOKEN gram breaks, but
+    // the char runs around the edit still clear w+k-1 = 17 chars
+    val edited = para.replace(" theta ", " EDITED ")
+
+    val holdout = Seq((100L, s"benchmark question reads $para verbatim"))
+      .toDF("doc_id", "text")
+
+    def mkDocs(ids: Range, leakId: Long) = ids.map { i =>
+      val body = (1 to 12).map(j => s"w${i}q$j").mkString(" ")
+      (i.toLong, if (i.toLong == leakId) s"$body $edited" else s"intro $body outro")
+    }.toDF("doc_id", "text")
+
+    // run 1: docs 1-15, doc 4 carries the edited paragraph
+    mkDocs(1 to 15, leakId = 4L).write.parquet(src)
+    Incremental.winnowDecontamStream(spark, src, holdout, dest, ck,
+      k = 8, w = 10, minShared = 2)
+    val after1 = spark.read.parquet(dest).select("doc_id").as[Long].collect().toSet
+    assert(after1 == ((1L to 15L).toSet - 4L), s"run1 survivors: $after1")
+
+    // run 2: docs 16-22 arrive, doc 19 leaks; run 1's files not reread
+    mkDocs(16 to 22, leakId = 19L).write.mode("append").parquet(src)
+    Incremental.winnowDecontamStream(spark, src, holdout, dest, ck,
+      k = 8, w = 10, minShared = 2)
+    val after2 = spark.read.parquet(dest).select("doc_id").as[Long].collect().toSet
+    assert(after2 == ((1L to 22L).toSet - 4L - 19L), s"run2 survivors: $after2")
+
+    // the streaming drop set equals the batch operator's flag set on
+    // the same inputs (shared fingerprint unit — cannot diverge)
+    val batchFlags = graft.operators.Decontam.winnowLeaks(
+      mkDocs(1 to 22, leakId = 4L)
+        .withColumn("text", when(col("doc_id") === 19L,
+          concat(lit((1 to 12).map(j => s"w19q$j").mkString(" ")), lit(" "),
+            lit(edited))).otherwise(col("text")))
+        .withColumn("split", lit("train"))
+        .unionByName(holdout.withColumn("split", lit("test"))),
+      col("text"), k = 8, w = 10, minShared = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchFlags == Set(4L, 19L), s"batch flags: $batchFlags")
+  }
+
   test("streamingTop100 converges to the batch Top-K across runs with balance decreases") {
     val ss = spark; import ss.implicits._
     val src = Files.createTempDirectory("top_src").toString + "/t"
