@@ -232,6 +232,18 @@ object Similarity {
     val probes = queries.select(col(queryId), col(vecCol).as("__qv"),
         norm(col(vecCol)).as("__qn"),
         explode(assignTo(col(vecCol), nProbe)).as("__centroid"))
+    scoreProbedLists(assigned, probes, k, dedupe = nAssign > 1,
+      queryId, corpusId)
+  }
+
+  /** Score an (id, __cv, __cn, __centroid) candidate frame against a
+    * small (id, __qv, __qn, __centroid) probe frame and rank per-query
+    * top-k — shared by the in-memory probe ([[ivfProbe]]) and the
+    * on-disk index probe ([[probeIvfIndex]]).
+    */
+  private def scoreProbedLists(assigned: DataFrame, probes: DataFrame,
+                               k: Int, dedupe: Boolean,
+                               queryId: String, corpusId: String): DataFrame = {
     val scored = assigned.join(broadcast(probes), Seq("__centroid"))
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId),
@@ -241,11 +253,76 @@ object Similarity {
     // several probed lists; both copies carry the identical score, so
     // the dedup is a pure duplicate drop, and it rides on the
     // CANDIDATE set (already |q|·probe-fraction-sized), not the corpus.
-    val deduped = if (nAssign > 1)
+    val deduped = if (dedupe)
       scored.dropDuplicates(queryId, corpusId) else scored
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cos").desc, col(corpusId).asc)
     deduped.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Materialize the corpus as an ON-DISK IVF index: rows written
+    * Hive-partitioned by their assigned coarse-centroid id
+    * (`centroid=<id>/` directories; `nAssign ≥ 2` spills each vector
+    * into its runner-up partitions too). This is the serving shape
+    * for a corpus too large to keep resident: a probe against the
+    * written index is PARTITION PRUNING — the scan planner reads only
+    * the `nProbe` probed directories and never lists the rest — so
+    * ANN candidate pruning costs what a `WHERE partition IN (...)`
+    * costs, with no index service beside the table. One narrow
+    * map-side pass over the corpus (native assignment + explode) +
+    * the partitioned write; no shuffle.
+    */
+  def writeIvfIndex(corpus: DataFrame, centroids: DataFrame, path: String,
+                    nAssign: Int = 1,
+                    corpusId: String = "neighbor_id",
+                    vecCol: String = "embedding"): Unit = {
+    val (ids, vecs) = collectQuantizer(centroids)
+    corpus.select(col(corpusId), col(vecCol),
+        explode(ColumnBridge.column(graft.plans.IvfAssign(
+          ColumnBridge.expression(col(vecCol)), ids, vecs, nAssign)))
+          .as("centroid"))
+      .write.mode("overwrite").partitionBy("centroid").parquet(path)
+  }
+
+  /** Top-k probe against a [[writeIvfIndex]] layout. The probed
+    * centroid set becomes BOTH a literal partition-pruning predicate
+    * (`centroid IN (...)` — only those directories are scanned;
+    * plan-asserted in SimilaritySpec) and the per-query equi-join
+    * that keeps each query scoring only its own lists. Same
+    * quantizer + comparator as the write side, so probes land exactly
+    * where indexing put their candidates.
+    */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, centroids: DataFrame, k: Int,
+                    nProbe: Int = 4, dedupe: Boolean = true,
+                    queryId: String = "query_id",
+                    corpusId: String = "neighbor_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val (ids, vecs) = collectQuantizer(centroids)
+    val probes = queries.select(col(queryId), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"),
+      explode(ColumnBridge.column(graft.plans.IvfAssign(
+        ColumnBridge.expression(col(vecCol)), ids, vecs, nProbe)))
+        .as("__centroid"))
+    // the probe list collects driver-side: bounded by |queries|·nProbe
+    // BY CONTRACT (queries are a small probe batch — the same premise
+    // that lets them broadcast into the scoring join)
+    val probedIds = probes.select(col("__centroid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val assigned = spark.read.parquet(path)
+      .filter(col("centroid").isin(probedIds: _*))
+      .select(col(corpusId), col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"),
+        col("centroid").cast("long").as("__centroid"))
+    scoreProbedLists(assigned, probes, k, dedupe, queryId, corpusId)
+  }
+
+  /** Collect a (centroid_id, centroid) quantizer frame to driver
+    * arrays — bounded by nCentroids by construction.
+    */
+  private def collectQuantizer(centroids: DataFrame): (Array[Long], Array[Array[Float]]) = {
+    val rows = centroids
+      .select(col("centroid_id").cast("long"), col("centroid")).collect()
+    (rows.map(_.getLong(0)), rows.map(_.getSeq[Float](1).toArray))
   }
 
   // ---- int8 quantization --------------------------------------------

@@ -225,6 +225,44 @@ class SimilaritySpec extends SparkSpec {
     assert(top1.forall { case (q, n, c) => n == 100L + q && c == 1.0 })
   }
 
+  test("on-disk IVF index: probe equals the in-memory result through partition pruning") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(37)
+    val vecs = (0 until 80).map(_ => Array.tabulate(8)(_ => (rnd.nextFloat() - 0.5f) * 2f))
+    val corpus = vecs.zipWithIndex.map { case (v, i) => (100L + i, v) }
+      .toDF("neighbor_id", "embedding")
+    val queries = vecs.take(6).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("query_id", "embedding")
+    val cents = Similarity.kmeansCentroids(corpus, k = 8, maxIter = 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString + "/idx"
+
+    Similarity.writeIvfIndex(corpus, cents, dir, nAssign = 2)
+    // spilled rows land in their runner-up directories too
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("centroid=")).sorted
+    assert(dirs.nonEmpty && dirs.length <= 8, s"partition dirs: ${dirs.toSeq}")
+    val indexed = spark.read.parquet(dir)
+    assert(indexed.count() > 80, "nAssign=2 must spill rows into second lists")
+
+    val probe = Similarity.probeIvfIndex(spark, dir, queries, cents,
+      k = 3, nProbe = 3)
+    val inMem = Similarity.ivfTopKWithCentroids(queries, corpus, cents,
+      k = 3, nProbe = 3, nAssign = 2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSet
+    assert(pairs(probe) == pairs(inMem), "on-disk probe diverged from in-memory")
+
+    // the probe plans as partition PRUNING: the probed centroid set is
+    // a partition filter on the scan, not a post-scan predicate
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid"),
+      s"probe must prune partitions:\n${plan.take(2000)}")
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("IN") || pf.contains("in("),
+      s"partition filter must be the probed-id IN list: $pf")
+  }
+
   test("int8 quantization roundtrip is within the symmetric-scale error bound") {
     val ss = spark; import ss.implicits._
     val df = Seq(
