@@ -275,13 +275,25 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, centroids: DataFrame, path: String,
                     nAssign: Int = 1,
                     corpusId: String = "neighbor_id",
-                    vecCol: String = "embedding"): Unit = {
+                    vecCol: String = "embedding"): Unit =
+    ivfIndexRows(corpus, centroids, nAssign, corpusId, vecCol)
+      .write.mode("overwrite").partitionBy("centroid").parquet(path)
+
+  /** The index-layout frame behind [[writeIvfIndex]]: one assigned
+    * `centroid` row per (vector, assignment) — shared with the
+    * streaming index maintenance ([[graft.streaming.Incremental
+    * .ivfIndexStream]]) so batch build and incremental append can
+    * never diverge on the assignment.
+    */
+  def ivfIndexRows(corpus: DataFrame, centroids: DataFrame,
+                   nAssign: Int = 1,
+                   corpusId: String = "neighbor_id",
+                   vecCol: String = "embedding"): DataFrame = {
     val (ids, vecs) = collectQuantizer(centroids)
     corpus.select(col(corpusId), col(vecCol),
-        explode(ColumnBridge.column(graft.plans.IvfAssign(
-          ColumnBridge.expression(col(vecCol)), ids, vecs, nAssign)))
-          .as("centroid"))
-      .write.mode("overwrite").partitionBy("centroid").parquet(path)
+      explode(ColumnBridge.column(graft.plans.IvfAssign(
+        ColumnBridge.expression(col(vecCol)), ids, vecs, nAssign)))
+        .as("centroid"))
   }
 
   /** Top-k probe against a [[writeIvfIndex]] layout. The probed

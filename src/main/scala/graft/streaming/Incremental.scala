@@ -153,6 +153,47 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming IVF index maintenance: new vectors append into the
+    * [[graft.operators.Similarity.writeIvfIndex]] partition layout as
+    * they arrive — per micro-batch one narrow map (the shared
+    * `ivfIndexRows` assignment, so batch build and incremental append
+    * cannot diverge) + a partitioned append. The index stays
+    * immediately probe-able between batches via
+    * [[graft.operators.Similarity.probeIvfIndex]] (partition pruning
+    * reads only probed `centroid=` directories; appended files join
+    * their directory transparently). The quantizer is static by
+    * design — re-training centroids re-keys the layout, which is a
+    * rebuild ([[graft.operators.Similarity.writeIvfIndex]]), not
+    * maintenance. Stateless beyond source offsets.
+    *
+    * @param vecSchema schema of the source parquet (id + vector col)
+    */
+  def ivfIndexStream(spark: SparkSession, srcDir: String,
+                     centroids: DataFrame, destDir: String,
+                     checkpointDir: String, nAssign: Int = 1,
+                     corpusId: String = "neighbor_id",
+                     vecCol: String = "embedding"): Unit = {
+    import graft.operators.Similarity
+    val vecSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(corpusId,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(vecCol,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    // collect once at query start, not per batch
+    val cents = centroids.localCheckpoint()
+    val q = spark.readStream.schema(vecSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.ivfIndexRows(batch, cents, nAssign, corpusId, vecCol)
+          .write.mode("append").partitionBy("centroid").parquet(destDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Continuously-maintained per-group heavy hitters: the
     * [[graft.plans.MGKernel]] Misra–Gries rules as
     * `flatMapGroupsWithState` keyed state — the streaming twin of

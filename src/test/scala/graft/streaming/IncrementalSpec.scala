@@ -290,6 +290,42 @@ class IncrementalSpec extends SparkSpec {
     assert(batchFlags == Set(4L, 19L), s"batch flags: $batchFlags")
   }
 
+  test("ivfIndexStream: incrementally-appended index probes identically to a batch-built one") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val base = Files.createTempDirectory("ivf_stream").toString
+    val src = base + "/src"; val dest = base + "/dest"; val ck = base + "/ck"
+    val rnd = new scala.util.Random(41)
+    def mkVecs(ids: Range) = ids.map { i =>
+      (i.toLong, Array.tabulate(8)(_ => (rnd.nextFloat() - 0.5f) * 2f))
+    }
+    val wave1 = mkVecs(100 to 139)
+    val wave2 = mkVecs(140 to 169)
+    val all = (wave1 ++ wave2).toDF("neighbor_id", "embedding")
+    val cents = Similarity.kmeansCentroids(all, k = 6, maxIter = 5)
+
+    // two incremental appends; run 1's files are not re-read in run 2
+    wave1.toDF("neighbor_id", "embedding").write.parquet(src)
+    Incremental.ivfIndexStream(spark, src, cents, dest, ck, nAssign = 2)
+    wave2.toDF("neighbor_id", "embedding").write.mode("append").parquet(src)
+    Incremental.ivfIndexStream(spark, src, cents, dest, ck, nAssign = 2)
+
+    val queries = wave1.take(5).map { case (i, v) => (i - 100L, v) }
+      .toDF("query_id", "embedding")
+    val got = Similarity.probeIvfIndex(spark, dest, queries, cents,
+      k = 3, nProbe = 3)
+    val batchDir = base + "/batch"
+    Similarity.writeIvfIndex(all, cents, batchDir, nAssign = 2)
+    val want = Similarity.probeIvfIndex(spark, batchDir, queries, cents,
+      k = 3, nProbe = 3)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSet
+    assert(pairs(got) == pairs(want) && pairs(got).nonEmpty,
+      "incrementally-maintained index diverged from the batch build")
+  }
+
   test("streamingTop100 converges to the batch Top-K across runs with balance decreases") {
     val ss = spark; import ss.implicits._
     val src = Files.createTempDirectory("top_src").toString + "/t"
