@@ -318,4 +318,26 @@ class ExplainSpec extends SparkSpec {
     assert(p.toLowerCase.contains("partial_graft_mg"),
       s"MG must have a map-side partial phase:\n$p")
   }
+
+  test("winnow_fps: fingerprinting is map-side — selection never explodes into a per-gram shuffle") {
+    val p = plan("winnow_fps")
+    // graft_winnow does hash + window selection inside the projection;
+    // the only exchanges are the per-doc aggregate's partial/final
+    // boundary and the presentation sort. A per-gram window shuffle
+    // (the naive posexplode + windowed-MIN formulation the oracle
+    // uses) would add a doc-keyed range/hash exchange BEFORE any
+    // aggregate and a Window node — neither may appear.
+    assert(p.contains("graft_winnow"), s"native expression missing:\n$p")
+    assert(!p.contains("Window"), s"no window machinery may survive:\n$p")
+    assert(count(p, "Exchange") <= 4, s"expected <=2 exchange nodes:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc aggregate must have a map-side partial:\n$p")
+  }
+
+  test("decontam_winnow: bloom membership prunes pre-shuffle; corpus fingerprinted in the scan") {
+    val p = plan("decontam_winnow")
+    assert(p.contains("might_contain"),
+      s"bloom prune missing from the train-side scan:\n$p")
+    assert(p.contains("graft_winnow"), s"native expression missing:\n$p")
+  }
 }
