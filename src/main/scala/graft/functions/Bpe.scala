@@ -72,7 +72,17 @@ object Bpe {
         val p = (sym(j), sym(j + 1))
         val c = pairCounts.getOrElse(p, 0L) + sign * counts(i)
         if (c <= 0L) { pairCounts.remove(p); pairWords.get(p).foreach(_.remove(i)) }
-        else { pairCounts(p) = c; pairWords.getOrElseUpdate(p, mutable.Set.empty) += i }
+        else {
+          pairCounts(p) = c
+          // membership only grows on the +1 pass: the -1 pass runs just
+          // before word i is rewritten, and a pair kept alive by OTHER
+          // words must not re-list word i — the imminent merge may
+          // remove the pair from i, and a stale membership would make
+          // every later merge of p re-tally a word that no longer
+          // contains it (wasted work that accretes on Zipf dictionaries)
+          if (sign > 0L) pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+          else pairWords.get(p).foreach(_.remove(i))
+        }
         j += 1
       }
     }

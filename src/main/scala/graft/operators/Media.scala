@@ -113,10 +113,22 @@ object Media {
           val out = new Array[Byte](w * h * c)
           if (c == 1) {
             val raster = img.getRaster
+            // raw raster samples are depth-native (16-bit gray PNG →
+            // 0..65535, 1-bit binary → 0/1): rescale to the 0..255
+            // byte range the feature expressions fold over, instead of
+            // silently keeping the low 8 bits
+            val depth = cm.getComponentSize(0)
             var i = 0; var y = 0
             while (y < h) {
               var x = 0
-              while (x < w) { out(i) = raster.getSample(x, y, 0).toByte; i += 1; x += 1 }
+              while (x < w) {
+                val s = raster.getSample(x, y, 0)
+                out(i) =
+                  if (depth == 8) s.toByte
+                  else if (depth > 8) (s >>> (depth - 8)).toByte
+                  else (s * 255 / ((1 << depth) - 1)).toByte
+                i += 1; x += 1
+              }
               y += 1
             }
           } else {
@@ -135,7 +147,13 @@ object Media {
             }
           }
           (ImageMeta(w, h, c, fmt), out)
-        } catch { case _: java.io.IOException => None } // truncated/corrupt → drop
+        } catch {
+          // corrupt payloads surface as more than IOException from the
+          // JDK plugins (CMMException on bad ICC profiles, IOOBE /
+          // NegativeArraySizeException from fuzzed headers) — the
+          // contract is decode-or-drop, never fail the task
+          case scala.util.control.NonFatal(_) => None
+        }
     }
   }
 
@@ -295,7 +313,13 @@ object Media {
             dataOff = off + 8
             dataLen = math.max(0, math.min(sz, p.length - dataOff))
           }
-          off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+          // RIFF chunks are word-aligned. The size field is attacker/
+          // corruption-controlled: a negative value would advance the
+          // cursor by ≤0 (infinite loop) and a huge one would overflow
+          // Int — advance in Long and stop the walk on any size that
+          // can't be sane (whatever was parsed so far still counts).
+          val next = off.toLong + 8L + sz.toLong + (sz & 1)
+          off = if (sz < 0 || next > p.length) p.length else next.toInt
         }
         if (!pcm || rate <= 0 || channels <= 0 || dataOff < 0 ||
             (bits != 8 && bits != 16)) None
@@ -400,7 +424,9 @@ object Media {
         } finally r.dispose()
       }
     } catch {
-      case _: java.io.IOException => Seq.empty // truncated/corrupt → drop
+      // same decode-or-drop contract as ImageIoCodec: corrupt GIFs can
+      // raise RuntimeExceptions from the JDK reader, not just IOException
+      case scala.util.control.NonFatal(_) => Seq.empty
     } finally iis.close()
   }
 

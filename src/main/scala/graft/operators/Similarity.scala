@@ -221,7 +221,9 @@ object Similarity {
     // The quantizer collects to the driver: bounded by nCentroids BY
     // CONSTRUCTION (16-256 rows — a coarse quantizer IS driver-sized;
     // FAISS holds it in RAM on every worker for the same reason).
-    val centRows = cents.select(col("__centroid"), col("__centv")).collect()
+    // cast defensively: callers may hand an IntegerType centroid id
+    // (collectQuantizer has the same guard)
+    val centRows = cents.select(col("__centroid").cast("long"), col("__centv")).collect()
     val ids = centRows.map(_.getLong(0))
     val vecs = centRows.map(_.getSeq[Float](1).toArray)
     def assignTo(vec: Column, n: Int): Column = ColumnBridge.column(
@@ -290,11 +292,20 @@ object Similarity {
                    corpusId: String = "neighbor_id",
                    vecCol: String = "embedding"): DataFrame = {
     val (ids, vecs) = collectQuantizer(centroids)
+    ivfIndexRowsQ(corpus, ids, vecs, nAssign, corpusId, vecCol)
+  }
+
+  /** Array-quantizer form of [[ivfIndexRows]] for callers that hold
+    * the collected quantizer already — the streaming index loop
+    * collects it once at query start instead of once per micro-batch.
+    */
+  private[graft] def ivfIndexRowsQ(corpus: DataFrame, ids: Array[Long],
+                                   vecs: Array[Array[Float]], nAssign: Int,
+                                   corpusId: String, vecCol: String): DataFrame =
     corpus.select(col(corpusId), col(vecCol),
       explode(ColumnBridge.column(graft.plans.IvfAssign(
         ColumnBridge.expression(col(vecCol)), ids, vecs, nAssign)))
         .as("centroid"))
-  }
 
   /** Top-k probe against a [[writeIvfIndex]] layout. The probed
     * centroid set becomes BOTH a literal partition-pruning predicate
@@ -311,11 +322,17 @@ object Similarity {
                     corpusId: String = "neighbor_id",
                     vecCol: String = "embedding"): DataFrame = {
     val (ids, vecs) = collectQuantizer(centroids)
+    // materialized once: the frame feeds BOTH the partition-pruning
+    // collect below and the scoring join — without pinning it, a
+    // nondeterministic queries frame (sample, unordered limit) could
+    // assign different probe centroids in the two evaluations and the
+    // scan would prune partitions the join then expects to probe
     val probes = queries.select(col(queryId), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"),
       explode(ColumnBridge.column(graft.plans.IvfAssign(
         ColumnBridge.expression(col(vecCol)), ids, vecs, nProbe)))
         .as("__centroid"))
+      .localCheckpoint()
     // the probe list collects driver-side: bounded by |queries|·nProbe
     // BY CONTRACT (queries are a small probe batch — the same premise
     // that lets them broadcast into the scoring join)
@@ -331,7 +348,7 @@ object Similarity {
   /** Collect a (centroid_id, centroid) quantizer frame to driver
     * arrays — bounded by nCentroids by construction.
     */
-  private def collectQuantizer(centroids: DataFrame): (Array[Long], Array[Array[Float]]) = {
+  private[graft] def collectQuantizer(centroids: DataFrame): (Array[Long], Array[Array[Float]]) = {
     val rows = centroids
       .select(col("centroid_id").cast("long"), col("centroid")).collect()
     (rows.map(_.getLong(0)), rows.map(_.getSeq[Float](1).toArray))

@@ -106,7 +106,12 @@ object Incremental {
     * the per-batch scan both go through [[graft.operators.Decontam
     * .docWinnowFps]], so stream and batch sweep can never diverge on
     * the fingerprint unit. Stateless beyond source offsets; the
-    * Bloom is built ONCE at query start.
+    * Bloom is built ONCE at query start. Survivors land partitioned
+    * by micro-batch id (`__batch=`) with dynamic overwrite —
+    * foreachBatch is at-least-once on side effects, so a replayed
+    * batch overwrites its own partition instead of duplicating rows
+    * (readers that don't want the provenance column just don't
+    * select it).
     *
     * No corpus-docfreq boilerplate cap here: a stream has no corpus
     * to measure frequency over — pre-compute the cap into
@@ -137,7 +142,7 @@ object Incremental {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val leaked = Decontam.docWinnowFps(batch, col("text"), k, w)
           .filter(call_function("graft_bloom_contains", lit(bloom), col("fp")))
           .join(holdoutFps, Seq("fp"), "left_semi")
@@ -147,7 +152,9 @@ object Incremental {
           .select(col("doc_id"))
         batch.join(leaked, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("text"))
-          .write.mode("append").parquet(destDir)
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(destDir)
       }
       .start()
     q.awaitTermination()
@@ -161,10 +168,16 @@ object Incremental {
     * immediately probe-able between batches via
     * [[graft.operators.Similarity.probeIvfIndex]] (partition pruning
     * reads only probed `centroid=` directories; appended files join
-    * their directory transparently). The quantizer is static by
-    * design — re-training centroids re-keys the layout, which is a
-    * rebuild ([[graft.operators.Similarity.writeIvfIndex]]), not
-    * maintenance. Stateless beyond source offsets.
+    * their directory transparently). Rows land under
+    * `centroid=<id>/__batch=<n>/` with dynamic overwrite, so a
+    * replayed micro-batch (foreachBatch is at-least-once on side
+    * effects) overwrites its own sub-partitions instead of
+    * double-indexing its vectors; probes select explicit columns, so
+    * the extra partition level is invisible to them. The quantizer is
+    * static by design — re-training centroids re-keys the layout,
+    * which is a rebuild ([[graft.operators.Similarity.writeIvfIndex]]),
+    * not maintenance — and is collected to driver arrays ONCE at
+    * query start, not per batch. Stateless beyond source offsets.
     *
     * @param vecSchema schema of the source parquet (id + vector col)
     */
@@ -180,15 +193,18 @@ object Incremental {
       org.apache.spark.sql.types.StructField(vecCol,
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))))
-    // collect once at query start, not per batch
-    val cents = centroids.localCheckpoint()
+    // the quantizer collects ONCE here (nCentroids-bounded arrays);
+    // each micro-batch reuses the arrays — no per-batch driver job
+    val (qIds, qVecs) = Similarity.collectQuantizer(centroids)
     val q = spark.readStream.schema(vecSchema).parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Similarity.ivfIndexRows(batch, cents, nAssign, corpusId, vecCol)
-          .write.mode("append").partitionBy("centroid").parquet(destDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.ivfIndexRowsQ(batch, qIds, qVecs, nAssign, corpusId, vecCol)
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("centroid", "__batch").parquet(destDir)
       }
       .start()
     q.awaitTermination()
@@ -349,14 +365,23 @@ object Incremental {
           .localCheckpoint() // candidate-sized; feeds certify + output
         val ranked = confirmed.withColumn("rnk", row_number().over(
           Window.partitionBy(col("grp")).orderBy(col("n").desc, col("item").asc)))
-        val cert = ranked.groupBy(col("grp"))
-          .agg(sum(col("n")).as("__sum"),
-            max(when(col("rnk") === k, col("n"))).as("__kth"),
-            count(lit(1)).as("__cand"))
+        // certification starts from TOUCHED, not from the candidates:
+        // a touched group whose merged summary collapsed to zero
+        // entries (possible when a batch carries > capacity distinct
+        // singletons) would otherwise produce no cert row at all and
+        // its stale stored result would silently stand as "exact".
+        // With no candidates every aggregate below is null → __ok
+        // coalesces to false → the group is refused loudly.
+        val cert = touched
+          .join(ranked.groupBy(col("grp"))
+            .agg(sum(col("n")).as("__sum"),
+              max(when(col("rnk") === k, col("n"))).as("__kth"),
+              count(lit(1)).as("__cand")), Seq("grp"), "left")
           .join(lake.groupBy(col("grp")).agg(count(lit(1)).as("__n")), "grp")
-          .withColumn("__ok",
+          .withColumn("__ok", coalesce(
             col("__sum") === col("__n") ||
-              (col("__cand") >= k && col("__kth") * capacity > col("__n")))
+              (col("__cand") >= k && col("__kth") * capacity > col("__n")),
+            lit(false)))
         val bad = cert.filter(!col("__ok")).select(col("grp"))
           .collect().map(_.getString(0))
         if (bad.nonEmpty)

@@ -326,7 +326,10 @@ class ExplainSpec extends SparkSpec {
     // boundary and the presentation sort. A per-gram window shuffle
     // (the naive posexplode + windowed-MIN formulation the oracle
     // uses) would add a doc-keyed range/hash exchange BEFORE any
-    // aggregate and a Window node — neither may appear.
+    // aggregate and a Window node — neither may appear. Formatted
+    // plans print each node twice (tree + detail), so <= 4 string
+    // matches bounds <= 2 exchange NODES (same convention as the
+    // text_repetition audit above).
     assert(p.contains("graft_winnow"), s"native expression missing:\n$p")
     assert(!p.contains("Window"), s"no window machinery may survive:\n$p")
     assert(count(p, "Exchange") <= 4, s"expected <=2 exchange nodes:\n$p")

@@ -227,6 +227,58 @@ class MediaSpec extends SparkSpec {
       st.getAs[Int]("n_samples") == 4, "junk chunk must be skipped by size")
   }
 
+  test("WAV corrupt chunk sizes drop promptly — the walker must never stall or overflow") {
+    def corrupt(sz: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream
+      def tag(s: String): Unit = s.foreach(c => bos.write(c.toInt))
+      def w32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+        bos.write((v >> 16) & 0xff); bos.write((v >>> 24) & 0xff) }
+      tag("RIFF"); w32(100); tag("WAVE")
+      tag("JUNK"); w32(sz) // attacker/corruption-controlled size field
+      bos.write(new Array[Byte](16))
+      bos.toByteArray
+    }
+    // sz = -8: unguarded, the cursor advances by 8 + (-8) + 0 = 0 and
+    // the chunk walk spins forever (a hung executor task, not an error)
+    assert(Media.WavCodec.decode(corrupt(-8)).isEmpty, "negative size must drop")
+    // sz near Int.MaxValue: unguarded, off overflows negative and the
+    // next tag() probe indexes the array at a negative offset
+    assert(Media.WavCodec.decode(corrupt(0x7ffffff0)).isEmpty, "huge size must drop")
+    // prompt completion IS the assertion: a regression here times the suite out
+  }
+
+  test("real PNG (16-bit grayscale) rescales samples to bytes — no low-8-bit truncation") {
+    val ss = spark; import ss.implicits._
+    val (w, h) = (3, 2)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    // 0xFF00 truncates to 0 under .toByte; correct rescale keeps 0xFF
+    val samples = Array(0x0000, 0xFF00, 0x8040, 0x0100, 0xFFFF, 0x7FFF)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, samples(y * w + x))
+    val d = Media.decodeImages(Seq((7L, pngBytes(img))).toDF("id", "payload")).head()
+    assert(d.getAs[Int]("channels") == 1 && d.getAs[String]("format") == "png")
+    assert(d.getAs[Array[Byte]]("pixels").toSeq == samples.map(s => (s >>> 8).toByte).toSeq,
+      "16-bit gray must map by high byte, not wrap through the low byte")
+  }
+
+  test("real PNG (1-bit binary) decodes full-range black/white, not 0/1 units") {
+    val ss = spark; import ss.implicits._
+    val img = new java.awt.image.BufferedImage(4, 1,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    Seq(0, 1, 1, 0).zipWithIndex.foreach { case (v, x) =>
+      img.getRaster.setSample(x, 0, 0, v) }
+    // the JDK reads a bilevel PNG back through an IndexColorModel
+    // (3 palette components), so it flows the RGB path and the
+    // palette lookup restores full-range values — assert that, so a
+    // reader change that starts surfacing raw 0/1 samples is caught
+    val d = Media.decodeImages(Seq((8L, pngBytes(img))).toDF("id", "payload")).head()
+    assert(d.getAs[Int]("channels") == 3)
+    assert(d.getAs[Array[Byte]]("pixels").toSeq ==
+      Seq(0, 255, 255, 0).flatMap(v => Seq.fill(3)(v.toByte)),
+      "bilevel must span the byte range (1 ≠ 'one brightness unit')")
+  }
+
   test("default codec routes a mixed corpus by magic: IMG0 + PNG + JPEG + garbage") {
     val ss = spark; import ss.implicits._
     val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -50,6 +50,10 @@ class IncrementalSpec extends SparkSpec {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .orderBy("bucket_unix", "event_type").collect().toSeq
     assert(inc == batch)
+    // suite hygiene: a cached events relation left behind would swap
+    // InMemoryTableScan in for the parquet scan in OTHER suites' plan
+    // audits (ExplainSpec asserts the canonical cold plans)
+    ev.unpersist()
   }
 
   test("slidingActivity matches the batch sliding-window aggregation") {
@@ -206,6 +210,35 @@ class IncrementalSpec extends SparkSpec {
     val e = intercept[Exception] {
       Incremental.certifiedTopKStream(ss, base + "/src", base + "/state",
         base + "/out", base + "/ck", k = 3, capacity = 16)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[IllegalStateException]),
+      s"expected the certification refusal, got: $e")
+  }
+
+  test("certifiedTopKStream REFUSES when a batch collapses the merged summary to zero candidates") {
+    val ss = spark; import ss.implicits._
+    val base = Files.createTempDirectory("cert_topk_collapse").toString
+    val src = base + "/src"
+    // run 1: exactly `capacity` distinct singletons — certifies via
+    // full coverage (sum of confirmed counts = lake count)
+    (1 to 16).map(i => ("C", f"u$i%02d")).toDF("grp", "item").write.parquet(src)
+    Incremental.certifiedTopKStream(ss, src, base + "/state", base + "/out",
+      base + "/ck", k = 3, capacity = 16)
+    assert(ss.read.parquet(base + "/out").count() == 3)
+    // run 2: `capacity` NEW singletons. The MG COMBINE subtracts the
+    // (capacity+1)-th weight (1) from every entry, so the merged
+    // summary for the touched group collapses to ZERO entries. A
+    // cert derived from the candidates would have no row for the
+    // group at all — the stale run-1 ranks would silently stand as
+    // "certified-exact" over a 32-item history where nothing is
+    // certifiable. Derived from TOUCHED, it must refuse loudly.
+    (1 to 16).map(i => ("C", f"v$i%02d")).toDF("grp", "item")
+      .write.mode("append").parquet(src)
+    val e = intercept[Exception] {
+      Incremental.certifiedTopKStream(ss, src, base + "/state", base + "/out",
+        base + "/ck", k = 3, capacity = 16)
     }
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: chain(t.getCause)
