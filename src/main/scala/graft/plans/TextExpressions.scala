@@ -292,3 +292,99 @@ object TokenStatsKernel {
     else new GenericInternalRow(Array[Any](total, counts.size.toLong, top))
   }
 }
+
+/** Linear margin of the hashed-feature quality classifier
+  * ([[graft.operators.QualityClassifier]]) in ONE codegen'd pass:
+  * bias + Σ_tokens weights[uint32(md5(token)[0:4]) mod d]. The
+  * composed form chains five expressions per TOKEN (cast → md5 →
+  * hex substring → conv(16,10) → element_at) inside an interpreted
+  * HOF fold — every token round-trips through a 32-char hex string
+  * and a string-parsing base conversion. Here the digest's first
+  * four bytes index the weight array directly; no hex string ever
+  * exists, and the fold runs inside whole-stage codegen.
+  *
+  * Bucket identity with the portable convention: the first 8 md5 hex
+  * digits AS a uint32 are exactly the first 4 digest bytes read
+  * big-endian, so buckets — and, since the fold order and the
+  * 0.0-seed + bias-outside convention are preserved, the margin
+  * DOUBLE — are bit-identical to the composed form (property-tested;
+  * the DuckDB oracle restates the hex route).
+  *
+  * Null contract (matches the composed fold, which null-poisons the
+  * accumulator through `element_at`): null array → null; null
+  * ELEMENT → null. Empty array → bias.
+  */
+case class HashedMargin(child: Expression, weights: Array[Double],
+                        bias: Double) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) =>
+        if (weights.nonEmpty) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "graft_hashed_margin requires a non-empty weight vector")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_hashed_margin requires array<string>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_hashed_margin"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val md = HashedMargin.digestLocal.get()
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val dg = md.digest(arr.getUTF8String(i).getBytes)
+      sum += weights(HashedMargin.bucketOf(dg, weights.length))
+      i += 1
+    }
+    bias + sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val w = ctx.addReferenceObj("weights", weights, "double[]")
+      val md = ctx.addMutableState("java.security.MessageDigest", "qmMd5",
+        v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+                |catch (java.security.NoSuchAlgorithmException e) {
+                |  throw new RuntimeException(e);
+                |}""".stripMargin)
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dg = ctx.freshName("dg"); val sum = ctx.freshName("sum")
+      val cls = "graft.plans.HashedMargin"
+      s"""
+         |int $n = $a.numElements();
+         |double $sum = 0.0D;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  byte[] $dg = $md.digest($a.getUTF8String($i).getBytes());
+         |  $sum += $w[$cls.bucketOf($dg, $w.length)];
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $bias + $sum; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashedMargin =
+    copy(child = newChild)
+}
+
+object HashedMargin {
+  private[plans] val digestLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** uint32 of the first four digest bytes (big-endian — the value of
+    * the first 8 lowercase-hex digits), mod d. Called from generated
+    * code — must stay a static-forwardable method on this object.
+    */
+  def bucketOf(digest: Array[Byte], d: Int): Int =
+    ((((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+      ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)) % d).toInt
+}

@@ -725,6 +725,70 @@ object TextPipeline {
       .orderBy(col("stage"))
   }
 
+  /** Frozen quality-classifier artifact: d=64 hashed-feature logistic
+    * weights distilled from the heuristic quality score on the fixture
+    * corpus (label = score ≥ corpus median) by
+    * [[graft.tools.TrainQuality]] — the shipped-model workflow: train
+    * once, freeze the coefficients into the pipeline, score at corpus
+    * scale with constants. Both gated queries and their DuckDB oracles
+    * restate these SAME literals, so the gate checks the portable
+    * feature hash, the fold, the sigmoid, and the Pareto rule — the
+    * machinery every deployment reuses with its own weights.
+    */
+  private[queries] object FrozenQualityModel {
+    val W: Array[Double] = Array(
+      -1.047824465423947, -0.6557303889176713, 0.0, 0.0,
+      0.0, -1.1266727384385893, 0.0, 0.0,
+      0.0, 0.0, 0.7339192352773269, 0.0,
+      -0.6665346389944373, 0.5512796429735531, -0.9387557152160166, 0.0,
+      0.0, 0.0, 0.0, -0.6990386477818396,
+      0.0, 0.0, 0.5549763084561419, -0.6066308746519418,
+      0.0, -0.5307710826560892, 0.0, -0.031197832513810198,
+      0.0, 0.0, 0.3641766928398944, -0.23700361561508376,
+      -0.26246638740993294, 0.0, 0.0, 0.0,
+      0.170635422958701, 0.0, 0.0, -1.2597315822126054,
+      0.0, -0.6889285242591026, 0.0, 0.0,
+      0.0, 2.633828154300574, 0.0, 0.0,
+      0.5878313975185464, 0.30662148217631013, 0.0, 0.0,
+      0.0, 0.0, 0.0, -1.9642334922216946,
+      -0.8029027750067275, 3.9147480934200742, 0.04896045526566972, 0.0,
+      0.0, 0.6087566536381719, 0.0, 0.0)
+    val B: Double = -17.38257113448696
+    val Alpha: Double = 9.0
+  }
+
+  /** Model-based quality scores under the frozen classifier
+    * ([[graft.operators.QualityClassifier]]): one per-row fold, zero
+    * shuffles before the presentation sort.
+    */
+  def qualityModelScore(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        round(graft.operators.QualityClassifier.score(
+          TextFns.tokens(col("text")),
+          FrozenQualityModel.W, FrozenQualityModel.B), 6).as("model_score"))
+      .orderBy(col("doc_id"))
+
+  /** GPT-3's Pareto-threshold acceptance over the frozen classifier
+    * score, accounted per source — the learned-filter twin of
+    * `corpus_mix`'s acceptance accounting. The keep decision compares
+    * UNROUNDED score against the content-deterministic Pareto draw on
+    * both engines.
+    */
+  def qualityModelFilter(s: SparkSession, dir: String): DataFrame = {
+    val m = FrozenQualityModel
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("source"), col("text"),
+        graft.operators.QualityClassifier.score(
+          TextFns.tokens(col("text")), m.W, m.B).as("__s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_in"),
+        sum(graft.operators.QualityClassifier
+          .paretoKeep(col("text"), col("__s"), m.Alpha)
+          .cast("long")).as("docs_kept"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_prepare" -> (corpusPrepare _),
     "dedup_exact" -> (dedupExact _),
@@ -762,7 +826,9 @@ object TextPipeline {
     "length_quantiles" -> (lengthQuantiles _),
     "link_domains" -> (linkDomains _),
     "doc_chunks" -> (docChunks _),
-    "quality_topk" -> (qualityTopk _))
+    "quality_topk" -> (qualityTopk _),
+    "quality_model_score" -> (qualityModelScore _),
+    "quality_model_filter" -> (qualityModelFilter _))
 
   /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's
     * regexp_replace needs the explicit 'g' flag (Spark's replaces all
@@ -875,7 +941,43 @@ object TextPipeline {
        |SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB restatement of the frozen-model margin over `toks`: the
+    * md5-prefix feature hash ([[graft.operators.QualityClassifier
+    * .hashBucket]]) and the 0.0-seeded fold with bias added outside
+    * (IEEE-identical to Spark's `aggregate` — see [[dotSql]]). The
+    * weight literals are the SAME constants [[FrozenQualityModel]]
+    * compiles in; `::DOUBLE[]` forces double semantics (bare decimal
+    * literals would fold in DECIMAL).
+    */
+  private val qmWeightsSql: String =
+    FrozenQualityModel.W.mkString("[", ", ", "]::DOUBLE[]")
+
+  private def qmScoreSql(toks: String): String = {
+    val b = FrozenQualityModel.B
+    val fold = s"list_reduce(list_transform($toks, t -> ws[" +
+      s"(CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 64)::INT + 1])," +
+      " (x, y) -> x + y)"
+    s"1.0 / (1.0 + exp(-(CASE WHEN len($toks) = 0 THEN $b " +
+      s"ELSE $b + $fold END)))"
+  }
+
   val oracles: Map[String, String] = Map(
+    "quality_model_score" ->
+      s"""WITH w AS (SELECT $qmWeightsSql AS ws),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id, round(${qmScoreSql("toks")}, 6) AS model_score
+         |FROM t, w ORDER BY doc_id""".stripMargin,
+    "quality_model_filter" ->
+      s"""WITH w AS (SELECT $qmWeightsSql AS ws),
+         |t AS (SELECT source, text, $toksSql AS toks FROM documents),
+         |s AS (SELECT source, ${qmScoreSql("toks")} AS sc,
+         |  (CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) + 1.0)
+         |    / 4294967296.0 AS u
+         |  FROM t, w)
+         |SELECT source, COUNT(*) AS docs_in,
+         |  CAST(COALESCE(SUM(CASE WHEN pow(u, -1.0 / 9.0) - 1.0 > 1.0 - sc
+         |                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_kept
+         |FROM s GROUP BY source ORDER BY source""".stripMargin,
     "quality_topk" ->
       s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
          |m AS (SELECT doc_id, source, text,

@@ -40,6 +40,23 @@ object MicroBench {
     val nat = (1 to 3).map(_ => time("signsketch_native", sketchNative)).min
     val comp = (1 to 3).map(_ => time("signsketch_composed", sketchComposed)).min
     println(f"""{"metric":"signsketch_speedup","native_sec":$nat%.3f,"composed_sec":$comp%.3f,"speedup":${comp / nat}%.2f,"n":$n,"dim":$dim}""")
+
+    // hashed-margin scoring: native digest-bytes pass vs composed
+    // md5→hex→conv→element_at HOF fold, ~30 tokens/doc
+    val docs = spark.range(n.toLong).select(col("id"),
+      transform(sequence(lit(0), lit(29)),
+        k => concat(lit("tok"), ((col("id") * 31 + k) % 5000).cast("string")))
+        .as("toks"))
+      .localCheckpoint()
+    val w = Array.tabulate(64)(i => math.sin(i) * 2.0)
+    import graft.operators.QualityClassifier
+    def marginNative   = docs.select(QualityClassifier.margin(col("toks"), w, -1.0))
+    def marginComposed = docs.select(QualityClassifier.marginComposed(col("toks"), w, -1.0))
+    time("margin_native_warm", marginNative)
+    time("margin_composed_warm", marginComposed)
+    val mn = (1 to 3).map(_ => time("margin_native", marginNative)).min
+    val mc = (1 to 3).map(_ => time("margin_composed", marginComposed)).min
+    println(f"""{"metric":"hashed_margin_speedup","native_sec":$mn%.3f,"composed_sec":$mc%.3f,"speedup":${mc / mn}%.2f,"n":$n,"tokens_per_doc":30}""")
     spark.stop()
   }
 }

@@ -337,6 +337,20 @@ class ExplainSpec extends SparkSpec {
       s"per-doc aggregate must have a map-side partial:\n$p")
   }
 
+  test("quality_model_score: scoring is one shuffle-free projection plus the presentation sort") {
+    val p = plan("quality_model_score")
+    // feature hash + weight fold + sigmoid all fold per-row; the only
+    // exchanges are Tables.spread's round-robin (fixture parallelism)
+    // and the orderBy's range exchange (<= 4 string matches = 2 nodes
+    // under the tree+detail double-print convention). A weight-table
+    // join or a per-token explode/aggregate formulation would add
+    // hash exchanges and aggregates — neither may appear.
+    assert(count(p, "Exchange") <= 4, s"expected spread + sort exchanges only:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+      s"no aggregate may appear in the scoring path:\n$p")
+    assert(!p.contains("Join"), s"weights must be literals, not a join:\n$p")
+  }
+
   test("decontam_winnow: bloom membership prunes pre-shuffle; corpus fingerprinted in the scan") {
     val p = plan("decontam_winnow")
     assert(p.contains("might_contain"),
