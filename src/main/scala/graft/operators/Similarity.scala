@@ -384,6 +384,64 @@ object Similarity {
     transform(qv.getField("q"),
       q => (q.cast("double") * qv.getField("scale")).cast("float"))
 
+  /** SemDeDup semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with a coarse
+    * quantizer, find within-cluster near-duplicate groups at cosine ≥
+    * `eps`, and keep ONE representative per group — the paper's rule:
+    * the example with the LOWEST cosine to its cluster centroid (the
+    * least prototypical survivor preserves diversity; ties → lowest
+    * id). Composed entirely from gated parts, each already shaped for
+    * scale:
+    *
+    *  1. assignment is the native zero-shuffle [[graft.plans.IvfAssign]]
+    *     pass (nAssign = 1) — the corpus is never joined to pick a
+    *     cluster;
+    *  2. centroid similarity rides a BROADCAST join against the
+    *     nCentroids-row quantizer frame;
+    *  3. candidate pairs come from [[cosinePairsBlocked]] with the
+    *     cluster as the block — an equi-join, never all-pairs, pinned
+    *     shuffled;
+    *  4. duplicate GROUPS (not just pairs) come from
+    *     [[Dedup.connectedComponents]] — log-diameter contraction, so
+    *     a chain a~b~c dedups as one group even when cos(a,c) < eps;
+    *  5. the keep rule is one groupBy-min over (cent_cos, vec_id).
+    *
+    * Returns one row per corpus vector: (vec_id, cluster, component,
+    * cent_cos, keep).
+    */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame, eps: Double,
+                    corpusId: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (ids, vecs) = collectQuantizer(centroids)
+    val assigned = corpus.select(col(corpusId).cast("long").as("vec_id"),
+      col(vecCol).as("__v"), norm(col(vecCol)).as("__n"),
+      explode(ColumnBridge.column(graft.plans.IvfAssign(
+        ColumnBridge.expression(col(vecCol)), ids, vecs, 1))).as("cluster"))
+    val centDf = ids.zip(vecs).toSeq.toDF("cluster", "__cv")
+      .withColumn("__cn", norm(col("__cv")))
+    val scored = assigned.join(broadcast(centDf), Seq("cluster"))
+      .withColumn("cent_cos", round(cosineWithNorms(col("__v"), col("__cv"),
+        col("__n"), col("__cn")), 6))
+      .select(col("vec_id"), col("cluster"), col("__v"), col("cent_cos"))
+    val pairs = cosinePairsBlocked(scored, col("vec_id"), col("__v"),
+      col("cluster"), eps)
+    val comps = Dedup.connectedComponents(
+      pairs.select(col("id_a"), col("id_b")))
+    val labeled = scored.select(col("vec_id"), col("cluster"), col("cent_cos"))
+      .join(comps.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      // unpaired vectors are their own (kept) group
+      .withColumn("component", coalesce(col("component"), col("vec_id")))
+    val keepers = labeled.groupBy(col("component"))
+      .agg(min(struct(col("cent_cos"), col("vec_id"))).as("__k"))
+    labeled.join(keepers, Seq("component"))
+      .withColumn("keep",
+        struct(col("cent_cos"), col("vec_id")) === col("__k"))
+      .select(col("vec_id"), col("cluster"), col("component"),
+        col("cent_cos"), col("keep"))
+  }
+
   /** Embedding near-duplicate pairs within blocks: all (a, b) pairs
     * sharing `blockCol` with cosine ≥ threshold. The block key is the
     * IVF-coarse-quantizer pattern — at 100 TB the key is the nearest

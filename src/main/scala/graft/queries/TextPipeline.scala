@@ -689,6 +689,24 @@ object TextPipeline {
       col("vec_id"), col("embedding"), col("label"), threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** SemDeDup over the embeddings table with a DETERMINISTIC coarse
+    * quantizer (the first 8 vectors as centroids) so the WHOLE
+    * decision — assignment argmax incl. the higher-id tie rule,
+    * within-cluster pair generation, duplicate-group closure, and the
+    * lowest-centroid-similarity keep rule — is restated by the DuckDB
+    * oracle and hash-checked. Production runs swap in
+    * [[Similarity.kmeansCentroids]] (same operator, trained
+    * quantizer — the knn_ivf / knn_ivf_exact gating pattern).
+    */
+  def semanticDedupQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(
+      Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid")),
+      eps = 0.4)
+      .orderBy(col("vec_id"))
+
   /** End-to-end corpus preparation ([[graft.pipelines.Corpus.prepare]])
     * surfaced as per-stage accounting: input size, survivors after
     * exact dedup / near-dup pruning / the quality floor, split sizes,
@@ -828,7 +846,8 @@ object TextPipeline {
     "doc_chunks" -> (docChunks _),
     "quality_topk" -> (qualityTopk _),
     "quality_model_score" -> (qualityModelScore _),
-    "quality_model_filter" -> (qualityModelFilter _))
+    "quality_model_filter" -> (qualityModelFilter _),
+    "semantic_dedup" -> (semanticDedupQ _))
 
   /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's
     * regexp_replace needs the explicit 'g' flag (Spark's replaces all
@@ -1370,6 +1389,42 @@ object TextPipeline {
     // gates the approximate machinery end to end
     "knn_lsh_exact" -> knnExactSql,
     "knn_ivf_exact" -> knnExactSql,
+    "semantic_dedup" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding AS v,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+         |a0 AS (SELECT e.vec_id, c.cid,
+         |  CASE WHEN e.nrm * c.cn = 0 THEN 0.0
+         |       ELSE ${dotSql("e.v", "c.cv")} / (e.nrm * c.cn) END AS cos
+         |  FROM e, c),
+         |a AS (SELECT vec_id, cid AS cluster, round(cos, 6) AS cent_cos FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                               ORDER BY cos DESC, cid DESC) AS rn
+         |  FROM a0) WHERE rn = 1),
+         |s AS (SELECT a.vec_id, a.cluster, a.cent_cos, e.v, e.nrm
+         |      FROM a JOIN e USING (vec_id)),
+         |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |      FROM s x JOIN s y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |      WHERE round(CASE WHEN x.nrm * y.nrm = 0 THEN 0.0
+         |                       ELSE ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm)
+         |                  END, 6) >= 0.4),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+         |comp AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
+         |         FROM reach GROUP BY src),
+         |l AS (SELECT s.vec_id, s.cluster, s.cent_cos,
+         |             COALESCE(comp.component, s.vec_id) AS component
+         |      FROM s LEFT JOIN comp USING (vec_id)),
+         |k AS (SELECT vec_id, cluster, component, cent_cos,
+         |        ROW_NUMBER() OVER (PARTITION BY component
+         |                           ORDER BY cent_cos ASC, vec_id ASC) AS rn
+         |      FROM l)
+         |SELECT vec_id, cluster, component, cent_cos, (rn = 1) AS keep
+         |FROM k ORDER BY vec_id""".stripMargin,
     "embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, embedding AS v,
          |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),

@@ -160,6 +160,51 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming model-based quality filter — the learned-classifier
+    * firewall ([[graft.operators.QualityClassifier]]) applied per
+    * micro-batch: score each incoming doc under the frozen weights
+    * and keep it by the content-deterministic Pareto rule. Both the
+    * score and the draw are pure per-row expressions, so the whole
+    * filter is STATELESS beyond source offsets and — because the
+    * Pareto U comes from the content hash, not an RNG — a replayed
+    * batch makes the identical keep decision; combined with the
+    * `__batch=` dynamic-overwrite sink, the output is exactly-once.
+    * Streaming keep set ≡ the batch filter over the same docs by
+    * construction (the SAME `score`/`paretoKeep` columns — there is
+    * no stream-specific scoring path to diverge).
+    *
+    * @return survivors schema: (doc_id, text, model_score)
+    */
+  def qualityFilterStream(spark: SparkSession, srcDir: String,
+                          weights: Array[Double], bias: Double,
+                          destDir: String, checkpointDir: String,
+                          alpha: Double = 9.0): Unit = {
+    import graft.operators.QualityClassifier
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(docsSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("model_score", QualityClassifier.score(
+            graft.functions.TextFns.tokens(col("text")), weights, bias))
+          .filter(QualityClassifier.paretoKeep(
+            col("text"), col("model_score"), alpha))
+          .select(col("doc_id"), col("text"), col("model_score"))
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(destDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming IVF index maintenance: new vectors append into the
     * [[graft.operators.Similarity.writeIvfIndex]] partition layout as
     * they arrive — per micro-batch one narrow map (the shared

@@ -305,4 +305,46 @@ class SimilaritySpec extends SparkSpec {
       .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("semanticDedup keeps one LEAST-prototypical survivor per duplicate group, transitively") {
+    val ss = spark; import ss.implicits._
+    // two well-separated clusters around the axes; centroids = the
+    // axis vectors themselves
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))).toDF("centroid_id", "centroid")
+    def v(x: Double, y: Double, z: Double) =
+      Array(x.toFloat, y.toFloat, z.toFloat)
+    val corpus = Seq(
+      // cluster 0: a near-dup CHAIN 10~11~12 (10 and 12 only meet
+      // through 11 — group membership must be transitive), plus a
+      // distinct singleton 13
+      (10L, v(1.0, 0.00, 0.10)),
+      (11L, v(1.0, 0.00, 0.25)),
+      (12L, v(1.0, 0.00, 0.40)),
+      (13L, v(1.0, 0.90, 0.00)),
+      // cluster 1: an exact duplicate pair 20~21 and a singleton 22
+      (20L, v(0.0, 1.0, 0.0)),
+      (21L, v(0.0, 1.0, 0.0)),
+      (22L, v(0.6, 1.0, 0.0))).toDF("vec_id", "embedding")
+    val res = Similarity.semanticDedup(corpus, cents, eps = 0.97)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+
+    // clusters assigned by nearest axis
+    assert(Seq(10L, 11L, 12L, 13L).forall(res(_)._1 == 0L))
+    assert(Seq(20L, 21L, 22L).forall(res(_)._1 == 1L))
+    // the chain is ONE component even though cos(10, 12) < eps
+    assert(Seq(10L, 11L, 12L).map(res(_)._2).distinct == Seq(10L))
+    // keep rule: the chain's survivor is its least-prototypical
+    // member (12 leans furthest off-axis); exact-dup tie keeps the
+    // lower id; singletons always survive
+    val kept = res.collect { case (id, (_, _, _, true)) => id }.toSet
+    assert(kept == Set(12L, 13L, 20L, 22L),
+      s"kept set diverged: $kept")
+    // exactly one survivor per component
+    val perComp = res.values.groupBy(_._2).map { case (c, rs) =>
+      c -> rs.count(_._4) }
+    assert(perComp.values.forall(_ == 1), s"per-component keeps: $perComp")
+  }
 }

@@ -246,6 +246,39 @@ class IncrementalSpec extends SparkSpec {
       s"expected the certification refusal, got: $e")
   }
 
+  test("qualityFilterStream equals the batch Pareto filter across incremental runs") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.QualityClassifier
+    val base = Files.createTempDirectory("quality_stream").toString
+    val src = base + "/src"; val dest = base + "/dest"; val ck = base + "/ck"
+    val w = Array.tabulate(32)(i => math.cos(i) * 1.5)
+    val b = -0.75
+    def mkDocs(ids: Range) = ids.map { i =>
+      (i.toLong, (1 to 8).map(j => s"tok${(i * 7 + j) % 50}").mkString(" "))
+    }.toDF("doc_id", "text")
+    def batchKeep(docs: org.apache.spark.sql.DataFrame): Set[Long] = docs
+      .withColumn("__s", QualityClassifier.score(
+        graft.functions.TextFns.tokens(col("text")), w, b))
+      .filter(QualityClassifier.paretoKeep(col("text"), col("__s"), 9.0))
+      .select("doc_id").as[Long].collect().toSet
+
+    mkDocs(1 to 60).write.parquet(src)
+    Incremental.qualityFilterStream(ss, src, w, b, dest, ck)
+    val got1 = ss.read.parquet(dest).select("doc_id").as[Long].collect().toSet
+    val want1 = batchKeep(mkDocs(1 to 60))
+    assert(got1 == want1, s"run1 keep set diverged: ${got1.diff(want1)} / ${want1.diff(got1)}")
+    assert(got1.nonEmpty && got1.size < 60,
+      s"fixture must exercise both keep and drop (kept ${got1.size}/60)")
+
+    // run 2: only the new files flow; union must equal the batch
+    // filter over everything (the decision is per-row deterministic)
+    mkDocs(61 to 90).write.mode("append").parquet(src)
+    Incremental.qualityFilterStream(ss, src, w, b, dest, ck)
+    val got2 = ss.read.parquet(dest).select("doc_id").as[Long].collect().toSet
+    assert(got2 == batchKeep(mkDocs(1 to 90)), "run2 keep set diverged")
+  }
+
   test("decontamStream equals batch decontamination across incremental runs") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
