@@ -94,16 +94,73 @@ object MediaPipeline {
       .orderBy(col("id"))
   }
 
+  /** Image similarity search — the multimodal column flowing into the
+    * ANN family: decode → resize → 8-bin histogram taken as an EXACT
+    * integer count vector (cosine is scale-invariant, so the raw
+    * counts need no normalization and stay portable integers) →
+    * [[graft.operators.Similarity.bruteForceTopK]] top-5 per probe
+    * image. The histogram-feature frame is pinned once (9 numbers per
+    * image) so the decode pipeline runs a single pass feeding both
+    * the probe set and the corpus. At 100 TB the histogram vector is
+    * any learned image embedding and the brute-force stage swaps for
+    * the IVF index — same composition, gated here end to end
+    * (pixels → feature vector → ranked neighbors) in one hash.
+    */
+  def mediaKnn(s: SparkSession, dir: String): DataFrame = {
+    val feats = Media.imageFeatures(
+      Media.resizeImages(Media.decodeImages(imageFixture(s, dir)), 4, 4))
+    val vecs = feats.select(col("id"),
+      // float is exact for counts <= 48; the native graft_dot path
+      // (array<float>) then accumulates in double like the oracle
+      transform(col("histogram8"), h => h.cast("float")).as("embedding"))
+      .localCheckpoint() // feature-sized (9 values/image), 2 consumers
+    val probes = vecs.filter(col("id") % 400 === 0)
+      .withColumnRenamed("id", "query_id")
+    val corpus = vecs.withColumnRenamed("id", "neighbor_id")
+    graft.operators.Similarity.bruteForceTopK(probes, corpus, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
-    "media_audio" -> (mediaAudio _))
+    "media_audio" -> (mediaAudio _),
+    "media_knn" -> (mediaKnn _))
 
   /** The resized 4×4×3 pixel at flat index i (ch = i%3, x = (i/3)%4,
     * y = i/12) samples source pixel (2x, 2y) of the 8×8×3 stub image:
     * v = (id·31 + ((2y·8 + 2x)·3 + ch)·7) mod 256.
     */
   val oracles: Map[String, String] = Map(
+    "media_knn" ->
+      """WITH ids AS (SELECT event_id AS id FROM events WHERE event_id % 40 = 0),
+        |px AS (
+        |  SELECT id,
+        |         (id*31 + (((2*(i//12))*8 + 2*((i//3)%4))*3 + (i%3))*7) % 256 AS v
+        |  FROM ids, range(0, 48) t(i)),
+        |h AS (SELECT id, [CAST(COUNT(*) FILTER (v // 32 = 0) AS DOUBLE),
+        |  CAST(COUNT(*) FILTER (v // 32 = 1) AS DOUBLE),
+        |  CAST(COUNT(*) FILTER (v // 32 = 2) AS DOUBLE),
+        |  CAST(COUNT(*) FILTER (v // 32 = 3) AS DOUBLE),
+        |  CAST(COUNT(*) FILTER (v // 32 = 4) AS DOUBLE),
+        |  CAST(COUNT(*) FILTER (v // 32 = 5) AS DOUBLE),
+        |  CAST(COUNT(*) FILTER (v // 32 = 6) AS DOUBLE),
+        |  CAST(COUNT(*) FILTER (v // 32 = 7) AS DOUBLE)] AS emb
+        |      FROM px GROUP BY id),
+        |e AS (SELECT id, emb, sqrt(list_reduce(list_transform(range(1, len(emb) + 1), i -> CAST(emb[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM h),
+        |q AS (SELECT id AS query_id, emb AS qv, nrm AS qn FROM e WHERE id % 400 = 0),
+        |c AS (SELECT id AS neighbor_id, emb AS cv, nrm AS cn FROM e),
+        |s AS (SELECT query_id, neighbor_id,
+        |        round(CASE WHEN qn * cn = 0 THEN 0.0
+        |                   ELSE list_reduce(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), (x, y) -> x + y) / (qn * cn) END, 6) AS cos
+        |      FROM q, c WHERE query_id <> neighbor_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                   ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "media_features" ->
       """WITH ids AS (SELECT event_id AS id FROM events WHERE event_id % 40 = 0),
         |px AS (
