@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model perplexity scoring — the CCNet-style learned
+  * fluency signal (Wenzek et al. 2020 score Common Crawl with a KenLM
+  * 5-gram model and bucket the corpus by perplexity; GPT-3/LLaMA
+  * pipelines keep the idea). This is the structural Spark-shaped
+  * version: a vocab-capped BIGRAM model with Laplace smoothing,
+  * trained and applied as pure relational aggregates — swap the order
+  * or the smoothing constant and the shapes below do not change.
+  *
+  * Scale shape:
+  *  - the VOCAB is top-V unigrams (deterministic count-desc, token-asc
+  *    tiebreak) — V rows, driver/broadcast-sized BY CONSTRUCTION; every
+  *    out-of-vocab token folds to `<unk>`, so model size is bounded
+  *    regardless of corpus size (the KenLM pruning analogue);
+  *  - unigram/bigram COUNTS are map-side-combinable groupBys over
+  *    8-byte-ish keys — the corpus shuffles counts, never documents;
+  *  - SCORING joins each doc's bigrams against the count tables:
+  *    the unigram side broadcasts (≤ V+1 rows); the bigram side is a
+  *    bounded-key equi-join (≤ (V+1)² distinct keys, Zipf-sparse in
+  *    practice).
+  *
+  * Determinism contract (the repo-wide oracle rule: no cross-row
+  * DOUBLE sums): each bigram's log-probability is quantized to
+  * integer MICRO-units per row (deterministic given the row), summed
+  * exactly as BIGINT, and converted to a double only at the output
+  * boundary — partition order can never move the hash.
+  */
+object LanguageModel {
+
+  val Unk = "<unk>"
+
+  /** Top-`v` unigrams of a (doc_id, __toks) frame by corpus count —
+    * count desc, token asc: deterministic under any partitioning.
+    */
+  def vocabTopV(toks: DataFrame, v: Int): DataFrame =
+    toks.select(explode(col("__toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("token").asc)
+      .limit(v)
+      .select(col("token"))
+
+  /** Tokens with out-of-vocab words folded to [[Unk]], keeping the
+    * array form (bigrams need adjacency). The vocab collects to a
+    * driver set — v-bounded by construction — and evaluates as a
+    * codegen'd set membership inside the transform.
+    */
+  def remapToVocab(toks: Column, vocab: Seq[String]): Column =
+    transform(toks, t => when(t.isInCollection(vocab), t).otherwise(lit(Unk)))
+
+  /** Adjacent-bigram frame (doc_id, w1, w2) of a (doc_id, __toks)
+    * frame — a per-row zip of the array with its own tail, then one
+    * explode: no positional self-join, no shuffle.
+    */
+  def docBigrams(toks: DataFrame): DataFrame =
+    toks
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("__toks"), lit(1), col("__n") - 1),
+        slice(col("__toks"), lit(2), col("__n") - 1))).as("__bg"))
+      .select(col("doc_id"),
+        col("__bg.0").as("w1"), col("__bg.1").as("w2"))
+
+  /** Per-doc bigram perplexity under a Laplace-smoothed vocab-capped
+    * bigram model trained on the corpus itself (self-perplexity — the
+    * standard corpus-filtering setup scores with a model trained on a
+    * trusted corpus; the wiring is identical, `model` just comes from
+    * elsewhere).
+    *
+    * p(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + v + 1), log-quantized to
+    * micro-nats per bigram, summed exactly:
+    * ppl = exp(−Σ round(10^6·ln p) / 10^6 / n).
+    *
+    * @param toks (doc_id, __toks) pre-tokenized docs
+    * @param v    vocab cap (top-V unigrams; rest fold to `<unk>`)
+    * @return (doc_id, n_bigrams, ppl) for docs with ≥ 2 tokens
+    */
+  def selfPerplexity(toks: DataFrame, v: Int): DataFrame = {
+    val vocab = vocabTopV(toks, v).collect().map(_.getString(0)).toSeq
+    val remapped = toks.select(col("doc_id"),
+      remapToVocab(col("__toks"), vocab).as("__toks"))
+    val bigrams = docBigrams(remapped)
+    // model counts: map-side-combinable, key-bounded
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__c2"))
+    // score: exact-integer log-prob accumulation per doc
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .withColumn("__lp_micro",
+        round(log((col("__c2") + 1.0) / (col("__c1") + (v + 1).toDouble))
+          * 1000000.0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__lp_micro")).as("__lp_sum"))
+      .withColumn("ppl", round(exp(
+        -(col("__lp_sum").cast("double") / 1000000.0)
+          / col("n_bigrams").cast("double")), 6))
+      .select(col("doc_id"), col("n_bigrams"), col("ppl"))
+  }
+}

@@ -807,6 +807,19 @@ object TextPipeline {
       .orderBy(col("source"))
   }
 
+  /** CCNet-style language-model fluency signal: per-doc bigram
+    * perplexity under a vocab-capped Laplace bigram model trained on
+    * the corpus itself ([[graft.operators.LanguageModel]]). The
+    * oracle restates the WHOLE model — deterministic top-256 vocab,
+    * `<unk>` folding, bigram-start counts, smoothing arithmetic, and
+    * the exact micro-nat log accumulation — so training and scoring
+    * hash together.
+    */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.selfPerplexity(
+      tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")), v = 256)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_prepare" -> (corpusPrepare _),
     "dedup_exact" -> (dedupExact _),
@@ -847,7 +860,8 @@ object TextPipeline {
     "quality_topk" -> (qualityTopk _),
     "quality_model_score" -> (qualityModelScore _),
     "quality_model_filter" -> (qualityModelFilter _),
-    "semantic_dedup" -> (semanticDedupQ _))
+    "semantic_dedup" -> (semanticDedupQ _),
+    "lm_perplexity" -> (lmPerplexity _))
 
   /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's
     * regexp_replace needs the explicit 'g' flag (Spark's replaces all
@@ -1389,6 +1403,29 @@ object TextPipeline {
     // gates the approximate machinery end to end
     "knn_lsh_exact" -> knnExactSql,
     "knn_ivf_exact" -> knnExactSql,
+    "lm_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |u AS (SELECT unnest(toks) AS token FROM t),
+         |voc AS (SELECT token FROM (
+         |  SELECT token, COUNT(*) AS c FROM u GROUP BY token
+         |  ORDER BY c DESC, token ASC LIMIT 256)),
+         |tok0 AS (SELECT doc_id, unnest(
+         |  [{'o': i, 't': toks[i]} for i in range(1, len(toks) + 1)]) AS s
+         |  FROM t),
+         |tok AS (SELECT tok0.doc_id, s.o AS ord,
+         |        COALESCE(v.token, '<unk>') AS w
+         |        FROM tok0 LEFT JOIN voc v ON s.t = v.token),
+         |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+         |       FROM tok a JOIN tok b
+         |       ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+         |lp AS (SELECT bg.doc_id,
+         |  CAST(round(ln((c2.c2 + 1.0) / (c1.c1 + 257.0)) * 1000000) AS BIGINT) AS lpm
+         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  round(exp(-(CAST(SUM(lpm) AS DOUBLE) / 1000000.0) / COUNT(*)), 6) AS ppl
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "semantic_dedup" ->
       s"""WITH RECURSIVE e AS (SELECT vec_id, embedding AS v,
          |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
