@@ -83,7 +83,11 @@ object LanguageModel {
     val vocab = vocabTopV(toks, v).collect().map(_.getString(0)).toSeq
     val remapped = toks.select(col("doc_id"),
       remapToVocab(col("__toks"), vocab).as("__toks"))
-    val bigrams = docBigrams(remapped)
+    // pinned: the frame feeds c1, c2, AND the scoring join — without
+    // it the tokenize→remap→explode chain runs three times (plus the
+    // vocab pass). The checkpoint is bigram-row-sized; at corpus
+    // scale stage it to storage (scratch parquet) instead.
+    val bigrams = docBigrams(remapped).localCheckpoint()
     // model counts: map-side-combinable, key-bounded
     val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
     val c2 = bigrams.groupBy(col("w1"), col("w2"))

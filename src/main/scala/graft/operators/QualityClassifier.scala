@@ -87,9 +87,12 @@ object QualityClassifier {
   /** GPT-3's acceptance rule with the RNG made content-deterministic:
     * keep iff pareto(α) > 1 − score, where pareto(α) = U^(−1/α) − 1
     * and U ∈ (0,1] is (uint32(md5(text)[0:8]) + 1) / 2^32. Documents
-    * score-graded: high scores always keep (1 − score < 0 ≤ pareto),
-    * low scores keep with probability ≈ (1 − score)^−α tail mass —
-    * the published shape, reproducible across runs and engines.
+    * score-graded: a score of 1.0 keeps unless the content hash is
+    * the single all-ones prefix (U = 1 ⇒ pareto = 0, a 2^−32 corner
+    * where the strict `>` drops the doc — the oracle applies the
+    * identical rule, so the gate cannot diverge); lower scores keep
+    * with the published Pareto tail probability — reproducible across
+    * runs and engines.
     */
   def paretoKeep(text: Column, scoreCol: Column, alpha: Double): Column = {
     val u = (conv(substring(TextFns.contentHash(text), 1, 8), 16, 10)
@@ -121,6 +124,10 @@ object QualityClassifier {
     // executor loss), unlike localCheckpoint — this frame is
     // corpus-sized.
     val feats = docs
+      // null text/label rows would count in the denominator n but
+      // emit NO gradient rows (explode(null) is empty) — silently
+      // shrinking every update. Exclude them up front.
+      .filter(textCol.isNotNull && labelCol.isNotNull)
       .select(labelCol.cast("double").as("__y"),
         transform(TextFns.tokens(textCol),
           t => hashBucket(t, d)).as("__b"))

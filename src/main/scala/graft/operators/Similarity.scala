@@ -425,6 +425,12 @@ object Similarity {
       .withColumn("cent_cos", round(cosineWithNorms(col("__v"), col("__cv"),
         col("__n"), col("__cn")), 6))
       .select(col("vec_id"), col("cluster"), col("__v"), col("cent_cos"))
+      // pinned: THREE consumers (pair join, keepers aggregate, final
+      // join) would otherwise each re-run assignment + centroid
+      // cosine over the whole corpus. At production scale the
+      // assignment belongs on storage anyway (writeIvfIndex layout);
+      // in-session, one eager materialization serves all consumers.
+      .localCheckpoint()
     val pairs = cosinePairsBlocked(scored, col("vec_id"), col("__v"),
       col("cluster"), eps)
     val comps = Dedup.connectedComponents(

@@ -780,10 +780,12 @@ object TextPipeline {
     * shuffles before the presentation sort.
     */
   def qualityModelScore(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(s, dir))
+    // session-cached staged tokens (M7): the score reads __toks, so
+    // the tokenization regex chain never re-runs for this query
+    tokenizedDocs(s, dir)
       .select(col("doc_id"),
         round(graft.operators.QualityClassifier.score(
-          TextFns.tokens(col("text")),
+          col("__toks"),
           FrozenQualityModel.W, FrozenQualityModel.B), 6).as("model_score"))
       .orderBy(col("doc_id"))
 
@@ -795,10 +797,10 @@ object TextPipeline {
     */
   def qualityModelFilter(s: SparkSession, dir: String): DataFrame = {
     val m = FrozenQualityModel
-    Tables.spread(Tables.documents(s, dir))
+    tokenizedDocs(s, dir)
       .select(col("source"), col("text"),
         graft.operators.QualityClassifier.score(
-          TextFns.tokens(col("text")), m.W, m.B).as("__s"))
+          col("__toks"), m.W, m.B).as("__s"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs_in"),
         sum(graft.operators.QualityClassifier

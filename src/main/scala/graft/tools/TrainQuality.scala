@@ -24,9 +24,10 @@ object TrainQuality {
     val (w, b) = QualityClassifier.train(labeled, col("text"), col("label"),
       d = 64, iters = args.lift(1).map(_.toInt).getOrElse(120), lr = 1.0)
     // shortest-round-trip doubles: parse back to identical bits anywhere
-    println("  private val W: Array[Double] = Array(")
-    println(w.grouped(4).map(g => "    " + g.mkString(", ")).mkString(",\n") + ")")
-    println(s"  private val B: Double = $b")
+    // matches FrozenQualityModel's member declarations verbatim
+    println("    val W: Array[Double] = Array(")
+    println(w.grouped(4).map(g => "      " + g.mkString(", ")).mkString(",\n") + ")")
+    println(s"    val B: Double = $b")
     // in-sample sanity
     val acc = labeled.select(
       avg(((QualityClassifier.score(TextFns.tokens(col("text")), w, b) >= 0.5)

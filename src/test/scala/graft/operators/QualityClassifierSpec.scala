@@ -78,8 +78,9 @@ class QualityClassifierSpec extends SparkSpec {
     def kept(score: Double): Long = docs
       .filter(QualityClassifier.paretoKeep(col("text"), lit(score), 9.0))
       .count()
-    // pareto(alpha) >= 0 always, so 1 - score <= 0 keeps everything
-    assert(kept(1.0) == 400L, "score 1 must always keep")
+    // pareto(alpha) >= 0 always, so score 1 keeps every doc except
+    // the 2^-32 all-ones-md5-prefix corner (absent from this fixture)
+    assert(kept(1.0) == 400L, "score 1 must keep the whole fixture")
     val lo = kept(0.05); val hi = kept(0.6)
     assert(lo < hi && hi < 400,
       s"acceptance must grade with score (got $lo < $hi < 400)")
