@@ -23,7 +23,9 @@ import org.apache.spark.storage.StorageLevel
 object Corpus {
 
   final case class PrepareStats(input: Long, afterExact: Long,
-                                afterNearDup: Long, afterQuality: Long)
+                                afterNearDup: Long, afterQuality: Long,
+                                afterModel: Long = -1L,
+                                afterPpl: Long = -1L)
 
   /** @param docs       (doc_id: long, text: string) + any passthrough columns
     * @param jaccard    near-dup threshold on word-trigram Jaccard
@@ -42,13 +44,28 @@ object Corpus {
     *                   this token budget (docs must carry `source`)
     * @param shuffleSeed non-null packs in epoch-seeded reproducible
     *                   shuffle order instead of id order
+    * @param modelWeights non-null enables the learned quality filter
+    *                   (GPT-3 App. A): Pareto-threshold acceptance on
+    *                   the hashed-feature logistic score under these
+    *                   frozen weights ([[graft.operators.QualityClassifier]])
+    * @param modelBias  frozen-model bias (with `modelWeights`)
+    * @param paretoAlpha Pareto shape for the acceptance rule
+    * @param maxPpl     >0 enables the CCNet-style fluency ceiling:
+    *                   docs whose self-perplexity under the
+    *                   vocab-capped bigram LM exceeds this are
+    *                   dropped (docs with <2 tokens carry no
+    *                   perplexity and always pass)
+    * @param pplVocab   bigram-LM vocabulary cap (with `maxPpl`)
     * @return (prepared frame with split/shard/chunk assignment, per-stage row accounting)
     */
   def prepare(docs: DataFrame, jaccard: Double = 0.5, minQuality: Double = 0.3,
               budget: Int = 2048, nShards: Int = 8,
               withStats: Boolean = true, holdoutGramK: Int = 0,
               mixBudget: Long = 0L,
-              shuffleSeed: String = null): (DataFrame, PrepareStats) = {
+              shuffleSeed: String = null,
+              modelWeights: Array[Double] = null, modelBias: Double = 0.0,
+              paretoAlpha: Double = 9.0,
+              maxPpl: Double = 0.0, pplVocab: Int = 1024): (DataFrame, PrepareStats) = {
     def tally(df: DataFrame): Long = if (withStats) df.count() else -1L
     val input = tally(docs)
 
@@ -84,8 +101,34 @@ object Corpus {
       .filter(col("quality") >= minQuality)
     val nQuality = tally(scored)
 
+    // 3b (opt-in). learned quality filter: Pareto-threshold
+    //     acceptance on the frozen-model score — the GPT-3 App. A
+    //     stage layered over the heuristic floor. Per-row expressions
+    //     over the staged tokens; no new shuffle.
+    val modelKept =
+      if (modelWeights == null) scored
+      else scored.filter(graft.operators.QualityClassifier.paretoKeep(
+        col("text"),
+        graft.operators.QualityClassifier.score(
+          col("__toks"), modelWeights, modelBias),
+        paretoAlpha))
+    val nModel = if (modelWeights == null) -1L else tally(modelKept)
+
+    // 3c (opt-in). fluency ceiling: drop the high-perplexity tail
+    //     under the vocab-capped bigram LM trained on the survivors
+    //     themselves (CCNet trains on a trusted corpus; the wiring is
+    //     the same). The LM derivation rides the `exact` persist.
+    val fluent =
+      if (maxPpl <= 0.0) modelKept
+      else modelKept.join(
+        graft.operators.LanguageModel.selfPerplexity(
+          modelKept.select(col("doc_id"), col("__toks")), pplVocab)
+          .filter(col("ppl") > maxPpl).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val nPpl = if (maxPpl <= 0.0) -1L else tally(fluent)
+
     // 4. stable split
-    val withSplit = scored.withColumn("split", TextFns.stableSplit(col("text")))
+    val withSplit = fluent.withColumn("split", TextFns.stableSplit(col("text")))
 
     // 4b (opt-in). verbatim-leak decontamination: drop train docs
     //     sharing a k-gram with the val/test splits (the Bloom-
@@ -127,7 +170,8 @@ object Corpus {
         col("pos"), size(col("__toks")), budget))
       .drop("__toks")
 
-    (prepared, PrepareStats(input, nExact, nNearDup, nQuality))
+    (prepared, PrepareStats(input, nExact, nNearDup, nQuality,
+      nModel, nPpl))
   }
 
   // ---- source-weighted mixture sampling ("data mixing") ------------

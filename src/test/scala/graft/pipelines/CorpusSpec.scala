@@ -96,6 +96,67 @@ class CorpusSpec extends SparkSpec {
     assert(a == b, "shuffled packing must be reproducible")
   }
 
+  test("prepare opt-in learned stages: model Pareto filter and perplexity ceiling") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.QualityClassifier
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    val d = 32
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      ((((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+        ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)) % d).toInt
+    }
+    def uniformOf(text: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8"))
+      ((((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+        ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)) + 1.0) / 4294967296.0
+    }
+    val plainToks = ((1 to 20).flatMap(i => s"$fluent extra$i".split(" ")) ++
+      "rug the on sat dog mat extra cat the on sat the and".split(" ")).toSet
+    val usedBuckets = plainToks.map(bucket)
+    // marker: hashes to a bucket no other fixture token occupies, and
+    // the marked doc's content-hash draw is outside the ~1/512 Pareto
+    // tail that would keep a near-zero score anyway
+    val marker = (0 to 999).map(i => s"zq$i").find(t =>
+      !usedBuckets.contains(bucket(t)) &&
+        uniformOf(s"$fluent extra7 $t") >= 1.0 / 512.0 + 1e-6).get
+    val docs = ((1 to 20).map(i => (i.toLong,
+      if (i == 7) s"$fluent extra$i $marker" else s"$fluent extra$i")) :+
+      (50L, "rug the on sat dog mat extra cat the on sat the and")) // scrambled
+      .toDF("doc_id", "text")
+
+    // model filter: a -100 weight on the marker's (otherwise unused)
+    // bucket craters only doc 7's score; everyone else rides the +50
+    // bias to a saturated score and always keeps
+    val w = Array.fill(d)(0.0); w(bucket(marker)) = -100.0
+    // jaccard > 1 disables near-dup pruning: the shared-body fixture
+    // would otherwise collapse into one survivor before these stages
+    val (_, mStats) = Corpus.prepare(docs, jaccard = 1.01, minQuality = 0.0,
+      budget = 64, nShards = 2, modelWeights = w, modelBias = 50.0)
+    assert(mStats.afterModel == mStats.afterQuality - 1,
+      s"exactly the marked doc must fail the model filter: $mStats")
+
+    // perplexity ceiling: the scrambled doc's bigrams are all rare →
+    // highest ppl in the corpus; a ceiling between drops exactly it
+    val ppl = graft.operators.LanguageModel.selfPerplexity(
+      docs.select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("__toks")), 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cut = (ppl(50L) + ppl.filter(_._1 != 50L).values.max) / 2.0
+    val (pPrep, pStats) = Corpus.prepare(docs, jaccard = 1.01, minQuality = 0.0,
+      budget = 64, nShards = 2, maxPpl = cut, pplVocab = 64)
+    assert(pStats.afterPpl == pStats.afterQuality - 1,
+      s"exactly the scrambled doc must fail the ceiling: $pStats")
+    assert(!pPrep.select("doc_id").as[Long].collect().contains(50L))
+
+    // defaults leave the accounting sentinel untouched
+    val (_, offStats) = Corpus.prepare(docs, jaccard = 1.01, minQuality = 0.0,
+      budget = 64, nShards = 2)
+    assert(offStats.afterModel == -1L && offStats.afterPpl == -1L)
+  }
+
   test("mixtureRates matches the hand-computed temperature rule") {
     val ss = spark; import ss.implicits._
     // source a: 9 tokens (w=3), source b: 16 tokens (w=4); Σw=7.
