@@ -822,6 +822,36 @@ object TextPipeline {
       tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")), v = 256)
       .orderBy(col("doc_id"))
 
+  /** CCNet's head/middle/tail corpus partition: exact-tercile cutoffs
+    * of the bigram-LM perplexity, then a map-side bucket assignment —
+    * the cutoffs are a 1-row broadcast (the `block_by_time` cross-join
+    * pattern), so the corpus is never shuffled to be bucketed. Only
+    * bucket MEMBERSHIP is gated (counts + per-bucket min/max ppl);
+    * the interpolated cutoffs stay internal, where a last-ulp
+    * cross-engine difference cannot flip any 1e-6-grid ppl value
+    * across a cutoff that is either exactly a data point or ≥3e-7
+    * from one.
+    */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val pp = graft.operators.LanguageModel.selfPerplexity(
+      tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")), v = 256)
+      .select(col("doc_id"), col("ppl"))
+      .localCheckpoint() // doc-count-sized; feeds cutoffs AND assignment
+    val cut = pp.agg(
+      percentile(col("ppl"), lit(1.0 / 3.0)).as("__c1"),
+      percentile(col("ppl"), lit(2.0 / 3.0)).as("__c2"))
+    pp.crossJoin(broadcast(cut))
+      .withColumn("bucket",
+        when(col("ppl") <= col("__c1"), "head")
+          .when(col("ppl") <= col("__c2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("ppl")), 6).as("lo_ppl"),
+        round(max(col("ppl")), 6).as("hi_ppl"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_prepare" -> (corpusPrepare _),
     "dedup_exact" -> (dedupExact _),
@@ -863,7 +893,8 @@ object TextPipeline {
     "quality_model_score" -> (qualityModelScore _),
     "quality_model_filter" -> (qualityModelFilter _),
     "semantic_dedup" -> (semanticDedupQ _),
-    "lm_perplexity" -> (lmPerplexity _))
+    "lm_perplexity" -> (lmPerplexity _),
+    "ppl_buckets" -> (pplBuckets _))
 
   /** DuckDB expression mirroring [[TextFns.normText]]. DuckDB's
     * regexp_replace needs the explicit 'g' flag (Spark's replaces all
@@ -886,6 +917,36 @@ object TextPipeline {
     * zip_with+aggregate fold order (0.0 + p1 + p2 + …, which is
     * IEEE-identical to DuckDB's list_reduce p1 + p2 + … seed fold).
     */
+  /** Shared DuckDB CTE chain for the bigram-LM oracles, ending in
+    * `pp(doc_id, n_bigrams, ppl)` — the exact restatement of
+    * [[graft.operators.LanguageModel.selfPerplexity]] at v = 256
+    * (deterministic vocab, `<unk>` fold, bigram-start counts, Laplace
+    * smoothing, micro-nat integer log accumulation).
+    */
+  private def lmPplCteSql: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |u AS (SELECT unnest(toks) AS token FROM t),
+       |voc AS (SELECT token FROM (
+       |  SELECT token, COUNT(*) AS c FROM u GROUP BY token
+       |  ORDER BY c DESC, token ASC LIMIT 256)),
+       |tok0 AS (SELECT doc_id, unnest(
+       |  [{'o': i, 't': toks[i]} for i in range(1, len(toks) + 1)]) AS s
+       |  FROM t),
+       |tok AS (SELECT tok0.doc_id, s.o AS ord,
+       |        COALESCE(v.token, '<unk>') AS w
+       |        FROM tok0 LEFT JOIN voc v ON s.t = v.token),
+       |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+       |       FROM tok a JOIN tok b
+       |       ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+       |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+       |lp AS (SELECT bg.doc_id,
+       |  CAST(round(ln((c2.c2 + 1.0) / (c1.c1 + 257.0)) * 1000000) AS BIGINT) AS lpm
+       |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+       |pp AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  round(exp(-(CAST(SUM(lpm) AS DOUBLE) / 1000000.0) / COUNT(*)), 6) AS ppl
+       |  FROM lp GROUP BY doc_id)""".stripMargin
+
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
@@ -1406,28 +1467,19 @@ object TextPipeline {
     "knn_lsh_exact" -> knnExactSql,
     "knn_ivf_exact" -> knnExactSql,
     "lm_perplexity" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |u AS (SELECT unnest(toks) AS token FROM t),
-         |voc AS (SELECT token FROM (
-         |  SELECT token, COUNT(*) AS c FROM u GROUP BY token
-         |  ORDER BY c DESC, token ASC LIMIT 256)),
-         |tok0 AS (SELECT doc_id, unnest(
-         |  [{'o': i, 't': toks[i]} for i in range(1, len(toks) + 1)]) AS s
-         |  FROM t),
-         |tok AS (SELECT tok0.doc_id, s.o AS ord,
-         |        COALESCE(v.token, '<unk>') AS w
-         |        FROM tok0 LEFT JOIN voc v ON s.t = v.token),
-         |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
-         |       FROM tok a JOIN tok b
-         |       ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
-         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
-         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
-         |lp AS (SELECT bg.doc_id,
-         |  CAST(round(ln((c2.c2 + 1.0) / (c1.c1 + 257.0)) * 1000000) AS BIGINT) AS lpm
-         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
-         |SELECT doc_id, COUNT(*) AS n_bigrams,
-         |  round(exp(-(CAST(SUM(lpm) AS DOUBLE) / 1000000.0) / COUNT(*)), 6) AS ppl
-         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmPplCteSql
+         |SELECT doc_id, n_bigrams, ppl FROM pp ORDER BY doc_id""".stripMargin,
+    "ppl_buckets" ->
+      s"""WITH $lmPplCteSql,
+         |cut AS (SELECT quantile_cont(ppl, 1.0 / 3.0) AS c1,
+         |               quantile_cont(ppl, 2.0 / 3.0) AS c2 FROM pp),
+         |b AS (SELECT CASE WHEN ppl <= c1 THEN 'head'
+         |                  WHEN ppl <= c2 THEN 'middle'
+         |                  ELSE 'tail' END AS bucket, ppl
+         |      FROM pp, cut)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |       round(MIN(ppl), 6) AS lo_ppl, round(MAX(ppl), 6) AS hi_ppl
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "semantic_dedup" ->
       s"""WITH RECURSIVE e AS (SELECT vec_id, embedding AS v,
          |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),

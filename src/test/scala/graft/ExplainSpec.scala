@@ -337,7 +337,33 @@ class ExplainSpec extends SparkSpec {
       s"per-doc aggregate must have a map-side partial:\n$p")
   }
 
+  test("lm_perplexity: unigram side broadcasts; no cartesian anywhere in the model join") {
+    val p = plan("lm_perplexity")
+    // the c1 (bigram-start count) frame is explicitly broadcast into
+    // the scoring join — a shuffled join there would move every doc
+    // bigram a second time for a <=V+1-row build side
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"expected broadcast model joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"model counts must have map-side partials:\n$p")
+  }
+
+  test("ppl_buckets: tercile cutoffs join as a 1-row broadcast, never a shuffle") {
+    val p = plan("ppl_buckets")
+    // the crossJoin(broadcast(cut)) is the block_by_time pattern: a
+    // single-row build side — the corpus is bucketed map-side
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"cutoffs must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
   test("quality_model_score: scoring is one shuffle-free projection plus the presentation sort") {
+    // evict the session token cache first: a sibling test may have
+    // warmed it, and the cached relation's internal (spread) exchange
+    // prints into the formatted plan, inflating the string count this
+    // contract bounds — assert the canonical COLD shape
+    graft.queries.TextPipeline.evictPairsCache(spark)
     val p = plan("quality_model_score")
     // feature hash + weight fold + sigmoid all fold per-row; the only
     // exchanges are Tables.spread's round-robin (fixture parallelism)
