@@ -92,12 +92,57 @@ object LanguageModel {
     val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
     val c2 = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("__c2"))
-    // score: exact-integer log-prob accumulation per doc
+    scoreBigrams(bigrams, c1, c2, v)
+  }
+
+  /** A frozen bigram model: the deterministic vocab plus the two
+    * count frames, both key-bounded (≤ v+1 and ≤ (v+1)² rows) and
+    * eagerly pinned so consumers — including a streaming filter's
+    * every micro-batch — never re-run the training aggregation.
+    */
+  final case class BigramModel(vocab: Seq[String], starts: DataFrame,
+                               counts: DataFrame, v: Int)
+
+  /** Train a frozen [[BigramModel]] on a reference corpus — the CCNet
+    * setup (score candidate data with a model trained on TRUSTED
+    * text); [[selfPerplexity]] is the degenerate same-corpus case.
+    */
+  def trainBigramModel(toks: DataFrame, v: Int): BigramModel = {
+    val vocab = vocabTopV(toks, v).collect().map(_.getString(0)).toSeq
+    val bigrams = docBigrams(toks.select(col("doc_id"),
+      remapToVocab(col("__toks"), vocab).as("__toks")))
+    BigramModel(vocab,
+      bigrams.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+        .localCheckpoint(),
+      bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+        .localCheckpoint(),
+      v)
+  }
+
+  /** Per-doc perplexity of NEW documents under a frozen model: the
+    * same scoring arithmetic as [[selfPerplexity]], with unseen
+    * bigrams/starts smoothing from zero counts (left joins) — on the
+    * training corpus itself every key is present, so the two paths
+    * agree bit-for-bit.
+    */
+  def perplexityOf(toks: DataFrame, model: BigramModel): DataFrame =
+    scoreBigrams(
+      docBigrams(toks.select(col("doc_id"),
+        remapToVocab(col("__toks"), model.vocab).as("__toks"))),
+      model.starts, model.counts, model.v)
+
+  /** Shared scorer: Laplace probability per bigram, micro-nat
+    * integer log accumulation (the determinism contract), ppl per
+    * doc. Left joins default absent model keys to count 0.
+    */
+  private def scoreBigrams(bigrams: DataFrame, c1: DataFrame,
+                           c2: DataFrame, v: Int): DataFrame =
     bigrams
-      .join(c2, Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
       .withColumn("__lp_micro",
-        round(log((col("__c2") + 1.0) / (col("__c1") + (v + 1).toDouble))
+        round(log((coalesce(col("__c2"), lit(0L)) + 1.0) /
+          (coalesce(col("__c1"), lit(0L)) + (v + 1).toDouble))
           * 1000000.0).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -106,5 +151,4 @@ object LanguageModel {
         -(col("__lp_sum").cast("double") / 1000000.0)
           / col("n_bigrams").cast("double")), 6))
       .select(col("doc_id"), col("n_bigrams"), col("ppl"))
-  }
 }

@@ -205,6 +205,50 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming perplexity firewall — the frozen-model twin of the
+    * batch fluency ceiling ([[graft.pipelines.Corpus.prepare]]'s
+    * `maxPpl` stage): incoming docs are scored under a
+    * [[graft.operators.LanguageModel.BigramModel]] trained ONCE on a
+    * trusted reference corpus (the CCNet setup) and dropped when
+    * their perplexity exceeds the ceiling. The model's count frames
+    * are pinned at training, so each micro-batch joins against
+    * materialized key-bounded frames — no per-batch re-training.
+    * Docs with < 2 tokens carry no perplexity and pass, identical to
+    * the batch stage. Stateless beyond source offsets; `__batch=`
+    * dynamic overwrite ⇒ exactly-once.
+    *
+    * @return survivors schema: (doc_id, text)
+    */
+  def perplexityFilterStream(spark: SparkSession, srcDir: String,
+                             model: graft.operators.LanguageModel.BigramModel,
+                             maxPpl: Double, destDir: String,
+                             checkpointDir: String): Unit = {
+    import graft.operators.LanguageModel
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(docsSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dropped = LanguageModel.perplexityOf(
+          batch.select(col("doc_id"),
+            graft.functions.TextFns.tokens(col("text")).as("__toks")),
+          model)
+          .filter(col("ppl") > maxPpl).select(col("doc_id"))
+        batch.join(dropped, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text"))
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(destDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming IVF index maintenance: new vectors append into the
     * [[graft.operators.Similarity.writeIvfIndex]] partition layout as
     * they arrive — per micro-batch one narrow map (the shared

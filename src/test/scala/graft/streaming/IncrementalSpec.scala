@@ -279,6 +279,48 @@ class IncrementalSpec extends SparkSpec {
     assert(got2 == batchKeep(mkDocs(1 to 90)), "run2 keep set diverged")
   }
 
+  test("perplexityFilterStream drops what the batch frozen-model ceiling drops, across runs") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.LanguageModel
+    val base = Files.createTempDirectory("ppl_stream").toString
+    val src = base + "/src"; val dest = base + "/dest"; val ck = base + "/ck"
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    // frozen model from a trusted reference corpus
+    val ref = (1 to 30).map(i => (i.toLong, fluent)).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("__toks"))
+    val model = LanguageModel.trainBigramModel(ref, v = 64)
+
+    def mkDocs(ids: Range, scrambleIds: Set[Long]) = ids.map { i =>
+      (i.toLong, if (scrambleIds(i.toLong))
+        "rug the on sat dog mat cat the on sat the and" else s"$fluent again$i")
+    }.toDF("doc_id", "text")
+    def batchDrop(docs: org.apache.spark.sql.DataFrame, cut: Double): Set[Long] =
+      LanguageModel.perplexityOf(docs.select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("__toks")), model)
+        .filter(col("ppl") > cut).select("doc_id").as[Long].collect().toSet
+
+    // pick a ceiling between the fluent and scrambled scores
+    val probe = mkDocs(1 to 2, Set(2L))
+    val probePpl = LanguageModel.perplexityOf(probe.select(col("doc_id"),
+      graft.functions.TextFns.tokens(col("text")).as("__toks")), model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cut = (probePpl(1L) + probePpl(2L)) / 2.0
+    assert(probePpl(1L) < cut && cut < probePpl(2L),
+      s"fixture must separate: $probePpl")
+
+    mkDocs(1 to 20, Set(5L, 9L)).write.parquet(src)
+    Incremental.perplexityFilterStream(ss, src, model, cut, dest, ck)
+    val got1 = ss.read.parquet(dest).select("doc_id").as[Long].collect().toSet
+    assert(got1 == (1L to 20L).toSet -- batchDrop(mkDocs(1 to 20, Set(5L, 9L)), cut))
+    assert(got1 == (1L to 20L).toSet - 5L - 9L, s"scrambled docs must drop: $got1")
+
+    mkDocs(21 to 30, Set(27L)).write.mode("append").parquet(src)
+    Incremental.perplexityFilterStream(ss, src, model, cut, dest, ck)
+    val got2 = ss.read.parquet(dest).select("doc_id").as[Long].collect().toSet
+    assert(got2 == (1L to 30L).toSet - 5L - 9L - 27L, s"run2 diverged: $got2")
+  }
+
   test("decontamStream equals batch decontamination across incremental runs") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
