@@ -219,8 +219,11 @@ object Tables {
       .stripPrefix("_").stripSuffix("_")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     def registerAndAnalyze(tbl: String, file: String): Unit = {
+      // single quotes in the path would terminate the LOCATION string
+      // literal — escape them (SQL doubling) before embedding
+      val loc = s"$dir/$file".replace("'", "''")
       spark.sql(
-        s"CREATE TABLE IF NOT EXISTS $db.$tbl USING parquet LOCATION '$dir/$file'")
+        s"CREATE TABLE IF NOT EXISTS $db.$tbl USING parquet LOCATION '$loc'")
       spark.sql(s"ANALYZE TABLE $db.$tbl COMPUTE STATISTICS")
       if (columnStats) {
         // ANALYZE FOR COLUMNS rejects nested types (array<float>
@@ -237,10 +240,22 @@ object Tables {
     }
     schemas.keySet.filterNot(_ == "events").toSeq.sorted
       .foreach(n => registerAndAnalyze(n, s"$n.parquet"))
-    // events: nanos TIMESTAMP — stats on the raw table, view converts
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    registerAndAnalyze("events_raw", "events.parquet")
+    // events: nanos TIMESTAMP — stats on the raw table, view converts.
+    // The conf is needed while ANALYZE scans the nanos file; save and
+    // restore it afterwards (same discipline as Decontam.buildBloom)
+    // so registration doesn't silently mutate a caller's session.
+    // SCANNING $db.events later needs it too — GraftSession sets it at
+    // build, and the Tables.load path set-if-absents it for foreign
+    // sessions; only ad-hoc SQL over the view on a session with the
+    // conf explicitly false would fail, which is that session's choice.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val nanosPrev = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try registerAndAnalyze("events_raw", "events.parquet")
+    finally nanosPrev match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None    => spark.conf.unset(nanosKey)
+    }
     spark.sql(
       s"""CREATE OR REPLACE VIEW $db.events AS
          |SELECT event_id, timestamp_micros(ts div 1000) AS ts,

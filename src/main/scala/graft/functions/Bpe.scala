@@ -59,7 +59,15 @@ object Bpe {
     */
   def trainMerges(wordCounts: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
     val words: Array[mutable.ArrayBuffer[String]] = wordCounts.map { case (w, _) =>
-      mutable.ArrayBuffer(w.map(_.toString): _*) += EndOfWord
+      // split by CODE POINT, not UTF-16 Char: a per-Char split would
+      // turn astral code points (emoji, CJK-ext) into lone-surrogate
+      // symbols, which do not survive the UTF-8 round trip through
+      // the serialized-merges literal (unpaired surrogates become
+      // '?'), so the distributed encoder would silently never apply
+      // those merges and diverge from this trainer
+      val cps = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      mutable.ArrayBuffer(cps: _*) += EndOfWord
     }.toArray
     val counts = wordCounts.map(_._2).toArray
     val pairCounts = mutable.Map.empty[(String, String), Long]
@@ -189,7 +197,10 @@ final class BpeEncoder(val merges: Seq[(String, String)]) extends Serializable {
     * merges applied lowest rank first, left-to-right within a rank).
     */
   def encodeWord(w: String): Vector[String] = {
-    var sym: Vector[String] = w.map(_.toString).toVector :+ Bpe.EndOfWord
+    // code-point split — must mirror trainMerges exactly, or symbols
+    // for astral code points never match the merge table
+    var sym: Vector[String] = w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toVector :+ Bpe.EndOfWord
     var done = false
     while (!done && sym.length > 1) {
       var bestRank = Int.MaxValue

@@ -85,9 +85,13 @@ object LanguageModel {
       remapToVocab(col("__toks"), vocab).as("__toks"))
     // pinned: the frame feeds c1, c2, AND the scoring join — without
     // it the tokenize→remap→explode chain runs three times (plus the
-    // vocab pass). The checkpoint is bigram-row-sized; at corpus
-    // scale stage it to storage (scratch parquet) instead.
-    val bigrams = docBigrams(remapped).localCheckpoint()
+    // vocab pass). persist, NOT localCheckpoint: the frame is
+    // bigram-row-sized (≈ token count, LARGER than the corpus row
+    // count), so truncated lineage would make one executor loss
+    // unrecoverable at scale; the kept lineage is a short
+    // deterministic scan → remap (broadcast vocab) → explode chain.
+    val bigrams = docBigrams(remapped)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // model counts: map-side-combinable, key-bounded
     val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
     val c2 = bigrams.groupBy(col("w1"), col("w2"))

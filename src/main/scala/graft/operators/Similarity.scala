@@ -94,9 +94,13 @@ object Similarity {
     * the native one-pass codegen'd [[graft.plans.SignSketch]]
     * expression (bit-identical to [[signSketchComposed]], which ran
     * `bits` interpreted HOF folds per vector in the LSH hot loop).
+    * Built via [[ColumnBridge]] (like [[graft.plans.IvfAssign]]) —
+    * no function-registry lookup, so it analyzes on sessions built
+    * without [[graft.plans.GraftExtensions]] too.
     */
   def signSketch(vec: Column, bits: Int): Column =
-    call_function("graft_signsketch", vec, lit(bits))
+    ColumnBridge.column(graft.plans.SignSketch(
+      ColumnBridge.expression(vec), bits))
 
   /** Built-ins-only sign sketch (same planes, same fold — `bits`
     * interpreted passes): the portability fallback and the
@@ -273,13 +277,25 @@ object Similarity {
     * costs, with no index service beside the table. One narrow
     * map-side pass over the corpus (native assignment + explode) +
     * the partitioned write; no shuffle.
+    *
+    * The layout carries a constant `__batch=-1` second partition
+    * level so it is directory-compatible with the streaming appender
+    * ([[graft.streaming.Incremental.ivfIndexStream]], which writes
+    * `centroid=<id>/__batch=<n≥0>/`): a batch-built index can be
+    * seeded and then incrementally maintained in the SAME destDir
+    * without mixed partition depths breaking parquet partition
+    * discovery. Probes select explicit columns, so the extra level is
+    * invisible to them; micro-batch ids are ≥ 0, so the seed
+    * partition never collides with a replayed batch's dynamic
+    * overwrite.
     */
   def writeIvfIndex(corpus: DataFrame, centroids: DataFrame, path: String,
                     nAssign: Int = 1,
                     corpusId: String = "neighbor_id",
                     vecCol: String = "embedding"): Unit =
     ivfIndexRows(corpus, centroids, nAssign, corpusId, vecCol)
-      .write.mode("overwrite").partitionBy("centroid").parquet(path)
+      .withColumn("__batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("centroid", "__batch").parquet(path)
 
   /** The index-layout frame behind [[writeIvfIndex]]: one assigned
     * `centroid` row per (vector, assignment) — shared with the
@@ -427,10 +443,16 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("__v"), col("cent_cos"))
       // pinned: THREE consumers (pair join, keepers aggregate, final
       // join) would otherwise each re-run assignment + centroid
-      // cosine over the whole corpus. At production scale the
-      // assignment belongs on storage anyway (writeIvfIndex layout);
-      // in-session, one eager materialization serves all consumers.
-      .localCheckpoint()
+      // cosine over the whole corpus. persist, NOT localCheckpoint:
+      // this frame is corpus-sized AND carries the full vectors, and
+      // localCheckpoint's truncated lineage would make one executor
+      // loss (or a dynamic-allocation scale-down) unrecoverable at
+      // the 100 TB target. persist keeps the short deterministic
+      // lineage (scan → IvfAssign → broadcast join) so lost blocks
+      // recompute; MEMORY_AND_DISK bounds memory. At production scale
+      // the assignment belongs on storage anyway ([[writeIvfIndex]]
+      // layout) — then this pin disappears entirely.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = cosinePairsBlocked(scored, col("vec_id"), col("__v"),
       col("cluster"), eps)
     val comps = Dedup.connectedComponents(

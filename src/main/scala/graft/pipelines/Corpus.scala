@@ -56,7 +56,10 @@ object Corpus {
     *                   dropped (docs with <2 tokens carry no
     *                   perplexity and always pass)
     * @param pplVocab   bigram-LM vocabulary cap (with `maxPpl`)
-    * @return (prepared frame with split/shard/chunk assignment, per-stage row accounting)
+    * @return (prepared frame with split/shard/chunk assignment,
+    *         per-stage row accounting, release handle that unpersists
+    *         the staged corpus-sized frames — call it once the
+    *         prepared frame is materialized)
     */
   def prepare(docs: DataFrame, jaccard: Double = 0.5, minQuality: Double = 0.3,
               budget: Int = 2048, nShards: Int = 8,
@@ -65,9 +68,15 @@ object Corpus {
               shuffleSeed: String = null,
               modelWeights: Array[Double] = null, modelBias: Double = 0.0,
               paretoAlpha: Double = 9.0,
-              maxPpl: Double = 0.0, pplVocab: Int = 1024): (DataFrame, PrepareStats) = {
+              maxPpl: Double = 0.0, pplVocab: Int = 1024)
+      : (DataFrame, PrepareStats, () => Unit) = {
     def tally(df: DataFrame): Long = if (withStats) df.count() else -1L
     val input = tally(docs)
+    // every corpus-sized frame this call persists, so the caller can
+    // release them once the prepared frame is materialized — repeated
+    // prepare() calls in one long-lived session must not accumulate
+    // cached corpus-sized blocks until LRU pressure evicts them
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     // 1. exact dedup: keep the min doc_id of each normalized-text
     //    group. Tokens are staged HERE, before the checkpoint, so the
@@ -83,6 +92,7 @@ object Corpus {
     val exact = Dedup.exactSurvivors(docs, col("doc_id"), col("text"))
       .withColumn("__toks", TextFns.tokens(col("text")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    pinned += exact
     val nExact = tally(exact)
 
     // 2. near-dup pruning: pair graph → components → keep each
@@ -145,6 +155,7 @@ object Corpus {
         val tokSplit = withSplit
           .select(col("doc_id"), col("__toks"), col("split"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        pinned += tokSplit
         withSplit.join(
           graft.operators.Decontam.leakedGrams(tokSplit, k = holdoutGramK)
             .select(col("doc_id")),
@@ -171,7 +182,11 @@ object Corpus {
       .drop("__toks")
 
     (prepared, PrepareStats(input, nExact, nNearDup, nQuality,
-      nModel, nPpl))
+      nModel, nPpl),
+      // release handle: unpersist every corpus-sized pin. Call AFTER
+      // materializing the prepared frame (its lineage reads through
+      // `exact`); calling earlier is safe but re-tokenizes once.
+      () => pinned.foreach(_.unpersist(false)))
   }
 
   // ---- source-weighted mixture sampling ("data mixing") ------------

@@ -720,12 +720,17 @@ object TextPipeline {
   def corpusPrepare(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val (prepared, stats) = Corpus.prepare(docs)
+    val (prepared, stats, release) = Corpus.prepare(docs)
     // three aggregates consume the prepared frame; checkpoint a
     // NARROW projection once (no text column) so the pipeline's
     // tokenize/quality/pack chain runs once, not per consumer
     val packed = prepared.select("split", "shard", "n_tokens", "chunk_id")
       .localCheckpoint()
+    // the eager checkpoint above materialized the whole pipeline —
+    // the staged token/decontam pins are now dead weight; release
+    // them so repeated calls (Bench steady passes) don't accumulate
+    // corpus-sized cached blocks
+    release()
     val stages = Seq(
       ("1_input", stats.input),
       ("2_exact_survivors", stats.afterExact),

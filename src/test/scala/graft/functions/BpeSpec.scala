@@ -76,6 +76,50 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("astral code points train and encode as whole symbols, distributed ≡ driver") {
+    val ss = spark; import ss.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(ss)
+    // 🚀 (U+1F680) and 😀 (U+1F600) are astral: 2 UTF-16 units each.
+    // A per-Char split would learn lone-surrogate merge symbols that
+    // die in the UTF-8 round trip to the codegen'd expression —
+    // distributed counts would silently diverge from the driver.
+    val rocket = new String(Character.toChars(0x1F680))
+    val grin = new String(Character.toChars(0x1F600))
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"launch $rocket$grin$rocket now $rocket$grin$rocket ok"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs.select(col("text")), col("text"), numMerges = 20)
+    // no merge symbol may contain an unpaired surrogate
+    merges.foreach { case (a, b) =>
+      Seq(a, b).foreach { s =>
+        var i = 0
+        while (i < s.length) {
+          if (Character.isHighSurrogate(s.charAt(i))) {
+            assert(i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1)),
+              s"unpaired surrogate in merge symbol ${s.map(_.toInt)}")
+            i += 2 // valid pair: skip the low half
+          } else {
+            assert(!Character.isLowSurrogate(s.charAt(i)),
+              s"unpaired surrogate in merge symbol ${s.map(_.toInt)}")
+            i += 1
+          }
+        }
+      }
+    }
+    // the emoji run repeats everywhere → some merge must involve an
+    // astral symbol, and it must APPLY: the encoded emoji run shrinks
+    // below its 3-code-point + marker floor
+    val enc = new BpeEncoder(merges)
+    assert(enc.countWord(s"$rocket$grin$rocket") < 4,
+      "astral merges must actually apply in the encoder")
+    val got = docs.select(
+        TextFns.bpeTokenCountLearned(col("text"), merges).as("n"))
+      .as[Int].collect()
+    val want = enc.countTokens(s"launch $rocket$grin$rocket now $rocket$grin$rocket ok")
+    assert(got.forall(_ == want),
+      s"distributed astral count diverged: got ${got.toSet}, want $want")
+  }
+
   test("learned count is bounded: ≥ pre-token count, ≤ char-level count") {
     val ss = spark; import ss.implicits._
     graft.plans.GraftExtensions.ensureRegistered(ss)

@@ -18,7 +18,7 @@ class CorpusSpec extends SparkSpec {
 
     // junk doc scores ≈0.37 (short, no stopwords, 2-char words); real
     // prose ≥0.6 — the 0.4 floor separates cleanly
-    val (prepared, stats) = Corpus.prepare(docs, jaccard = 0.5, minQuality = 0.4,
+    val (prepared, stats, release) = Corpus.prepare(docs, jaccard = 0.5, minQuality = 0.4,
       budget = 32, nShards = 2)
 
     assert(stats.input == 5)
@@ -32,15 +32,26 @@ class CorpusSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(3) >= 0))
 
     // idempotency: preparing the prepared survivors changes nothing
-    val again = Corpus.prepare(prepared.select("doc_id", "text"),
-      jaccard = 0.5, minQuality = 0.4, budget = 32, nShards = 2)._2
+    val (_, again, release2) = Corpus.prepare(prepared.select("doc_id", "text"),
+      jaccard = 0.5, minQuality = 0.4, budget = 32, nShards = 2)
     assert(again.afterQuality == stats.afterQuality)
 
     // withStats=false: same frame, no accounting actions
-    val (lazyPrep, noStats) = Corpus.prepare(docs, jaccard = 0.5, minQuality = 0.4,
+    val (lazyPrep, noStats, release3) = Corpus.prepare(docs, jaccard = 0.5, minQuality = 0.4,
       budget = 32, nShards = 2, withStats = false)
     assert(noStats == Corpus.PrepareStats(-1, -1, -1, -1))
     assert(lazyPrep.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+
+    // the release handles drop the corpus-sized pins these three
+    // prepare calls created — a long-lived session must not
+    // accumulate cached staged-token frames. Calls 1 and 3 stage an
+    // IDENTICAL plan (same docs, same params), which the CacheManager
+    // dedupes into one entry, so three releases remove at least TWO
+    // distinct cached frames (call 2 staged over different input).
+    val pinnedBefore = ss.sparkContext.getPersistentRDDs.size
+    release(); release2(); release3()
+    assert(ss.sparkContext.getPersistentRDDs.size <= pinnedBefore - 2,
+      "release must drop the staged-token cache entries")
   }
 
   test("prepare full composition: decontam + mixture + shuffled packing") {
@@ -70,7 +81,7 @@ class CorpusSpec extends SparkSpec {
       else (id, text, src)
     }.toDF("doc_id", "text", "source")
 
-    val (prepared, _) = Corpus.prepare(docs, jaccard = 0.9, minQuality = 0.1,
+    val (prepared, _, rel1) = Corpus.prepare(docs, jaccard = 0.9, minQuality = 0.1,
       budget = 64, nShards = 2, withStats = false,
       holdoutGramK = 8, mixBudget = 100000L, shuffleSeed = "epoch-0")
     val rows = prepared.select("doc_id", "split", "shard", "pos", "chunk_id", "rate")
@@ -87,13 +98,14 @@ class CorpusSpec extends SparkSpec {
       assert(byPos.sorted.sameElements(byPos), "chunk_id must be monotone in pos")
     }
     // reproducibility: identical run → identical chunk assignment
-    val (again, _) = Corpus.prepare(docs, jaccard = 0.9, minQuality = 0.1,
+    val (again, _, rel2) = Corpus.prepare(docs, jaccard = 0.9, minQuality = 0.1,
       budget = 64, nShards = 2, withStats = false,
       holdoutGramK = 8, mixBudget = 100000L, shuffleSeed = "epoch-0")
     val a = rows.map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
     val b = again.select("doc_id", "shard", "pos", "chunk_id")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     assert(a == b, "shuffled packing must be reproducible")
+    rel1(); rel2()
   }
 
   test("prepare opt-in learned stages: model Pareto filter and perplexity ceiling") {
@@ -133,7 +145,7 @@ class CorpusSpec extends SparkSpec {
     val w = Array.fill(d)(0.0); w(bucket(marker)) = -100.0
     // jaccard > 1 disables near-dup pruning: the shared-body fixture
     // would otherwise collapse into one survivor before these stages
-    val (_, mStats) = Corpus.prepare(docs, jaccard = 1.01, minQuality = 0.0,
+    val (_, mStats, _) = Corpus.prepare(docs, jaccard = 1.01, minQuality = 0.0,
       budget = 64, nShards = 2, modelWeights = w, modelBias = 50.0)
     assert(mStats.afterModel == mStats.afterQuality - 1,
       s"exactly the marked doc must fail the model filter: $mStats")
@@ -145,14 +157,14 @@ class CorpusSpec extends SparkSpec {
         graft.functions.TextFns.tokens(col("text")).as("__toks")), 64)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     val cut = (ppl(50L) + ppl.filter(_._1 != 50L).values.max) / 2.0
-    val (pPrep, pStats) = Corpus.prepare(docs, jaccard = 1.01, minQuality = 0.0,
+    val (pPrep, pStats, _) = Corpus.prepare(docs, jaccard = 1.01, minQuality = 0.0,
       budget = 64, nShards = 2, maxPpl = cut, pplVocab = 64)
     assert(pStats.afterPpl == pStats.afterQuality - 1,
       s"exactly the scrambled doc must fail the ceiling: $pStats")
     assert(!pPrep.select("doc_id").as[Long].collect().contains(50L))
 
     // defaults leave the accounting sentinel untouched
-    val (_, offStats) = Corpus.prepare(docs, jaccard = 1.01, minQuality = 0.0,
+    val (_, offStats, _) = Corpus.prepare(docs, jaccard = 1.01, minQuality = 0.0,
       budget = 64, nShards = 2)
     assert(offStats.afterModel == -1L && offStats.afterPpl == -1L)
   }

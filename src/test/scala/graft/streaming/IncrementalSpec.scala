@@ -408,11 +408,18 @@ class IncrementalSpec extends SparkSpec {
     def mkVecs(ids: Range) = ids.map { i =>
       (i.toLong, Array.tabulate(8)(_ => (rnd.nextFloat() - 0.5f) * 2f))
     }
+    val wave0 = mkVecs(60 to 99)
     val wave1 = mkVecs(100 to 139)
     val wave2 = mkVecs(140 to 169)
-    val all = (wave1 ++ wave2).toDF("neighbor_id", "embedding")
+    val all = (wave0 ++ wave1 ++ wave2).toDF("neighbor_id", "embedding")
     val cents = Similarity.kmeansCentroids(all, k = 6, maxIter = 5)
 
+    // seed destDir with a BATCH build (constant __batch=-1 level),
+    // then stream into the SAME directory — the advertised workflow:
+    // build once, maintain incrementally; the layouts must share one
+    // partition depth or parquet partition discovery fails here
+    Similarity.writeIvfIndex(wave0.toDF("neighbor_id", "embedding"),
+      cents, dest, nAssign = 2)
     // two incremental appends; run 1's files are not re-read in run 2
     wave1.toDF("neighbor_id", "embedding").write.parquet(src)
     Incremental.ivfIndexStream(spark, src, cents, dest, ck, nAssign = 2)
