@@ -86,7 +86,13 @@ object Bench {
     // line, so the STEADY per-query map (the official numbers) goes
     // LAST and the cold map first — truncation then eats cold detail,
     // never the steady numbers a judge reads.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"cold_queries":${jsonNum(cold.map { case (n, (t, _)) => n -> t })},"errors":${jsonStr(errors)},"sf":"$sfDir","steady_queries_sum_to_value":true,"queries":${jsonNum(steady.map { case (n, (t, _)) => n -> t })}}""")
+    // Self-describing per-pass maps: queries_cold (first pass,
+    // includes one-time codegen/JIT/cache builds; sums to cold_total)
+    // and queries_steady (per-query min of three steady passes; sums
+    // to value). "queries" stays as an alias of the STEADY map — the
+    // driver's documented key.
+    val steadyJson = jsonNum(steady.map { case (n, (t, _)) => n -> t })
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries_cold":${jsonNum(cold.map { case (n, (t, _)) => n -> t })},"errors":${jsonStr(errors)},"sf":"$sfDir","queries_steady":$steadyJson,"queries":$steadyJson}""")
     // The driver captures only the TAIL of the output; the big line
     // above gets its head (the "value" field) truncated off. Emit a
     // second, short, self-contained total line LAST so tail-capture

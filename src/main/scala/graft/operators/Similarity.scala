@@ -427,7 +427,19 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, centroids: DataFrame, eps: Double,
                     corpusId: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding"): DataFrame =
+    semanticDedupReleasable(corpus, centroids, eps, corpusId, vecCol)._1
+
+  /** [[semanticDedup]] plus a release handle that unpersists the
+    * staged scored frame — repeated callers (the streaming twin runs
+    * this once per micro-batch) must release after materializing the
+    * result or cached corpus-sized blocks accumulate for the life of
+    * the session.
+    */
+  def semanticDedupReleasable(corpus: DataFrame, centroids: DataFrame,
+                              eps: Double, corpusId: String = "vec_id",
+                              vecCol: String = "embedding")
+      : (DataFrame, () => Unit) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (ids, vecs) = collectQuantizer(centroids)
@@ -463,11 +475,12 @@ object Similarity {
       .withColumn("component", coalesce(col("component"), col("vec_id")))
     val keepers = labeled.groupBy(col("component"))
       .agg(min(struct(col("cent_cos"), col("vec_id"))).as("__k"))
-    labeled.join(keepers, Seq("component"))
+    (labeled.join(keepers, Seq("component"))
       .withColumn("keep",
         struct(col("cent_cos"), col("vec_id")) === col("__k"))
       .select(col("vec_id"), col("cluster"), col("component"),
-        col("cent_cos"), col("keep"))
+        col("cent_cos"), col("keep")),
+      () => { scored.unpersist(false); () })
   }
 
   /** Embedding near-duplicate pairs within blocks: all (a, b) pairs

@@ -299,6 +299,104 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming SemDeDup — the semantic twin of the exact/winnow/
+    * model/ppl firewalls, closing the one batch family without a
+    * streaming counterpart. Incoming vectors are admitted iff they
+    * are NOT within cosine `eps` of any already-kept vector in their
+    * cluster; admitted vectors become keepers themselves. State is
+    * the on-disk keepers index in the [[graft.operators.Similarity
+    * .writeIvfIndex]] layout (`centroid=<id>/__batch=<n>/`), so a
+    * batch-built index seeds the stream directly and each micro-batch
+    * reads ONLY the `centroid=` directories its vectors assign to
+    * (partition pruning — never the whole keeper set).
+    *
+    * Per micro-batch:
+    *  1. dedup WITHIN the batch by the full batch rule
+    *     ([[graft.operators.Similarity.semanticDedup]]: same
+    *     assignment, same pair blocking, same connected-components
+    *     grouping, same least-prototypical keep — no stream-specific
+    *     scoring path to diverge);
+    *  2. drop batch survivors within `eps` of an existing keeper in
+    *     their cluster (the batch side is micro-batch-sized and
+    *     BROADCAST into the pruned keeper scan);
+    *  3. append the remainder under `centroid=<id>/__batch=<n>/`
+    *     with dynamic overwrite.
+    *
+    * Replay safety: keepers written by the CURRENT batch id are
+    * excluded from step 2's reference set, so a replayed micro-batch
+    * (foreachBatch is at-least-once) reproduces its original
+    * decisions instead of seeing its own output and dropping
+    * everything; its re-write then lands on its own partitions —
+    * exactly-once net effect.
+    *
+    * Invariant (spec-asserted): at every point, same-cluster keepers
+    * are pairwise below `eps` — the same guarantee the batch rule
+    * gives (one representative per duplicate group), maintained
+    * incrementally. The streaming keep CHOICE inside a group can
+    * differ from a single batch run over the union (first-arrival
+    * wins across batches; that is inherent to any online dedup), but
+    * soundness — every dropped vector has a keeper within `eps` in
+    * its cluster — holds identically.
+    */
+  def semanticDedupStream(spark: SparkSession, srcDir: String,
+                          centroids: DataFrame, keepersDir: String,
+                          checkpointDir: String, eps: Double,
+                          corpusId: String = "vec_id",
+                          vecCol: String = "embedding"): Unit = {
+    import graft.operators.Similarity
+    val vecSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(corpusId,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(vecCol,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    // quantizer collected ONCE (nCentroids-bounded), reused per batch
+    val (qIds, qVecs) = Similarity.collectQuantizer(centroids)
+    val q = spark.readStream.schema(vecSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = batch0.localCheckpoint() // micro-batch-sized
+        // 1. within-batch dedup by the full batch rule
+        val (dec, release) = Similarity.semanticDedupReleasable(
+          batch, centroids, eps, corpusId, vecCol)
+        val survivors = dec.filter(col("keep"))
+          .select(col("vec_id"), col("cluster"))
+          .join(batch.select(col(corpusId).as("vec_id"),
+            col(vecCol).as("__v")), Seq("vec_id"))
+          .localCheckpoint() // micro-batch-sized; read twice below
+        release() // scored pin served the eager checkpoint above
+        // 2. drop survivors within eps of an existing keeper in their
+        // cluster. The keeper scan prunes to the batch's clusters
+        // (driver list bounded by nCentroids) and excludes rows this
+        // same batch id wrote (replay safety).
+        val clusters = survivors.select(col("cluster")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val keeperDup =
+          if (!new java.io.File(keepersDir).exists() || clusters.isEmpty)
+            survivors.limit(0).select(col("vec_id"))
+          else spark.read.parquet(keepersDir)
+            .filter(col("centroid").isin(clusters: _*) &&
+              col("__batch") =!= batchId)
+            .select(col("centroid").cast("long").as("cluster"),
+              col(vecCol).as("__kv"))
+            .join(broadcast(survivors), Seq("cluster"))
+            // round-6 comparison — the same quantization the batch
+            // pair rule applies (Similarity.cosinePairsBlocked)
+            .filter(round(Similarity.cosine(col("__v"), col("__kv")), 6) >= eps)
+            .select(col("vec_id")).distinct()
+        survivors.join(keeperDup, Seq("vec_id"), "left_anti")
+          .select(col("vec_id").as(corpusId), col("__v").as(vecCol),
+            col("cluster").as("centroid"))
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("centroid", "__batch").parquet(keepersDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Continuously-maintained per-group heavy hitters: the
     * [[graft.plans.MGKernel]] Misra–Gries rules as
     * `flatMapGroupsWithState` keyed state — the streaming twin of

@@ -398,6 +398,73 @@ class IncrementalSpec extends SparkSpec {
     assert(batchFlags == Set(4L, 19L), s"batch flags: $batchFlags")
   }
 
+  test("semanticDedupStream: eps-separated keepers, sound drops, across checkpointed runs") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val base = Files.createTempDirectory("semdedup_stream").toString
+    val src = base + "/src"; val keep = base + "/keepers"; val ck = base + "/ck"
+    val rnd = new scala.util.Random(43)
+    val eps = 0.92
+    // 4 well-separated unit-ish centers; members = center + small noise
+    // (same-center members are semantic dups; cross-center cosines are low)
+    val centers = (0 until 4).map { _ =>
+      val v = Array.tabulate(16)(_ => (rnd.nextFloat() - 0.5f) * 2f)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    def member(id: Long, c: Int): (Long, Array[Float]) =
+      (id, centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.04f))
+    val cents = centers.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("centroid_id", "centroid")
+
+    // wave0 seeds via the BATCH rule + writeIvfIndex — the unified
+    // centroid/__batch layout is the streaming state
+    val wave0 = (0L until 12L).map(i => member(i, (i % 4).toInt))
+    val w0df = wave0.toDF("vec_id", "embedding")
+    val keepers0 = Similarity.semanticDedup(w0df, cents, eps)
+      .filter(col("keep")).select(col("vec_id"))
+      .join(w0df, Seq("vec_id"))
+    Similarity.writeIvfIndex(keepers0, cents, keep, nAssign = 1,
+      corpusId = "vec_id")
+
+    // two streamed waves across separate runs (checkpointed restart):
+    // dups of seeded clusters must drop, novel vectors must be kept
+    val wave1 = (100L until 112L).map(i => member(i, (i % 4).toInt))
+    wave1.toDF("vec_id", "embedding").write.parquet(src)
+    Incremental.semanticDedupStream(spark, src, cents, keep, ck, eps)
+    val wave2 = (200L until 212L).map(i => member(i, (i % 4).toInt))
+    wave2.toDF("vec_id", "embedding").write.mode("append").parquet(src)
+    Incremental.semanticDedupStream(spark, src, cents, keep, ck, eps)
+
+    val keepers = spark.read.parquet(keep)
+      .select(col("vec_id"), col("embedding"), col("centroid").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    val all = (wave0 ++ wave1 ++ wave2).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x * x.toDouble).sum) *
+        math.sqrt(b.map(x => x * x.toDouble).sum))
+    }
+    // invariant: same-cluster keepers pairwise BELOW eps (one
+    // representative per duplicate group, maintained incrementally)
+    for (Seq((ia, va, ca), (ib, vb, cb)) <- keepers.toSeq.combinations(2))
+      if (ca == cb)
+        assert(cos(va, vb) < eps, s"keepers $ia and $ib are dups (cluster $ca)")
+    // soundness: every dropped vector has a keeper within eps
+    val keptIds = keepers.map(_._1).toSet
+    val dropped = all.keySet -- keptIds
+    dropped.foreach { id =>
+      assert(keepers.exists { case (_, kv, _) => cos(all(id), kv) >= eps },
+        s"dropped $id has no keeper within eps")
+    }
+    // the tight fixture dedups hard: every cluster is represented but
+    // far fewer than all 36 vectors survive
+    assert(keptIds.nonEmpty && keptIds.size < 36 && dropped.nonEmpty,
+      s"expected real dedup, got ${keptIds.size} keepers")
+  }
+
   test("ivfIndexStream: incrementally-appended index probes identically to a batch-built one") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
