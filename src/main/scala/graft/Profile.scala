@@ -100,6 +100,65 @@ object Profile {
       return
     }
 
+    // SPARK_GRAFT_PROFILE_PREPARE=1: decompose corpus_prepare — how
+    // much of the query is the staged-token cache build, the tally
+    // actions, the near-dup machinery, the packing, the final
+    // checkpoint.
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_PREPARE")) {
+      import graft.pipelines.Corpus
+      import graft.operators.Dedup
+      import graft.functions.TextFns
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      def t(name: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        body
+        println(f"[profile] $name%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      // full query, warm then timed (mirrors one bench iteration)
+      t("corpusPrepare warm")(
+        graft.queries.TextPipeline.corpusPrepare(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
+      t("corpusPrepare timed")(
+        graft.queries.TextPipeline.corpusPrepare(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
+      // stage decomposition (fresh frames, so stage costs add up)
+      t("input tally")(docs.count())
+      var exact: org.apache.spark.sql.DataFrame = null
+      t("exact+tokens persist+count") {
+        exact = Dedup.exactSurvivors(docs, col("doc_id"), col("text"))
+          .withColumn("__toks", TextFns.tokens(col("text")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        exact.count()
+      }
+      var losers: org.apache.spark.sql.DataFrame = null
+      t("ngram pairs + CC") {
+        losers = Dedup.connectedComponents(
+          Dedup.ngramJaccardPairsOfTokens(
+            exact.select(col("doc_id"), col("__toks")), n = 3, threshold = 0.5))
+          .filter(col("node") =!= col("component"))
+          .select(col("node").as("doc_id"))
+        losers.count()
+      }
+      var scored: org.apache.spark.sql.DataFrame = null
+      t("antijoin+quality tally") {
+        scored = exact.join(losers, Seq("doc_id"), "left_anti")
+          .withColumn("quality", TextFns.qualityScoreOf(col("text"), col("__toks")))
+          .filter(col("quality") >= 0.3)
+        scored.count()
+      }
+      t("split+pack+checkpoint") {
+        graft.operators.Packing.packByTokenBudget(
+          scored.withColumn("split", TextFns.stableSplit(col("text"))),
+          col("doc_id"), size(col("__toks")), 2048, 8)
+          .drop("__toks")
+          .select("split", "shard", "n_tokens", "chunk_id")
+          .localCheckpoint().count()
+      }
+      exact.unpersist()
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_PROFILE_SCRUB=1: decompose text_scrub — which of
     // (dirty construction, count extract, scrub replace, global sort)
     // actually costs, then exit.

@@ -236,10 +236,23 @@ object Dedup {
     * min-label propagation needs 100). Two shuffles per round
     * (groupBy-min + re-emit join); the driver loop reads only a
     * per-round converged? flag — no data is collected.
+    *
+    * Small-graph fast path: a near-dup pair graph is usually SPARSE
+    * (most docs are unique; duplicate clusters are small), so after
+    * the one distinct pass the edge set is often tiny even when the
+    * corpus is not. When the distinct long-id edge count is ≤
+    * `smallGraphMaxEdges` (2^20 edges ≈ 16 MB — an explicit, constant
+    * driver bound, same class as the MG-summary and centroid
+    * collects), the component labels come from a driver-side
+    * union-find with union-by-minimum — identical min-label output,
+    * ~15 Spark jobs fewer. Larger graphs (or non-long ids) take the
+    * distributed loop unchanged; correctness never depends on which
+    * path ran (DedupSpec pins both paths to the same labels).
     */
   def connectedComponents(pairs: DataFrame,
                           idA: String = "id_a", idB: String = "id_b",
-                          maxRounds: Int = 20): DataFrame = {
+                          maxRounds: Int = 20,
+                          smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
     // Every round ends in an EAGER localCheckpoint: an iterative
     // self-referencing plan otherwise doubles in size per round
     // (round N's logical plan embeds round N−1's twice), and Catalyst
@@ -288,6 +301,36 @@ object Dedup {
 
     var round = 0
     var edgeCount = edges.count()
+    // Small-graph fast path (see scaladoc): bounded driver union-find.
+    val idsAreLong = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (idsAreLong && edgeCount <= smallGraphMaxEdges) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        // union by MINIMUM root: the surviving root of any component
+        // is its minimum id — exactly the distributed loop's label
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labels = parent.keySet().toArray(Array.empty[java.lang.Long])
+        .map(n => (n.longValue(), find(n.longValue()))).toSeq
+        .toDF("node", "__c")
+      // nodes without an entry are their own component (isolated or
+      // component minima) — same coalesce as the distributed exit
+      return allNodes.join(broadcast(labels), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__c"), col("node")).as("component"))
+    }
     var converged = edgeCount == 0
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint()

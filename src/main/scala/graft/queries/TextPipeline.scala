@@ -97,7 +97,8 @@ object TextPipeline {
     * 32 bands × 4 rows: ~87% collision probability at J=0.5.
     */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(Tables.documents(s, dir), col("doc_id"), col("text"),
+    Dedup.minhashCandidatesOfTokens(
+      tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")),
       shingleLen = 3, bands = 32, rowsPerBand = 4)
       .filter(col("est_jaccard") >= 0.25)
       .orderBy(col("id_a"), col("id_b"))
@@ -111,7 +112,8 @@ object TextPipeline {
     * agrees on (typically 4-6 of 7) is that hot.
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+    Dedup.simhashPairsOfTokens(
+      tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")),
       maxDist = 6, maxPieceFreq = 200L)
       .orderBy(col("id_a"), col("id_b"))
 
