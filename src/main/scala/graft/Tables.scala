@@ -175,7 +175,20 @@ object Tables {
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = spark.read.parquet(s"$dir/$name.parquet")
         import org.apache.spark.sql.functions._
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // The fixture's ts encoding has varied across driver rounds:
+        // INT64 TIMESTAMP(NANOS) (illegal for Spark's reader — read
+        // as Long via nanosAsLong, floor to micros like DuckDB) or,
+        // since round 11, TIMESTAMP(MICROS) with isAdjustedToUTC=false
+        // (read as TIMESTAMP_NTZ — reinterpret as an instant under
+        // the UTC session timezone, value-preserving). Dispatch on
+        // the resolved type so both vintages load identically.
+        raw.withColumn("ts", raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            timestamp_micros(expr("ts div 1000"))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            col("ts").cast(org.apache.spark.sql.types.TimestampType)
+          case _ => col("ts")
+        })
       } else spark.read.parquet(s"$dir/$name.parquet")
     val expected = schemas(name).fieldNames.toSeq
     require(df0.columns.toSeq == expected,
@@ -256,9 +269,19 @@ object Tables {
       case Some(v) => spark.conf.set(nanosKey, v)
       case None    => spark.conf.unset(nanosKey)
     }
+    // Same encoding dispatch as Tables.load: nanos vintages resolve
+    // ts as BIGINT (floor to micros); the round-11 micros fixture
+    // resolves as TIMESTAMP_NTZ (reinterpret under the UTC session).
+    val tsExpr = spark.table(s"$db.events_raw").schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        "timestamp_micros(ts div 1000)"
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        "CAST(ts AS TIMESTAMP)"
+      case _ => "ts"
+    }
     spark.sql(
       s"""CREATE OR REPLACE VIEW $db.events AS
-         |SELECT event_id, timestamp_micros(ts div 1000) AS ts,
+         |SELECT event_id, $tsExpr AS ts,
          |       user_id, event_type, value, props
          |FROM $db.events_raw""".stripMargin)
     db

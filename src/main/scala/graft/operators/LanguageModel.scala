@@ -79,7 +79,19 @@ object LanguageModel {
     * @param v    vocab cap (top-V unigrams; rest fold to `<unk>`)
     * @return (doc_id, n_bigrams, ppl) for docs with ≥ 2 tokens
     */
-  def selfPerplexity(toks: DataFrame, v: Int): DataFrame = {
+  def selfPerplexity(toks: DataFrame, v: Int): DataFrame =
+    selfPerplexityReleasable(toks, v)._1
+
+  /** [[selfPerplexity]] plus a release handle for the staged bigram
+    * pin — repeated scoring over DIFFERENT corpora in one session
+    * would otherwise accumulate bigram-row-sized (larger than the
+    * corpus) cached blocks until LRU eviction. Callers release after
+    * materializing the result (the [[graft.queries.TextPipeline]]
+    * perplexity memo does; ad-hoc one-shot callers may use the plain
+    * wrapper and rely on session end).
+    */
+  def selfPerplexityReleasable(toks: DataFrame, v: Int)
+      : (DataFrame, () => Unit) = {
     val vocab = vocabTopV(toks, v).collect().map(_.getString(0)).toSeq
     val remapped = toks.select(col("doc_id"),
       remapToVocab(col("__toks"), vocab).as("__toks"))
@@ -96,7 +108,7 @@ object LanguageModel {
     val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
     val c2 = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("__c2"))
-    scoreBigrams(bigrams, c1, c2, v)
+    (scoreBigrams(bigrams, c1, c2, v), () => { bigrams.unpersist(false); () })
   }
 
   /** A frozen bigram model: the deterministic vocab plus the two

@@ -58,6 +58,8 @@ object TextPipeline {
     pairsCache.evictSession(s)
     toksCache.evictSession(s)
     centsCache.evictSession(s)
+    semCache.evictSession(s)
+    pplCache.evictSession(s)
   }
 
   /** Tokenized documents (doc_id, text, lang, __toks), persisted and
@@ -93,12 +95,37 @@ object TextPipeline {
       .select(col("node").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
 
+  /** [[dedupComponents]] with the driver union-find fast path
+    * DISABLED (`smallGraphMaxEdges = 0`), forcing the distributed
+    * large-star/small-star loop. Registered as its own gated query
+    * (same oracle — identical labels by construction) so the
+    * distributed path's correctness AND performance stay observable
+    * per round: at sf0.1 the pair graph is small enough that
+    * `dedup_components` alone would only ever measure the driver
+    * path.
+    */
+  def dedupComponentsDist(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(ngramPairs05(s, dir), smallGraphMaxEdges = 0L)
+      .select(col("node").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+
   /** MinHash+LSH candidate pairs (rows-only: xxhash64-based).
     * 32 bands × 4 rows: ~87% collision probability at J=0.5.
+    *
+    * Tokenizes DIRECTLY from the documents scan rather than reading
+    * the shared `tokenizedDocs` cache: BASELINE.md's round-5
+    * measurement (re-confirmed round 11 after the round-10 switch to
+    * the cache regressed the full-suite steady 1.11→1.99 s) is that
+    * for this explode-heavy consumer the one codegen'd regex pass is
+    * cheaper than materializing the columnar array<string> column
+    * under full-suite cache pressure. `simhashPairs` below stays on
+    * the cache — its signature stage is a single map and measurably
+    * benefits (1.93→1.53 s in the same round-10 run). Per-consumer
+    * choice, both directions measured.
     */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidatesOfTokens(
-      tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")),
+    Dedup.minhashCandidates(
+      Tables.documents(s, dir), col("doc_id"), col("text"),
       shingleLen = 3, bands = 32, rowsPerBand = 4)
       .filter(col("est_jaccard") >= 0.25)
       .orderBy(col("id_a"), col("id_b"))
@@ -700,14 +727,29 @@ object TextPipeline {
     * [[Similarity.kmeansCentroids]] (same operator, trained
     * quantizer — the knn_ivf / knn_ivf_exact gating pattern).
     */
+  private val semCache = new graft.SessionCache[String]
+
   def semanticDedupQ(s: SparkSession, dir: String): DataFrame =
-    Similarity.semanticDedup(
-      Tables.embeddings(s, dir),
-      Tables.embeddings(s, dir).filter(col("vec_id") < 8)
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("centroid")),
-      eps = 0.4)
-      .orderBy(col("vec_id"))
+    semCache.getOrElseUpdate(s, dir) {
+      // Releasable form, memoized (M7): the decision frame is a
+      // corpus-level artifact like the BPE merges or ngramPairs05 —
+      // deterministic per (session, dir) — so it is computed once,
+      // the NARROW result (no vectors) persisted with lineage, and
+      // the corpus-sized vector-carrying scored pin released as soon
+      // as the result is materialized. Without the release, the pin
+      // (the exact leak class semanticDedupReleasable exists for)
+      // lived until application end.
+      val (dec, release) = Similarity.semanticDedupReleasable(
+        Tables.embeddings(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").as("centroid")),
+        eps = 0.4)
+      val out = dec.persist()
+      out.count() // materialize while the scored pin still serves
+      release()
+      out
+    }.orderBy(col("vec_id"))
 
   /** End-to-end corpus preparation ([[graft.pipelines.Corpus.prepare]])
     * surfaced as per-stage accounting: input size, survivors after
@@ -816,6 +858,28 @@ object TextPipeline {
       .orderBy(col("source"))
   }
 
+  /** Self-perplexity frame (doc_id, n_bigrams, ppl) at v = 256,
+    * persisted and memoized per (session, dir): BOTH lm_perplexity
+    * and ppl_buckets score the identical model over the identical
+    * corpus, and the bigram training aggregation is the text family's
+    * second-heaviest stage after pair generation. The bigram-row-sized
+    * staging pin is released as soon as this narrow result
+    * materializes (the [[graft.operators.LanguageModel
+    * .selfPerplexityReleasable]] contract).
+    */
+  private val pplCache = new graft.SessionCache[String]
+
+  private def selfPpl(s: SparkSession, dir: String): DataFrame =
+    pplCache.getOrElseUpdate(s, dir) {
+      val (df, release) = graft.operators.LanguageModel
+        .selfPerplexityReleasable(
+          tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")), v = 256)
+      val out = df.persist()
+      out.count() // materialize while the bigram pin still serves
+      release()
+      out
+    }
+
   /** CCNet-style language-model fluency signal: per-doc bigram
     * perplexity under a vocab-capped Laplace bigram model trained on
     * the corpus itself ([[graft.operators.LanguageModel]]). The
@@ -825,9 +889,7 @@ object TextPipeline {
     * hash together.
     */
   def lmPerplexity(s: SparkSession, dir: String): DataFrame =
-    graft.operators.LanguageModel.selfPerplexity(
-      tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")), v = 256)
-      .orderBy(col("doc_id"))
+    selfPpl(s, dir).orderBy(col("doc_id"))
 
   /** CCNet's head/middle/tail corpus partition: exact-tercile cutoffs
     * of the bigram-LM perplexity, then a map-side bucket assignment —
@@ -840,10 +902,9 @@ object TextPipeline {
     * from one.
     */
   def pplBuckets(s: SparkSession, dir: String): DataFrame = {
-    val pp = graft.operators.LanguageModel.selfPerplexity(
-      tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")), v = 256)
-      .select(col("doc_id"), col("ppl"))
-      .localCheckpoint() // doc-count-sized; feeds cutoffs AND assignment
+    // feeds cutoffs AND assignment — already persisted by the shared
+    // per-(session, dir) memo, so no extra checkpoint here
+    val pp = selfPpl(s, dir).select(col("doc_id"), col("ppl"))
     val cut = pp.agg(
       percentile(col("ppl"), lit(1.0 / 3.0)).as("__c1"),
       percentile(col("ppl"), lit(2.0 / 3.0)).as("__c2"))
@@ -875,6 +936,7 @@ object TextPipeline {
     "knn_ivf_exact" -> (knnIvfExact _),
     "embed_neardup" -> (embedNeardup _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_components_dist" -> (dedupComponentsDist _),
     "embed_quant" -> (embedQuant _),
     "doc_sample" -> (docSample _),
     "seq_pack" -> (seqPack _),
@@ -1229,6 +1291,18 @@ object TextPipeline {
     // transitive closure over the SAME pair derivation: component =
     // min doc id reachable through the near-dup graph
     "dedup_components" ->
+      s"""WITH RECURSIVE $ngramCteSql,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // identical semantics through the forced-distributed CC path —
+    // the oracle is deliberately the same closure
+    "dedup_components_dist" ->
       s"""WITH RECURSIVE $ngramCteSql,
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION SELECT id_b, id_a FROM pairs),

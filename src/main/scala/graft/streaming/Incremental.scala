@@ -373,8 +373,16 @@ object Incremental {
         // same batch id wrote (replay safety).
         val clusters = survivors.select(col("cluster")).distinct()
           .collect().map(_.getLong(0)).toSeq
+        // Existence probe through the Hadoop FileSystem API — a
+        // java.io.File check only sees the local filesystem, so on
+        // HDFS/S3 an existing keepers index would read as absent and
+        // step 2 would silently admit semantic duplicates.
+        val keepersPath = new org.apache.hadoop.fs.Path(keepersDir)
+        val keepersExist = keepersPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(keepersPath)
         val keeperDup =
-          if (!new java.io.File(keepersDir).exists() || clusters.isEmpty)
+          if (!keepersExist || clusters.isEmpty)
             survivors.limit(0).select(col("vec_id"))
           else spark.read.parquet(keepersDir)
             .filter(col("centroid").isin(clusters: _*) &&

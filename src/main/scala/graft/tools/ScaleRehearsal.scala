@@ -1,0 +1,108 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale rehearsal (round-9 task, landed round 11): derive a ~10×
+  * documents/embeddings fixture from sf0.1 and run the heaviest
+  * text/embedding pipelines end-to-end at BOTH scales, so the
+  * "scales linearly" claims rest on a measured 10× point, not only on
+  * plan-shape audits. Dev tool — not part of the driver contract.
+  *
+  * Fixture derivation (deterministic, seed-free):
+  *  - documents ×R: replica r offsets doc_id by r·10⁷ and, for r>0,
+  *    splices a replica-specific marker token after every 4th token.
+  *    The marker lands in ~every trigram shingle, so CROSS-replica
+  *    Jaccard collapses below any dedup threshold (replicating
+  *    verbatim would instead multiply every duplicate group by R and
+  *    grow the pair graph ~R² — a different, unrealistic workload),
+  *    while WITHIN-replica near-dup structure survives because
+  *    aligned texts get aligned splices. Corpus-level statistics
+  *    (doc length, vocabulary shape, dup rate) stay representative.
+  *  - embeddings ×R: vec_id offset the same way; each component of a
+  *    replica vector gets a bounded deterministic perturbation
+  *    (±0.05, sin-derived from ids) so replicas land NEAR the
+  *    original cluster structure without being pairwise-identical —
+  *    semantic dedup and IVF assignment stay non-degenerate.
+  *
+  * Usage: `runMain graft.tools.ScaleRehearsal [outDir]` (default
+  * `target/sf1`); SPARK_GRAFT_SCALE_REPLICAS overrides R (default 10).
+  * Prints one JSON line per (scale, query) and a final scaling
+  * summary; results are recorded in BASELINE.md.
+  */
+object ScaleRehearsal {
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Build the ×R fixture at `out` (documents + embeddings only — the
+    * rehearsal pipelines touch nothing else).
+    */
+  def generate(spark: SparkSession, base: String, out: String, r: Int): Unit = {
+    val reps = spark.range(r.toLong).select(col("id").as("__r"))
+    val idOff = col("__r") * lit(10000000L)
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val marked = docs.crossJoin(reps).select(
+      (col("doc_id") + idOff).as("doc_id"),
+      when(col("__r") === 0, col("text")).otherwise(
+        regexp_replace(col("text"), lit("(\\S+ \\S+ \\S+ \\S+) "),
+          concat(lit("$1 zq"), col("__r"), lit("x ")))).as("text"),
+      col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    marked.repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val pemb = emb.crossJoin(reps).select(
+      (col("vec_id") + idOff).as("vec_id"),
+      when(col("__r") === 0, col("embedding")).otherwise(
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (v, i) => v + (sin((col("vec_id") + idOff) * 31 + i * 7) * 0.05)
+            .cast("float"))).as("embedding"),
+      col("label"))
+    pemb.repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = args.headOption.getOrElse("target/sf1")
+    val r = sys.env.get("SPARK_GRAFT_SCALE_REPLICAS").map(_.toInt).getOrElse(10)
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!exists(spark, s"$out/embeddings.parquet")) {
+      val t0 = System.nanoTime()
+      generate(spark, base, out, r)
+      println(f"""{"metric":"fixture_gen","sec":${(System.nanoTime() - t0) / 1e9}%.1f,"replicas":$r}""")
+    }
+
+    // the 5 heaviest pipelines (VERDICT r10 plan audit), CC forced
+    // onto the distributed star-contraction loop
+    val qs = Seq("corpus_prepare", "semantic_dedup", "minhash_pairs",
+      "winnow_overlap", "dedup_components_dist")
+    val results = scala.collection.mutable.Map[(String, String), Double]()
+    for (dir <- Seq(base, out); name <- qs) {
+      val fn = graft.SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      val first = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      val second = (System.nanoTime() - t1) / 1e9
+      results((dir, name)) = first
+      println(f"""{"metric":"scale_rehearsal","dir":"$dir","query":"$name","first_sec":$first%.2f,"second_sec":$second%.2f}""")
+    }
+    val summary = qs.map { name =>
+      val ratio = results((out, name)) / results((base, name))
+      f""""$name":{"base_sec":${results((base, name))}%.2f,"x${r}_sec":${results((out, name))}%.2f,"ratio":$ratio%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_summary","replicas":$r,"queries":$summary}""")
+    spark.stop()
+  }
+}

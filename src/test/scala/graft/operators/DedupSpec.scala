@@ -213,10 +213,14 @@ class DedupSpec extends SparkSpec {
   test("connectedComponents closes a diameter-100 chain within 8 rounds (log-diameter)") {
     val ss = spark; import ss.implicits._
     // min-label propagation would need 100 rounds here; the alternating
-    // large-star/small-star contraction must do it in O(log d)
+    // large-star/small-star contraction must do it in O(log d).
+    // smallGraphMaxEdges = 0 forces the DISTRIBUTED loop — without it
+    // the driver union-find fast path would absorb this graph and the
+    // log-diameter claim would go untested.
     val chain = (0L to 100L).sliding(2).map(w => (w(0), w(1))).toSeq
       .toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(chain, maxRounds = 8)
+    val got = Dedup.connectedComponents(chain, maxRounds = 8,
+        smallGraphMaxEdges = 0L)
       .select(col("node"), col("component")).as[(Long, Long)].collect()
     assert(got.length == 101 && got.forall(_._2 == 0L))
   }
@@ -241,9 +245,19 @@ class DedupSpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
       val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(v => v -> find(v.toInt).toLong).toMap
-      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      // BOTH paths against the oracle: the default call takes the
+      // small-graph driver fast path at these sizes; the
+      // smallGraphMaxEdges = 0 call forces the distributed
+      // large-star/small-star loop. Their equality on every seeded
+      // shape is the "both paths yield identical labels" pin the
+      // fast-path scaladoc promises.
+      val gotFast = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
         .select(col("node"), col("component")).as[(Long, Long)].collect().toMap
-      assert(got == want, s"seed=$seed n=$n m=$m")
+      val gotDist = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+          smallGraphMaxEdges = 0L)
+        .select(col("node"), col("component")).as[(Long, Long)].collect().toMap
+      assert(gotFast == want, s"fast path: seed=$seed n=$n m=$m")
+      assert(gotDist == want, s"distributed path: seed=$seed n=$n m=$m")
     }
   }
 }
