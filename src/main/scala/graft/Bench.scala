@@ -9,10 +9,16 @@ import scala.jdk.CollectionConverters._
   *  - the action is a noop-format write, which materializes every
   *    output column — `.count()` would let Catalyst prune unreferenced
   *    projections/windows and under-measure the real plan;
-  *  - the FULL suite runs twice in pinned (alphabetical) order. The
-  *    first pass absorbs one-time costs that are properties of the JVM,
-  *    not the engine — Janino compile of each distinct codegen shape,
-  *    JIT warm-up, parquet footer caching — and is reported as
+  *  - the shared session artifacts build CONCURRENTLY first
+  *    ([[Prewarm]] — input caches, tokenized docs, pair graph, trained
+  *    models), the way a service startup overlaps them on idle cores;
+  *    the prewarm wall is reported as `prewarm_sec` and counted into
+  *    `cold_total`.
+  *  - the FULL suite then runs in pinned (alphabetical) order. The
+  *    first pass absorbs the remaining one-time costs that are
+  *    properties of the JVM, not the engine — Janino compile of each
+  *    distinct codegen shape, JIT warm-up, parquet footer caching —
+  *    and is reported as
   *    `queries_cold`/`cold_total`. The second (steady) pass is the
   *    official `value`: it is what a long-lived service or a real
   *    cluster job (where codegen cost amortizes over thousands of
@@ -61,6 +67,25 @@ object Bench {
     def pass(): Seq[(String, (Double, Option[String]))] =
       ordered.map { case (name, fn) => name -> run(name, fn) }
 
+    // Concurrent shared-artifact build (see [[Prewarm]]): the same
+    // one-time jobs the cold pass would otherwise pay serially inside
+    // whichever query touches each first, overlapped on idle cores
+    // the way a service startup would. Wall time is COUNTED INTO
+    // cold_total below (reported separately as prewarm_sec), so
+    // cold_total remains "process start → full suite done once".
+    // Skipped for SPARK_GRAFT_BENCH_ONLY subsets (dev loops) and via
+    // SPARK_GRAFT_NO_PREWARM=1 (the serial-cold A/B hook).
+    val prewarmSec =
+      if (sys.env.contains("SPARK_GRAFT_NO_PREWARM") || only.nonEmpty) 0.0
+      else {
+        val t0 = System.nanoTime()
+        val tasks = Prewarm.run(spark, sfDir)
+        val s = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] prewarm $s%.1f s wall: " +
+          tasks.sortBy(-_._2).map { case (n, t) => f"$n=$t%.1f" }.mkString(" "))
+        s
+      }
+
     val cold = pass()
     // Three steady passes, per-query MIN: a query's time should
     // reflect its own plan, not the GC debt or JIT recompilation the
@@ -83,7 +108,7 @@ object Bench {
         .mkString("{", ",", "}")
 
     val total     = steady.map(_._2._1).sum
-    val coldTotal = cold.map(_._2._1).sum
+    val coldTotal = prewarmSec + cold.map(_._2._1).sum
     // Field order matters: the driver keeps only the TAIL of this
     // line, so the STEADY per-query map (the official numbers) goes
     // LAST and the cold map first — truncation then eats cold detail,
@@ -94,12 +119,12 @@ object Bench {
     // to value). "queries" stays as an alias of the STEADY map — the
     // driver's documented key.
     val steadyJson = jsonNum(steady.map { case (n, (t, _)) => n -> t })
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries_cold":${jsonNum(cold.map { case (n, (t, _)) => n -> t })},"errors":${jsonStr(errors)},"sf":"$sfDir","queries_steady":$steadyJson,"queries":$steadyJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"queries_cold":${jsonNum(cold.map { case (n, (t, _)) => n -> t })},"errors":${jsonStr(errors)},"sf":"$sfDir","queries_steady":$steadyJson,"queries":$steadyJson}""")
     // The driver captures only the TAIL of the output; the big line
     // above gets its head (the "value" field) truncated off. Emit a
     // second, short, self-contained total line LAST so tail-capture
     // always retains a parseable record of the official numbers.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_queries":${ordered.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"n_queries":${ordered.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     // Per-round QUALITY artifact, emitted from the run the driver
     // already makes every round — the floor-evidence chain skipped
     // rounds 9 and 10 when it relied on a separately-launched main.

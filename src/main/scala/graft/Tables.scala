@@ -153,6 +153,18 @@ object Tables {
     else Set("lineitem", "orders", "customer",
       "supplier", "part", "nation", "region", "events")
 
+  /** Input-cache build thunks for [[graft.Prewarm]] — one per
+    * cacheable table, so the columnar cache builds run on idle cores
+    * instead of serially inside each family's first query. No-ops
+    * when the input cache is disabled (each thunk then just resolves
+    * a lazy relation).
+    */
+  private[graft] def prewarmTasks(spark: SparkSession, dir: String)
+      : Seq[(String, () => Unit)] =
+    if (!inputCache.get) Nil
+    else cacheable.toSeq.sorted.map(n =>
+      s"cache_$n" -> (() => { table(spark, dir, n).count(); () }))
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     resolved.getOrElseUpdate(spark, (dir, name)) {
       val df = load(spark, dir, name)

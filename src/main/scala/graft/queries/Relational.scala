@@ -86,6 +86,11 @@ object Relational {
     */
   def evictFlowsCache(s: SparkSession): Unit = flowsCache.evictSession(s)
 
+  /** Shared-frame build thunk for [[graft.Prewarm]]. */
+  private[graft] def prewarmTasks(s: SparkSession, dir: String)
+      : Seq[(String, () => Unit)] =
+    Seq("activity_flows" -> (() => { flowsDec(s, dir).count(); () }))
+
   private def flowsDec(s: SparkSession, dir: String): DataFrame =
     flowsCache.getOrElseUpdate(s, dir)({
       val ev = Tables.events(s, dir)

@@ -54,6 +54,28 @@ object TextPipeline {
         tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")),
         n = 3, threshold = 0.5).persist())
 
+  /** Shared-frame build thunks for [[graft.Prewarm]] — each
+    * materializes one session-scoped corpus artifact (M7 frames, the
+    * trained models) so a service's startup can overlap them on idle
+    * cores instead of paying them serially inside the first query
+    * that happens to touch each. Phase 0 must complete before phase 1
+    * (the phase-1 builds all read the tokenized frame).
+    */
+  private[graft] def prewarmTasks(s: SparkSession, dir: String)
+      : (Seq[(String, () => Unit)], Seq[(String, () => Unit)]) = (
+    // phase 0: tokenized docs (the dependency of every text build)
+    // plus the embedding-side builds, which touch no text at all and
+    // overlap fully
+    Seq(
+      "tokenized_docs" -> (() => { tokenizedDocs(s, dir).count(); () }),
+      "ivf_centroids" -> (() => { ivfCentroids(s, dir); () }),
+      "semantic_dedup" -> (() => { semanticDedupQ(s, dir); () })),
+    // phase 1: the builds that read the tokenized frame
+    Seq(
+      "ngram_pairs" -> (() => { ngramPairs05(s, dir).count(); () }),
+      "self_perplexity" -> (() => { selfPpl(s, dir); () }),
+      "bpe_merges" -> (() => { bpeMerges(s, dir); () })))
+
   def evictPairsCache(s: SparkSession): Unit = {
     pairsCache.evictSession(s)
     toksCache.evictSession(s)
