@@ -266,6 +266,39 @@ object Dedup {
     // component minima (which end up with no outgoing star edge).
     val allNodes = p.select(col("a").as("node"))
       .union(p.select(col("b").as("node"))).distinct().localCheckpoint()
+    // nodes without a loser label are their own component (isolated
+    // or component minima)
+    allNodes.join(loserLabels(p, maxRounds, smallGraphMaxEdges),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__c"), col("node")).as("component"))
+  }
+
+  /** The NON-MINIMUM members of every component — the drop set of a
+    * keep-min dedup rule — as (doc-id) rows. Equivalent to
+    * `connectedComponents(pairs).filter(node =!= component)
+    * .select(node)` (PropertySpec pins the equivalence), but skips
+    * the all-nodes enumeration and the final label join entirely:
+    * isolated nodes and component minima are never losers, so a
+    * pipeline that only prunes duplicates ([[graft.pipelines.Corpus
+    * .prepare]]) has no reason to pay two extra jobs labeling them.
+    */
+  def componentLosers(pairs: DataFrame,
+                      idA: String = "id_a", idB: String = "id_b",
+                      maxRounds: Int = 20,
+                      smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
+    val p = pairs.select(col(idA).as("a"), col(idB).as("b")).localCheckpoint()
+    loserLabels(p, maxRounds, smallGraphMaxEdges).select(col("node"))
+  }
+
+  /** Shared core of [[connectedComponents]] / [[componentLosers]]:
+    * component labels (node, __c) for exactly the nodes whose label
+    * differs from their own id, from a checkpointed (a, b) pair
+    * frame. Small-path output is a driver-built local relation with a
+    * broadcast hint; distributed output is the fixpoint star-edge
+    * aggregate.
+    */
+  private def loserLabels(p: DataFrame, maxRounds: Int,
+                          smallGraphMaxEdges: Long): DataFrame = {
     // Parent-pointer edges, oriented child > parent; self-loops drop.
     var edges = p.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
@@ -321,15 +354,14 @@ object Dedup {
         // is its minimum id — exactly the distributed loop's label
         if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
       }
-      val spark = pairs.sparkSession
+      val spark = p.sparkSession
       import spark.implicits._
-      val labels = parent.keySet().toArray(Array.empty[java.lang.Long])
+      // every map entry is a node whose root differs from itself
+      // (union puts max→min, compression re-points non-roots only) —
+      // exactly the loser-label contract
+      return broadcast(parent.keySet().toArray(Array.empty[java.lang.Long])
         .map(n => (n.longValue(), find(n.longValue()))).toSeq
-        .toDF("node", "__c")
-      // nodes without an entry are their own component (isolated or
-      // component minima) — same coalesce as the distributed exit
-      return allNodes.join(broadcast(labels), Seq("node"), "left")
-        .select(col("node"), coalesce(col("__c"), col("node")).as("component"))
+        .toDF("node", "__c"))
     }
     var converged = edgeCount == 0
     while (!converged && round < maxRounds) {
@@ -355,10 +387,7 @@ object Dedup {
     // At fixpoint the edge set is a union of stars (node → component
     // min); minima themselves carry no edge and label as their own id.
     // groupBy-min is belt-and-braces against any duplicate star edge.
-    allNodes.join(
-        edges.groupBy(col("u").as("node")).agg(min(col("v")).as("__c")),
-        Seq("node"), "left")
-      .select(col("node"), coalesce(col("__c"), col("node")).as("component"))
+    edges.groupBy(col("u").as("node")).agg(min(col("v")).as("__c"))
   }
 
   /** 64-bit SimHash from a MATERIALIZED token-hash array attribute:

@@ -93,23 +93,42 @@ object Corpus {
       .withColumn("__toks", TextFns.tokens(col("text")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     pinned += exact
-    val nExact = tally(exact)
 
-    // 2. near-dup pruning: pair graph → components → keep each
-    //    component's minimum id (the same keep rule as exact dedup)
+    // 2. near-dup pruning: pair graph → component LOSERS (every
+    //    non-minimum member of a duplicate cluster — the same
+    //    keep-min rule as exact dedup). componentLosers skips the
+    //    full labeling: a pruning pipeline never needs isolated
+    //    nodes or cluster minima labeled (round-11 profile: the
+    //    pair+CC stage dominates this pipeline).
     val pairs = Dedup.ngramJaccardPairsOfTokens(
       exact.select(col("doc_id"), col("__toks")), n = 3, threshold = jaccard)
-    val losers = Dedup.connectedComponents(pairs)
-      .filter(col("node") =!= col("component"))
+    val losers = Dedup.componentLosers(pairs)
       .select(col("node").as("doc_id"))
     val nearDeduped = exact.join(losers, Seq("doc_id"), "left_anti")
-    val nNearDup = tally(nearDeduped)
 
     // 3. quality floor over the staged tokens
     val scored = nearDeduped
       .withColumn("quality", TextFns.qualityScoreOf(col("text"), col("__toks")))
       .filter(col("quality") >= minQuality)
-    val nQuality = tally(scored)
+
+    // Stage tallies 1-3 fused into ONE action over the staged pin
+    // (round-11 profile: three separate counts were three jobs, each
+    // re-reading the pin — the accounting is a single conditional
+    // aggregate once the loser set is known)
+    val (nExact, nNearDup, nQuality) =
+      if (!withStats) (-1L, -1L, -1L)
+      else {
+        val r = exact
+          .join(losers.withColumn("__lost", lit(true)), Seq("doc_id"), "left")
+          .select(coalesce(col("__lost"), lit(false)).as("__lost"),
+            (TextFns.qualityScoreOf(col("text"), col("__toks")) >= minQuality)
+              .as("__q"))
+          .agg(count(lit(1)).as("a"),
+            count(when(!col("__lost"), 1)).as("b"),
+            count(when(!col("__lost") && col("__q"), 1)).as("c"))
+          .head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
 
     // 3b (opt-in). learned quality filter: Pareto-threshold
     //     acceptance on the frozen-model score — the GPT-3 App. A

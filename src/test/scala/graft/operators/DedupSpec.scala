@@ -258,6 +258,15 @@ class DedupSpec extends SparkSpec {
         .select(col("node"), col("component")).as[(Long, Long)].collect().toMap
       assert(gotFast == want, s"fast path: seed=$seed n=$n m=$m")
       assert(gotDist == want, s"distributed path: seed=$seed n=$n m=$m")
+      // componentLosers ≡ the non-min members of the full labeling,
+      // on BOTH paths (the Corpus.prepare pruning contract)
+      val wantLosers = want.collect { case (n2, c) if n2 != c => n2 }.toSet
+      for (maxEdges <- Seq(1L << 20, 0L)) {
+        val losers = Dedup.componentLosers(edges.toDF("id_a", "id_b"),
+            smallGraphMaxEdges = maxEdges)
+          .as[Long].collect().toSet
+        assert(losers == wantLosers, s"losers maxEdges=$maxEdges seed=$seed")
+      }
     }
   }
 }
