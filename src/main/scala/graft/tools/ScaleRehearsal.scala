@@ -12,14 +12,21 @@ import org.apache.spark.sql.functions._
   *
   * Fixture derivation (deterministic, seed-free):
   *  - documents ×R: replica r offsets doc_id by r·10⁷ and, for r>0,
-  *    splices a replica-specific marker token after every 4th token.
-  *    The marker lands in ~every trigram shingle, so CROSS-replica
-  *    Jaccard collapses below any dedup threshold (replicating
-  *    verbatim would instead multiply every duplicate group by R and
-  *    grow the pair graph ~R² — a different, unrealistic workload),
-  *    while WITHIN-replica near-dup structure survives because
-  *    aligned texts get aligned splices. Corpus-level statistics
-  *    (doc length, vocabulary shape, dup rate) stay representative.
+  *    splices a (replica, doc)-UNIQUE marker token after every 4th
+  *    token. The marker lands in ~every trigram shingle, so
+  *    CROSS-replica Jaccard collapses below any dedup threshold
+  *    (replicating verbatim would instead multiply every duplicate
+  *    group by R and grow the pair graph ~R² — a different,
+  *    unrealistic workload). The marker must be unique PER DOC, not
+  *    just per replica: a shared per-replica marker at ~25% token
+  *    density dominates every SimHash signature and welds each
+  *    replica into one Hamming-close blob (measured: 18.8M "true"
+  *    ≤6-distance pairs at ×10, recall 0.28 as the hot-bucket cap
+  *    dropped the degenerate buckets — the cap doing its documented
+  *    job on a corpus no real pipeline resembles). Doc-unique
+  *    markers push exactly those artificial pairs apart while
+  *    leaving replica 0 (the genuine sf0.1 near-dup structure)
+  *    untouched.
   *  - embeddings ×R: vec_id offset the same way; each component of a
   *    replica vector gets a bounded deterministic perturbation
   *    (±0.05, sin-derived from ids) so replicas land NEAR the
@@ -50,7 +57,8 @@ object ScaleRehearsal {
       (col("doc_id") + idOff).as("doc_id"),
       when(col("__r") === 0, col("text")).otherwise(
         regexp_replace(col("text"), lit("(\\S+ \\S+ \\S+ \\S+) "),
-          concat(lit("$1 zq"), col("__r"), lit("x ")))).as("text"),
+          concat(lit("$1 zq"), col("__r"), lit("x"), col("doc_id"),
+            lit(" ")))).as("text"),
       col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     marked.repartition(32)
