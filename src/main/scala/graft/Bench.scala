@@ -120,28 +120,27 @@ object Bench {
     // driver's documented key.
     val steadyJson = jsonNum(steady.map { case (n, (t, _)) => n -> t })
     println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"queries_cold":${jsonNum(cold.map { case (n, (t, _)) => n -> t })},"errors":${jsonStr(errors)},"sf":"$sfDir","queries_steady":$steadyJson,"queries":$steadyJson}""")
-    // The driver captures only the TAIL of the output; the big line
-    // above gets its head (the "value" field) truncated off. Emit a
-    // second, short, self-contained total line LAST so tail-capture
-    // always retains a parseable record of the official numbers.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"n_queries":${ordered.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     // Per-round QUALITY artifact, emitted from the run the driver
     // already makes every round — the floor-evidence chain skipped
     // rounds 9 and 10 when it relied on a separately-launched main.
     // Runs AFTER both timing passes (shares their warmed caches, adds
-    // nothing to the reported numbers). Round number: one past the
-    // newest BENCH_r{N}.json in cwd (this round's file doesn't exist
-    // yet while Bench is running). Opt-out: SPARK_GRAFT_NO_QUALITY=1
-    // (subset runs via SPARK_GRAFT_BENCH_ONLY skip it automatically —
-    // dev loops shouldn't pay the metrics pass).
+    // nothing to the reported numbers) but BEFORE the final totals
+    // line — that line must stay LAST for the driver's tail-capture.
+    // Round number: one past the newest BENCH_r{N}.json in cwd (this
+    // round's file doesn't exist yet while Bench is running).
+    // Opt-out: SPARK_GRAFT_NO_QUALITY=1 (subset runs via
+    // SPARK_GRAFT_BENCH_ONLY skip it automatically — dev loops
+    // shouldn't pay the metrics pass).
     if (!sys.env.contains("SPARK_GRAFT_NO_QUALITY") && only.isEmpty) {
       try {
-        val round = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-          .iterator().asScala // scala.jdk.CollectionConverters below
-          .map(_.getFileName.toString)
-          .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
-            s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
-          .foldLeft(0)(math.max) + 1
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        val round =
+          try listing.iterator().asScala
+            .map(_.getFileName.toString)
+            .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
+              s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
+            .foldLeft(0)(math.max) + 1
+          finally listing.close() // Files.list holds a directory fd
         val out = f"QUALITY_r$round%02d.json"
         val (allPass, _) = Quality.writeArtifact(spark, sfDir, out)
         println(s"""{"metric":"quality","artifact":"$out","all_pass":$allPass}""")
@@ -149,6 +148,11 @@ object Bench {
         System.err.println(s"[bench] quality artifact failed: ${e.getMessage}")
       }
     }
+    // The driver captures only the TAIL of the output; the big line
+    // above gets its head (the "value" field) truncated off. Emit a
+    // second, short, self-contained total line LAST so tail-capture
+    // always retains a parseable record of the official numbers.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"n_queries":${ordered.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -45,7 +45,8 @@ object Prewarm {
   private val noPrecompile = Set(
     "corpus_prepare", "top100_refresh", "holders_upsert",
     "tx_insert_ignore", "cursor_store", "job_audit",
-    "dedup_components", "dedup_components_dist")
+    "dedup_components", "dedup_components_dist",
+    "media_knn") // eager localCheckpoint of the decode pipeline at build
 
   /** Run all prewarm tasks for (spark, dir); returns per-task seconds
     * (wall, as observed by each task's thread).

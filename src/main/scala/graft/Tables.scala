@@ -134,6 +134,11 @@ object Tables {
     */
   private val inputCache = new java.util.concurrent.atomic.AtomicBoolean(false)
   def enableInputCache(): Unit = inputCache.set(true)
+  // test hook: the flag is process-global, so a spec that enables it
+  // must restore it or every later-resolving suite inherits cached
+  // relations (and plan-shape assertions break order-dependently)
+  private[graft] def disableInputCache(): Unit = inputCache.set(false)
+  private[graft] def inputCacheEnabled: Boolean = inputCache.get
 
   /** Only the RELATIONAL tables cache: their queries are scan/agg/join
     * shapes where the single-row-group serial decode dominates. The
@@ -185,15 +190,26 @@ object Tables {
         // set-if-absent here rather than fail deep in the scan.
         if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // The round-11 fixture stores TIMESTAMP(MICROS) with
+        // isAdjustedToUTC=false. With NTZ inference ON that resolves
+        // as TIMESTAMP_NTZ, and converting it to an instant would go
+        // through the SESSION timezone — correct under GraftSession
+        // (UTC) but silently shifted on a foreign non-UTC session.
+        // Disabling inference makes the reader deliver the stored
+        // micros as a timezone-free TimestampType instant — exactly
+        // DuckDB's naive-as-UTC reading — on every session.
+        if (!spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled").contains("false"))
+          spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         val raw = spark.read.parquet(s"$dir/$name.parquet")
         import org.apache.spark.sql.functions._
-        // The fixture's ts encoding has varied across driver rounds:
-        // INT64 TIMESTAMP(NANOS) (illegal for Spark's reader — read
-        // as Long via nanosAsLong, floor to micros like DuckDB) or,
-        // since round 11, TIMESTAMP(MICROS) with isAdjustedToUTC=false
-        // (read as TIMESTAMP_NTZ — reinterpret as an instant under
-        // the UTC session timezone, value-preserving). Dispatch on
-        // the resolved type so both vintages load identically.
+        // ts encoding has varied across driver rounds: INT64
+        // TIMESTAMP(NANOS) (illegal for Spark's reader — read as Long
+        // via nanosAsLong, floor to micros like DuckDB) vs
+        // TIMESTAMP(MICROS) (TimestampType via the conf above; the
+        // NTZ branch remains only for a session that explicitly
+        // pinned inference on — that session's timezone is then its
+        // own choice). Dispatch on the resolved type so every vintage
+        // loads identically.
         raw.withColumn("ts", raw.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType =>
             timestamp_micros(expr("ts div 1000"))
@@ -274,12 +290,22 @@ object Tables {
     // sessions; only ad-hoc SQL over the view on a session with the
     // conf explicitly false would fail, which is that session's choice.
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
     val nanosPrev = spark.conf.getOption(nanosKey)
+    val ntzPrev = spark.conf.getOption(ntzKey)
     spark.conf.set(nanosKey, "true")
+    // micros-vintage fixture: timezone-free TimestampType (see load)
+    spark.conf.set(ntzKey, "false")
     try registerAndAnalyze("events_raw", "events.parquet")
-    finally nanosPrev match {
-      case Some(v) => spark.conf.set(nanosKey, v)
-      case None    => spark.conf.unset(nanosKey)
+    finally {
+      nanosPrev match {
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None    => spark.conf.unset(nanosKey)
+      }
+      ntzPrev match {
+        case Some(v) => spark.conf.set(ntzKey, v)
+        case None    => spark.conf.unset(ntzKey)
+      }
     }
     // Same encoding dispatch as Tables.load: nanos vintages resolve
     // ts as BIGINT (floor to micros); the round-11 micros fixture

@@ -77,6 +77,8 @@ object Corpus {
     // prepare() calls in one long-lived session must not accumulate
     // cached corpus-sized blocks until LRU pressure evicts them
     val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // release thunks for pins owned by callees (the 3c bigram frame)
+    val releasers = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
     // 1. exact dedup: keep the min doc_id of each normalized-text
     //    group. Tokens are staged HERE, before the checkpoint, so the
@@ -149,11 +151,20 @@ object Corpus {
     //     the same). The LM derivation rides the `exact` persist.
     val fluent =
       if (maxPpl <= 0.0) modelKept
-      else modelKept.join(
-        graft.operators.LanguageModel.selfPerplexity(
-          modelKept.select(col("doc_id"), col("__toks")), pplVocab)
-          .filter(col("ppl") > maxPpl).select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
+      else {
+        // releasable form: the staged bigram frame is LARGER than the
+        // corpus (one row per bigram occurrence) — thread its release
+        // into this call's release handle like every other pin, or
+        // repeated prepare() calls leak one bigram-sized cached frame
+        // each (the exact class selfPerplexityReleasable exists for)
+        val (ppl, releasePpl) = graft.operators.LanguageModel
+          .selfPerplexityReleasable(
+            modelKept.select(col("doc_id"), col("__toks")), pplVocab)
+        releasers += releasePpl
+        modelKept.join(
+          ppl.filter(col("ppl") > maxPpl).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      }
     val nPpl = if (maxPpl <= 0.0) -1L else tally(fluent)
 
     // 4. stable split
@@ -205,7 +216,7 @@ object Corpus {
       // release handle: unpersist every corpus-sized pin. Call AFTER
       // materializing the prepared frame (its lineage reads through
       // `exact`); calling earlier is safe but re-tokenizes once.
-      () => pinned.foreach(_.unpersist(false)))
+      () => { pinned.foreach(_.unpersist(false)); releasers.foreach(_()) })
   }
 
   // ---- source-weighted mixture sampling ("data mixing") ------------

@@ -11,10 +11,21 @@ class PrewarmSpec extends SparkSpec {
 
   test("Prewarm.run completes, reports every task, and warms the memos") {
     val dir = "/root/testdata/sf0.001"
+    // ISOLATED session + flag restore: the input-cache flag is
+    // process-global and the base session is shared JVM-wide — leaking
+    // either would make later suites' plan assertions (raw parquet
+    // scans, pushed filters) order-dependent. A new session gets its
+    // own Tables/SessionCache memo namespace, so nothing this test
+    // resolves or persists is visible to other suites.
+    val isolated = spark.newSession()
+    val wasEnabled = Tables.inputCacheEnabled
     Tables.enableInputCache()
-    val t0 = System.nanoTime()
-    val tasks = Prewarm.run(spark, dir, threads = 4)
-    val wall = (System.nanoTime() - t0) / 1e9
+    val (tasks, wall) =
+      try {
+        val t0 = System.nanoTime()
+        val ts = Prewarm.run(isolated, dir, threads = 4)
+        (ts, (System.nanoTime() - t0) / 1e9)
+      } finally if (!wasEnabled) Tables.disableInputCache()
     val names = tasks.map(_._1)
     // every declared build surfaced a timing (none vanished into a
     // swallowed executor death)
@@ -28,7 +39,7 @@ class PrewarmSpec extends SparkSpec {
     // one query per family that rides a prewarmed artifact
     for (q <- Seq("ngram_jaccard", "lm_perplexity", "semantic_dedup",
         "activity_flows", "knn_ivf"))
-      assert(SparkEntry.queries(q)(spark, dir).limit(1).count() >= 0, q)
+      assert(SparkEntry.queries(q)(isolated, dir).limit(1).count() >= 0, q)
     assert(wall < 600, s"prewarm took $wall s at sf0.001 — hang regression")
   }
 }
