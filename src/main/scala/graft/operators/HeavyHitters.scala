@@ -29,15 +29,52 @@ import org.apache.spark.sql.functions._
   *     distribution is too flat for the bound — same contract shape as
   *     [[Decontam]]'s Bloom stage: the sketch moves cost, never the
   *     answer.
+  *
+  * Capacity AUTO-ESCALATION (round 11, found by the ×10 scale
+  * rehearsal: a fixed 4096 stopped certifying top-50 at N ≈ 3.3M
+  * tokens): on a certification refusal the pass retries with a
+  * larger capacity — at least 4×, or past the refusal's own
+  * suggested bound when it carries one — up to `maxCapacity`
+  * (default 2^18 entries, an explicit driver-bounded summary size in
+  * the CC-small-graph class). A distribution too flat for
+  * `maxCapacity` still refuses. Pass `maxCapacity = capacity` to pin
+  * the capacity (the refusal-contract tests do).
   */
 object HeavyHitters {
+
+  /** Certification refusal carrying the capacity bound the data
+    * itself suggests (N / k-th-count), so escalation can jump
+    * straight past it instead of doubling blindly.
+    */
+  final class CapacityTooSmall(msg: String, val suggested: Long)
+      extends IllegalStateException(msg)
+
+  private def escalate[A](capacity: Int, maxCapacity: Int)
+                         (attempt: Int => A): A = {
+    var cap = capacity
+    while (true) {
+      try return attempt(cap)
+      catch {
+        case e: CapacityTooSmall if cap < maxCapacity =>
+          cap = math.min(maxCapacity.toLong,
+            math.max(cap * 4L, e.suggested * 2L)).toInt
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Exact (item, n) top-K by frequency, ties broken by item asc.
     * Output columns: `item` (string), `n` (long), ordered by
     * (n desc, item asc), exactly `k` rows (fewer if < k distinct).
     */
   def exactTopK(items: DataFrame, itemCol: Column, k: Int,
-                capacity: Int = 4096): DataFrame = {
+                capacity: Int = 4096,
+                maxCapacity: Int = 1 << 18): DataFrame =
+    escalate(capacity, math.max(capacity, maxCapacity))(
+      exactTopKAt(items, itemCol, k, _))
+
+  private def exactTopKAt(items: DataFrame, itemCol: Column, k: Int,
+                          capacity: Int): DataFrame = {
     val spark = items.sparkSession
     GraftExtensions.ensureRegistered(spark)
     import spark.implicits._
@@ -74,10 +111,11 @@ object HeavyHitters {
       confirmed(k - 1).getLong(1) * capacity.toLong > n)
     if (!certified) {
       val kth = if (confirmed.length >= k) confirmed(k - 1).getLong(1) else 0L
-      throw new IllegalStateException(
+      val suggested = if (kth > 0) n / kth else n
+      throw new CapacityTooSmall(
         s"MG capacity $capacity cannot certify exact top-$k: k-th count " +
-          s"$kth ≤ N/m = $n/$capacity. Retry with capacity > " +
-          s"${if (kth > 0) n / kth else n}.")
+          s"$kth ≤ N/m = $n/$capacity. Retry with capacity > $suggested.",
+        suggested)
     }
     confirmed.take(k).map(r => (r.getString(0), r.getLong(1))).toSeq
       .toDF("item", "n")
@@ -99,7 +137,14 @@ object HeavyHitters {
     * (grp, rnk, item).
     */
   def exactTopKPerGroup(items: DataFrame, groupCol: Column, itemCol: Column,
-                        k: Int, capacity: Int = 4096): DataFrame = {
+                        k: Int, capacity: Int = 4096,
+                        maxCapacity: Int = 1 << 18): DataFrame =
+    escalate(capacity, math.max(capacity, maxCapacity))(
+      exactTopKPerGroupAt(items, groupCol, itemCol, k, _))
+
+  private def exactTopKPerGroupAt(items: DataFrame, groupCol: Column,
+                                  itemCol: Column, k: Int,
+                                  capacity: Int): DataFrame = {
     val spark = items.sparkSession
     GraftExtensions.ensureRegistered(spark)
     val it = items.select(groupCol.cast("string").as("grp"),
@@ -136,11 +181,20 @@ object HeavyHitters {
       .withColumn("__ok",
         col("__sum") === col("__n") ||
           (col("__cand") >= k && col("__kth") * capacity > col("__n")))
-    val bad = cert.filter(!col("__ok")).select("grp").collect().map(_.getString(0))
+    // worst group's N/kth suggests the capacity to jump to (0-safe:
+    // a group with < k candidates suggests its full N)
+    val bad = cert.filter(!col("__ok"))
+      .select(col("grp"),
+        when(col("__kth").isNotNull && col("__kth") > 0,
+          col("__n") / col("__kth")).otherwise(col("__n")).cast("long")
+          .as("__suggest"))
+      .collect()
     if (bad.nonEmpty)
-      throw new IllegalStateException(
+      throw new CapacityTooSmall(
         s"MG capacity $capacity cannot certify exact top-$k for groups: " +
-          bad.sorted.mkString(", ") + ". Retry with a larger capacity.")
+          bad.map(_.getString(0)).sorted.mkString(", ") +
+          ". Retry with a larger capacity.",
+        bad.map(_.getLong(1)).max)
 
     ranked.filter(col("rnk") <= k)
       .select(col("grp"), col("item"), col("n"), col("rnk").cast("long").as("rnk"))

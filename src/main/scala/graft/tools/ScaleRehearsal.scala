@@ -45,8 +45,28 @@ object ScaleRehearsal {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Build the ×R fixture at `out` (documents + embeddings only — the
-    * rehearsal pipelines touch nothing else).
+  /** Replicate a keyed table ×R: every column in `offsetCols` (Long
+    * entity keys) shifts by r·10⁷ per replica so foreign-key
+    * relationships hold WITHIN a replica and never collide across
+    * replicas; all other columns pass through. Dimension tables
+    * (nation, region) are copied, not replicated — a 10× fact load
+    * joins the same dims, exactly like production growth.
+    */
+  private def replicateKeyed(spark: SparkSession, base: String, out: String,
+                             name: String, r: Int,
+                             offsetCols: Seq[String]): Unit = {
+    val df = spark.read.parquet(s"$base/$name.parquet")
+    val reps = spark.range(r.toLong).select(col("id").as("__r"))
+    val idOff = col("__r") * lit(10000000L)
+    val cols = df.columns.map { c =>
+      if (offsetCols.contains(c)) (col(c) + idOff).as(c) else col(c) }
+    df.crossJoin(reps).select(cols.toIndexedSeq: _*)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
+  }
+
+  /** Build the COMPLETE ×R fixture at `out` — every test table, so
+    * the full 76-query suite (not just the text/embedding pipelines)
+    * can run at scale.
     */
   def generate(spark: SparkSession, base: String, out: String, r: Int): Unit = {
     val reps = spark.range(r.toLong).select(col("id").as("__r"))
@@ -75,6 +95,20 @@ object ScaleRehearsal {
       col("label"))
     pemb.repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // relational fact tables: keys offset per replica (FKs hold
+    // within a replica); events keep their timestamps — ×R rows in
+    // the same window is exactly a ×R event-rate deployment
+    replicateKeyed(spark, base, out, "lineitem", r,
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    replicateKeyed(spark, base, out, "orders", r, Seq("o_orderkey", "o_custkey"))
+    replicateKeyed(spark, base, out, "customer", r, Seq("c_custkey"))
+    replicateKeyed(spark, base, out, "supplier", r, Seq("s_suppkey"))
+    replicateKeyed(spark, base, out, "part", r, Seq("p_partkey"))
+    replicateKeyed(spark, base, out, "events", r, Seq("event_id", "user_id"))
+    // dimensions: copied, never replicated
+    replicateKeyed(spark, base, out, "nation", 1, Nil)
+    replicateKeyed(spark, base, out, "region", 1, Nil)
   }
 
   def main(args: Array[String]): Unit = {

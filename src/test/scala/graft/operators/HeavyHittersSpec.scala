@@ -93,7 +93,7 @@ class HeavyHittersSpec extends SparkSpec {
       (1 to 50).map(_ => ("sharp", "only"))
     val e = intercept[IllegalStateException] {
       HeavyHitters.exactTopKPerGroup(rows.toDF("g", "t"), col("g"), col("t"),
-        k = 5, capacity = 8)
+        k = 5, capacity = 8, maxCapacity = 8) // pinned: refusal contract
     }
     assert(e.getMessage.contains("flat") && !e.getMessage.contains("sharp"),
       e.getMessage)
@@ -115,8 +115,28 @@ class HeavyHittersSpec extends SparkSpec {
     // count can never clear N/m
     val df = (1 to 400).map(i => s"t${i % 100}").toDF("t")
     val e = intercept[IllegalStateException] {
-      HeavyHitters.exactTopK(df, col("t"), k = 5, capacity = 8)
+      HeavyHitters.exactTopK(df, col("t"), k = 5, capacity = 8,
+        maxCapacity = 8) // pinned: refusal contract
     }
     assert(e.getMessage.contains("capacity"), e.getMessage)
+  }
+
+  test("capacity auto-escalation certifies what a fixed capacity refuses") {
+    val ss = spark; import ss.implicits._
+    // flat over 100 items: cap 8 refuses (above), but escalation to
+    // >=100 reaches full coverage and certifies EXACT ranks — the
+    // x10-rehearsal failure mode (fixed 4096 vs 3.3M tokens), in
+    // miniature. Both entry points escalate.
+    val df = (1 to 400).map(i => s"t${i % 100}").toDF("t")
+    val r = HeavyHitters.exactTopK(df, col("t"), k = 5, capacity = 8)
+      .as[(String, Long)].collect()
+    assert(r.length == 5 && r.forall(_._2 == 4L), r.mkString(","))
+    val rows = (1 to 400).map(i => ("flat", s"t${i % 100}")) ++
+      (1 to 50).map(_ => ("sharp", "only"))
+    val g = HeavyHitters.exactTopKPerGroup(rows.toDF("g", "t"), col("g"),
+        col("t"), k = 1, capacity = 8)
+      .collect().map(r2 => (r2.getString(0), r2.getString(1), r2.getLong(2)))
+    assert(g.contains(("sharp", "only", 50L)), g.mkString(","))
+    assert(g.count(_._1 == "flat") == 1, g.mkString(","))
   }
 }
