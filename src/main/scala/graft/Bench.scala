@@ -75,15 +75,16 @@ object Bench {
     // cold_total remains "process start → full suite done once".
     // Skipped for SPARK_GRAFT_BENCH_ONLY subsets (dev loops) and via
     // SPARK_GRAFT_NO_PREWARM=1 (the serial-cold A/B hook).
-    val prewarmSec =
-      if (sys.env.contains("SPARK_GRAFT_NO_PREWARM") || only.nonEmpty) 0.0
+    val (prewarmSec, prewarmFailures) =
+      if (sys.env.contains("SPARK_GRAFT_NO_PREWARM") || only.nonEmpty) (0.0, 0)
       else {
         val t0 = System.nanoTime()
         val tasks = Prewarm.run(spark, sfDir)
         val s = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] prewarm $s%.1f s wall: " +
-          tasks.sortBy(-_._2).map { case (n, t) => f"$n=$t%.1f" }.mkString(" "))
-        s
+        val failed = tasks.filterNot(_.ok)
+        System.err.println(f"[bench] prewarm $s%.1f s wall, ${failed.size} failed: " +
+          tasks.sortBy(-_.sec).map(t => f"${t.name}${if (t.ok) "" else "(FAILED)"}=${t.sec}%.1f").mkString(" "))
+        (s, failed.size)
       }
 
     val cold = pass()
@@ -120,32 +121,65 @@ object Bench {
     // driver's documented key.
     val steadyJson = jsonNum(steady.map { case (n, (t, _)) => n -> t })
     println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"queries_cold":${jsonNum(cold.map { case (n, (t, _)) => n -> t })},"errors":${jsonStr(errors)},"sf":"$sfDir","queries_steady":$steadyJson,"queries":$steadyJson}""")
+    // Round number for per-round artifacts: one past the newest
+    // BENCH_r{N}.json in cwd (this round's driver file doesn't exist
+    // yet while Bench is running). Run from a foreign cwd that
+    // inference silently resolves to round 1 and would clobber an
+    // artifact — so SPARK_GRAFT_ROUND overrides it explicitly, and a
+    // missing BENCH_r*.json warns to stderr instead of failing quiet.
+    val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      val newest =
+        try listing.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
+            s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
+          .foldLeft(0)(math.max)
+        finally listing.close() // Files.list holds a directory fd
+      if (newest == 0) System.err.println(
+        "[bench] no BENCH_r*.json in cwd — round inferred as 1; set " +
+          "SPARK_GRAFT_ROUND to pin artifact names when running outside the repo root")
+      newest + 1
+    }
+
     // Per-round QUALITY artifact, emitted from the run the driver
     // already makes every round — the floor-evidence chain skipped
     // rounds 9 and 10 when it relied on a separately-launched main.
     // Runs AFTER both timing passes (shares their warmed caches, adds
     // nothing to the reported numbers) but BEFORE the final totals
     // line — that line must stay LAST for the driver's tail-capture.
-    // Round number: one past the newest BENCH_r{N}.json in cwd (this
-    // round's file doesn't exist yet while Bench is running).
     // Opt-out: SPARK_GRAFT_NO_QUALITY=1 (subset runs via
     // SPARK_GRAFT_BENCH_ONLY skip it automatically — dev loops
     // shouldn't pay the metrics pass).
     if (!sys.env.contains("SPARK_GRAFT_NO_QUALITY") && only.isEmpty) {
       try {
-        val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-        val round =
-          try listing.iterator().asScala
-            .map(_.getFileName.toString)
-            .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
-              s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
-            .foldLeft(0)(math.max) + 1
-          finally listing.close() // Files.list holds a directory fd
         val out = f"QUALITY_r$round%02d.json"
         val (allPass, _) = Quality.writeArtifact(spark, sfDir, out)
         println(s"""{"metric":"quality","artifact":"$out","all_pass":$allPass}""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] quality artifact failed: ${e.getMessage}")
+      }
+    }
+
+    // Self-contained per-round bench artifact (round-12): the driver
+    // keeps only a 2 KB stdout TAIL, which at 76+ queries truncates
+    // the per-query maps out of its BENCH_r{N}.json — so the FULL
+    // record (both per-query maps, totals, prewarm, errors) is also
+    // written to a file the way Quality writes QUALITY_r{N}.json.
+    // Named BENCH_FULL to never collide with the driver's own
+    // tail-capture artifact of the same round.
+    if (only.isEmpty) {
+      try {
+        val path = f"BENCH_FULL_r$round%02d.json"
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+          s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"prewarm_failures":$prewarmFailures,"n_queries":${ordered.size},"n_errors":${errors.size},"sf":"$sfDir",
+             |"queries_cold":${jsonNum(cold.map { case (n, (t, _)) => n -> t })},
+             |"queries_steady":$steadyJson,
+             |"errors":${jsonStr(errors)}}
+             |""".stripMargin)
+        System.err.println(s"[bench] full artifact: $path")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] full artifact failed: ${e.getMessage}")
       }
     }
     // The driver captures only the TAIL of the output; the big line

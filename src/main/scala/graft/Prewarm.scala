@@ -22,10 +22,14 @@ import org.apache.spark.sql.SparkSession
   * `cold_total` (reported separately as `prewarm_sec`), so the bench
   * cold number stays an honest "process start → suite done once"
   * measurement; it just stops serializing work with no serial
-  * dependency. Requires FAIR job scheduling (GraftSession) — under
-  * FIFO the iterative small-job builds (k-means, CC) queue behind
-  * the pair-join stages and the overlap evaporates (measured 31 s
-  * prewarm wall vs 12 s under FAIR).
+  * dependency. Fair slot sharing needs BOTH
+  * `spark.scheduler.mode=FAIR` (GraftSession) AND a distinct
+  * `spark.scheduler.pool` per task (set below): FAIR mode alone
+  * leaves every job in the single on-demand 'default' pool, whose
+  * internal ordering is FIFO — fair sharing only applies across
+  * pools (measured 31 s prewarm wall under FIFO vs 12-17 s with
+  * concurrent submission; see BASELINE.md for the r12 re-measure
+  * attributing the split between slot backfill and pool fairness).
   *
   * Thread-safety: the underlying memos are `computeIfAbsent`-backed
   * ([[SessionCache]]), so a build raced by a query (or another
@@ -37,6 +41,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Prewarm {
 
+  /** One prewarm task's outcome: wall seconds as observed by its
+    * thread, and whether the build completed without throwing. A
+    * failed build is NOT fatal to the bench (the owning query's cold
+    * pass will rebuild and surface the real error) but it must be
+    * visible — PrewarmSpec asserts zero failures so a broken build
+    * surfaces in CI, not inside an unattended driver round.
+    */
+  final case class Task(name: String, sec: Double, ok: Boolean)
+
   /** Gated queries whose BUILDER executes jobs (store mutations, the
     * corpus_prepare tallies, the CC contraction loop) rather than
     * just declaring a plan — running them here would duplicate real
@@ -46,13 +59,13 @@ object Prewarm {
     "corpus_prepare", "top100_refresh", "holders_upsert",
     "tx_insert_ignore", "cursor_store", "job_audit",
     "dedup_components", "dedup_components_dist",
-    "media_knn") // eager localCheckpoint of the decode pipeline at build
+    "media_knn", "media_knn_ivf") // eager localCheckpoint of the decode pipeline at build
 
-  /** Run all prewarm tasks for (spark, dir); returns per-task seconds
-    * (wall, as observed by each task's thread).
+  /** Run all prewarm tasks for (spark, dir); returns per-task
+    * [[Task]] outcomes.
     */
   def run(spark: SparkSession, dir: String,
-          threads: Int = 8): Seq[(String, Double)] = {
+          threads: Int = 8): Seq[Task] = {
     val (toksPhase, textRest) = queries.TextPipeline.prewarmTasks(spark, dir)
     // the parquet WRITE path (committer classes, ParquetOutputWriter,
     // compression codec init) is its own one-time cost, otherwise
@@ -68,7 +81,7 @@ object Prewarm {
     val phase0 = Tables.prewarmTasks(spark, dir) ++ toksPhase ++
       queries.Relational.prewarmTasks(spark, dir) :+ writeWarm
     val phase1 = textRest
-    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Task]()
     // one tiny job first: the very first Spark job in a JVM pays
     // lazy engine init (block manager, shuffle system, codec load) —
     // absorb it here rather than inside phase-0 task attribution
@@ -81,12 +94,26 @@ object Prewarm {
           // worker threads need the active session for SQLConf.get
           // (plan building, codegen rules)
           SparkSession.setActiveSession(spark)
+          // DISTINCT scheduler pool per task: with only
+          // spark.scheduler.mode=FAIR, jobs submitted into the single
+          // on-demand 'default' pool still order FIFO (fair sharing
+          // applies ACROSS pools, and the pool's own internal mode
+          // defaults to FIFO). Naming a fresh pool per task puts each
+          // concurrent build in its own child pool of the FAIR root,
+          // so the iterative many-small-job builds (k-means, CC)
+          // actually share slots with the long pair-join stages
+          // instead of queueing behind them.
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+            s"prewarm_$name")
           val t0 = System.nanoTime()
-          try thunk()
-          catch { case e: Throwable =>
-            System.err.println(s"[prewarm] $name failed: ${e.getMessage}")
-          }
-          out.add(name -> (System.nanoTime() - t0) / 1e9)
+          val ok =
+            try { thunk(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[prewarm] $name failed: ${e.getMessage}")
+              false
+            }
+            finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          out.add(Task(name, (System.nanoTime() - t0) / 1e9, ok))
         })
       }
       pool.shutdown()
@@ -110,8 +137,9 @@ object Prewarm {
       })
     import scala.jdk.CollectionConverters._
     val cgWall = (System.nanoTime() - t2) / 1e9
-    out.removeIf(_._1.startsWith("__cg_"))
-    out.add(s"codegen_precompile(${compiled.get})" -> cgWall)
+    val cgOk = out.asScala.filter(_.name.startsWith("__cg_")).forall(_.ok)
+    out.removeIf(_.name.startsWith("__cg_"))
+    out.add(Task(s"codegen_precompile(${compiled.get})", cgWall, cgOk))
     out.asScala.toSeq
   }
 }

@@ -197,10 +197,24 @@ object Tables {
         // (UTC) but silently shifted on a foreign non-UTC session.
         // Disabling inference makes the reader deliver the stored
         // micros as a timezone-free TimestampType instant — exactly
-        // DuckDB's naive-as-UTC reading — on every session.
-        if (!spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled").contains("false"))
-          spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        // DuckDB's naive-as-UTC reading — on every session. The conf
+        // is schema-INFERENCE-scoped (the resolved relation pins its
+        // catalyst schema; scan-time conversion follows the requested
+        // type), so it is saved/restored around resolution — same
+        // discipline as registerCatalog — instead of permanently
+        // flipping a foreign session's unrelated NTZ parquet reads.
+        val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+        val ntzPrev = spark.conf.getOption(ntzKey)
+        spark.conf.set(ntzKey, "false")
+        val raw =
+          try {
+            val df = spark.read.parquet(s"$dir/$name.parquet")
+            df.schema // force eager schema resolution under the conf
+            df
+          } finally ntzPrev match {
+            case Some(v) => spark.conf.set(ntzKey, v)
+            case None    => spark.conf.unset(ntzKey)
+          }
         import org.apache.spark.sql.functions._
         // ts encoding has varied across driver rounds: INT64
         // TIMESTAMP(NANOS) (illegal for Spark's reader — read as Long

@@ -55,7 +55,14 @@ object ScaleRehearsal {
   private def replicateKeyed(spark: SparkSession, base: String, out: String,
                              name: String, r: Int,
                              offsetCols: Seq[String]): Unit = {
-    val df = spark.read.parquet(s"$base/$name.parquet")
+    // events carries vintage-dependent timestamp physical types (INT64
+    // TIMESTAMP(NANOS) on older driver fixtures — illegal for a raw
+    // parquet read) — go through Tables.table, whose encoding dispatch
+    // loads every vintage identically; the replica it writes then
+    // carries plain TimestampType micros, which the same dispatch
+    // passes through when the rehearsal queries read it back.
+    val df = if (name == "events") Tables.table(spark, base, name)
+             else spark.read.parquet(s"$base/$name.parquet")
     val reps = spark.range(r.toLong).select(col("id").as("__r"))
     val idOff = col("__r") * lit(10000000L)
     val cols = df.columns.map { c =>

@@ -26,7 +26,7 @@ class PrewarmSpec extends SparkSpec {
         val ts = Prewarm.run(isolated, dir, threads = 4)
         (ts, (System.nanoTime() - t0) / 1e9)
       } finally if (!wasEnabled) Tables.disableInputCache()
-    val names = tasks.map(_._1)
+    val names = tasks.map(_.name)
     // every declared build surfaced a timing (none vanished into a
     // swallowed executor death)
     for (expected <- Seq("tokenized_docs", "ngram_pairs", "self_perplexity",
@@ -35,6 +35,10 @@ class PrewarmSpec extends SparkSpec {
       assert(names.contains(expected), s"missing prewarm task: $expected")
     assert(names.exists(_.startsWith("codegen_precompile(")),
       s"missing codegen precompile entry in $names")
+    // ... and every build actually SUCCEEDED — a swallowed failure
+    // with a recorded timing must trip CI, not cost a driver round
+    val failed = tasks.filterNot(_.ok).map(_.name)
+    assert(failed.isEmpty, s"prewarm tasks failed: ${failed.mkString(", ")}")
     // warmed memos serve queries immediately (no recompute errors) —
     // one query per family that rides a prewarmed artifact
     for (q <- Seq("ngram_jaccard", "lm_perplexity", "semantic_dedup",
