@@ -94,26 +94,37 @@ object MediaPipeline {
       .orderBy(col("id"))
   }
 
+  /** The image feature-vector frame feeding the media ANN family —
+    * decode → resize → 8-bin histogram taken as an EXACT integer
+    * count vector (cosine is scale-invariant, so the raw counts need
+    * no normalization and stay portable integers), memoized per
+    * (session, dir): the decode pipeline runs ONCE and the pinned
+    * frame is feature-sized (9 numbers per image), serving both the
+    * brute-force gate and the IVF path. At 100 TB this frame is any
+    * learned image embedding; everything downstream is
+    * representation-agnostic.
+    */
+  private val vecsCache = new graft.SessionCache[String]
+  private def mediaVecs(s: SparkSession, dir: String): DataFrame =
+    vecsCache.getOrElseUpdate(s, dir) {
+      Media.imageFeatures(
+        Media.resizeImages(Media.decodeImages(imageFixture(s, dir)), 4, 4))
+        .select(col("id"),
+          // float is exact for counts <= 48; the native graft_dot path
+          // (array<float>) then accumulates in double like the oracle
+          transform(col("histogram8"), h => h.cast("float")).as("embedding"))
+        .localCheckpoint()
+    }
+
   /** Image similarity search — the multimodal column flowing into the
-    * ANN family: decode → resize → 8-bin histogram taken as an EXACT
-    * integer count vector (cosine is scale-invariant, so the raw
-    * counts need no normalization and stay portable integers) →
-    * [[graft.operators.Similarity.bruteForceTopK]] top-5 per probe
-    * image. The histogram-feature frame is pinned once (9 numbers per
-    * image) so the decode pipeline runs a single pass feeding both
-    * the probe set and the corpus. At 100 TB the histogram vector is
-    * any learned image embedding and the brute-force stage swaps for
-    * the IVF index — same composition, gated here end to end
-    * (pixels → feature vector → ranked neighbors) in one hash.
+    * ANN family: [[mediaVecs]] → brute-force cosine top-5 per probe
+    * image. This is the EXACT gate (hash-checked end to end against a
+    * from-first-principles SQL oracle: pixels → feature vector →
+    * ranked neighbors); [[mediaKnnIvf]] is the scale path floored
+    * against it.
     */
   def mediaKnn(s: SparkSession, dir: String): DataFrame = {
-    val feats = Media.imageFeatures(
-      Media.resizeImages(Media.decodeImages(imageFixture(s, dir)), 4, 4))
-    val vecs = feats.select(col("id"),
-      // float is exact for counts <= 48; the native graft_dot path
-      // (array<float>) then accumulates in double like the oracle
-      transform(col("histogram8"), h => h.cast("float")).as("embedding"))
-      .localCheckpoint() // feature-sized (9 values/image), 2 consumers
+    val vecs = mediaVecs(s, dir)
     val probes = vecs.filter(col("id") % 400 === 0)
       .withColumnRenamed("id", "query_id")
     val corpus = vecs.withColumnRenamed("id", "neighbor_id")
@@ -123,11 +134,44 @@ object MediaPipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The k-means coarse quantizer for the media vectors, trained ONCE
+    * per (session, dir) — same production contract as the text IVF
+    * path (a quantizer belongs to its corpus, not a query batch).
+    */
+  private val centsCache = new graft.SessionCache[String]
+  private def mediaCentroids(s: SparkSession, dir: String): DataFrame =
+    centsCache.getOrElseUpdate(s, dir)(
+      graft.operators.Similarity.kmeansCentroids(
+        mediaVecs(s, dir), k = 16).localCheckpoint())
+
+  /** Scale-safe image similarity: the SAME probe/corpus/k as
+    * [[mediaKnn]] but through the IVF family — k-means-trained coarse
+    * quantizer, nAssign = 2 multi-assignment, nProbe of 16 lists —
+    * so each probe scores ~nProbe/nCentroids of the corpus instead of
+    * all of it, via a centroid-id equi-join with zero corpus-wide
+    * exchanges ([[graft.operators.Similarity.ivfTopKWithCentroids]]).
+    * Rows-only (recall depends on the quantizer); recall@5 vs the
+    * hash-gated brute-force twin is floor-gated in QualityMetrics,
+    * mirroring knn_ivf / knn_bruteforce.
+    */
+  def mediaKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val vecs = mediaVecs(s, dir)
+    val probes = vecs.filter(col("id") % 400 === 0)
+      .withColumnRenamed("id", "query_id")
+    val corpus = vecs.withColumnRenamed("id", "neighbor_id")
+    graft.operators.Similarity.ivfTopKWithCentroids(
+      probes, corpus, mediaCentroids(s, dir), k = 5, nProbe = 4, nAssign = 2)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
     "media_audio" -> (mediaAudio _),
-    "media_knn" -> (mediaKnn _))
+    "media_knn" -> (mediaKnn _),
+    "media_knn_ivf" -> (mediaKnnIvf _))
 
   /** The resized 4×4×3 pixel at flat index i (ch = i%3, x = (i/3)%4,
     * y = i/12) samples source pixel (2x, 2y) of the 8×8×3 stub image:

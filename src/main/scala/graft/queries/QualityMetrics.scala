@@ -55,6 +55,7 @@ object QualityMetrics {
     "simhash_recall" -> 0.9,
     "knn_lsh_recall@5" -> 0.7,
     "knn_ivf_recall@5" -> 0.75,
+    "media_knn_ivf_recall@5" -> 0.75,
     "token_hll_accuracy" -> 0.95,
     "bpe_compression" -> 1.5)
 
@@ -144,6 +145,9 @@ object QualityMetrics {
       recallOf("knn_ivf_recall@5",
         keyed(TextPipeline.knnIvf(s, dir), "query_id", "neighbor_id"),
         keyed(TextPipeline.knnBruteforce(s, dir), "query_id", "neighbor_id")),
+      recallOf("media_knn_ivf_recall@5",
+        keyed(MediaPipeline.mediaKnnIvf(s, dir), "query_id", "neighbor_id"),
+        keyed(MediaPipeline.mediaKnn(s, dir), "query_id", "neighbor_id")),
       hllAccuracy(s, dir))
     val all = rows.reduce(_ unionByName _)
     val floorCol = floors.foldLeft(lit(Double.NaN)) { case (acc, (m, f)) =>

