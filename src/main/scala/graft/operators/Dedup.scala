@@ -109,6 +109,18 @@ object Dedup {
     // source is a cached relation) can come out under the broadcast
     // threshold — broadcasting an entire corpus' signatures through
     // the driver is wrong at every scale.
+    //
+    // Shuffle-payload note (round-12 A/B, recorded in BASELINE.md):
+    // carrying `sig` on both join sides ships 2·bands signature copies
+    // per doc through the exchange. The slim alternative — (band,
+    // bucket, doc_id) rows, signatures staged via localCheckpoint and
+    // re-fetched per distinct pair by id equi-join — measured
+    // equal-or-SLOWER at sf0.1 (1.11 → 1.23 s) and a wash at ×10
+    // (5.74 → 5.62 s): the eager staging stage costs more than the
+    // shuffle bytes save at these corpus sizes. Revisit past the point
+    // where the banded exchange dominates (the crossover needs sig
+    // traffic ≫ NVMe-speed shuffle, i.e. corpora orders of magnitude
+    // beyond the fixtures).
     l.hint("shuffle_hash").join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .dropDuplicates("id_a", "id_b")

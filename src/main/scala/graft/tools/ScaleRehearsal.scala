@@ -118,6 +118,47 @@ object ScaleRehearsal {
     replicateKeyed(spark, base, out, "region", 1, Nil)
   }
 
+  /** Per-query memory-headroom probe: stage-level executor metric
+    * peaks (polled by the driver's heartbeat) plus task-level spill
+    * totals, reset per query. This is the "how close to the 128 GiB
+    * ceiling did it run" evidence the 100 TB claims need alongside
+    * wall ratios — a query whose wall scales linearly but whose peak
+    * execution memory scales linearly TOO dies at the next 10×.
+    */
+  private class MemListener extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val peakExec = new AtomicLong(0)   // on+off-heap execution memory, stage peak
+    val peakHeap = new AtomicLong(0)   // JVM heap peak
+    val peakTask = new AtomicLong(0)   // single-task peak execution memory
+    val spill = new AtomicLong(0)      // memoryBytesSpilled (deserialized size)
+    val spillDisk = new AtomicLong(0)  // diskBytesSpilled (on-disk size)
+    def reset(): Unit = Seq(peakExec, peakHeap, peakTask, spill, spillDisk).foreach(_.set(0))
+    private def bump(a: AtomicLong, v: Long): Unit =
+      a.updateAndGet(p => math.max(p, v))
+    private def bumpFrom(m: org.apache.spark.executor.ExecutorMetrics): Unit = {
+      bump(peakExec, m.getMetricValue("OnHeapExecutionMemory")
+        + m.getMetricValue("OffHeapExecutionMemory"))
+      bump(peakHeap, m.getMetricValue("JVMHeapMemory"))
+    }
+    // live sessions surface executor metric peaks via the heartbeat-
+    // driven ExecutorMetricsUpdate events; StageExecutorMetrics is the
+    // event-log replay form — handle both so the probe works either way
+    override def onStageExecutorMetrics(
+        e: org.apache.spark.scheduler.SparkListenerStageExecutorMetrics): Unit =
+      bumpFrom(e.executorMetrics)
+    override def onExecutorMetricsUpdate(
+        e: org.apache.spark.scheduler.SparkListenerExecutorMetricsUpdate): Unit =
+      e.executorUpdates.values.foreach(bumpFrom)
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        bump(peakTask, m.peakExecutionMemory)
+        spill.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = args.headOption.getOrElse("target/sf1")
@@ -132,9 +173,17 @@ object ScaleRehearsal {
     }
 
     // the 5 heaviest pipelines (VERDICT r10 plan audit), CC forced
-    // onto the distributed star-contraction loop
-    val qs = Seq("corpus_prepare", "semantic_dedup", "minhash_pairs",
-      "winnow_overlap", "dedup_components_dist")
+    // onto the distributed star-contraction loop — plus the media ANN
+    // pair (round-12): the brute-force exact gate vs its IVF sibling,
+    // so the "IVF makes image similarity sub-linear" claim is a
+    // measured ratio, not a plan-shape argument.
+    // SPARK_GRAFT_SCALE_QUERIES overrides (comma-separated).
+    val qs = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("corpus_prepare", "semantic_dedup", "minhash_pairs",
+        "winnow_overlap", "dedup_components_dist", "media_knn", "media_knn_ivf"))
+    val mem = new MemListener
+    spark.sparkContext.addSparkListener(mem)
     val results = scala.collection.mutable.Map[(String, String), Double]()
     // the ×R dir runs FIRST: first-run walls absorb JVM-wide one-time
     // costs (Janino in the shared source-keyed codegen cache, JIT), so
@@ -146,17 +195,34 @@ object ScaleRehearsal {
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       val first = (System.nanoTime() - t0) / 1e9
+      mem.reset() // attribute memory to the steady (second) run only
       val t1 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       val second = (System.nanoTime() - t1) / 1e9
+      // listener events drain asynchronously; let the heartbeat-polled
+      // stage metrics land before reading the peaks
+      org.apache.spark.sql.graftbridge.CodegenPrewarm.drainListeners(spark.sparkContext)
       results((dir, name)) = first
-      println(f"""{"metric":"scale_rehearsal","dir":"$dir","query":"$name","first_sec":$first%.2f,"second_sec":$second%.2f}""")
+      val mb = 1024.0 * 1024.0
+      println(f"""{"metric":"scale_rehearsal","dir":"$dir","query":"$name","first_sec":$first%.2f,"second_sec":$second%.2f,"peak_exec_mb":${mem.peakExec.get / mb}%.0f,"peak_heap_mb":${mem.peakHeap.get / mb}%.0f,"peak_task_mb":${mem.peakTask.get / mb}%.0f,"spill_mem_mb":${mem.spill.get / mb}%.0f,"spill_disk_mb":${mem.spillDisk.get / mb}%.0f}""")
     }
     val summary = qs.map { name =>
       val ratio = results((out, name)) / results((base, name))
       f""""$name":{"base_sec":${results((base, name))}%.2f,"x${r}_sec":${results((out, name))}%.2f,"ratio":$ratio%.2f}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_summary","replicas":$r,"queries":$summary}""")
+
+    // Quality floors at scale (round-12, VERDICT item 6): re-verify
+    // the recall/accuracy floors against the ×R fixture whenever the
+    // rehearsal runs, so floor evidence at scale stops being a
+    // one-off. Opt-out via SPARK_GRAFT_SCALE_QUALITY=0 — the simhash
+    // truth side is O(n²) in documents (a gate computation), which at
+    // R≳30 (≥150k docs) is rehearsal-dominating.
+    if (!sys.env.get("SPARK_GRAFT_SCALE_QUALITY").contains("0")) {
+      val qout = s"QUALITY_scale_x$r.json"
+      val (allPass, _) = graft.Quality.writeArtifact(spark, out, qout)
+      println(s"""{"metric":"scale_quality","artifact":"$qout","all_pass":$allPass}""")
+    }
     spark.stop()
   }
 }
