@@ -18,8 +18,12 @@ class ContractSpec extends SparkSpec {
 
   test("the rows-only set is exactly the documented one") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // media_knn_ivf: approximate by construction (IVF probe of the
+    // histogram space); floor-gated ≥0.75 recall@5 against the
+    // hash-gated brute-force exact twin `media_knn` (QualityMetrics;
+    // MediaSpec pins the probe/rank contract).
     assert(rowsOnly == Set("minhash_pairs", "simhash_pairs", "knn_lsh",
-      "knn_ivf", "token_hll", "bpe_tokens"),
+      "knn_ivf", "token_hll", "bpe_tokens", "media_knn_ivf"),
       s"rows-only drift — every addition here needs a spec + a written reason: $rowsOnly")
   }
 
