@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Domain, MediaPipeline, Relational, TextPipeline}
+import graft.queries.{Domain, MediaPipeline, Relational, Retrieval, TextPipeline}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,8 +22,10 @@ object SparkEntry {
     Domain.top100Domain(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextPipeline.queries ++ Domain.queries ++ MediaPipeline.queries
+    Relational.queries ++ TextPipeline.queries ++ Domain.queries ++
+      MediaPipeline.queries ++ Retrieval.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextPipeline.oracles ++ Domain.oracles ++ MediaPipeline.oracles
+    Relational.oracles ++ TextPipeline.oracles ++ Domain.oracles ++
+      MediaPipeline.oracles ++ Retrieval.oracles
 }

@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval + distribution-matched selection over the `documents`
+  * corpus — the two search-shaped operators a training-data pipeline
+  * runs constantly: keyword retrieval (contamination probes, targeted
+  * corpus inspection, eval-set neighborhood pulls) and importance
+  * resampling (building a pretraining mix that matches a target
+  * distribution).
+  *
+  * Both are fully oracle-gated (hash-compared against a DuckDB
+  * restatement): scores are fixed-point micro-rounded BEFORE any
+  * cross-engine sum/compare, the same convention the perplexity
+  * family uses, so double math can never flip a hash.
+  *
+  * Scale shape (the 100 TB reading):
+  *  - BM25: the corpus-sized frames are one explode→broadcast-prune
+  *    (query terms are a driver-bounded literal; non-matching tokens
+  *    never reach a shuffle) and one (term, doc) partial-aggregated
+  *    count. df/idf frames are bounded by the query-term count and
+  *    broadcast. Final top-k is a per-query window over only the
+  *    matched postings — parallel across queries, which is the
+  *    natural unit of a retrieval batch.
+  *  - DSIR: the feature table is a bounded top-V TakeOrdered (the
+  *    explicit-V stand-in for DSIR's fixed hash-bucket dimension);
+  *    per-feature log-ratios are a V-row broadcast; scoring is
+  *    map-side; selection is orderBy+limit → TakeOrderedAndProject,
+  *    never a single-partition global window.
+  */
+object Retrieval {
+
+  /** BM25 parameters — the standard defaults (Robertson & Zaragoza
+    * 2009, "The Probabilistic Relevance Framework: BM25 and Beyond",
+    * §3.3; also Lucene's defaults).
+    */
+  val K1 = 1.2
+  val B = 0.75
+  val TopK = 10
+
+  /** The fixed retrieval batch: deterministic literal queries over
+    * the fixture vocabulary. A production run swaps in its own query
+    * table; everything downstream is agnostic to how many queries
+    * arrive (they only widen the broadcast term list).
+    */
+  val Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join"),
+    2 -> Seq("window", "sort", "stream"),
+    3 -> Seq("spark", "table", "scan"),
+    4 -> Seq("batch", "merge"),
+    5 -> Seq("slow", "query", "filter"))
+
+  /** BM25 top-k per query (Okapi BM25, Lucene idf variant
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` — always ≥ 0, no negative
+    * idf for >half-corpus terms).
+    *
+    * Per-(term, doc) contributions are micro-rounded to BIGINT before
+    * the per-(query, doc) sum, so `score_micro` is integer-exact in
+    * both engines; rank ties break by doc_id.
+    */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25(TextPipeline.tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")),
+      Queries, TopK)
+
+  /** Core BM25 over any `(doc_id, __toks)` frame — the library
+    * surface; [[bm25TopK]] is the gated fixture binding.
+    */
+  def bm25(toks: DataFrame, queryBatch: Seq[(Int, Seq[String])], k: Int): DataFrame = {
+    val s = toks.sparkSession
+
+    // 1-row corpus stats; broadcast into the scorer like block_by_time.
+    val stats = toks.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("__toks"))).as("avgdl"))
+
+    import s.implicits._
+    val queryTerms = queryBatch
+      .flatMap { case (qid, terms) => terms.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val termSet = queryTerms.select("term").distinct()
+
+    // Corpus-sized section: explode, then prune to query terms with a
+    // broadcast join BEFORE any shuffle — only matched postings flow on.
+    val tf = toks
+      .select(col("doc_id"), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+      .join(broadcast(termSet), "term")
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+    // Document frequency per query term — bounded by |terms|, broadcast.
+    val dfc = tf.groupBy("term")
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+
+    val contrib = tf
+      .join(broadcast(dfc), "term")
+      .join(broadcast(queryTerms), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_micro",
+        round(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * lit(K1 + 1.0))
+            / (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+            * lit(1e6)).cast("long"))
+
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib_micro")).as("score_micro"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id").cast("long"), col("doc_id"), col("score_micro"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** DSIR feature-space dimension and selection fraction. V explicit
+    * top-count bigrams stand in for the paper's fixed hashed-n-gram
+    * bucket dimension (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling", §3: bag-of-hashed-ngrams with
+    * 10k buckets); an explicit vocabulary keeps the oracle portable
+    * and the state just as driver-bounded (one TakeOrdered of V rows).
+    */
+  val DsirV = 512
+  val DsirAlpha = 0.5
+  val DsirKeepFrac = 0.25
+
+  /** DSIR-style importance selection: score every candidate-pool doc
+    * (lang ≠ 'en') by how much its bigram distribution looks like the
+    * target (lang = 'en'), keep the top 25%.
+    *
+    * Weight per doc = Σ_f n_f(doc) · λ(f),
+    * λ(f) = ln(p̂_target(f) / p̂_raw(f)) with add-α smoothing over the
+    * V-feature space, micro-rounded per FEATURE (λ is one broadcast
+    * V-row table), so per-doc sums are integer-exact cross-engine.
+    * The paper samples with Gumbel noise ∝ these weights; the
+    * deterministic top-fraction variant here is its testable core
+    * (same ordering statistic) — noise would un-gate the oracle.
+    *
+    * Selection is orderBy + limit(K): K = ceil(0.25 · pool) is one
+    * driver scalar, and the plan is TakeOrderedAndProject — the same
+    * distributed top-K shape vocab_topk asserts — not a global
+    * single-partition window.
+    */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame =
+    dsir(TextPipeline.tokenizedDocs(s, dir)
+        .select(col("doc_id"), col("lang"), col("__toks")),
+      col("lang") === "en", DsirV, DsirKeepFrac)
+
+  /** Core DSIR selection over any `(doc_id, lang, __toks)` frame with
+    * an arbitrary target predicate — the library surface;
+    * [[dsirSelect]] is the gated fixture binding (target = English).
+    */
+  def dsir(toks: DataFrame, isTarget: org.apache.spark.sql.Column,
+           v: Int, keepFrac: Double): DataFrame = {
+    // Word bigrams, built in-plan (no shuffle): "tok[i] tok[i+1]".
+    // The size guard matters: Spark's sequence(1, 0) DESCENDS ([1, 0])
+    // rather than returning empty, so a 0/1-token doc would index past
+    // the array end (ANSI error) without it.
+    val withBigrams = toks.withColumn("__bigrams",
+      expr("CASE WHEN size(__toks) >= 2 THEN transform(sequence(1, size(__toks) - 1), " +
+        "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1))) " +
+        "ELSE CAST(array() AS array<string>) END"))
+
+    val occ = withBigrams.select(col("doc_id"), col("lang"),
+      isTarget.as("__tgt"), explode(col("__bigrams")).as("f"))
+
+    // Feature space: top-V corpus bigrams (count desc, bigram asc) —
+    // bounded state, deterministic, TakeOrdered not full sort.
+    val feats = occ.groupBy("f").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("f").asc)
+      .limit(v)
+      .select("f")
+
+    // Per-feature target/raw counts restricted to the V features.
+    val counts = occ
+      .join(broadcast(feats), "f")
+      .groupBy("f")
+      .agg(
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("__tgt"), 1L).otherwise(0L)).as("cr"))
+
+    // Totals over the feature space (1 row), then λ_micro per feature.
+    val totals = counts.agg(
+      sum(col("ct")).cast("double").as("tt"),
+      sum(col("cr")).cast("double").as("tr"))
+    val lambda = counts.crossJoin(broadcast(totals))
+      .withColumn("lambda_micro",
+        round(
+          log(((col("ct") + lit(DsirAlpha)) / (col("tt") + lit(DsirAlpha * v)))
+            / ((col("cr") + lit(DsirAlpha)) / (col("tr") + lit(DsirAlpha * v))))
+            * lit(1e6)).cast("long"))
+      .select("f", "lambda_micro")
+
+    // Map-side scoring of the candidate pool: explode_outer (keeps
+    // zero-bigram docs) → broadcast LEFT join on the V-row λ table →
+    // ONE per-doc aggregation. No doc-keyed join anywhere: a
+    // re-attach join here would be corpus×corpus (SortMergeJoin) at
+    // scale; this shape is broadcast + a single doc_id shuffle with
+    // map-side partial aggregation.
+    val scored = withBigrams.filter(!isTarget)
+      .select(col("doc_id"), col("lang"), explode_outer(col("__bigrams")).as("f"))
+      .join(broadcast(lambda), Seq("f"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(
+        sum(when(col("lambda_micro").isNotNull, 1L).otherwise(0L)).as("n_feats"),
+        coalesce(sum(col("lambda_micro")), lit(0L)).as("logw_micro"))
+
+    // K = ceil(keep_frac · pool): one bounded driver scalar, then a
+    // distributed TakeOrderedAndProject.
+    val poolCount = scored.count()
+    val k = math.ceil(keepFrac * poolCount).toInt
+    scored
+      .orderBy(col("logw_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_topk" -> (bm25TopK _),
+    "dsir_select" -> (dsirSelect _))
+
+  private def queriesValuesSql: String =
+    Queries.flatMap { case (qid, terms) => terms.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+
+  /** DuckDB restatements. Tokenization/normalization mirrors
+    * TextPipeline's `toksSql` exactly (same normText contract); both
+    * engines micro-round at the identical point.
+    */
+  def oracles: Map[String, String] = {
+    val normSql =
+      "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    val toksSql = s"list_filter(string_split($normSql, ' '), x -> x <> '')"
+    Map(
+      "bm25_topk" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           |                 AVG(len(toks)) AS avgdl FROM t),
+           |q(query_id, term) AS (VALUES $queriesValuesSql),
+           |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+           |tf AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+           |       FROM tok WHERE term IN (SELECT DISTINCT term FROM q)
+           |       GROUP BY term, doc_id, dl),
+           |dfc AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY term),
+           |sc AS (SELECT q.query_id, tf.doc_id,
+           |         CAST(SUM(CAST(round(
+           |           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           |           * (tf * ${K1 + 1.0}) / (tf + $K1 * (${1.0 - B} + $B * dl / avgdl))
+           |           * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+           |       FROM tf JOIN dfc USING (term) JOIN q ON q.term = tf.term, stats
+           |       GROUP BY q.query_id, tf.doc_id),
+           |r AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_micro,
+           |        CAST(row_number() OVER (PARTITION BY query_id
+           |          ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rnk
+           |      FROM sc)
+           |SELECT query_id, doc_id, score_micro, rnk FROM r
+           |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
+      "dsir_select" ->
+        s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+           |bg AS (SELECT doc_id, lang, unnest(
+           |         [toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS f
+           |       FROM t),
+           |feats AS (SELECT f FROM (
+           |  SELECT f, COUNT(*) AS n FROM bg GROUP BY f
+           |  ORDER BY n DESC, f ASC LIMIT $DsirV)),
+           |counts AS (SELECT bg.f,
+           |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+           |    SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cr
+           |  FROM bg JOIN feats ON bg.f = feats.f GROUP BY bg.f),
+           |totals AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt,
+           |                  CAST(SUM(cr) AS DOUBLE) AS tr FROM counts),
+           |lam AS (SELECT f, CAST(round(ln(
+           |    ((ct + $DsirAlpha) / (tt + ${DsirAlpha * DsirV}))
+           |    / ((cr + $DsirAlpha) / (tr + ${DsirAlpha * DsirV}))) * 1000000) AS BIGINT)
+           |    AS lambda_micro
+           |  FROM counts, totals),
+           |ps AS (SELECT doc_id, COUNT(*) AS n_feats,
+           |         CAST(SUM(lambda_micro) AS BIGINT) AS logw_micro
+           |       FROM bg JOIN lam ON bg.f = lam.f
+           |       WHERE lang <> 'en' GROUP BY doc_id),
+           |pool AS (SELECT t.doc_id, t.lang,
+           |           COALESCE(ps.n_feats, 0) AS n_feats,
+           |           COALESCE(ps.logw_micro, 0) AS logw_micro
+           |         FROM t LEFT JOIN ps ON t.doc_id = ps.doc_id
+           |         WHERE t.lang <> 'en')
+           |SELECT doc_id, lang, n_feats, logw_micro FROM pool
+           |QUALIFY row_number() OVER (ORDER BY logw_micro DESC, doc_id ASC)
+           |  <= ceil($DsirKeepFrac * COUNT(*) OVER ())
+           |ORDER BY logw_micro DESC, doc_id ASC""".stripMargin)
+  }
+}

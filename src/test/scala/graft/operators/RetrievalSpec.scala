@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFns
+import graft.queries.Retrieval
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval + DSIR importance selection: ranking-math contracts
+  * on synthetic corpora (the cross-engine value gate is the DuckDB
+  * oracle; these specs pin the semantics the oracle can't explain —
+  * monotonicity in tf, idf discrimination, target-likeness ordering)
+  * and the scale-shape plan contracts.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def toksDf(docs: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+      .withColumn("__toks", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("__toks"))
+  }
+
+  test("bm25: higher tf wins at equal doc length; absent docs don't rank") {
+    val toks = toksDf(Seq(
+      1L -> "hash hash hash pad",
+      2L -> "hash pad pad pad",
+      3L -> "pad pad pad pad"))
+    val got = Retrieval.bm25(toks, Seq(1 -> Seq("hash")), k = 10)
+      .select("doc_id", "score_micro", "rnk").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "doc 3 has no query term and must not appear")
+    assert(got(0).getLong(1) > got(1).getLong(1))
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 2L), "dense ranks from 1")
+  }
+
+  test("bm25: rarer term contributes more than a corpus-wide term (idf)") {
+    // 'rare' df=1, 'common' df=4: at equal tf and dl the rare-term doc
+    // must outrank the common-term doc for a query naming both.
+    val toks = toksDf(Seq(
+      1L -> "rare pad",
+      2L -> "common pad",
+      3L -> "common x",
+      4L -> "common y",
+      5L -> "common z"))
+    val got = Retrieval.bm25(toks, Seq(1 -> Seq("rare", "common")), k = 10)
+      .select("doc_id", "rnk").collect()
+    assert(got.head.getLong(0) == 1L, s"rare-term doc must rank first: ${got.toSeq}")
+  }
+
+  test("bm25: length normalization — same tf, shorter doc wins") {
+    val toks = toksDf(Seq(
+      1L -> "hash pad",
+      2L -> "hash pad pad pad pad pad pad pad"))
+    val got = Retrieval.bm25(toks, Seq(1 -> Seq("hash")), k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  private def langToksDf(docs: Seq[(Long, String, String)]): DataFrame = {
+    import spark.implicits._
+    docs.toDF("doc_id", "lang", "text")
+      .withColumn("__toks", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("lang"), col("__toks"))
+  }
+
+  test("dsir: pool docs sharing the target's bigrams are selected first") {
+    // Target (en) speaks "good clean data"; pool doc 10 mimics it,
+    // pool docs 11/12 speak disjoint bigrams. keepFrac=0.34 of 3 → 2
+    // kept: the mimic plus the zero-feature doc 11 (logw 0) beats doc
+    // 12 whose features are raw-only (negative log-ratio).
+    val toks = langToksDf(Seq(
+      (1L, "en", "good clean data good clean data good clean data"),
+      (2L, "en", "good clean data good clean data"),
+      (10L, "fr", "good clean data good clean data"),
+      (11L, "fr", "zzz"),
+      (12L, "fr", "bad junk rows bad junk rows bad junk rows")))
+    val got = Retrieval.dsir(toks, col("lang") === "en", v = 64, keepFrac = 0.34)
+      .select("doc_id", "logw_micro").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(10L, 11L),
+      s"expected the target-like doc then the neutral doc: ${got.toSeq}")
+    assert(got(0).getLong(1) > 0L, "target-like doc carries positive log-weight")
+    assert(got(1).getLong(1) == 0L, "doc with no in-space features scores 0")
+  }
+
+  test("dsir: keepFrac bounds the selected count (ceil)") {
+    val toks = langToksDf(
+      (1L to 4L).map(i => (i, "en", "good clean data")) ++
+        (10L to 17L).map(i => (i, "fr", s"filler words number$i here")))
+    val got = Retrieval.dsir(toks, col("lang") === "en", v = 64, keepFrac = 0.25)
+    assert(got.count() == 2, "ceil(0.25 * 8) = 2")
+  }
+
+  test("plan contracts: broadcast-pruned postings, no sort-merge join; dsir select is TakeOrdered") {
+    val bm25Plan = Retrieval.bm25TopK(spark, sf).queryExecution.executedPlan.toString
+    assert(bm25Plan.contains("BroadcastHashJoin"), "query-term prune must broadcast")
+    assert(!bm25Plan.contains("SortMergeJoin"),
+      "nothing in BM25 may shuffle both sides of a join")
+
+    val dsirPlan = Retrieval.dsirSelect(spark, sf).queryExecution.executedPlan.toString
+    assert(dsirPlan.contains("TakeOrderedAndProject"),
+      "the keep-fraction cut must be a distributed top-K, not a global sort or window")
+    assert(!dsirPlan.contains("SortMergeJoin"),
+      "λ attach and pool re-attach must broadcast")
+  }
+}
