@@ -156,16 +156,47 @@ object Retrieval {
     */
   def dsir(toks: DataFrame, isTarget: org.apache.spark.sql.Column,
            v: Int, keepFrac: Double): DataFrame = {
-    // Word bigrams, built in-plan (no shuffle): "tok[i] tok[i+1]".
-    // The size guard matters: Spark's sequence(1, 0) DESCENDS ([1, 0])
-    // rather than returning empty, so a 0/1-token doc would index past
-    // the array end (ANSI error) without it.
-    val withBigrams = toks.withColumn("__bigrams",
+    val lambda = dsirLambda(toks, isTarget, v)
+
+    // Map-side scoring of the candidate pool: explode_outer (keeps
+    // zero-bigram docs) → broadcast LEFT join on the V-row λ table →
+    // ONE per-doc aggregation. No doc-keyed join anywhere: a
+    // re-attach join here would be corpus×corpus (SortMergeJoin) at
+    // scale; this shape is broadcast + a single doc_id shuffle with
+    // map-side partial aggregation.
+    val scored = dsirScores(toks.filter(!isTarget), lambda, Seq("doc_id", "lang"))
+
+    // K = ceil(keep_frac · pool): one bounded driver scalar, then a
+    // distributed TakeOrderedAndProject. Counted on the POOL frame —
+    // scored has exactly one row per pool doc, so the counts agree,
+    // but this one never runs the bigram/λ pipeline.
+    val poolCount = toks.filter(!isTarget).count()
+    val k = math.ceil(keepFrac * poolCount).toInt
+    scored
+      .orderBy(col("logw_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Word bigrams, built in-plan (no shuffle): "tok[i] tok[i+1]".
+    * The size guard matters: Spark's sequence(1, 0) DESCENDS ([1, 0])
+    * rather than returning empty, so a 0/1-token doc would index past
+    * the array end (ANSI error) without it.
+    */
+  private def withBigramsCol(toks: DataFrame): DataFrame =
+    toks.withColumn("__bigrams",
       expr("CASE WHEN size(__toks) >= 2 THEN transform(sequence(1, size(__toks) - 1), " +
         "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1))) " +
         "ELSE CAST(array() AS array<string>) END"))
 
-    val occ = withBigrams.select(col("doc_id"), col("lang"),
+  /** Train the DSIR λ table: `(f, lambda_micro)` over the top-`v`
+    * corpus bigrams — one TakeOrdered + one bounded aggregate; the
+    * result is V rows, broadcastable anywhere (including collected
+    * into a frozen streaming firewall — see
+    * [[graft.streaming.Incremental.dsirFilterStream]]).
+    */
+  def dsirLambda(toks: DataFrame, isTarget: org.apache.spark.sql.Column,
+                 v: Int): DataFrame = {
+    val occ = withBigramsCol(toks).select(col("doc_id"),
       isTarget.as("__tgt"), explode(col("__bigrams")).as("f"))
 
     // Feature space: top-V corpus bigrams (count desc, bigram asc) —
@@ -195,28 +226,24 @@ object Retrieval {
             * lit(1e6)).cast("long"))
       .select("f", "lambda_micro")
 
-    // Map-side scoring of the candidate pool: explode_outer (keeps
-    // zero-bigram docs) → broadcast LEFT join on the V-row λ table →
-    // ONE per-doc aggregation. No doc-keyed join anywhere: a
-    // re-attach join here would be corpus×corpus (SortMergeJoin) at
-    // scale; this shape is broadcast + a single doc_id shuffle with
-    // map-side partial aggregation.
-    val scored = withBigrams.filter(!isTarget)
-      .select(col("doc_id"), col("lang"), explode_outer(col("__bigrams")).as("f"))
+    lambda
+  }
+
+  /** Score a `(keyCols…, __toks)` frame under a trained λ table:
+    * per-row importance log-weight (`logw_micro`) and in-space
+    * feature count (`n_feats`). explode_outer keeps zero-bigram rows;
+    * the λ attach broadcasts; the only shuffle is the per-key
+    * aggregation (map-side partial).
+    */
+  def dsirScores(toks: DataFrame, lambda: DataFrame,
+                 keyCols: Seq[String]): DataFrame =
+    withBigramsCol(toks)
+      .select(keyCols.map(col) :+ explode_outer(col("__bigrams")).as("f"): _*)
       .join(broadcast(lambda), Seq("f"), "left")
-      .groupBy("doc_id", "lang")
+      .groupBy(keyCols.map(col): _*)
       .agg(
         sum(when(col("lambda_micro").isNotNull, 1L).otherwise(0L)).as("n_feats"),
         coalesce(sum(col("lambda_micro")), lit(0L)).as("logw_micro"))
-
-    // K = ceil(keep_frac · pool): one bounded driver scalar, then a
-    // distributed TakeOrderedAndProject.
-    val poolCount = scored.count()
-    val k = math.ceil(keepFrac * poolCount).toInt
-    scored
-      .orderBy(col("logw_micro").desc, col("doc_id").asc)
-      .limit(k)
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> (bm25TopK _),

@@ -249,6 +249,53 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming DSIR firewall — the frozen-model twin of the batch
+    * importance selection ([[graft.queries.Retrieval.dsir]]): incoming
+    * docs are scored under a λ table trained ONCE
+    * ([[graft.queries.Retrieval.dsirLambda]] on a reference
+    * target/raw split) and kept when their importance log-weight
+    * clears a frozen threshold. At stream time DSIR's keep-fraction
+    * cut becomes a fixed `minLogwMicro` (derived at training from the
+    * batch cut's boundary value) — a stream has no global rank, and a
+    * threshold is how the paper's selection deploys online. λ is V
+    * rows, passed as driver data and rebroadcast per batch; scoring
+    * is the shared [[graft.queries.Retrieval.dsirScores]] map, so
+    * batch and stream cannot diverge. Stateless beyond source
+    * offsets; `__batch=` dynamic overwrite ⇒ exactly-once.
+    *
+    * @param lambdaRows the trained λ table, `(bigram, λ_micro)`
+    * @return survivors schema: (doc_id, text, logw_micro)
+    */
+  def dsirFilterStream(spark: SparkSession, srcDir: String,
+                       lambdaRows: Seq[(String, Long)],
+                       minLogwMicro: Long, destDir: String,
+                       checkpointDir: String): Unit = {
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(docsSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import batch.sparkSession.implicits._
+        val lambda = lambdaRows.toDF("f", "lambda_micro")
+        graft.queries.Retrieval.dsirScores(
+          batch.select(col("doc_id"), col("text"),
+            graft.functions.TextFns.tokens(col("text")).as("__toks")),
+          lambda, Seq("doc_id", "text"))
+          .filter(col("logw_micro") >= minLogwMicro)
+          .select(col("doc_id"), col("text"), col("logw_micro"))
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(destDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming IVF index maintenance: new vectors append into the
     * [[graft.operators.Similarity.writeIvfIndex]] partition layout as
     * they arrive — per micro-batch one narrow map (the shared

@@ -321,6 +321,49 @@ class IncrementalSpec extends SparkSpec {
     assert(got2 == (1L to 30L).toSet - 5L - 9L - 27L, s"run2 diverged: $got2")
   }
 
+  test("dsirFilterStream keeps what the frozen-lambda batch scorer keeps, across runs") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.queries.Retrieval
+    val base = Files.createTempDirectory("dsir_stream").toString
+    val src = base + "/src"; val dest = base + "/dest"; val ck = base + "/ck"
+
+    // λ trained ONCE on a reference target/raw split: target speaks
+    // "good clean data", raw speaks "bad junk rows".
+    val ref = ((1 to 20).map(i => (i.toLong, "en", "good clean data good clean data")) ++
+      (21 to 40).map(i => (i.toLong, "xx", "bad junk rows bad junk rows")))
+      .toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFns.tokens(col("text")).as("__toks"))
+    val lambdaRows = Retrieval.dsirLambda(ref, col("lang") === "en", v = 64)
+      .as[(String, Long)].collect().toSeq
+    assert(lambdaRows.nonEmpty)
+
+    def mkDocs(ids: Range, junkIds: Set[Long]) = ids.map { i =>
+      (i.toLong, if (junkIds(i.toLong)) "bad junk rows bad junk rows"
+      else s"good clean data number$i")
+    }.toDF("doc_id", "text")
+    def batchKeep(docs: org.apache.spark.sql.DataFrame): Set[Long] =
+      Retrieval.dsirScores(
+        docs.select(col("doc_id"), col("text"),
+          graft.functions.TextFns.tokens(col("text")).as("__toks")),
+        lambdaRows.toDF("f", "lambda_micro"), Seq("doc_id", "text"))
+        .filter(col("logw_micro") >= 0L)
+        .select("doc_id").as[Long].collect().toSet
+
+    mkDocs(1 to 20, Set(4L, 11L)).write.parquet(src)
+    Incremental.dsirFilterStream(ss, src, lambdaRows, minLogwMicro = 0L, dest, ck)
+    val got1 = ss.read.parquet(dest).select("doc_id").as[Long].collect().toSet
+    assert(got1 == batchKeep(mkDocs(1 to 20, Set(4L, 11L))), s"run1 diverged: $got1")
+    assert(got1 == (1L to 20L).toSet - 4L - 11L, s"junk docs must drop: $got1")
+
+    // run 2: only new files flow; union equals the batch keep over all
+    mkDocs(21 to 30, Set(25L)).write.mode("append").parquet(src)
+    Incremental.dsirFilterStream(ss, src, lambdaRows, minLogwMicro = 0L, dest, ck)
+    val got2 = ss.read.parquet(dest).select("doc_id").as[Long].collect().toSet
+    assert(got2 == (1L to 30L).toSet - 4L - 11L - 25L, s"run2 diverged: $got2")
+  }
+
   test("decontamStream equals batch decontamination across incremental runs") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
