@@ -65,35 +65,61 @@ object Retrieval {
       Queries, TopK)
 
   /** Core BM25 over any `(doc_id, __toks)` frame — the library
-    * surface; [[bm25TopK]] is the gated fixture binding.
+    * surface; [[bm25TopK]] is the gated fixture binding. For a
+    * corpus queried repeatedly, build the on-disk inverted index once
+    * ([[writeBm25Index]]) and probe it with [[bm25TopKIndexed]] —
+    * same scorer, so the two paths cannot diverge.
     */
   def bm25(toks: DataFrame, queryBatch: Seq[(Int, Seq[String])], k: Int): DataFrame = {
-    val s = toks.sparkSession
+    val queryTerms = queryTermsDf(toks.sparkSession, queryBatch)
+    val termSet = queryTerms.select("term").distinct()
 
     // 1-row corpus stats; broadcast into the scorer like block_by_time.
     val stats = toks.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(size(col("__toks"))).as("avgdl"))
 
-    import s.implicits._
-    val queryTerms = queryBatch
-      .flatMap { case (qid, terms) => terms.map(t => (qid, t)) }
-      .toDF("query_id", "term")
-    val termSet = queryTerms.select("term").distinct()
-
-    // Corpus-sized section: explode, then prune to query terms with a
-    // broadcast join BEFORE any shuffle — only matched postings flow on.
-    val tf = toks
-      .select(col("doc_id"), size(col("__toks")).as("dl"),
-        explode(col("__toks")).as("term"))
+    // Corpus-sized section: a codegen'd arrays_overlap prefilter drops
+    // docs containing NO query term before they ever explode (at
+    // corpus scale most docs match no query; skipping their explode is
+    // the dominant saving), then the broadcast query-term join prunes
+    // the surviving postings BEFORE any shuffle.
+    val termList = queryBatch.flatMap(_._2).distinct.sorted
+    val tf = postingsOf(
+      toks.filter(arrays_overlap(col("__toks"), typedlit(termList))))
       .join(broadcast(termSet), "term")
-      .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).cast("double").as("tf"))
 
     // Document frequency per query term — bounded by |terms|, broadcast.
     val dfc = tf.groupBy("term")
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
 
+    scoreAndRank(tf, dfc, stats, queryTerms, k)
+  }
+
+  private def queryTermsDf(s: SparkSession,
+                           queryBatch: Seq[(Int, Seq[String])]): DataFrame = {
+    import s.implicits._
+    queryBatch.flatMap { case (qid, terms) => terms.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+  }
+
+  /** Raw postings of a tokenized corpus: one `(term, doc_id, dl, tf)`
+    * row per distinct (term, doc).
+    */
+  private def postingsOf(toks: DataFrame): DataFrame =
+    toks
+      .select(col("doc_id"), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+  /** The shared BM25 scorer: postings ⋈ broadcast df ⋈ broadcast query
+    * terms ⋈ 1-row stats → micro-rounded contributions → per-(query,
+    * doc) sum → per-query top-k. Both the direct path and the
+    * index-probe path end here.
+    */
+  private def scoreAndRank(tf: DataFrame, dfc: DataFrame, stats: DataFrame,
+                           queryTerms: DataFrame, k: Int): DataFrame = {
     val contrib = tf
       .join(broadcast(dfc), "term")
       .join(broadcast(queryTerms), "term")
@@ -115,6 +141,104 @@ object Retrieval {
       .filter(col("rnk") <= k)
       .select(col("query_id").cast("long"), col("doc_id"), col("score_micro"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Partition count of the on-disk inverted index: postings land in
+    * `bucket = pmod(xxhash64(term), nBuckets)` directories, so a
+    * query's scan prunes to the partitions its terms hash into — the
+    * retrieval twin of the IVF layout's probing-as-partition-pruning
+    * (Similarity.writeIvfIndex). 64 buckets ≈ 1.6% of a 100 TB
+    * posting set scanned per single-term query, before row-group
+    * min/max pruning on `term` (postings are sorted within each
+    * bucket) cuts further.
+    */
+  val Bm25Buckets = 64
+
+  /** Materialize the inverted index: term-bucketed postings (sorted
+    * by term within each bucket for row-group pruning), a per-term
+    * document-frequency table in the same bucket layout, and the
+    * 1-row corpus stats. df/stats are fixed at build time — probing
+    * never recomputes corpus statistics, which is what makes the
+    * probe's cost independent of corpus size.
+    */
+  /** The index-layout frame behind [[writeBm25Index]]: bucketed
+    * posting rows, shared with the streaming appender
+    * ([[graft.streaming.Incremental.bm25IndexStream]]) so batch build
+    * and incremental append cannot diverge on the layout.
+    */
+  private[graft] def bm25PostingRows(toks: DataFrame, nBuckets: Int): DataFrame =
+    postingsOf(toks)
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+
+  def writeBm25Index(toks: DataFrame, path: String,
+                     nBuckets: Int = Bm25Buckets): Unit = {
+    // `__batch=-1` second partition level: directory-compatible with
+    // the streaming appender's `bucket=<b>/__batch=<n≥0>/` (same
+    // convention as the IVF layout), so a batch-built index can be
+    // seeded and then incrementally maintained in place. Probes
+    // select explicit columns, so the extra level is invisible.
+    bm25PostingRows(toks, nBuckets)
+      .withColumn("__batch", lit(-1L))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("bucket", "__batch")
+      .parquet(s"$path/postings")
+    writeBm25Stats(toks.sparkSession, path)
+  }
+
+  /** (Re)compute the df table and corpus stats FROM the postings
+    * layout — the "segment merge" of this index. The streaming
+    * appender writes postings only (df/stats of a growing corpus
+    * cannot be maintained append-only); probes between refreshes use
+    * build-time df, the standard stale-statistics trade of segmented
+    * search indexes, and a refresh restores exact [[bm25]] parity.
+    * Docs are counted from distinct posting (doc_id, dl) pairs, so a
+    * zero-token doc leaves the denominators at refresh — it can never
+    * match a query either way.
+    */
+  def writeBm25Stats(spark: SparkSession, path: String): Unit = {
+    val postings = spark.read.parquet(s"$path/postings")
+      .select("term", "doc_id", "dl", "bucket")
+    postings.groupBy("term", "bucket")
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
+    postings.select("doc_id", "dl").distinct()
+      .agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k against a [[writeBm25Index]] layout. The query terms'
+    * buckets are computed driver-side (bounded by |terms|) and become
+    * a partition-pruning `bucket IN (...)` predicate on both the
+    * postings and the df scans; the term equi-filter pushes into the
+    * pruned row groups. Identical scorer to [[bm25]] —
+    * RetrievalSpec gates indexed ≡ direct.
+    */
+  def bm25TopKIndexed(spark: SparkSession, path: String,
+                      queryBatch: Seq[(Int, Seq[String])], k: Int = TopK,
+                      nBuckets: Int = Bm25Buckets): DataFrame = {
+    val queryTerms = queryTermsDf(spark, queryBatch)
+    val termSet = queryTerms.select("term").distinct()
+    // the write side's hash, evaluated on the driver-bounded term
+    // list through the same Spark expression — never reimplemented
+    val buckets = termSet
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(termSet), "term")
+      .select("term", "doc_id", "dl", "tf")
+    val dfc = spark.read.parquet(s"$path/terms")
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(termSet), "term")
+      .select("term", "df")
+    val stats = spark.read.parquet(s"$path/stats")
+    scoreAndRank(tf, dfc, stats, queryTerms, k)
   }
 
   /** DSIR feature-space dimension and selection fraction. V explicit

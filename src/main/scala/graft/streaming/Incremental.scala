@@ -296,6 +296,47 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming BM25 index maintenance: new documents' postings append
+    * into the [[graft.queries.Retrieval.writeBm25Index]] layout as
+    * they arrive — per micro-batch one narrow map (the shared
+    * `bm25PostingRows` derivation, so batch build and incremental
+    * append cannot diverge on tokenization, tf math, or term
+    * bucketing) + a partitioned append under
+    * `bucket=<b>/__batch=<n≥0>/` with dynamic overwrite, so a
+    * replayed micro-batch overwrites its own sub-partitions instead
+    * of double-indexing (exactly-once; the batch seed lives at
+    * `__batch=-1` and never collides). Between refreshes, probes see
+    * the new postings but build-time df/stats — the standard
+    * stale-statistics trade of segmented search indexes;
+    * [[graft.queries.Retrieval.writeBm25Stats]] is the segment-merge
+    * that restores exact direct-scorer parity. Stateless beyond
+    * source offsets.
+    */
+  def bm25IndexStream(spark: SparkSession, srcDir: String, indexDir: String,
+                      checkpointDir: String,
+                      nBuckets: Int = graft.queries.Retrieval.Bm25Buckets): Unit = {
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(docsSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.queries.Retrieval.bm25PostingRows(
+          batch.select(col("doc_id"),
+            graft.functions.TextFns.tokens(col("text")).as("__toks")),
+          nBuckets)
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket", "__batch").parquet(s"$indexDir/postings")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming IVF index maintenance: new vectors append into the
     * [[graft.operators.Similarity.writeIvfIndex]] partition layout as
     * they arrive — per micro-batch one narrow map (the shared

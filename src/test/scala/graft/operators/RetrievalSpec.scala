@@ -93,6 +93,31 @@ class RetrievalSpec extends SparkSpec {
     assert(got.count() == 2, "ceil(0.25 * 8) = 2")
   }
 
+  test("bm25 index: probe equals the direct path; query buckets prune partitions") {
+    val base = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+    Retrieval.writeBm25Index(toks, base)
+
+    val direct = Retrieval.bm25TopK(spark, sf)
+    val probe = Retrieval.bm25TopKIndexed(spark, base, Retrieval.Queries)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(probe) == rows(direct), "index probe diverged from the direct scorer")
+
+    // the probe plans as partition PRUNING on the postings scan: the
+    // term-hash bucket set is a partition filter, not a post-scan one
+    val plan = probe.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.nonEmpty && pf.exists(l => l.contains("bucket") &&
+      (l.contains("IN") || l.contains("in("))),
+      s"postings scan must prune by bucket:\n${pf.mkString("\n")}")
+
+    // a disjoint-vocabulary query set reads nothing but still answers
+    assert(Retrieval.bm25TopKIndexed(spark, base,
+      Seq(1 -> Seq("zzzznotaword"))).count() == 0)
+  }
+
   test("plan contracts: broadcast-pruned postings, no sort-merge join; dsir select is TakeOrdered") {
     val bm25Plan = Retrieval.bm25TopK(spark, sf).queryExecution.executedPlan.toString
     assert(bm25Plan.contains("BroadcastHashJoin"), "query-term prune must broadcast")

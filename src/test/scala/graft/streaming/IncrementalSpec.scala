@@ -364,6 +364,41 @@ class IncrementalSpec extends SparkSpec {
     assert(got2 == (1L to 30L).toSet - 4L - 11L - 25L, s"run2 diverged: $got2")
   }
 
+  test("bm25IndexStream: appended postings + stats refresh probe identically to the direct scorer") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.queries.Retrieval
+    val base = Files.createTempDirectory("bm25_stream").toString
+    val src = base + "/src"; val idx = base + "/idx"; val ck = base + "/ck"
+
+    def mkDocs(ids: Range) = ids.map { i =>
+      (i.toLong, s"alpha beta ${if (i % 3 == 0) "gamma gamma" else "delta"} w$i")
+    }.toDF("doc_id", "text")
+    def toToks(docs: org.apache.spark.sql.DataFrame) =
+      docs.select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("__toks"))
+    val queries = Seq(1 -> Seq("gamma"), 2 -> Seq("alpha", "delta"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // batch seed, then two incremental appends + a refresh each
+    Retrieval.writeBm25Index(toToks(mkDocs(1 to 20)), idx)
+    mkDocs(21 to 35).write.parquet(src)
+    Incremental.bm25IndexStream(ss, src, idx, ck)
+    Retrieval.writeBm25Stats(ss, idx)
+    val probe1 = Retrieval.bm25TopKIndexed(ss, idx, queries, k = 50)
+    val direct1 = Retrieval.bm25(toToks(mkDocs(1 to 35)), queries, k = 50)
+    assert(rows(probe1) == rows(direct1), "post-refresh probe diverged after run 1")
+
+    mkDocs(36 to 45).write.mode("append").parquet(src)
+    Incremental.bm25IndexStream(ss, src, idx, ck)
+    Retrieval.writeBm25Stats(ss, idx)
+    val probe2 = Retrieval.bm25TopKIndexed(ss, idx, queries, k = 50)
+    val direct2 = Retrieval.bm25(toToks(mkDocs(1 to 45)), queries, k = 50)
+    assert(rows(probe2) == rows(direct2), "post-refresh probe diverged after run 2")
+    assert(rows(probe2) != rows(probe1), "run 2 must actually add indexed docs")
+  }
+
   test("decontamStream equals batch decontamination across incremental runs") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
