@@ -165,6 +165,45 @@ object Similarity {
       .toDF("centroid_id", "centroid")
   }
 
+  /** One exact Lloyd iteration over an explicit centroid frame: assign
+    * every corpus vector to its nearest centroid (max cosine, ties →
+    * higher centroid id — the [[graft.plans.IvfAssign]] comparator),
+    * then emit the per-(cluster, dimension) re-estimated mean. This is
+    * the hash-gatable core of [[kmeansCentroids]]: the trainer itself
+    * is floor-gated through IVF recall (ml.KMeans internals aren't
+    * restatable in SQL), but ONE step from deterministic seeds is — so
+    * the assignment math and the mean update get an exact cross-engine
+    * gate.
+    *
+    * Scale shape: assignment is the native driver-resident-quantizer
+    * map (no join, no corpus shuffle); `posexplode` fans each row into
+    * its dims but the per-(cluster, dim) aggregation partial-aggregates
+    * map-side down to k·dim groups before the only exchange.
+    *
+    * Returns `(cluster, i, n_vecs, sum_micro, mean_micro)` — one row
+    * per (cluster, 1-based dimension); components are micro-rounded to
+    * BIGINT before the cross-row sum (the engine's integer-exact
+    * cross-engine convention), and `mean_micro = round(sum/n)`.
+    */
+  def kmeansStep(corpus: DataFrame, centroids: DataFrame,
+                 vecCol: String = "embedding"): DataFrame = {
+    val centRows = centroids
+      .select(col("centroid_id").cast("long"), col("centroid")).collect()
+    val ids = centRows.map(_.getLong(0))
+    val vecs = centRows.map(_.getSeq[Float](1).toArray)
+    val nearest = element_at(ColumnBridge.column(graft.plans.IvfAssign(
+      ColumnBridge.expression(col(vecCol)), ids, vecs, 1)), 1)
+    graft.Tables.spread(corpus)
+      .select(nearest.as("cluster"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(col("cluster"), (col("i") + 1).cast("long").as("i"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(round(col("x").cast("double") * lit(1e6)).cast("long")).as("sum_micro"))
+      .withColumn("mean_micro",
+        round(col("sum_micro").cast("double") / col("n_vecs")).cast("long"))
+      .orderBy(col("cluster"), col("i"))
+  }
+
   /** IVF top-k over TRAINED centroids: train with [[kmeansCentroids]],
     * then probe. Same recall/latency contract as [[ivfTopK]], better
     * list balance than the sampled quantizer on clustered corpora (a

@@ -241,6 +241,133 @@ object Retrieval {
     scoreAndRank(tf, dfc, stats, queryTerms, k)
   }
 
+  /** The fixed phrase batch for the gated query — exact multi-token
+    * phrases over the fixture vocabulary (lengths 2 and 3, including
+    * a repeated-token phrase, the classic positional-index edge
+    * case: "table table" must NOT match a lone "table").
+    */
+  val Phrases: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("table", "table"),
+    2 -> Seq("fast", "sort"),
+    3 -> Seq("hash", "join"),
+    4 -> Seq("slow", "query"),
+    5 -> Seq("query", "key", "scan"))
+
+  def phraseMatch(s: SparkSession, dir: String): DataFrame =
+    phrases(TextPipeline.tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")),
+      Phrases)
+
+  /** Exact phrase search: per (phrase, doc), the number of token
+    * positions where the full phrase matches — the contamination
+    * probe / quote-finder a corpus team runs constantly ("find every
+    * doc containing this exact benchmark sentence").
+    *
+    * Spark-first shape: NO positional explode at all. The phrase
+    * batch broadcasts (P rows); `array_contains` on the phrase's
+    * first token is the codegen'd prefilter (docs without it never
+    * evaluate the scan); the match count is one codegen'd
+    * higher-order `filter(sequence(...), i -> slice(toks,i,m)=ph)`
+    * over each surviving doc — occurrences COUNTED, overlaps
+    * included, entirely map-side. The only exchange is the final
+    * result sort (output-sized). At 100 TB this is a single corpus
+    * scan regardless of phrase count.
+    *
+    * The size guard matters for the same reason as
+    * [[withBigramsCol]]: Spark's `sequence(1, 0)` DESCENDS rather
+    * than returning empty.
+    */
+  def phrases(toks: DataFrame, batch: Seq[(Int, Seq[String])]): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    val ph = batch.toDF("phrase_id", "phrase")
+    toks
+      .join(broadcast(ph),
+        array_contains(col("__toks"), element_at(col("phrase"), 1)))
+      .select(col("phrase_id"), col("doc_id"),
+        phraseCount(col("__toks"), col("phrase")).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("phrase_id"), col("doc_id"))
+  }
+
+  /** Occurrence count of one phrase in a token-array column — the
+    * matcher shared by [[phrases]] and the streaming phrase firewall
+    * ([[graft.streaming.Incremental.phraseFilterStream]]), so batch
+    * sweep and ingest gate cannot diverge on match semantics. The
+    * size guard matters: Spark's `sequence(1, 0)` DESCENDS rather
+    * than returning empty.
+    */
+  def phraseCount(toks: org.apache.spark.sql.Column,
+                  phrase: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(toks) >= size(phrase),
+      size(filter(
+        sequence(lit(1), size(toks) - size(phrase) + lit(1)),
+        i => slice(toks, i, size(phrase)) === phrase)))
+      .otherwise(lit(0))
+
+  /** True iff the token array contains ANY of the given phrases —
+    * the map-side firewall predicate (first-token `array_contains`
+    * short-circuits the window scan per phrase).
+    */
+  def containsAnyPhrase(toks: org.apache.spark.sql.Column,
+                        batch: Seq[Seq[String]]): org.apache.spark.sql.Column =
+    batch.map { ph =>
+      array_contains(toks, ph.head) &&
+        phraseCount(toks, typedlit(ph)) > 0
+    }.reduce(_ || _)
+
+  /** Hybrid-retrieval fusion depth (each system contributes its top
+    * 20) and the standard RRF constant (Cormack, Clarke & Buettcher
+    * 2009, "Reciprocal Rank Fusion outperforms Condorcet and
+    * individual Rank Learning Methods": k = 60).
+    */
+  val RrfN = 20
+  val RrfK0 = 60
+
+  /** Hybrid retrieval: BM25 keyword ranking and dense-embedding
+    * cosine ranking fused by reciprocal-rank fusion — the shape every
+    * retrieval-augmented pipeline runs (sparse + dense, then fuse).
+    * Query q's keyword side is [[Queries]](q); its dense side is the
+    * embedding at vec_id = q (the fixture's doc/vec ids align).
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextPipeline.tokenizedDocs(s, dir).select(col("doc_id"), col("__toks"))
+    val kw = bm25(toks, Queries, RrfN)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+    val emb = graft.Tables.embeddings(s, dir)
+    val dense = graft.operators.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id").isin(Queries.map(_._1.toLong): _*))
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        k = RrfN, corpusId = "doc_id")
+      .select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rnk"))
+    rrfFuse(Seq(kw, dense), TopK)
+  }
+
+  /** Reciprocal-rank fusion over any set of `(query_id, doc_id, rnk)`
+    * rankings: score(q, d) = Σ_systems 1/(k0 + rank_s(q, d)), each
+    * reciprocal micro-rounded to BIGINT before the sum (the engine's
+    * standard integer-exact cross-engine convention), ties broken by
+    * doc_id.
+    *
+    * Scale shape: inputs are already per-query top-N frames (bounded
+    * by |queries|·N·|systems| rows), so the union + per-(query, doc)
+    * sum + per-query window all run on result-sized data — the
+    * corpus-sized work happened inside the upstream rankers.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = RrfK0): DataFrame = {
+    val contribs = rankings
+      .map(_.select(col("query_id"), col("doc_id"),
+        round(lit(1e6) / (lit(k0.toDouble) + col("rnk"))).cast("long").as("__c")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    contribs.groupBy("query_id", "doc_id")
+      .agg(sum(col("__c")).as("rrf_micro"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** DSIR feature-space dimension and selection fraction. V explicit
     * top-count bigrams stand in for the paper's fixed hashed-n-gram
     * bucket dimension (Xie et al. 2023, "Data Selection for Language
@@ -371,6 +498,8 @@ object Retrieval {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> (bm25TopK _),
+    "phrase_match" -> (phraseMatch _),
+    "hybrid_rrf" -> (hybridRrf _),
     "dsir_select" -> (dsirSelect _))
 
   private def queriesValuesSql: String =
@@ -381,35 +510,84 @@ object Retrieval {
     * TextPipeline's `toksSql` exactly (same normText contract); both
     * engines micro-round at the identical point.
     */
+  /** The bm25 ranked-postings CTE chain (`t` … `r`), shared by the
+    * `bm25_topk` oracle (cut at [[TopK]]) and the `hybrid_rrf` oracle
+    * (keyword leg, cut at [[RrfN]]).
+    */
+  private def bm25RankedCtesSql(toksSql: String): String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |                 AVG(len(toks)) AS avgdl FROM t),
+       |q(query_id, term) AS (VALUES $queriesValuesSql),
+       |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+       |tf AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+       |       FROM tok WHERE term IN (SELECT DISTINCT term FROM q)
+       |       GROUP BY term, doc_id, dl),
+       |dfc AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+       |        FROM tf GROUP BY term),
+       |sc AS (SELECT q.query_id, tf.doc_id,
+       |         CAST(SUM(CAST(round(
+       |           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |           * (tf * ${K1 + 1.0}) / (tf + $K1 * (${1.0 - B} + $B * dl / avgdl))
+       |           * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+       |       FROM tf JOIN dfc USING (term) JOIN q ON q.term = tf.term, stats
+       |       GROUP BY q.query_id, tf.doc_id),
+       |r AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_micro,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rnk
+       |      FROM sc)""".stripMargin
+
+  private def phrasesValuesSql: String =
+    Phrases.map { case (pid, ph) =>
+      s"($pid, [${ph.map(w => s"'$w'").mkString(", ")}])"
+    }.mkString(", ")
+
   def oracles: Map[String, String] = {
     val normSql =
       "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
     val toksSql = s"list_filter(string_split($normSql, ' '), x -> x <> '')"
+    val dotSql = (a: String, b: String) =>
+      s"list_reduce(list_transform(range(1, len($a) + 1), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
     Map(
       "bm25_topk" ->
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-           |                 AVG(len(toks)) AS avgdl FROM t),
-           |q(query_id, term) AS (VALUES $queriesValuesSql),
-           |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
-           |tf AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
-           |       FROM tok WHERE term IN (SELECT DISTINCT term FROM q)
-           |       GROUP BY term, doc_id, dl),
-           |dfc AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
-           |        FROM tf GROUP BY term),
-           |sc AS (SELECT q.query_id, tf.doc_id,
-           |         CAST(SUM(CAST(round(
-           |           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-           |           * (tf * ${K1 + 1.0}) / (tf + $K1 * (${1.0 - B} + $B * dl / avgdl))
-           |           * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
-           |       FROM tf JOIN dfc USING (term) JOIN q ON q.term = tf.term, stats
-           |       GROUP BY q.query_id, tf.doc_id),
-           |r AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_micro,
-           |        CAST(row_number() OVER (PARTITION BY query_id
-           |          ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rnk
-           |      FROM sc)
+        s"""WITH ${bm25RankedCtesSql(toksSql)}
            |SELECT query_id, doc_id, score_micro, rnk FROM r
            |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
+      "phrase_match" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |p(phrase_id, phrase) AS (VALUES $phrasesValuesSql),
+           |m AS (SELECT phrase_id, doc_id,
+           |        CAST(len(list_filter(range(1, len(toks) - len(phrase) + 2),
+           |          i -> toks[i:i + len(phrase) - 1] = phrase)) AS BIGINT) AS n_matches
+           |      FROM t, p WHERE len(toks) >= len(phrase))
+           |SELECT phrase_id, doc_id, n_matches FROM m WHERE n_matches > 0
+           |ORDER BY phrase_id, doc_id""".stripMargin,
+      "hybrid_rrf" ->
+        s"""WITH ${bm25RankedCtesSql(toksSql)},
+           |e AS (SELECT vec_id, embedding AS v,
+           |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+           |dq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+           |       WHERE vec_id IN (${Queries.map(_._1).mkString(", ")})),
+           |dc AS (SELECT vec_id AS doc_id, v AS cv, nrm AS cn FROM e),
+           |ds AS (SELECT query_id, doc_id,
+           |  round(CASE WHEN qn * cn = 0 THEN 0.0
+           |             ELSE ${dotSql("qv", "cv")} / (qn * cn) END, 6) AS cos
+           |  FROM dq, dc WHERE query_id <> doc_id),
+           |dr AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+           |         ORDER BY cos DESC, doc_id ASC) AS drnk FROM ds),
+           |u AS (SELECT query_id, doc_id,
+           |        CAST(round(1000000.0 / ($RrfK0 + rnk)) AS BIGINT) AS c
+           |      FROM (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= $RrfN
+           |            UNION ALL
+           |            SELECT query_id, doc_id, CAST(drnk AS BIGINT) AS rnk
+           |            FROM dr WHERE drnk <= $RrfN)),
+           |f AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro
+           |      FROM u GROUP BY query_id, doc_id)
+           |SELECT query_id, doc_id, rrf_micro,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rnk
+           |FROM f QUALIFY rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
       "dsir_select" ->
         s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
            |bg AS (SELECT doc_id, lang, unnest(

@@ -375,6 +375,18 @@ object TextPipeline {
 
   // ---- similarity --------------------------------------------------
 
+  /** One exact Lloyd iteration from deterministic seeds (vec_id < 8 as
+    * centroids — the semantic_dedup seeding convention): the
+    * hash-gated twin of the floor-gated ml.KMeans trainer. See
+    * [[graft.operators.Similarity.kmeansStep]].
+    */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.kmeansStep(emb,
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid")))
+  }
+
   /** Exact cosine top-5 for the first 10 vectors as probes. */
   def knnBruteforce(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -951,6 +963,7 @@ object TextPipeline {
     "text_stats" -> (textStats _),
     "bpe_tokens" -> (bpeTokens _),
     "lang_guess" -> (langGuess _),
+    "kmeans_step" -> (kmeansStep _),
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
@@ -1563,6 +1576,26 @@ object TextPipeline {
         |       CAST(list_min(qv) AS BIGINT) AS q_min,
         |       CAST(list_max(qv) AS BIGINT) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
+    "kmeans_step" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+         |sc AS (SELECT e.vec_id, e.v, c.cid,
+         |         CASE WHEN e.nrm * c.cn = 0 THEN 0.0
+         |              ELSE ${dotSql("e.v", "c.cv")} / (e.nrm * c.cn) END AS cos
+         |       FROM e, c),
+         |a AS (SELECT vec_id, v, cid FROM sc
+         |      QUALIFY row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cos DESC, cid DESC) = 1),
+         |x AS (SELECT cid AS cluster, unnest(range(1, len(v) + 1)) AS i,
+         |        CAST(round(CAST(unnest(v) AS DOUBLE) * 1000000) AS BIGINT) AS xm
+         |      FROM a),
+         |g AS (SELECT cluster, i, COUNT(*) AS n_vecs,
+         |        CAST(SUM(xm) AS BIGINT) AS sum_micro
+         |      FROM x GROUP BY cluster, i)
+         |SELECT cluster, i, n_vecs, sum_micro,
+         |  CAST(round(CAST(sum_micro AS DOUBLE) / n_vecs) AS BIGINT) AS mean_micro
+         |FROM g ORDER BY cluster, i""".stripMargin,
     "knn_bruteforce" -> knnExactSql,
     // degenerate-parameter LSH/IVF provably equal brute force
     // (probeDist = bits / nProbe = nCentroids), so the exact-knn oracle

@@ -296,6 +296,43 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming phrase firewall: drop (or tag) arriving documents that
+    * contain any of a frozen list of exact phrases — the
+    * benchmark-sentence contamination gate run at ingest instead of as
+    * a batch sweep. Per micro-batch one map-side filter through the
+    * SHARED [[graft.queries.Retrieval.phraseCount]] matcher (same
+    * tokenization, same overlap-counted sliding-window match as the
+    * batch `phrase_match` query, so the two paths cannot diverge on
+    * semantics); docs matching NO phrase pass through. No join, no
+    * shuffle, no state beyond source offsets; exactly-once by
+    * `__batch` dynamic overwrite.
+    */
+  def phraseFilterStream(spark: SparkSession, srcDir: String,
+                         phrases: Seq[(Int, Seq[String])], destDir: String,
+                         checkpointDir: String): Unit = {
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(docsSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("__toks", graft.functions.TextFns.tokens(col("text")))
+          .filter(!graft.queries.Retrieval.containsAnyPhrase(
+            col("__toks"), phrases.map(_._2)))
+          .select(col("doc_id"), col("text"))
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(destDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming BM25 index maintenance: new documents' postings append
     * into the [[graft.queries.Retrieval.writeBm25Index]] layout as
     * they arrive — per micro-batch one narrow map (the shared

@@ -93,6 +93,40 @@ class RetrievalSpec extends SparkSpec {
     assert(got.count() == 2, "ceil(0.25 * 8) = 2")
   }
 
+  test("phrases: overlap-counted positional matches, repeated-token edge, no Generate in the plan") {
+    val toks = toksDf(Seq(
+      1L -> "a a a b",        // "a a" matches at pos 1 AND 2 (overlap counted)
+      2L -> "a b a b",        // "a a" never: lone a's must not match the pair
+      3L -> "x a",            // contains first term but not the phrase
+      4L -> "a a"))           // exact-length doc (size == phrase length)
+    val got = Retrieval.phrases(toks, Seq(1 -> Seq("a", "a"), 2 -> Seq("a", "b")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1, 1L, 2L), (1, 4L, 1L),
+      (2, 1L, 1L), (2, 2L, 2L)), s"got $got")
+
+    // the scan is map-side: no positional explode (Generate) anywhere
+    val plan = Retrieval.phrases(toks, Seq(1 -> Seq("a", "b")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"phrase scan must not explode:\n$plan")
+  }
+
+  test("rrfFuse: both-system docs beat single-system; reciprocal weighting; determinism") {
+    val ss = spark; import ss.implicits._
+    def rk(rows: (Long, Long, Long)*) =
+      rows.toDF("query_id", "doc_id", "rnk")
+    // doc 10 ranked by both systems (3rd + 3rd) must beat doc 20
+    // (1st in one system only): 2/(60+3) > 1/61.
+    val a = rk((1L, 20L, 1L), (1L, 10L, 3L))
+    val b = rk((1L, 30L, 1L), (1L, 10L, 3L))
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.head._1 == 10L, s"consensus doc must win: ${got.toSeq}")
+    assert(got.head._2 == 2L * math.round(1e6 / 63.0), "reciprocal micro sum")
+    // 20 and 30 tie on score (both rank-1 singles) → doc_id order
+    assert(got.map(_._1).toSeq == Seq(10L, 20L, 30L))
+    assert(got.map(_._3).toSeq == Seq(1L, 2L, 3L), "dense output ranks")
+  }
+
   test("bm25 index: probe equals the direct path; query buckets prune partitions") {
     val base = java.nio.file.Files.createTempDirectory("bm25_idx").toString
     val toks = graft.Tables.documents(spark, sf)

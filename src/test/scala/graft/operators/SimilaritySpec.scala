@@ -186,6 +186,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(2) >= recall(1))
   }
 
+  test("kmeansStep: exact assignment + per-dim mean update on a separable corpus") {
+    val ss = spark; import ss.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // two axis clusters; seeds 0 and 1 are one member of each
+    val corpus = Seq(
+      (0L, v(1.0, 0.0)), (2L, v(0.8, 0.2)), (3L, v(0.9, 0.1)),
+      (1L, v(0.0, 1.0)), (4L, v(0.2, 0.8))).toDF("vec_id", "embedding")
+    val cents = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val got = Similarity.kmeansStep(corpus, cents)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // cluster 0 = {0, 2, 3}: dim-1 mean (1.0+0.8+0.9)/3 = 0.9
+    assert(got((0L, 1L)) == (3L, 2700000L, 900000L), s"got $got")
+    assert(got((0L, 2L)) == (3L, 300000L, 100000L))
+    // cluster 1 = {1, 4}: dim-2 mean (1.0+0.8)/2 = 0.9
+    assert(got((1L, 1L)) == (2L, 200000L, 100000L))
+    assert(got((1L, 2L)) == (2L, 1800000L, 900000L))
+    assert(got.size == 4, "k x dim rows exactly")
+  }
+
   test("kmeansCentroids recovers the centers of a separable corpus") {
     val ss = spark; import ss.implicits._
     // 3 tight clusters around orthogonal axes

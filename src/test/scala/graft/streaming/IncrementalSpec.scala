@@ -364,6 +364,45 @@ class IncrementalSpec extends SparkSpec {
     assert(got2 == (1L to 30L).toSet - 4L - 11L - 25L, s"run2 diverged: $got2")
   }
 
+  test("phraseFilterStream: ingest firewall equals the batch phrase sweep across incremental runs") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.queries.Retrieval
+    val base = Files.createTempDirectory("phrase_stream").toString
+    val src = base + "/src"; val dest = base + "/dest"; val ck = base + "/ck"
+    val phrases = Seq(1 -> Seq("bad", "bad"), 2 -> Seq("leak", "this", "now"))
+
+    def mkDocs(ids: Range) = ids.map { i =>
+      val body = i % 5 match {
+        case 0 => "ok bad ok bad bad end"        // "bad bad" fires
+        case 1 => "please leak this now thanks"  // 3-gram fires
+        case 2 => "bad ok bad ok"                // lone bads — clean
+        case 3 => "leak this later now"          // broken phrase — clean
+        case _ => "totally fine text"
+      }
+      (i.toLong, body)
+    }.toDF("doc_id", "text")
+
+    def batchKept(docs: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val toks = docs.select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("__toks"))
+      val hit = Retrieval.phrases(toks, phrases)
+        .select("doc_id").distinct().as[Long].collect().toSet
+      docs.select("doc_id").as[Long].collect().toSet -- hit
+    }
+
+    mkDocs(1 to 20).write.parquet(src)
+    Incremental.phraseFilterStream(ss, src, phrases, dest, ck)
+    val got1 = ss.read.parquet(dest).select("doc_id").as[Long].collect().toSet
+    assert(got1 == batchKept(mkDocs(1 to 20)), s"run1 diverged: $got1")
+
+    mkDocs(21 to 35).write.mode("append").parquet(src)
+    Incremental.phraseFilterStream(ss, src, phrases, dest, ck)
+    val got2 = ss.read.parquet(dest).select("doc_id").as[Long].collect().toSet
+    assert(got2 == batchKept(mkDocs(1 to 35)), s"run2 diverged: $got2")
+    assert(got2.size > got1.size, "run 2 must add newly kept docs")
+  }
+
   test("bm25IndexStream: appended postings + stats refresh probe identically to the direct scorer") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
