@@ -143,6 +143,31 @@ object Retrieval {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Gated binding of the on-disk index probe: builds the inverted
+    * index ONCE per (session, corpus dir) into a temp directory (the
+    * production shape — an index is built once and probed per query
+    * batch; re-building per probe would benchmark the build, not the
+    * probe), then answers [[Queries]] through [[bm25TopKIndexed]].
+    * Shares `bm25_topk`'s oracle SQL: the probe must reproduce the
+    * direct scorer exactly, and the driver's hash gate now checks
+    * that equality against DuckDB every round.
+    */
+  def bm25TopKViaIndex(s: SparkSession, dir: String): DataFrame =
+    bm25TopKIndexed(s, indexFor(s, dir), Queries, TopK)
+
+  private val indexDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def indexFor(s: SparkSession, dir: String): String =
+    indexDirs.computeIfAbsent((graft.SessionCache.idOf(s), dir), { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_bm25_idx").toString
+      writeBm25Index(
+        TextPipeline.tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")),
+        path)
+      path
+    })
+
   /** Partition count of the on-disk inverted index: postings land in
     * `bucket = pmod(xxhash64(term), nBuckets)` directories, so a
     * query's scan prunes to the partitions its terms hash into — the
@@ -498,6 +523,7 @@ object Retrieval {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> (bm25TopK _),
+    "bm25_indexed" -> (bm25TopKViaIndex _),
     "phrase_match" -> (phraseMatch _),
     "hybrid_rrf" -> (hybridRrf _),
     "dsir_select" -> (dsirSelect _))
@@ -551,6 +577,11 @@ object Retrieval {
         s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
     Map(
       "bm25_topk" ->
+        s"""WITH ${bm25RankedCtesSql(toksSql)}
+           |SELECT query_id, doc_id, score_micro, rnk FROM r
+           |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
+      // the index probe must equal the direct scorer — same oracle
+      "bm25_indexed" ->
         s"""WITH ${bm25RankedCtesSql(toksSql)}
            |SELECT query_id, doc_id, score_micro, rnk FROM r
            |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
