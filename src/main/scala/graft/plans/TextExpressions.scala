@@ -388,3 +388,88 @@ object HashedMargin {
     ((((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
       ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)) % d).toInt
 }
+
+/** Occurrence count of a token phrase inside a token array in ONE
+  * codegen'd pass — the native engine of
+  * [[graft.queries.Retrieval.phraseCount]]. The composed
+  * higher-order form (`size(filter(sequence(...), i ->
+  * slice(toks, i, m) === phrase))`) is semantically right but Spark
+  * evaluates HOF lambdas interpreted AND `slice` allocates a fresh
+  * m-element array per candidate position — at corpus scale that is
+  * ~|doc| small allocations per (doc, phrase) pair in the hottest
+  * loop. This expression compares elements in place: zero
+  * allocations, whole-stage codegen, same sliding-window overlap-
+  * counted semantics.
+  *
+  * Value contract (bit-identical to the composed form on null-free
+  * arrays, spec-asserted): matches may overlap; an m-token phrase has
+  * `n − m + 1` candidate positions (0 when m > n); an EMPTY phrase
+  * vacuously matches at all n + 1 positions (the composed form and
+  * the DuckDB `list_filter(range(...))` restatement agree). Null
+  * array inputs → null; null ELEMENTS never match (`TextFns.tokens`
+  * emits none).
+  */
+case class PhraseCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_phrase_count requires two array<string> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_phrase_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val p = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = p.numElements()
+    var cnt = 0
+    var s = 0
+    while (s + m <= n) {
+      var ok = true
+      var j = 0
+      while (ok && j < m) {
+        ok = !x.isNullAt(s + j) && !p.isNullAt(j) &&
+          x.getUTF8String(s + j).equals(p.getUTF8String(j))
+        j += 1
+      }
+      if (ok) cnt += 1
+      s += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val s = ctx.freshName("s"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt"); val ok = ctx.freshName("ok")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $cnt = 0;
+         |for (int $s = 0; $s + $m <= $n; $s++) {
+         |  boolean $ok = true;
+         |  for (int $j = 0; $ok && $j < $m; $j++) {
+         |    $ok = !$a.isNullAt($s + $j) && !$b.isNullAt($j) &&
+         |      $a.getUTF8String($s + $j).equals($b.getUTF8String($j));
+         |  }
+         |  if ($ok) $cnt++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PhraseCount =
+    copy(left = newLeft, right = newRight)
+}

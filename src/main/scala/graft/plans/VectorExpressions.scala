@@ -423,6 +423,13 @@ object GraftExtensions {
           children(1).eval(null).asInstanceOf[Number].intValue(),
           children(2).eval(null).asInstanceOf[Number].intValue())
       }),
+    (new FunctionIdentifier("graft_phrase_count"),
+      new ExpressionInfo(classOf[PhraseCount].getName, "graft_phrase_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_phrase_count(tokens, phrase) takes exactly two array<string> arguments")
+        PhraseCount(children.head, children(1))
+      }),
     (new FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZInterleave].getName, "graft_zorder"),
       (children: Seq[Expression]) => {

@@ -155,17 +155,26 @@ object Retrieval {
   def bm25TopKViaIndex(s: SparkSession, dir: String): DataFrame =
     bm25TopKIndexed(s, indexFor(s, dir), Queries, TopK)
 
+  // Temp index dirs are deleted at JVM exit (batch mains — Verify,
+  // Bench — are the only users of this binding; a long-lived service
+  // calls writeBm25Index with its own durable path instead).
   private val indexDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   private def indexFor(s: SparkSession, dir: String): String =
     indexDirs.computeIfAbsent((graft.SessionCache.idOf(s), dir), { _ =>
       val path = java.nio.file.Files
-        .createTempDirectory("graft_bm25_idx").toString
+        .createTempDirectory("graft_bm25_idx")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(path).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       writeBm25Index(
         TextPipeline.tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")),
-        path)
-      path
+        path.toString)
+      path.toString
     })
 
   /** Partition count of the on-disk inverted index: postings land in
@@ -303,6 +312,7 @@ object Retrieval {
     */
   def phrases(toks: DataFrame, batch: Seq[(Int, Seq[String])]): DataFrame = {
     val s = toks.sparkSession
+    graft.plans.GraftExtensions.ensureRegistered(s)
     import s.implicits._
     val ph = batch.toDF("phrase_id", "phrase")
     toks
@@ -317,12 +327,23 @@ object Retrieval {
   /** Occurrence count of one phrase in a token-array column — the
     * matcher shared by [[phrases]] and the streaming phrase firewall
     * ([[graft.streaming.Incremental.phraseFilterStream]]), so batch
-    * sweep and ingest gate cannot diverge on match semantics. The
-    * size guard matters: Spark's `sequence(1, 0)` DESCENDS rather
-    * than returning empty.
+    * sweep and ingest gate cannot diverge on match semantics. Native
+    * codegen'd one-pass scan ([[graft.plans.PhraseCount]] — the
+    * composed HOF form allocates an m-element `slice` per candidate
+    * position and runs interpreted; spec-asserted bit-identical).
     */
   def phraseCount(toks: org.apache.spark.sql.Column,
                   phrase: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("graft_phrase_count", toks, phrase)
+
+  /** Built-ins-only matcher (same sliding-window overlap-counted
+    * semantics, interpreted HOF) — the oracle-portable restatement
+    * [[graft.plans.PhraseCount]] is property-tested against. The size
+    * guard matters: Spark's `sequence(1, 0)` DESCENDS rather than
+    * returning empty.
+    */
+  def phraseCountComposed(toks: org.apache.spark.sql.Column,
+                          phrase: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(size(toks) >= size(phrase),
       size(filter(
         sequence(lit(1), size(toks) - size(phrase) + lit(1)),
@@ -335,10 +356,10 @@ object Retrieval {
     */
   def containsAnyPhrase(toks: org.apache.spark.sql.Column,
                         batch: Seq[Seq[String]]): org.apache.spark.sql.Column =
-    batch.map { ph =>
+    batch.filter(_.nonEmpty).map { ph =>
       array_contains(toks, ph.head) &&
         phraseCount(toks, typedlit(ph)) > 0
-    }.reduce(_ || _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
 
   /** Hybrid-retrieval fusion depth (each system contributes its top
     * 20) and the standard RRF constant (Cormack, Clarke & Buettcher

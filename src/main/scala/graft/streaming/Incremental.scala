@@ -310,6 +310,7 @@ object Incremental {
   def phraseFilterStream(spark: SparkSession, srcDir: String,
                          phrases: Seq[(Int, Seq[String])], destDir: String,
                          checkpointDir: String): Unit = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
     val docsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),

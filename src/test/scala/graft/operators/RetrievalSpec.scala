@@ -110,6 +110,33 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"phrase scan must not explode:\n$plan")
   }
 
+  test("graft_phrase_count is bit-identical to the composed HOF matcher, codegen and interpreted") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("a", "b", "c", "d")
+    // random corpora incl. empty docs and doc-length == phrase-length
+    val docs = (0 until 120).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val phrases = Seq(Seq("a"), Seq("a", "a"), Seq("a", "b"),
+      Seq("b", "a", "c"), Seq("d", "d", "d", "d"), Seq.empty[String])
+    for (cg <- Seq("true", "false")) {
+      ss.conf.set("spark.sql.codegen.wholeStage", cg)
+      for (ph <- phrases) {
+        val df = docs.toDF("doc_id", "toks")
+        val got = df.select(col("doc_id"),
+          Retrieval.phraseCount(col("toks"), typedlit(ph)).as("nat"),
+          Retrieval.phraseCountComposed(col("toks"), typedlit(ph)).as("hof"))
+          .collect()
+        got.foreach { r =>
+          assert(r.getInt(1) == r.getInt(2),
+            s"codegen=$cg phrase=$ph doc=${r.getLong(0)}: native ${r.getInt(1)} != composed ${r.getInt(2)}")
+        }
+      }
+    }
+    ss.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("rrfFuse: both-system docs beat single-system; reciprocal weighting; determinism") {
     val ss = spark; import ss.implicits._
     def rk(rows: (Long, Long, Long)*) =
