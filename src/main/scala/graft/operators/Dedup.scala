@@ -73,27 +73,7 @@ object Dedup {
   def minhashCandidatesOfTokens(toks: DataFrame, shingleLen: Int = 3,
                                 bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // ONE codegen'd projection computes the whole signature map-side
-    // (plans/MinHashSig) — the former explode → m-column MIN aggregate
-    // shape and its shingle-occurrence exchange are gone; bit-identical
-    // (DedupSpec proves expression ≡ aggregate).
-    graft.plans.GraftExtensions.ensureRegistered(toks.sparkSession)
-    // null-token docs yield a null sig — filter them out BEFORE
-    // banding: a null sig would hash to the constant bucket
-    // xxhash64(null) in every band, colliding all such docs pairwise
-    // (O(m²) join blowup; the pre-expression explode dropped them)
-    val sigs = toks.select(col("doc_id"),
-      call_function("graft_minhash", col("__toks"),
-        lit(shingleLen), lit(numHashes)).as("sig"))
-      .filter(col("sig").isNotNull)
-
-    // Explode to one row per band; the bucket key hashes the band's
-    // signature slice, so the join key is (band, 8-byte bucket).
-    val banded = sigs.select(
-      col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = bandedSignatures(toks, shingleLen, bands, rowsPerBand)
 
     val l = banded.select(col("band"), col("bucket"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
@@ -125,8 +105,124 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / numHashes).as("est_jaccard"))
+        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
+  }
+
+  /** Signature-agreement Jaccard estimate — the fold shared by the
+    * self-join pair sweep and the on-disk index probe.
+    */
+  private def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
+      .cast("double") / numHashes
+
+  /** One row per (doc, band): `(doc_id, sig, band, bucket)` with
+    * `bucket = xxhash64(band's signature slice)` — the LSH banding
+    * shared by the batch pair sweep ([[minhashCandidatesOfTokens]]),
+    * the on-disk index build ([[writeMinhashIndex]]), its probe, and
+    * the streaming appender, so none of them can diverge on shingle,
+    * signature, or banding math.
+    *
+    * ONE codegen'd projection computes the whole signature map-side
+    * (plans/MinHashSig) — the former explode → m-column MIN aggregate
+    * shape and its shingle-occurrence exchange are gone; bit-identical
+    * (DedupSpec proves expression ≡ aggregate). Null-token docs yield
+    * a null sig and are filtered BEFORE banding: a null sig would hash
+    * to the constant bucket xxhash64(null) in every band, colliding
+    * all such docs pairwise (O(m²) join blowup).
+    */
+  private[graft] def bandedSignatures(toks: DataFrame, shingleLen: Int,
+                                      bands: Int, rowsPerBand: Int): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(toks.sparkSession)
+    val numHashes = bands * rowsPerBand
+    toks.select(col("doc_id"),
+      call_function("graft_minhash", col("__toks"),
+        lit(shingleLen), lit(numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(
+        col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Partition count of the on-disk LSH band index: banded rows land
+    * in `part = pmod(xxhash64(band, bucket), nParts)` directories.
+    * A probe batch's bands touch at most min(nParts, |batch|·bands)
+    * partitions — for the incremental-dedup case (a small new batch
+    * against a large indexed corpus) that is partition pruning, the
+    * dedup twin of the IVF/BM25 layouts. The part collect is bounded
+    * by nParts (≤ 64 rows) BY CONSTRUCTION, at any batch size.
+    */
+  val MinhashParts = 64
+
+  private def partOf(nParts: Int): Column =
+    pmod(xxhash64(col("band"), col("bucket")), lit(nParts)).cast("int")
+
+  /** The index-layout frame behind [[writeMinhashIndex]] — shared with
+    * the streaming appender
+    * ([[graft.streaming.Incremental.minhashIndexStream]]).
+    */
+  private[graft] def minhashIndexRows(toks: DataFrame, shingleLen: Int,
+                                      bands: Int, rowsPerBand: Int,
+                                      nParts: Int): DataFrame =
+    bandedSignatures(toks, shingleLen, bands, rowsPerBand)
+      .withColumn("part", partOf(nParts))
+
+  /** Materialize the LSH band index: banded signature rows in the
+    * `part=<p>/__batch=<n>/` layout (batch seed at `__batch=-1`, the
+    * IVF/BM25 convention — a batch-built index can be incrementally
+    * maintained in place by the streaming appender). Probing never
+    * recomputes corpus-side signatures, which is what makes
+    * incremental dedup against a 100 TB indexed corpus batch-sized
+    * instead of corpus-sized.
+    */
+  def writeMinhashIndex(toks: DataFrame, path: String, shingleLen: Int = 3,
+                        bands: Int = 16, rowsPerBand: Int = 8,
+                        nParts: Int = MinhashParts): Unit =
+    minhashIndexRows(toks, shingleLen, bands, rowsPerBand, nParts)
+      .withColumn("__batch", lit(-1L))
+      .repartition(col("part"))
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .write.mode("overwrite").partitionBy("part", "__batch")
+      .parquet(s"$path/bands")
+
+  /** Near-duplicate candidates of a NEW batch against an indexed
+    * corpus: the batch's banded signatures (same derivation as the
+    * index — [[bandedSignatures]]) equi-join the index on
+    * (band, bucket), restricted up front to the ≤ nParts partitions
+    * the batch's bands hash into. Returns
+    * `(probe_id, index_id, est_jaccard)` — one row per (new doc,
+    * indexed doc) candidate pair, est_jaccard from the same
+    * signature-agreement fold as the batch sweep. Docs already in the
+    * index probe as their own trivial match; filter `probe_id !=
+    * index_id` semantics are left to the caller because re-indexed
+    * replays are legitimate.
+    */
+  def minhashProbe(newToks: DataFrame, path: String, shingleLen: Int = 3,
+                   bands: Int = 16, rowsPerBand: Int = 8,
+                   nParts: Int = MinhashParts): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val probe = bandedSignatures(newToks, shingleLen, bands, rowsPerBand)
+      .select(col("doc_id").as("probe_id"), col("sig").as("probe_sig"),
+        col("band"), col("bucket"), partOf(nParts).as("part"))
+    // bounded by nParts (≤ 64) by construction — see [[MinhashParts]]
+    val parts = probe.select("part").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = newToks.sparkSession.read.parquet(s"$path/bands")
+      .filter(col("part").isin(parts: _*))
+      .select(col("band"), col("bucket"),
+        col("doc_id").as("index_id"), col("sig").as("index_sig"))
+    // pinned shuffle join for the same reason as the batch sweep: the
+    // index side is corpus-sized and must never broadcast; the probe
+    // side may be small, but correctness of the pin does not depend
+    // on it
+    probe.hint("shuffle_hash").join(idx, Seq("band", "bucket"))
+      .select(col("probe_id"), col("index_id"),
+        col("probe_sig"), col("index_sig"))
+      .dropDuplicates("probe_id", "index_id")
+      .select(col("probe_id"), col("index_id"),
+        estJaccard(col("probe_sig"), col("index_sig"), numHashes)
+          .as("est_jaccard"))
   }
 
   // ---- Exact n-gram Jaccard ---------------------------------------

@@ -334,6 +334,46 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming MinHash-LSH index maintenance: arriving documents'
+    * banded signatures append into the
+    * [[graft.operators.Dedup.writeMinhashIndex]] layout — per
+    * micro-batch one narrow map (the SHARED
+    * `Dedup.minhashIndexRows` derivation: same shingling, signature
+    * expression, and banding as the batch build and the batch pair
+    * sweep) + a partitioned append under `part=<p>/__batch=<n≥0>/`
+    * with dynamic overwrite (exactly-once on replay; the batch seed
+    * lives at `__batch=-1`). Combined with
+    * [[graft.operators.Dedup.minhashProbe]] this is incremental
+    * near-dup dedup: each new batch probes the ever-growing index at
+    * batch-joined cost, then appends itself — no state beyond source
+    * offsets, no corpus-side recompute, unlike the batch sweep whose
+    * self-join grows with the full corpus every run.
+    */
+  def minhashIndexStream(spark: SparkSession, srcDir: String, indexDir: String,
+                         checkpointDir: String, shingleLen: Int = 3,
+                         bands: Int = 16, rowsPerBand: Int = 8): Unit = {
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(docsSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.minhashIndexRows(
+          batch.select(col("doc_id"),
+            graft.functions.TextFns.tokens(col("text")).as("__toks")),
+          shingleLen, bands, rowsPerBand, graft.operators.Dedup.MinhashParts)
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("part", "__batch").parquet(s"$indexDir/bands")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming BM25 index maintenance: new documents' postings append
     * into the [[graft.queries.Retrieval.writeBm25Index]] layout as
     * they arrive — per micro-batch one narrow map (the shared

@@ -153,6 +153,47 @@ class DedupSpec extends SparkSpec {
     assert(fast.contains(99L), "empty docs keep their whole-doc shingle")
   }
 
+  test("minhash index: probe of a new batch equals the batch sweep's cross pairs; parts prune") {
+    val ss = spark; import ss.implicits._
+    def toToks(docs: org.apache.spark.sql.DataFrame) =
+      docs.select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("__toks"))
+    // indexed corpus A (1..40) and a new batch B (101..110): B plants
+    // near-dups of A docs plus genuinely new content
+    val corpusA = (1 to 40).map { i =>
+      (i.toLong, s"shared prefix words for doc $i tail ${"x" * (i % 3)} y z w v")
+    }.toDF("doc_id", "text")
+    val batchB = ((101 to 105).map { i =>
+      val twin = i - 100
+      (i.toLong, s"shared prefix words for doc $twin tail ${"x" * (twin % 3)} y z w v")
+    } ++ (106 to 110).map { i =>
+      (i.toLong, s"totally novel content block number $i about nothing indexed")
+    }).toDF("doc_id", "text")
+
+    val base = java.nio.file.Files.createTempDirectory("mh_idx").toString
+    Dedup.writeMinhashIndex(toToks(corpusA), base)
+    val probe = Dedup.minhashProbe(toToks(batchB), base)
+    val gotPairs = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // the batch sweep over A ∪ B, restricted to cross (B, A) pairs
+    val sweep = Dedup.minhashCandidatesOfTokens(toToks(corpusA.union(batchB)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a > 100) != (b > 100) }
+      .map { case (a, b, j) => if (a > 100) (a, b, j) else (b, a, j) }.toSet
+    assert(gotPairs == sweep,
+      s"probe diverged from the batch sweep's cross pairs:\n$gotPairs\nvs\n$sweep")
+    assert(gotPairs.exists(_._3 >= 0.9), "planted twins must surface")
+
+    // the index scan prunes by part (partition filter, not post-scan)
+    val plan = Dedup.minhashProbe(toToks(batchB.limit(1)), base)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("part") &&
+      (l.contains("IN") || l.contains("in("))),
+      s"index scan must prune by part:\n${pf.mkString("\n")}")
+  }
+
   test("null-token docs never enter minhash banding (no constant-bucket blowup)") {
     val ss = spark; import ss.implicits._
     // three docs with NULL token arrays + two real docs: the null docs

@@ -403,6 +403,53 @@ class IncrementalSpec extends SparkSpec {
     assert(got2.size > got1.size, "run 2 must add newly kept docs")
   }
 
+  test("minhashIndexStream: incremental dedup — probe of appended index equals the batch cross sweep") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val base = Files.createTempDirectory("mh_stream").toString
+    val src = base + "/src"; val idx = base + "/idx"; val ck = base + "/ck"
+
+    // four long-bodied text families differing only in one tail token:
+    // within-family Jaccard ≈ 0.9, so a 16×8 banding collides with
+    // near-certainty (j≈0.5 families flaked at ~6% per band)
+    val body = (1 to 24).map(k => s"word$k").mkString(" ")
+    def mkDocs(ids: Range) = ids.map { i =>
+      val fam = i % 4  // four text families → cross-batch near-dups
+      (i.toLong, s"family $fam $body tail $i")
+    }.toDF("doc_id", "text")
+    def toToks(docs: org.apache.spark.sql.DataFrame) =
+      docs.select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("__toks"))
+    def crossSweep(indexed: Range, probeIds: Range): Set[(Long, Long)] =
+      Dedup.minhashCandidatesOfTokens(
+        toToks(mkDocs(indexed.min to probeIds.max)))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) =>
+          probeIds.contains(b.toInt) != probeIds.contains(a.toInt) }
+        .map { case (a, b) =>
+          if (probeIds.contains(a.toInt)) (a, b) else (b, a) }.toSet
+
+    // seed index with 1..20, stream-append 21..30, probe 31..40
+    Dedup.writeMinhashIndex(toToks(mkDocs(1 to 20)), idx)
+    mkDocs(21 to 30).write.parquet(src)
+    Incremental.minhashIndexStream(ss, src, idx, ck)
+    val probe1 = Dedup.minhashProbe(toToks(mkDocs(31 to 40)), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe1 == crossSweep(1 to 30, 31 to 40),
+      s"probe after append run 1 diverged: $probe1")
+    assert(probe1.nonEmpty, "families must collide across batches")
+
+    // second incremental append (31..40 joins the index), probe 41..45
+    mkDocs(31 to 40).write.mode("append").parquet(src)
+    Incremental.minhashIndexStream(ss, src, idx, ck)
+    val probe2 = Dedup.minhashProbe(toToks(mkDocs(41 to 45)), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe2 == crossSweep(1 to 40, 41 to 45),
+      s"probe after append run 2 diverged: $probe2")
+    assert(probe2.exists(_._2 > 30L), "run-2 probes must hit run-2-appended docs")
+  }
+
   test("bm25IndexStream: appended postings + stats refresh probe identically to the direct scorer") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
