@@ -52,6 +52,7 @@ object QualityMetrics {
     */
   val floors: Map[String, Double] = Map(
     "minhash_recall" -> 0.9,
+    "minhash_indexed_recall" -> 0.9,
     "simhash_recall" -> 0.9,
     "knn_lsh_recall@5" -> 0.7,
     "knn_ivf_recall@5" -> 0.75,
@@ -136,6 +137,16 @@ object QualityMetrics {
       recallOf("minhash_recall",
         TextPipeline.minhashPairs(s, dir),
         TextPipeline.ngramPairs05(s, dir)),
+      // indexed-probe path: truth is the exact θ≥0.5 pair set
+      // restricted to (batch, corpus) crossings and oriented
+      // batch-first to match the probe's (probe_id, index_id) keying
+      recallOf("minhash_indexed_recall",
+        keyed(TextPipeline.minhashIndexed(s, dir), "probe_id", "index_id"),
+        TextPipeline.ngramPairs05(s, dir)
+          .filter((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
+          .select(
+            when(col("id_a") % 10 === 0, col("id_a")).otherwise(col("id_b")).as("id_a"),
+            when(col("id_a") % 10 === 0, col("id_b")).otherwise(col("id_a")).as("id_b"))),
       recallOf("simhash_recall",
         TextPipeline.simhashPairs(s, dir),
         simhashTruth(s, dir, maxDist = 6)),

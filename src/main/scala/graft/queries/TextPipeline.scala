@@ -152,6 +152,50 @@ object TextPipeline {
       .filter(col("est_jaccard") >= 0.25)
       .orderBy(col("id_a"), col("id_b"))
 
+  // Temp LSH index dirs, one per (session, sfDir), deleted at JVM
+  // exit — same lifecycle as Retrieval's BM25 binding (batch mains
+  // are the only users; a service calls Dedup.writeMinhashIndex with
+  // its own durable path). Indexes every doc_id % 10 != 0 ("the
+  // already-ingested corpus"); the query probes the % 10 == 0 batch.
+  private val minhashIdxDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def minhashIndexFor(s: SparkSession, dir: String): String =
+    minhashIdxDirs.computeIfAbsent((graft.SessionCache.idOf(s), dir), { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft_mh_idx")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(path).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      Dedup.writeMinhashIndex(
+        tokenizedDocs(s, dir).select(col("doc_id"), col("__toks"))
+          .filter(col("doc_id") % 10 =!= 0),
+        path.toString, shingleLen = 3, bands = 32, rowsPerBand = 4)
+      path.toString
+    })
+
+  /** Incremental near-dup dedup through the on-disk LSH band index
+    * (rows-only: xxhash64-based): the doc_id % 10 == 0 docs play the
+    * "new batch" probing an index built over the other 90% — the
+    * corpus side's signatures are never recomputed and the index scan
+    * prunes to the partitions the batch's bands hash into (DedupSpec
+    * plan-asserts the PartitionFilters), which is what makes dedup of
+    * a daily batch against a 100 TB indexed corpus batch-sized
+    * instead of corpus-sized. Same 32×4 banding and θ-estimate cut as
+    * [[minhashPairs]]; probe ≡ batch sweep is spec-proven exactly and
+    * floor-gated continuously (`minhash_indexed_recall`,
+    * QualityMetrics).
+    */
+  def minhashIndexed(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashProbe(
+      tokenizedDocs(s, dir).select(col("doc_id"), col("__toks"))
+        .filter(col("doc_id") % 10 === 0),
+      minhashIndexFor(s, dir), shingleLen = 3, bands = 32, rowsPerBand = 4)
+      .filter(col("est_jaccard") >= 0.25)
+      .orderBy(col("probe_id"), col("index_id"))
+
   /** SimHash Hamming-≤6 near-dup pairs via pigeonhole chunking
     * (rows-only: xxhash64-based). maxPieceFreq=200 (4% of the corpus
     * in one 9-bit piece): measured on sf0.1, cap 1000 admits 2.5M
@@ -959,6 +1003,7 @@ object TextPipeline {
     "dedup_exact" -> (dedupExact _),
     "ngram_jaccard" -> (ngramJaccard _),
     "minhash_pairs" -> (minhashPairs _),
+    "minhash_indexed" -> (minhashIndexed _),
     "simhash_pairs" -> (simhashPairs _),
     "text_stats" -> (textStats _),
     "bpe_tokens" -> (bpeTokens _),

@@ -22,8 +22,12 @@ class ContractSpec extends SparkSpec {
     // histogram space); floor-gated ≥0.75 recall@5 against the
     // hash-gated brute-force exact twin `media_knn` (QualityMetrics;
     // MediaSpec pins the probe/rank contract).
+    // minhash_indexed: xxhash64-based like minhash_pairs; probe ≡
+    // batch-sweep is spec-proven exactly (DedupSpec) and the probe
+    // path carries its own recall floor (minhash_indexed_recall).
     assert(rowsOnly == Set("minhash_pairs", "simhash_pairs", "knn_lsh",
-      "knn_ivf", "token_hll", "bpe_tokens", "media_knn_ivf"),
+      "knn_ivf", "token_hll", "bpe_tokens", "media_knn_ivf",
+      "minhash_indexed"),
       s"rows-only drift — every addition here needs a spec + a written reason: $rowsOnly")
   }
 
