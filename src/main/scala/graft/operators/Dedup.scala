@@ -200,7 +200,8 @@ object Dedup {
     */
   def minhashProbe(newToks: DataFrame, path: String, shingleLen: Int = 3,
                    bands: Int = 16, rowsPerBand: Int = 8,
-                   nParts: Int = MinhashParts): DataFrame = {
+                   nParts: Int = MinhashParts,
+                   excludeBatch: Option[Long] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
     val probe = bandedSignatures(newToks, shingleLen, bands, rowsPerBand)
       .select(col("doc_id").as("probe_id"), col("sig").as("probe_sig"),
@@ -208,8 +209,12 @@ object Dedup {
     // bounded by nParts (≤ 64) by construction — see [[MinhashParts]]
     val parts = probe.select("part").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val idx = newToks.sparkSession.read.parquet(s"$path/bands")
+    // excludeBatch: replay safety for the streaming firewall — a
+    // replayed micro-batch must not see its own appended rows
+    // (`__batch` is a partition level, so this prunes, not scans)
+    val scan = newToks.sparkSession.read.parquet(s"$path/bands")
       .filter(col("part").isin(parts: _*))
+    val idx = excludeBatch.fold(scan)(b => scan.filter(col("__batch") =!= b))
       .select(col("band"), col("bucket"),
         col("doc_id").as("index_id"), col("sig").as("index_sig"))
     // pinned shuffle join for the same reason as the batch sweep: the

@@ -374,6 +374,98 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming MinHash near-dup firewall — the production use of the
+    * on-disk LSH band index: arriving documents are admitted iff they
+    * are NOT an estimated-Jaccard-≥θ near-dup of an already-admitted
+    * document; admitted documents join the index themselves. The
+    * lexical twin of [[semanticDedupStream]], with the same
+    * three-step per-micro-batch shape:
+    *
+    *  1. dedup WITHIN the batch by the full batch rule — the SHARED
+    *     candidate sweep ([[graft.operators.Dedup
+    *     .minhashCandidatesOfTokens]]: same shingling, signature
+    *     expression, banding) at θ, connected components over the
+    *     pair graph, min-doc_id keeps per component (the
+    *     [[graft.operators.Dedup.componentLosers]] pruning path — no
+    *     stream-specific dedup rule to diverge);
+    *  2. drop batch survivors with an est_jaccard ≥ θ candidate
+    *     against the index ([[graft.operators.Dedup.minhashProbe]] —
+    *     partition-pruned to the ≤64 parts the batch's bands hash
+    *     into, never a corpus scan);
+    *  3. append survivors' banded rows under `part=<p>/__batch=<n>/`
+    *     (dynamic overwrite ⇒ exactly-once) and the surviving
+    *     documents under `__batch=<n>/` in destDir.
+    *
+    * Replay safety: the probe excludes `__batch = <current>`, so a
+    * replayed micro-batch reproduces its original decisions instead
+    * of colliding with its own appended signatures.
+    *
+    * Every step is deterministic (xxhash64 end to end), so unlike the
+    * eps-chain caveat in SemDeDup the whole stream is EXACTLY
+    * reproducible: IncrementalSpec asserts the streaming kept set ≡ a
+    * sequential batch-by-batch application of the identical rule.
+    * State is the on-disk index only — no keyed state, no corpus-side
+    * recompute; each micro-batch costs O(batch) regardless of how
+    * large the admitted corpus has grown.
+    */
+  def minhashDedupStream(spark: SparkSession, srcDir: String, indexDir: String,
+                         destDir: String, checkpointDir: String,
+                         threshold: Double = 0.5, shingleLen: Int = 3,
+                         bands: Int = 16, rowsPerBand: Int = 8): Unit = {
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(docsSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Dedup
+        val toks = batch.select(col("doc_id"), col("text"),
+          graft.functions.TextFns.tokens(col("text")).as("__toks"))
+        val pairs = Dedup.minhashCandidatesOfTokens(
+          toks.select(col("doc_id"), col("__toks")),
+          shingleLen, bands, rowsPerBand)
+          .filter(col("est_jaccard") >= threshold)
+        val batchKept = toks.join(
+          Dedup.componentLosers(pairs).withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left_anti")
+        // Existence probe through the Hadoop FileSystem API (the
+        // [[semanticDedupStream]] keeper-probe lesson): an unseeded
+        // index means the first batch has nothing to collide with.
+        val bandsPath = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+        val indexExists = bandsPath
+          .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          .exists(bandsPath)
+        val indexHits =
+          if (!indexExists) batchKept.limit(0).select(col("doc_id"))
+          else Dedup.minhashProbe(
+            batchKept.select(col("doc_id"), col("__toks")), indexDir,
+            shingleLen, bands, rowsPerBand,
+            excludeBatch = Some(batchId))
+            .filter(col("est_jaccard") >= threshold)
+            .select(col("probe_id").as("doc_id")).distinct()
+        // decide once — the index append and the kept-corpus write
+        // below must see the SAME survivor set, not re-run the probe
+        val survivors = batchKept.join(indexHits, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        Dedup.minhashIndexRows(
+          survivors.select(col("doc_id"), col("__toks")),
+          shingleLen, bands, rowsPerBand, Dedup.MinhashParts)
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("part", "__batch").parquet(s"$indexDir/bands")
+        survivors.select(col("doc_id"), col("text"))
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(destDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming BM25 index maintenance: new documents' postings append
     * into the [[graft.queries.Retrieval.writeBm25Index]] layout as
     * they arrive — per micro-batch one narrow map (the shared

@@ -450,6 +450,89 @@ class IncrementalSpec extends SparkSpec {
     assert(probe2.exists(_._2 > 30L), "run-2 probes must hit run-2-appended docs")
   }
 
+  test("minhashDedupStream: streaming firewall equals the sequential batch-by-batch rule, unseeded start") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val base = Files.createTempDirectory("mh_fw").toString
+    val src = base + "/src"; val idx = base + "/idx"
+    val dest = base + "/kept"; val ck = base + "/ck"
+    val theta = 0.5
+
+    // five long-bodied families differing in one tail token (J≈0.9 —
+    // within and across batches near-dups abound) plus unique docs
+    val body = (1 to 24).map(k => s"term$k").mkString(" ")
+    def mkDocs(ids: Range) = ids.map { i =>
+      if (i % 3 == 0) (i.toLong, s"unique standalone document $i " +
+        (1 to 10).map(k => s"only$i$k").mkString(" "))
+      else (i.toLong, s"family ${i % 5} $body tail $i")
+    }.toDF("doc_id", "text")
+    def toToks(docs: org.apache.spark.sql.DataFrame) =
+      docs.select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("__toks"))
+
+    // the sequential twin: per batch, the IDENTICAL rule via the
+    // batch APIs (within-batch components min-id keep, then drop on
+    // any est≥θ candidate against the kept-so-far set — cross hits
+    // from the batch sweep, legitimate because probe ≡ sweep is
+    // proven exactly above)
+    def expectedKept(batches: Seq[Range]): Set[Long] = {
+      var kept = Set.empty[Long]
+      for (b <- batches) {
+        val ids = b.map(_.toLong).toSet
+        val batchPairs = Dedup.minhashCandidatesOfTokens(toToks(mkDocs(b)))
+          .filter(col("est_jaccard") >= theta).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val losers = Dedup.componentLosers(
+          batchPairs.toSeq.toDF("id_a", "id_b")).collect().map(_.getLong(0)).toSet
+        val batchKept = ids -- losers
+        val crossHit =
+          if (kept.isEmpty) Set.empty[Long]
+          else Dedup.minhashCandidatesOfTokens(toToks(
+            mkDocs(b).unionByName(
+              mkDocs(1 to 50).filter(col("doc_id").isin(kept.toSeq: _*)))))
+            .filter(col("est_jaccard") >= theta).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+            .flatMap { case (a, bId) =>
+              if (batchKept.contains(a) && kept.contains(bId)) Some(a)
+              else if (batchKept.contains(bId) && kept.contains(a)) Some(bId)
+              else None
+            }.toSet
+        kept ++= (batchKept -- crossHit)
+      }
+      kept
+    }
+
+    def keptOnDisk(): Set[Long] =
+      ss.read.parquet(dest).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // run 1: unseeded index, batch 1..30
+    mkDocs(1 to 30).write.parquet(src)
+    Incremental.minhashDedupStream(ss, src, idx, dest, ck, threshold = theta)
+    val exp1 = expectedKept(Seq(1 to 30))
+    assert(keptOnDisk() == exp1, s"run 1 kept set diverged: ${keptOnDisk()} vs $exp1")
+    assert(exp1.size < 30, "families must produce drops within run 1")
+
+    // run 2: incremental batch 31..50 — drops must reference run-1
+    // keepers through the appended index, not a recompute
+    mkDocs(31 to 50).write.mode("append").parquet(src)
+    Incremental.minhashDedupStream(ss, src, idx, dest, ck, threshold = theta)
+    val exp2 = expectedKept(Seq(1 to 30, 31 to 50))
+    assert(keptOnDisk() == exp2, s"run 2 kept set diverged: ${keptOnDisk()} vs $exp2")
+    assert((31 to 50).map(_.toLong).toSet.intersect(exp2).nonEmpty,
+      "run 2 must admit some new docs")
+    assert((31 to 50).exists(i => !exp2.contains(i.toLong)),
+      "run 2 must drop at least one cross-batch near-dup")
+
+    // survivor separation invariant: no est≥θ candidate pair inside
+    // the kept set (the firewall's analogue of SemDeDup's
+    // eps-separated keepers)
+    val keptPairs = Dedup.minhashCandidatesOfTokens(toToks(
+      mkDocs(1 to 50).filter(col("doc_id").isin(exp2.toSeq: _*))))
+      .filter(col("est_jaccard") >= theta).count()
+    assert(keptPairs == 0L, s"kept set must be candidate-free at θ, found $keptPairs pairs")
+  }
+
   test("bm25IndexStream: appended postings + stats refresh probe identically to the direct scorer") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
