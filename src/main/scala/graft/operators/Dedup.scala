@@ -145,31 +145,50 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 
-  /** Partition count of the on-disk LSH band index: banded rows land
-    * in `part = pmod(xxhash64(band, bucket), nParts)` directories.
-    * A probe batch's bands touch at most min(nParts, |batch|·bands)
-    * partitions — for the incremental-dedup case (a small new batch
-    * against a large indexed corpus) that is partition pruning, the
-    * dedup twin of the IVF/BM25 layouts. The part collect is bounded
-    * by nParts (≤ 64 rows) BY CONSTRUCTION, at any batch size.
+  /** Partition count of the on-disk LSH band index: slim band rows
+    * land in `part = pmod(xxhash64(band, bucket), nParts)`
+    * directories, signatures in `spart = pmod(xxhash64(doc_id),
+    * nParts)` directories. A probe prunes both scans up front — for
+    * the incremental-dedup case (a small new batch against a large
+    * indexed corpus) that is partition pruning, the dedup twin of the
+    * IVF/BM25 layouts. Both collects are bounded by nParts (≤ 64
+    * rows) BY CONSTRUCTION, at any batch size.
     */
   val MinhashParts = 64
 
   private def partOf(nParts: Int): Column =
     pmod(xxhash64(col("band"), col("bucket")), lit(nParts)).cast("int")
 
-  /** The index-layout frame behind [[writeMinhashIndex]] — shared with
-    * the streaming appender
-    * ([[graft.streaming.Incremental.minhashIndexStream]]).
-    */
-  private[graft] def minhashIndexRows(toks: DataFrame, shingleLen: Int,
-                                      bands: Int, rowsPerBand: Int,
-                                      nParts: Int): DataFrame =
-    bandedSignatures(toks, shingleLen, bands, rowsPerBand)
-      .withColumn("part", partOf(nParts))
+  private def sigPartOf(id: Column, nParts: Int): Column =
+    pmod(xxhash64(id), lit(nParts)).cast("int")
 
-  /** Materialize the LSH band index: banded signature rows in the
-    * `part=<p>/__batch=<n>/` layout (batch seed at `__batch=-1`, the
+  /** The two index-layout frames behind [[writeMinhashIndex]] —
+    * shared with the streaming appender ([[graft.streaming
+    * .Incremental.minhashIndexStream]]) and firewall. The signature
+    * (m longs — 1 KB at m=128) is stored ONCE per doc in `sigs`;
+    * `bands` rows are slim `(doc_id, band, bucket)` triples. The
+    * first cut of this layout carried the full signature on every
+    * band row — bands× duplication that measured 829 MB for 50 k
+    * docs (~16 KB/doc) in the ×10 stream rehearsal, all of it
+    * re-read by every probe; the split cuts the on-disk footprint
+    * and the probe's scan I/O ~12× at the price of one extra
+    * candidate-bounded join in the probe.
+    */
+  private[graft] def minhashIndexFrames(toks: DataFrame, shingleLen: Int,
+                                        bands: Int, rowsPerBand: Int,
+                                        nParts: Int): (DataFrame, DataFrame) = {
+    val banded = bandedSignatures(toks, shingleLen, bands, rowsPerBand)
+    val bandRows = banded
+      .select(col("doc_id"), col("band"), col("bucket"), partOf(nParts).as("part"))
+    val sigRows = banded.filter(col("band") === 0)
+      .select(col("doc_id"), col("sig"),
+        sigPartOf(col("doc_id"), nParts).as("spart"))
+    (bandRows, sigRows)
+  }
+
+  /** Materialize the LSH band index: slim band rows under
+    * `bands/part=<p>/__batch=<n>/`, per-doc signatures under
+    * `sigs/spart=<p>/__batch=<n>/` (batch seed at `__batch=-1`, the
     * IVF/BM25 convention — a batch-built index can be incrementally
     * maintained in place by the streaming appender). Probing never
     * recomputes corpus-side signatures, which is what makes
@@ -178,34 +197,47 @@ object Dedup {
     */
   def writeMinhashIndex(toks: DataFrame, path: String, shingleLen: Int = 3,
                         bands: Int = 16, rowsPerBand: Int = 8,
-                        nParts: Int = MinhashParts): Unit =
-    minhashIndexRows(toks, shingleLen, bands, rowsPerBand, nParts)
-      .withColumn("__batch", lit(-1L))
+                        nParts: Int = MinhashParts): Unit = {
+    val (bandRows, sigRows) =
+      minhashIndexFrames(toks, shingleLen, bands, rowsPerBand, nParts)
+    bandRows.withColumn("__batch", lit(-1L))
       .repartition(col("part"))
       .sortWithinPartitions(col("band"), col("bucket"))
       .write.mode("overwrite").partitionBy("part", "__batch")
       .parquet(s"$path/bands")
+    sigRows.withColumn("__batch", lit(-1L))
+      .repartition(col("spart"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").partitionBy("spart", "__batch")
+      .parquet(s"$path/sigs")
+  }
 
   /** Near-duplicate candidates of a NEW batch against an indexed
     * corpus: the batch's banded signatures (same derivation as the
-    * index — [[bandedSignatures]]) equi-join the index on
-    * (band, bucket), restricted up front to the ≤ nParts partitions
-    * the batch's bands hash into. Returns
-    * `(probe_id, index_id, est_jaccard)` — one row per (new doc,
-    * indexed doc) candidate pair, est_jaccard from the same
-    * signature-agreement fold as the batch sweep. Docs already in the
-    * index probe as their own trivial match; filter `probe_id !=
-    * index_id` semantics are left to the caller because re-indexed
-    * replays are legitimate.
+    * index — [[bandedSignatures]]) equi-join the slim band rows on
+    * (band, bucket), both scans restricted up front to the ≤ nParts
+    * partitions the batch hashes into; the surviving candidate pairs
+    * then fetch the index side's stored signatures (a second
+    * candidate-bounded join). Returns `(probe_id, index_id,
+    * est_jaccard)` — est_jaccard from the same signature-agreement
+    * fold as the batch sweep, bit-identical (DedupSpec asserts probe
+    * ≡ sweep). Docs already in the index probe as their own trivial
+    * match; `probe_id != index_id` filtering is left to the caller.
     */
-  def minhashProbe(newToks: DataFrame, path: String, shingleLen: Int = 3,
-                   bands: Int = 16, rowsPerBand: Int = 8,
-                   nParts: Int = MinhashParts,
-                   excludeBatch: Option[Long] = None): DataFrame = {
-    val numHashes = bands * rowsPerBand
+  /** The probe's candidate stage, un-checkpointed — the (band,
+    * bucket)-join of the batch's slim band rows against the pruned
+    * index band scan. Split out so DedupSpec can plan-assert the
+    * `part IN` PartitionFilters on the bands scan (the checkpoint in
+    * [[minhashProbe]] replaces this subtree with its materialized
+    * RDD, hiding the scan from the returned plan).
+    */
+  private[graft] def minhashProbeCands(newToks: DataFrame, path: String,
+                                       shingleLen: Int, bands: Int,
+                                       rowsPerBand: Int, nParts: Int,
+                                       excludeBatch: Option[Long]): DataFrame = {
     val probe = bandedSignatures(newToks, shingleLen, bands, rowsPerBand)
-      .select(col("doc_id").as("probe_id"), col("sig").as("probe_sig"),
-        col("band"), col("bucket"), partOf(nParts).as("part"))
+      .select(col("doc_id").as("probe_id"), col("band"), col("bucket"),
+        partOf(nParts).as("part"))
     // bounded by nParts (≤ 64) by construction — see [[MinhashParts]]
     val parts = probe.select("part").distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -214,17 +246,41 @@ object Dedup {
     // (`__batch` is a partition level, so this prunes, not scans)
     val scan = newToks.sparkSession.read.parquet(s"$path/bands")
       .filter(col("part").isin(parts: _*))
-    val idx = excludeBatch.fold(scan)(b => scan.filter(col("__batch") =!= b))
-      .select(col("band"), col("bucket"),
-        col("doc_id").as("index_id"), col("sig").as("index_sig"))
+    val idxBands = excludeBatch.fold(scan)(b => scan.filter(col("__batch") =!= b))
+      .select(col("band"), col("bucket"), col("doc_id").as("index_id"))
     // pinned shuffle join for the same reason as the batch sweep: the
     // index side is corpus-sized and must never broadcast; the probe
     // side may be small, but correctness of the pin does not depend
     // on it
-    probe.hint("shuffle_hash").join(idx, Seq("band", "bucket"))
-      .select(col("probe_id"), col("index_id"),
-        col("probe_sig"), col("index_sig"))
+    probe.hint("shuffle_hash").join(idxBands, Seq("band", "bucket"))
+      .select(col("probe_id"), col("index_id"))
       .dropDuplicates("probe_id", "index_id")
+  }
+
+  def minhashProbe(newToks: DataFrame, path: String, shingleLen: Int = 3,
+                   bands: Int = 16, rowsPerBand: Int = 8,
+                   nParts: Int = MinhashParts,
+                   excludeBatch: Option[Long] = None): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // localCheckpoint: the candidate set feeds BOTH the sparts
+    // collect below and the returned plan — without it the band join
+    // (and the corpus-side scan) would execute twice per probe
+    val cands = minhashProbeCands(newToks, path, shingleLen, bands,
+      rowsPerBand, nParts, excludeBatch).localCheckpoint()
+    val probeSigs = bandedSignatures(newToks, shingleLen, bands, rowsPerBand)
+      .filter(col("band") === 0)
+      .select(col("doc_id").as("probe_id"), col("sig").as("probe_sig"))
+    // signature fetch, pruned to the sparts the candidates hash into
+    // (again ≤ nParts by construction)
+    val sparts = cands
+      .select(sigPartOf(col("index_id"), nParts).as("spart")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val sigScan = newToks.sparkSession.read.parquet(s"$path/sigs")
+      .filter(col("spart").isin(sparts: _*))
+    val idxSigs = excludeBatch.fold(sigScan)(b => sigScan.filter(col("__batch") =!= b))
+      .select(col("doc_id").as("index_id"), col("sig").as("index_sig"))
+    cands.hint("shuffle_hash").join(idxSigs, Seq("index_id"))
+      .join(probeSigs.hint("shuffle_hash"), Seq("probe_id"))
       .select(col("probe_id"), col("index_id"),
         estJaccard(col("probe_sig"), col("index_sig"), numHashes)
           .as("est_jaccard"))

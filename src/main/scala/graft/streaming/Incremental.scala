@@ -362,16 +362,31 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Dedup.minhashIndexRows(
+        appendToMinhashIndex(
           batch.select(col("doc_id"),
             graft.functions.TextFns.tokens(col("text")).as("__toks")),
-          shingleLen, bands, rowsPerBand, graft.operators.Dedup.MinhashParts)
-          .withColumn("__batch", lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("part", "__batch").parquet(s"$indexDir/bands")
+          indexDir, batchId, shingleLen, bands, rowsPerBand)
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** One micro-batch's append into the two-table LSH index layout
+    * (the SHARED `Dedup.minhashIndexFrames` derivation; dynamic
+    * overwrite under `__batch=<n>` ⇒ exactly-once on replay) — used
+    * by both [[minhashIndexStream]] and [[minhashDedupStream]].
+    */
+  private def appendToMinhashIndex(toks: DataFrame, indexDir: String,
+                                   batchId: Long, shingleLen: Int,
+                                   bands: Int, rowsPerBand: Int): Unit = {
+    val (bandRows, sigRows) = graft.operators.Dedup.minhashIndexFrames(
+      toks, shingleLen, bands, rowsPerBand, graft.operators.Dedup.MinhashParts)
+    bandRows.withColumn("__batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part", "__batch").parquet(s"$indexDir/bands")
+    sigRows.withColumn("__batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("spart", "__batch").parquet(s"$indexDir/sigs")
   }
 
   /** Streaming MinHash near-dup firewall — the production use of the
@@ -451,12 +466,9 @@ object Incremental {
         // below must see the SAME survivor set, not re-run the probe
         val survivors = batchKept.join(indexHits, Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        Dedup.minhashIndexRows(
+        appendToMinhashIndex(
           survivors.select(col("doc_id"), col("__toks")),
-          shingleLen, bands, rowsPerBand, Dedup.MinhashParts)
-          .withColumn("__batch", lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("part", "__batch").parquet(s"$indexDir/bands")
+          indexDir, batchId, shingleLen, bands, rowsPerBand)
         survivors.select(col("doc_id"), col("text"))
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")

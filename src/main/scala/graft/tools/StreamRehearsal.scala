@@ -34,6 +34,11 @@ object StreamRehearsal {
   def main(args: Array[String]): Unit = {
     val fixture = args.headOption.getOrElse("target/sf1")
     val waves = sys.env.get("SPARK_GRAFT_STREAM_WAVES").map(_.toInt).getOrElse(4)
+    // comma-separated scenario labels to run (default: all) — lets a
+    // re-run after adding one scenario cost one scenario
+    val only = sys.env.get("SPARK_GRAFT_STREAM_SCENARIOS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(l: String): Boolean = only.forall(_.contains(l))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.streamingBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -67,7 +72,7 @@ object StreamRehearsal {
     // waves split by vec_id so replicas (offset by 1e7) interleave;
     // quantizer trained once on the full corpus (production shape)
     label = "semantic_dedup_stream"
-    locally {
+    if (wanted(label)) locally {
       val emb = spark.read.parquet(s"$fixture/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val cents = graft.operators.Similarity
@@ -86,7 +91,7 @@ object StreamRehearsal {
 
     // ---- 2. winnowDecontamStream over the ×R documents ------------
     label = "winnow_decontam_stream"
-    locally {
+    if (wanted(label)) locally {
       val docs = spark.read.parquet(s"$fixture/documents.parquet")
         .select(col("doc_id"), col("text"))
       val holdout = docs.filter(pmod(col("doc_id"), lit(997)) === 0)
@@ -121,7 +126,7 @@ object StreamRehearsal {
     // (token, holder), NOT update count; the run shows state rows
     // plateau there while input keeps growing.
     label = "streaming_top100"
-    locally {
+    if (wanted(label)) locally {
       val upds = graft.Tables.events(spark, fixture)
         .select(col("event_type").as("contract_address"),
           concat(lit("0x"), lpad(hex(col("user_id")), 16, "0")).as("holder_address"),
@@ -148,6 +153,28 @@ object StreamRehearsal {
       val bound = upds.select(col("contract_address"), col("holder_address"))
         .distinct().count()
       println(s"""{"metric":"stream_state","scenario":"$label","distinct_token_holder":$bound,"input":${upds.count()}}""")
+    }
+
+    // ---- 4. minhashDedupStream over the ×R documents --------------
+    // the LSH-index firewall: unseeded start, waves split by doc_id.
+    // State is the on-disk band index only (no keyed state) — the
+    // scale claim is per-wave wall staying batch-bound as the
+    // admitted index grows, plus the index's on-disk footprint.
+    label = "minhash_dedup_stream"
+    if (wanted(label)) locally {
+      val docs = spark.read.parquet(s"$fixture/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val src = s"$work/mh_src"; val idx = s"$work/mh_idx"
+      val dest = s"$work/mh_kept"; val ck = s"$work/mh_ck"
+      for (w <- 0 until waves) {
+        docs.filter(pmod(col("doc_id"), lit(waves)) === w)
+          .write.mode("append").parquet(src)
+        timed(s"wave_$w")(
+          Incremental.minhashDedupStream(spark, src, idx, dest, ck,
+            threshold = 0.5))
+      }
+      val kept = spark.read.parquet(dest).count()
+      println(s"""{"metric":"stream_state","scenario":"$label","kept":$kept,"input":${docs.count()},"index_bytes":${fsSize(spark, idx)}}""")
     }
 
     // per-batch progress dump (the evidence table for BASELINE.md)

@@ -185,13 +185,24 @@ class DedupSpec extends SparkSpec {
       s"probe diverged from the batch sweep's cross pairs:\n$gotPairs\nvs\n$sweep")
     assert(gotPairs.exists(_._3 >= 0.9), "planted twins must surface")
 
-    // the index scan prunes by part (partition filter, not post-scan)
-    val plan = Dedup.minhashProbe(toToks(batchB.limit(1)), base)
-      .queryExecution.executedPlan.toString
-    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
-    assert(pf.exists(l => l.contains("part") &&
+    // both index scans prune (partition filter, not post-scan): the
+    // bands scan by part (asserted on the un-checkpointed candidate
+    // stage — the checkpoint hides it from the probe's plan), the
+    // sigs scan by spart (asserted on the probe's returned plan)
+    val one = toToks(batchB.limit(1))
+    val bandsPlan = Dedup.minhashProbeCands(one, base, 3, 16, 8,
+      Dedup.MinhashParts, None).queryExecution.executedPlan.toString
+    val bandsPf = bandsPlan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(bandsPf.exists(l => l.contains("part") &&
       (l.contains("IN") || l.contains("in("))),
-      s"index scan must prune by part:\n${pf.mkString("\n")}")
+      s"bands scan must prune by part:\n${bandsPf.mkString("\n")}")
+    val sigsPlan = Dedup.minhashProbe(one, base)
+      .queryExecution.executedPlan.toString
+    val sigsPf = sigsPlan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    // a singleton part list folds to an equality predicate
+    assert(sigsPf.exists(l => l.contains("spart") &&
+      (l.contains("IN") || l.contains("in(") || l.contains("spart#") && l.contains(" = "))),
+      s"sigs scan must prune by spart:\n${sigsPf.mkString("\n")}")
   }
 
   test("null-token docs never enter minhash banding (no constant-bucket blowup)") {
