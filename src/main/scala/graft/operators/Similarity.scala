@@ -204,6 +204,49 @@ object Similarity {
       .orderBy(col("cluster"), col("i"))
   }
 
+  /** Cluster-balanced diverse sampling — the "diversify" stage of a
+    * dedup-then-diversify curation pipeline (D4, Tirumala et al.
+    * 2023; DataComp's cluster-based filtering is the same shape):
+    * assign every vector to its nearest centroid (same comparator as
+    * [[kmeansStep]] — max cosine, ties → higher centroid id), then
+    * keep a fixed per-cluster quota in deterministic md5-of-id order,
+    * so the selection spreads across the embedding space's regions
+    * instead of mirroring its density the way a uniform sample does.
+    *
+    * Scale shape: assignment is the native driver-resident-quantizer
+    * map (no join, no corpus exchange); the per-cluster ranking is ONE
+    * shuffle on `cluster`, and because only `rk <= quota` rows are
+    * emitted the rank filter collapses to a WindowGroupLimit — each
+    * map task pre-prunes to its local per-cluster top-quota before the
+    * exchange, so the shuffled volume is ≈ nClusters·quota per task,
+    * not the corpus (plan-asserted in SimilaritySpec).
+    *
+    * Returns `(idCol, cluster, rk)` for the kept rows, rk 1-based
+    * within cluster.
+    */
+  def diverseSample(corpus: DataFrame, centroids: DataFrame, quota: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val centRows = centroids
+      .select(col("centroid_id").cast("long"), col("centroid")).collect()
+    val ids = centRows.map(_.getLong(0))
+    val vecs = centRows.map(_.getSeq[Float](1).toArray)
+    val nearest = element_at(ColumnBridge.column(graft.plans.IvfAssign(
+      ColumnBridge.expression(col(vecCol)), ids, vecs, 1)), 1)
+    // md5 of the decimal id string — portable across engines (DuckDB
+    // md5(CAST(id AS VARCHAR)) is bit-identical), deterministic, and
+    // uncorrelated with id order; id itself breaks the (impossible
+    // for distinct ids) tie to keep the contract total-ordered
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    graft.Tables.spread(corpus)
+      .select(col(idCol), nearest.as("cluster"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+      .select(col(idCol), col("cluster"), col("rk"))
+      .orderBy(col(idCol))
+  }
+
   /** IVF top-k over TRAINED centroids: train with [[kmeansCentroids]],
     * then probe. Same recall/latency contract as [[ivfTopK]], better
     * list balance than the sampled quantizer on clustered corpora (a

@@ -431,6 +431,20 @@ object TextPipeline {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid")))
   }
 
+  /** Cluster-balanced diverse sample (the D4 "diversify" stage):
+    * nearest-centroid assignment from the semantic_dedup seeding
+    * convention (vec_id < 8 as centroids), then a fixed 20-vector
+    * quota per cluster in deterministic md5 order. Hash-gated — the
+    * assignment math shares [[kmeansStep]]'s oracle restatement.
+    */
+  def diverseSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.diverseSample(emb,
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid")),
+      quota = 20)
+  }
+
   /** Exact cosine top-5 for the first 10 vectors as probes. */
   def knnBruteforce(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -1009,6 +1023,7 @@ object TextPipeline {
     "bpe_tokens" -> (bpeTokens _),
     "lang_guess" -> (langGuess _),
     "kmeans_step" -> (kmeansStep _),
+    "diverse_sample" -> (diverseSampleQ _),
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
@@ -1641,6 +1656,26 @@ object TextPipeline {
          |SELECT cluster, i, n_vecs, sum_micro,
          |  CAST(round(CAST(sum_micro AS DOUBLE) / n_vecs) AS BIGINT) AS mean_micro
          |FROM g ORDER BY cluster, i""".stripMargin,
+    // same assignment CTE as kmeans_step (cos DESC, cid DESC), then a
+    // per-cluster quota in md5(id-string) order — portable across
+    // engines because both md5 the identical decimal string
+    "diverse_sample" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+         |sc AS (SELECT e.vec_id, c.cid,
+         |         CASE WHEN e.nrm * c.cn = 0 THEN 0.0
+         |              ELSE ${dotSql("e.v", "c.cv")} / (e.nrm * c.cn) END AS cos
+         |       FROM e, c),
+         |a AS (SELECT vec_id, cid AS cluster FROM sc
+         |      QUALIFY row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cos DESC, cid DESC) = 1),
+         |r AS (SELECT vec_id, cluster,
+         |        CAST(row_number() OVER (PARTITION BY cluster
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+         |      FROM a)
+         |SELECT vec_id, cluster, rk FROM r WHERE rk <= 20
+         |ORDER BY vec_id""".stripMargin,
     "knn_bruteforce" -> knnExactSql,
     // degenerate-parameter LSH/IVF provably equal brute force
     // (probeDist = bits / nProbe = nCentroids), so the exact-knn oracle

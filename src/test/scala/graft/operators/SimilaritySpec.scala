@@ -207,6 +207,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size == 4, "k x dim rows exactly")
   }
 
+  test("diverseSample: per-cluster quota, correct assignment, deterministic, group-limit plan") {
+    val ss = spark; import ss.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // separable: ids 0,2,3,5,6 on the x-axis, 1,4 on the y-axis;
+    // seeds 0 and 1 are one member of each cluster
+    val corpus = Seq(
+      (0L, v(1.0, 0.0)), (2L, v(0.8, 0.2)), (3L, v(0.9, 0.1)),
+      (5L, v(0.95, 0.05)), (6L, v(0.85, 0.15)),
+      (1L, v(0.0, 1.0)), (4L, v(0.2, 0.8))).toDF("vec_id", "embedding")
+    val cents = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val sample = Similarity.diverseSample(corpus, cents, quota = 2)
+    val got = sample.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // quota binds the dense cluster (5 members -> 2) and the sparse
+    // one keeps both members: the cluster-balanced shape
+    assert(got.count(_._2 == 0L) == 2, s"x-cluster quota: ${got.toSeq}")
+    assert(got.count(_._2 == 1L) == 2, s"y-cluster keeps all: ${got.toSeq}")
+    assert(got.forall(_._3 <= 2) && got.map(_._1).distinct.length == got.length)
+    // assignment is nearest-centroid: y-ish vectors are in cluster 1
+    assert(got.filter(_._2 == 1L).map(_._1).toSet.subsetOf(Set(1L, 4L)))
+    // deterministic: a re-run selects the identical rows
+    val again = Similarity.diverseSample(corpus, cents, quota = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == again.toSeq)
+    // the rank filter must collapse to a WindowGroupLimit so each map
+    // task pre-prunes to its local per-cluster top-quota pre-shuffle
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter should engage WindowGroupLimit:\n$plan")
+  }
+
   test("kmeansCentroids recovers the centers of a separable corpus") {
     val ss = spark; import ss.implicits._
     // 3 tight clusters around orthogonal axes
