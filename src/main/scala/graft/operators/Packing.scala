@@ -49,6 +49,42 @@ object Packing {
         floor((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
   }
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    * (2006) order sampling, the quality-/length-weighted subsample
+    * step of a corpus-curation pipeline ("keep K docs, longer/better
+    * docs proportionally more likely, deterministic across re-runs
+    * and engines"): each row draws a hash-uniform u ∈ (0,1) from the
+    * md5 of its id and ranks by key = ln(u)/w (monotone in the
+    * paper's u^(1/w)); the global top-K by key is EXACTLY a weighted
+    * draw without replacement. No RNG — u is a pure function of the
+    * id, so the sample is reproducible and order-independent, the
+    * [[deterministicShuffle]] discipline applied to weighted choice.
+    *
+    * Scale shape: key derivation is map-side; the top-K is
+    * `orderBy(...).limit(K)` → TakeOrderedAndProject (per-partition
+    * K-heaps + a driver merge of nParts·K rows), never a global sort
+    * (plan-asserted in PackingSpec). The key is micro-rounded to
+    * BIGINT before ranking so the comparison is integer-exact across
+    * engines (ties broken by id).
+    *
+    * @param weightCol strictly-positive weight (caller guarantees;
+    *                  w≤0 would make ln(u)/w flip sign)
+    * @return (idCol, weight cols kept by caller, key_micro) — the K
+    *         selected rows
+    */
+  def weightedSample(docs: DataFrame, idCol: Column, weightCol: Column,
+                     k: Int): DataFrame = {
+    // 8 hex chars = 32 bits; +0.5 keeps u strictly inside (0,1) so
+    // ln(u) is finite and nonzero at both hash extremes
+    val u = (conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    docs
+      .withColumn("key_micro",
+        round(log(u) / weightCol.cast("double") * lit(1e6)).cast("long"))
+      .orderBy(col("key_micro").desc, idCol.asc)
+      .limit(k)
+  }
+
   /** Reproducible global shuffle — the training-order step between
     * curation and packing: every epoch needs the corpus in a
     * different-but-reproducible random order, identical across

@@ -314,6 +314,23 @@ object TextPipeline {
         TextFns.stableSplit(col("text")).as("split"))
       .orderBy(col("doc_id"))
 
+  /** Token-count-weighted sample of 50 documents without replacement
+    * (Efraimidis–Spirakis order sampling; weight = n_tokens + 1 so
+    * empty docs keep a nonzero draw) — the deterministic
+    * quality-weighted subsample step. Hash-gated: the hash-uniform,
+    * ln-key micro-rounding, top-K cut and tiebreak all restate in
+    * DuckDB.
+    */
+  def weightedSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast(LongType).as("n_tokens"))
+    graft.operators.Packing.weightedSample(
+      staged, col("doc_id"), col("n_tokens") + 1, k = 50)
+      .select(col("doc_id"), col("n_tokens"), col("key_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sharded sequence packing at a 2048-token budget over 8 shards:
     * per-shard windowed cumulative token counts — no global window.
     */
@@ -1034,6 +1051,7 @@ object TextPipeline {
     "dedup_components_dist" -> (dedupComponentsDist _),
     "embed_quant" -> (embedQuant _),
     "doc_sample" -> (docSample _),
+    "weighted_sample" -> (weightedSampleQ _),
     "seq_pack" -> (seqPack _),
     "shard_shuffle" -> (shardShuffle _),
     "decontamination" -> (decontamination _),
@@ -1617,6 +1635,19 @@ object TextPipeline {
          |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, cum_tokens,
          |       CAST(FLOOR((cum_tokens - n_tokens) / 2048) AS BIGINT) AS chunk_id
          |FROM p ORDER BY doc_id""".stripMargin,
+    // Efraimidis–Spirakis: u from the first 8 md5 hex chars of the id
+    // (DuckDB casts '0x…' strings to BIGINT; Spark uses conv(…,16,10)),
+    // key = ln(u)/w micro-rounded BEFORE the rank so the top-K cut is
+    // integer-exact in both engines
+    "weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, len($toksSql) + 1 AS w FROM documents),
+         |k AS (SELECT doc_id, CAST(w - 1 AS BIGINT) AS n_tokens,
+         |        CAST(round(ln((CAST(concat('0x',
+         |              substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |            + 0.5) / 4294967296.0) / w * 1000000) AS BIGINT) AS key_micro
+         |      FROM t),
+         |s AS (SELECT * FROM k ORDER BY key_micro DESC, doc_id LIMIT 50)
+         |SELECT doc_id, n_tokens, key_micro FROM s ORDER BY doc_id""".stripMargin,
     // symmetric int8 quantization: scale = max|x|/127 (exact double
     // max), q_i = round(x_i*127/max) — same op order as the Spark side
     "embed_quant" ->

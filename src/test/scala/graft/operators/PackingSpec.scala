@@ -85,6 +85,42 @@ class PackingSpec extends SparkSpec {
     assert(twice == 0, "same content must map to one split")
   }
 
+  test("weightedSample: E-S semantics, weight bias, determinism, top-K plan") {
+    val ss = spark; import ss.implicits._
+    // 400 light docs (w=1) + 100 heavy (w=50): under E-S the heavy
+    // class should dominate a K=100 draw far beyond its 20% share
+    val docs = (1L to 500L).map(id => (id, if (id > 400) 50L else 1L))
+      .toDF("doc_id", "w")
+    val got = Packing.weightedSample(docs, col("doc_id"), col("w"), k = 100)
+      .select("doc_id", "w", "key_micro").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(got.size == 100 && got.map(_._1).distinct.size == 100)
+    val heavy = got.count(_._2 == 50L)
+    assert(heavy > 60, s"heavy class must dominate the draw: $heavy/100")
+
+    // exact contract: selection = global top-K of the closed-form key
+    val expect = (1L to 500L).map { id =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      val w = if (id > 400) 50L else 1L
+      (id, math.round(math.log(u) / w * 1e6))
+    }.sortBy { case (id, k) => (-k, id) }.take(100).map(_._1).toSet
+    assert(got.map(_._1).toSet == expect, "must equal the closed-form top-K")
+
+    // determinism across physical layouts
+    val again = Packing.weightedSample(docs.repartition(13), col("doc_id"),
+      col("w"), k = 100).select("doc_id").as[Long].collect().toSet
+    assert(again == expect)
+
+    // top-K must be TakeOrderedAndProject, never a global sort
+    val plan = Packing.weightedSample(docs, col("doc_id"), col("w"), k = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$plan")
+  }
+
   test("deterministicShuffle: reproducible, dense, epoch-sensitive") {
     val ss = spark; import ss.implicits._
     val docs = (1L to 500L).toDF("doc_id")
