@@ -296,6 +296,61 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming weighted reservoir — the online form of
+    * [[graft.operators.Packing.weightedSample]] (Efraimidis–Spirakis
+    * order sampling). Because the E-S key is a PURE FUNCTION of
+    * (id, weight) — a hash-uniform, no RNG — top-K-of-union equals
+    * union-of-top-Ks re-topped: each micro-batch computes its local
+    * top-K and merges it with the stored reservoir, keeping the
+    * global top-K. The result after any batch is EXACTLY the batch
+    * [[graft.operators.Packing.weightedSample]] over all documents
+    * seen so far (spec-asserted across checkpointed restarts).
+    *
+    * State is the K-row reservoir parquet itself — bounded by K at
+    * any stream length, no keyed state store; the merge is
+    * idempotent (duplicate re-deliveries carry identical keys and
+    * dedup by id), so replay after a checkpoint loss converges to
+    * the same reservoir.
+    */
+  def weightedReservoirStream(spark: SparkSession, srcDir: String,
+                              reservoirDir: String, checkpointDir: String,
+                              k: Int = 50): Unit = {
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(docsSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val staged = batch.select(col("doc_id"),
+          size(graft.functions.TextFns.tokens(col("text")))
+            .cast("long").as("n_tokens"))
+        val batchTop = graft.operators.Packing.weightedSample(
+          staged, col("doc_id"), col("n_tokens") + 1, k)
+          .select(col("doc_id"), col("n_tokens"), col("key_micro"))
+        val resPath = new org.apache.hadoop.fs.Path(reservoirDir)
+        val resExists = resPath
+          .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          .exists(resPath)
+        val merged =
+          if (!resExists) batchTop
+          else batchTop.unionByName(
+              batch.sparkSession.read.parquet(reservoirDir))
+            .dropDuplicates("doc_id")
+            .orderBy(col("key_micro").desc, col("doc_id").asc)
+            .limit(k)
+        // materialize BEFORE the overwrite — the merged frame reads
+        // the same files the write replaces
+        merged.localCheckpoint()
+          .write.mode("overwrite").parquet(reservoirDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming phrase firewall: drop (or tag) arriving documents that
     * contain any of a frozen list of exact phrases — the
     * benchmark-sentence contamination gate run at ingest instead of as

@@ -364,6 +364,39 @@ class IncrementalSpec extends SparkSpec {
     assert(got2 == (1L to 30L).toSet - 4L - 11L - 25L, s"run2 diverged: $got2")
   }
 
+  test("weightedReservoirStream equals the batch weighted sample over all docs seen, across runs") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("wres_stream").toString
+    val src = base + "/src"; val res = base + "/res"; val ck = base + "/ck"
+
+    // varied lengths so weights differ meaningfully
+    def mkDocs(ids: Range) = ids.map { i =>
+      (i.toLong, Seq.fill(1 + (i * 7) % 40)(s"tok$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    def batchTop(docs: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.operators.Packing.weightedSample(
+        docs.select(col("doc_id"),
+          size(graft.functions.TextFns.tokens(col("text")))
+            .cast("long").as("n_tokens")),
+        col("doc_id"), col("n_tokens") + 1, k = 10)
+        .select("doc_id").as[Long].collect().toSet
+
+    mkDocs(1 to 60).write.parquet(src)
+    Incremental.weightedReservoirStream(ss, src, res, ck, k = 10)
+    val got1 = ss.read.parquet(res).select("doc_id").as[Long].collect().toSet
+    assert(got1 == batchTop(mkDocs(1 to 60)), s"run1 diverged: $got1")
+
+    // run 2: only the new files flow; the merged reservoir must equal
+    // the batch sample over the UNION — the E-S pure-key guarantee
+    mkDocs(61 to 120).write.mode("append").parquet(src)
+    Incremental.weightedReservoirStream(ss, src, res, ck, k = 10)
+    val got2 = ss.read.parquet(res)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got2 == batchTop(mkDocs(1 to 120)), s"run2 diverged: $got2")
+    assert(ss.read.parquet(res).count() == 10)
+  }
+
   test("phraseFilterStream: ingest firewall equals the batch phrase sweep across incremental runs") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
