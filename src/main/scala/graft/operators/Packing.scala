@@ -49,6 +49,62 @@ object Packing {
         floor((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
   }
 
+  /** Exact token-budget selection — "keep the highest-scored docs
+    * until a global token budget B" (the FineWeb/Gopher-style
+    * quality-cut step, made exact): under the total order
+    * (score DESC, id ASC), keep every doc whose cumulative token
+    * count BEFORE it is < B (the [[packByTokenBudget]] cum-before
+    * convention — the crossing doc fills the budget).
+    *
+    * Scale shape — global order WITHOUT a global sort: scores are
+    * coarse-bucketed into ≤ nBuckets+1 order-preserving ranges
+    * (integer width from one min/max agg), per-bucket token totals
+    * collect to the driver (bounded by nBuckets BY CONSTRUCTION),
+    * and the descending cumsum over that tiny table decides each
+    * bucket wholesale: buckets above the crossing keep everything,
+    * buckets below drop everything, and ONLY the single boundary
+    * bucket pays a fine ordered cumsum — a window over ~1/nBuckets
+    * of the corpus, with the driver-computed token offset. A
+    * score-tie pileup can widen the boundary bucket (worst case:
+    * every doc shares one score → the fine window IS the corpus);
+    * that skew is the documented cost of exactness, and nBuckets is
+    * the knob.
+    *
+    * @param budget token budget B (kept iff cum_before < B)
+    * @return the kept rows of `docs`, original columns
+    */
+  def budgetSelect(docs: DataFrame, idCol: String, nTokensCol: String,
+                   scoreCol: String, budget: Long,
+                   nBuckets: Int = 1000): DataFrame = {
+    val agg = docs.agg(min(col(scoreCol)), max(col(scoreCol))).head()
+    if (agg.isNullAt(0)) return docs.limit(0)
+    val (mn, mx) = (agg.getLong(0), agg.getLong(1))
+    val width = math.max(1L, (mx - mn) / nBuckets + 1)
+    val bucketed = docs.withColumn("__bucket",
+      floor((col(scoreCol).cast("long") - lit(mn)) / lit(width)).cast("long"))
+    // ≤ nBuckets+1 rows by construction — the driver-side cumsum table
+    val sums = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col(nTokensCol).cast("long")).as("__t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var cum = 0L; var boundary = -1L; var offset = 0L; var crossed = false
+    for ((b, t) <- sums if !crossed) {
+      if (cum + t <= budget) cum += t
+      else { boundary = b; offset = cum; crossed = true }
+    }
+    val keepCols = docs.columns.map(col).toSeq
+    if (!crossed) return docs // budget never exhausted — keep all
+    val full = bucketed.filter(col("__bucket") > boundary).select(keepCols: _*)
+    // fine pass: ONE boundary bucket, ordered (score desc, id asc),
+    // cum-before rule with the driver-computed offset
+    val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val edge = bucketed.filter(col("__bucket") === boundary)
+      .withColumn("__cum", sum(col(nTokensCol).cast("long")).over(w))
+      .filter(lit(offset) + col("__cum") - col(nTokensCol) < budget)
+      .select(keepCols: _*)
+    full.unionByName(edge)
+  }
+
   /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
     * (2006) order sampling, the quality-/length-weighted subsample
     * step of a corpus-curation pipeline ("keep K docs, longer/better

@@ -684,6 +684,26 @@ object TextPipeline {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Exact token-budget quality cut: keep the highest-quality docs
+    * (heuristic [[TextFns.qualityScoreOf]], micro-rounded) until a
+    * 10,000-token global budget under the (score DESC, doc_id ASC)
+    * total order — cum-before rule, so the crossing doc fills the
+    * budget. Hash-gated: the oracle restates the quality chain and
+    * the global cumsum cut; the Spark side reaches the identical set
+    * through [[graft.operators.Packing.budgetSelect]]'s bucketed
+    * decomposition (no global sort).
+    */
+  def budgetSelectQ(s: SparkSession, dir: String): DataFrame = {
+    val staged = tokenizedDocs(s, dir)
+      .select(col("doc_id"),
+        size(col("__toks")).cast(LongType).as("n_tokens"),
+        round(TextFns.qualityScoreOf(col("text"), col("__toks")) * 1e6)
+          .cast(LongType).as("score_micro"))
+    graft.operators.Packing.budgetSelect(
+      staged, "doc_id", "n_tokens", "score_micro", budget = 10000L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Context-window chunking (the split dual of [[seqPack]]):
     * 64-token windows every 48 tokens over each document — no shuffle,
     * pure per-row explode from the shared tokenized frame.
@@ -1072,6 +1092,7 @@ object TextPipeline {
     "link_domains" -> (linkDomains _),
     "doc_chunks" -> (docChunks _),
     "quality_topk" -> (qualityTopk _),
+    "budget_select" -> (budgetSelectQ _),
     "quality_model_score" -> (qualityModelScore _),
     "quality_model_filter" -> (qualityModelFilter _),
     "semantic_dedup" -> (semanticDedupQ _),
@@ -1276,6 +1297,29 @@ object TextPipeline {
          |               ORDER BY quality DESC, doc_id ASC) AS rk FROM q)
          |SELECT source, rk, doc_id, quality FROM r
          |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    // the same quality chain as quality_topk, then the global
+    // cum-before cut the bucketed Spark decomposition must reproduce
+    "budget_select" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id, text, len(toks) AS n,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) END AS awl,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter(toks, w -> list_contains($stopList, w))) AS DOUBLE) / len(toks) END AS sr
+         |  FROM t),
+         |q AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(round(round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+         |      + (CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+         |      + least(sr * 5.0, 1.0) * 0.2
+         |      + greatest(0.0, 1.0 - pr * 4.0) * 0.2, 6) * 1000000) AS BIGINT) AS score_micro
+         |  FROM m),
+         |c AS (SELECT doc_id, n_tokens, score_micro,
+         |  SUM(n_tokens) OVER (ORDER BY score_micro DESC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q)
+         |SELECT doc_id, n_tokens, score_micro FROM c
+         |WHERE cum - n_tokens < 10000 ORDER BY doc_id""".stripMargin,
     "doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |f AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),

@@ -85,6 +85,36 @@ class PackingSpec extends SparkSpec {
     assert(twice == 0, "same content must map to one split")
   }
 
+  test("budgetSelect: exact global cum-before cut via the bucketed decomposition") {
+    val ss = spark; import ss.implicits._
+    // scores with heavy ties (pileups straddle bucket boundaries),
+    // varied token counts
+    val rows = (1L to 200L).map(id =>
+      (id, 1L + (id * 7) % 30, ((id * 37) % 50) * 1000L))
+    val docs = rows.toDF("doc_id", "n_tokens", "score_micro")
+    def expected(budget: Long): Set[Long] = {
+      var cum = 0L
+      rows.sortBy { case (id, _, s) => (-s, id) }.flatMap { case (id, n, _) =>
+        val keep = cum < budget; cum += n; if (keep) Some(id) else None
+      }.toSet
+    }
+    for (budget <- Seq(0L, 1L, 500L, 1500L, 3200L, 100000L);
+         nBuckets <- Seq(1, 7, 1000)) {
+      val got = Packing.budgetSelect(docs.repartition(13), "doc_id",
+          "n_tokens", "score_micro", budget, nBuckets)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expected(budget),
+        s"budget=$budget nBuckets=$nBuckets: got ${got.size}, want ${expected(budget).size}")
+    }
+    // all-equal scores: the whole corpus is one boundary bucket and
+    // the fine pass alone must still reproduce the global rule
+    val flat = (1L to 50L).map(id => (id, 5L, 777L)).toDF("doc_id", "n_tokens", "score_micro")
+    val gotFlat = Packing.budgetSelect(flat, "doc_id", "n_tokens",
+        "score_micro", budget = 52L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotFlat == (1L to 11L).toSet, s"flat-score edge: $gotFlat") // 10*5=50<52, 11th starts at 50<52, 12th at 55
+  }
+
   test("weightedSample: E-S semantics, weight bias, determinism, top-K plan") {
     val ss = spark; import ss.implicits._
     // 400 light docs (w=1) + 100 heavy (w=50): under E-S the heavy
