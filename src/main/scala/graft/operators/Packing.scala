@@ -71,11 +71,21 @@ object Packing {
     * the knob.
     *
     * @param budget token budget B (kept iff cum_before < B)
-    * @return the kept rows of `docs`, original columns
+    * @return the kept rows as the (idCol, nTokensCol, scoreCol)
+    *         projection (the operator materializes exactly that)
     */
-  def budgetSelect(docs: DataFrame, idCol: String, nTokensCol: String,
+  def budgetSelect(docsIn: DataFrame, idCol: String, nTokensCol: String,
                    scoreCol: String, budget: Long,
                    nBuckets: Int = 1000): DataFrame = {
+    // one materialization serves all three actions (min/max agg,
+    // bucket-sum collect, kept filters): the score expression — often
+    // a full tokenization chain — evaluates ONCE, and the driver-side
+    // cumsum is guaranteed a consistent snapshot (a source that
+    // changed between actions would silently skew the cut otherwise).
+    // The frame is narrow (id + two longs), so the checkpoint is
+    // cheap at any corpus size.
+    val docs = docsIn.select(col(idCol), col(nTokensCol).cast("long").as(nTokensCol),
+      col(scoreCol).cast("long").as(scoreCol)).localCheckpoint()
     val agg = docs.agg(min(col(scoreCol)), max(col(scoreCol))).head()
     if (agg.isNullAt(0)) return docs.limit(0)
     val (mn, mx) = (agg.getLong(0), agg.getLong(1))
