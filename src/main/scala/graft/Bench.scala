@@ -110,6 +110,20 @@ object Bench {
 
     val total     = steady.map(_._2._1).sum
     val coldTotal = prewarmSec + cold.map(_._2._1).sum
+    // Per-job fixed-overhead probe — the artifact's own environment
+    // normalizer: machine-wide scheduler drift (observed round 12:
+    // ~2-3× per-job overhead between same-day sessions on identical
+    // code, via a worktree A/B) reads as uniform inflation worst on
+    // the cheapest queries. 50 one-task jobs quantify that floor;
+    // compare this field across rounds before reading any sub-second
+    // query as a regression. tools/JobOverhead is the dedicated probe.
+    val jobOverheadMs = {
+      spark.sparkContext.parallelize(Seq(1), 1).count() // warm
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 50) { spark.sparkContext.parallelize(Seq(1), 1).count(); i += 1 }
+      math.round((System.nanoTime() - t0) / 1e6 / 50 * 100) / 100.0
+    }
     // Field order matters: the driver keeps only the TAIL of this
     // line, so the STEADY per-query map (the official numbers) goes
     // LAST and the cold map first — truncation then eats cold detail,
@@ -120,7 +134,7 @@ object Bench {
     // to value). "queries" stays as an alias of the STEADY map — the
     // driver's documented key.
     val steadyJson = jsonNum(steady.map { case (n, (t, _)) => n -> t })
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"queries_cold":${jsonNum(cold.map { case (n, (t, _)) => n -> t })},"errors":${jsonStr(errors)},"sf":"$sfDir","queries_steady":$steadyJson,"queries":$steadyJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"job_overhead_ms":$jobOverheadMs,"queries_cold":${jsonNum(cold.map { case (n, (t, _)) => n -> t })},"errors":${jsonStr(errors)},"sf":"$sfDir","queries_steady":$steadyJson,"queries":$steadyJson}""")
     // Round number for per-round artifacts: one past the newest
     // BENCH_r{N}.json in cwd (this round's driver file doesn't exist
     // yet while Bench is running). Run from a foreign cwd that
@@ -172,7 +186,7 @@ object Bench {
       try {
         val path = f"BENCH_FULL_r$round%02d.json"
         java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
-          s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"prewarm_failures":$prewarmFailures,"n_queries":${ordered.size},"n_errors":${errors.size},"sf":"$sfDir",
+          s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"prewarm_failures":$prewarmFailures,"job_overhead_ms":$jobOverheadMs,"n_queries":${ordered.size},"n_errors":${errors.size},"sf":"$sfDir",
              |"queries_cold":${jsonNum(cold.map { case (n, (t, _)) => n -> t })},
              |"queries_steady":$steadyJson,
              |"errors":${jsonStr(errors)}}
@@ -186,7 +200,7 @@ object Bench {
     // above gets its head (the "value" field) truncated off. Emit a
     // second, short, self-contained total line LAST so tail-capture
     // always retains a parseable record of the official numbers.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"n_queries":${ordered.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"job_overhead_ms":$jobOverheadMs,"n_queries":${ordered.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
