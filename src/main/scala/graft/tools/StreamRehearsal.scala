@@ -177,6 +177,26 @@ object StreamRehearsal {
       println(s"""{"metric":"stream_state","scenario":"$label","kept":$kept,"input":${docs.count()},"index_bytes":${fsSize(spark, idx)}}""")
     }
 
+    // ---- 5. weightedReservoirStream over the ×R documents ---------
+    // state is the K-row reservoir parquet itself; the scale claim is
+    // per-wave wall staying batch-bound (each wave pays its own
+    // tokenization sweep, never history's) and the reservoir equaling
+    // the batch draw over everything seen.
+    label = "weighted_reservoir_stream"
+    if (wanted(label)) locally {
+      val docs = spark.read.parquet(s"$fixture/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val src = s"$work/wr_src"; val res = s"$work/wr_res"; val ck = s"$work/wr_ck"
+      for (w <- 0 until waves) {
+        docs.filter(pmod(col("doc_id"), lit(waves)) === w)
+          .write.mode("append").parquet(src)
+        timed(s"wave_$w")(
+          Incremental.weightedReservoirStream(spark, src, res, ck, k = 50))
+      }
+      val kept = spark.read.parquet(res).count()
+      println(s"""{"metric":"stream_state","scenario":"$label","reservoir_rows":$kept,"input":${docs.count()}}""")
+    }
+
     // per-batch progress dump (the evidence table for BASELINE.md)
     import scala.jdk.CollectionConverters._
     recorded.asScala.toSeq.sortBy(b => (b.label, b.batchId)).foreach { b =>
