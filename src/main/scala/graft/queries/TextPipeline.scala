@@ -684,6 +684,28 @@ object TextPipeline {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Per-source percentile calibration of the heuristic quality score
+    * (the FineWeb-style per-dump normalization: a raw score of 0.7
+    * means different things in different crawls; its percentile
+    * WITHIN the source is comparable across sources, so downstream
+    * thresholds cut each source at the same quantile). percent_rank
+    * over (source, score) — tie rows share a rank, so the result is
+    * deterministic with no id tiebreak; ONE shuffle on source, and a
+    * giant single source concentrating its window is the documented
+    * per-source-window skew class (same as quality_topk).
+    */
+  def qualityPercentile(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score_micro"))
+    tokenizedDocs(s, dir)
+      .select(col("source"), col("doc_id"),
+        round(TextFns.qualityScoreOf(col("text"), col("__toks")) * 1e6)
+          .cast(LongType).as("score_micro"))
+      .withColumn("pctile_micro",
+        round(percent_rank().over(w) * 1e6).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact token-budget quality cut: keep the highest-quality docs
     * (heuristic [[TextFns.qualityScoreOf]], micro-rounded) until a
     * 10,000-token global budget under the (score DESC, doc_id ASC)
@@ -1093,6 +1115,7 @@ object TextPipeline {
     "doc_chunks" -> (docChunks _),
     "quality_topk" -> (qualityTopk _),
     "budget_select" -> (budgetSelectQ _),
+    "quality_percentile" -> (qualityPercentile _),
     "quality_model_score" -> (qualityModelScore _),
     "quality_model_filter" -> (qualityModelFilter _),
     "semantic_dedup" -> (semanticDedupQ _),
@@ -1297,6 +1320,28 @@ object TextPipeline {
          |               ORDER BY quality DESC, doc_id ASC) AS rk FROM q)
          |SELECT source, rk, doc_id, quality FROM r
          |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    // the quality chain + percent_rank per source; ties share a rank,
+    // so no id tiebreak is needed for determinism
+    "quality_percentile" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id, source, text,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) END AS awl,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter(toks, w -> list_contains($stopList, w))) AS DOUBLE) / len(toks) END AS sr
+         |  FROM t),
+         |q AS (SELECT doc_id, source,
+         |  CAST(round(round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+         |      + (CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+         |      + least(sr * 5.0, 1.0) * 0.2
+         |      + greatest(0.0, 1.0 - pr * 4.0) * 0.2, 6) * 1000000) AS BIGINT) AS score_micro
+         |  FROM m)
+         |SELECT source, doc_id, score_micro,
+         |  CAST(round(percent_rank() OVER (PARTITION BY source
+         |    ORDER BY score_micro) * 1000000) AS BIGINT) AS pctile_micro
+         |FROM q ORDER BY doc_id""".stripMargin,
     // the same quality chain as quality_topk, then the global
     // cum-before cut the bucketed Spark decomposition must reproduce
     "budget_select" ->
