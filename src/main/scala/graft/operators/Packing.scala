@@ -115,6 +115,74 @@ object Packing {
     full.unionByName(edge)
   }
 
+  /** Exact top-K selection WITHOUT an ordered driver merge — the
+    * count-based sibling of [[budgetSelect]] (n_tokens ≡ 1): keep
+    * exactly the first `k` rows under the (score DESC, id ASC) total
+    * order. `orderBy(...).limit(k)` plans as TakeOrderedAndProject,
+    * which merges nParts·K rows ON THE DRIVER — fine for a top-100,
+    * fatal when K ∝ corpus (a 25% keep of a billion-doc pool is a
+    * 250M-row driver merge). Here the cut is derived, never merged:
+    * coarse score buckets → per-bucket COUNTS to the driver
+    * (≤ nBuckets+1 rows BY CONSTRUCTION) → descending cumsum decides
+    * whole buckets, and only the single boundary bucket pays a fine
+    * ordered rank (~1/nBuckets of the input; an all-ties pileup can
+    * widen it — the documented cost of exactness, nBuckets the knob).
+    * The kept set is returned as a FILTER of the input — no global
+    * sort, no TakeOrdered, no driver rows beyond the count table.
+    *
+    * `scoreCol` must be a non-null integral column (the engine's
+    * micro-rounding convention) so bucket arithmetic and row ordering
+    * cannot disagree.
+    */
+  def topKSelect(docs: DataFrame, idCol: String, scoreCol: String,
+                 k: Long, nBuckets: Int = 1000): DataFrame =
+    topSelect(docs, idCol, scoreCol, _ => k, nBuckets)
+
+  /** [[topKSelect]] with K derived from the input size — keep the top
+    * `ceil(frac · n)` rows. The count comes free from the same bucket
+    * table that drives the cut, so no separate count job and no
+    * Int-overflow K arithmetic anywhere (K stays a Long end to end).
+    */
+  def topFracSelect(docs: DataFrame, idCol: String, scoreCol: String,
+                    frac: Double, nBuckets: Int = 1000): DataFrame =
+    topSelect(docs, idCol, scoreCol, n => math.ceil(frac * n).toLong, nBuckets)
+
+  private def topSelect(docsIn: DataFrame, idCol: String, scoreCol: String,
+                        kOf: Long => Long, nBuckets: Int): DataFrame = {
+    // one materialization serves both actions (bucket-count collect,
+    // kept filters) — same consistency contract as [[budgetSelect]];
+    // callers pass the narrow scored projection.
+    val docs = docsIn.localCheckpoint()
+    val agg = docs.agg(min(col(scoreCol).cast("long")),
+      max(col(scoreCol).cast("long"))).head()
+    if (agg.isNullAt(0)) return docs.limit(0)
+    val (mn, mx) = (agg.getLong(0), agg.getLong(1))
+    val width = math.max(1L, (mx - mn) / nBuckets + 1)
+    val bucketed = docs.withColumn("__bucket",
+      floor((col(scoreCol).cast("long") - lit(mn)) / lit(width)).cast("long"))
+    // ≤ nBuckets+1 rows by construction — the driver-side cumsum table
+    val counts = bucketed.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val k = kOf(counts.map(_._2).sum)
+    var cum = 0L; var boundary = -1L; var offset = 0L; var crossed = false
+    for ((b, n) <- counts if !crossed) {
+      if (cum + n <= k) cum += n
+      else { boundary = b; offset = cum; crossed = true }
+    }
+    val keepCols = docs.columns.map(col).toSeq
+    if (!crossed) return docs // k >= input size — keep all
+    val full = bucketed.filter(col("__bucket") > boundary).select(keepCols: _*)
+    // fine pass: ONE boundary bucket, row_number under the global
+    // comparator, kept while the driver-computed offset + rank <= k
+    val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+    val edge = bucketed.filter(col("__bucket") === boundary)
+      .withColumn("__rn", row_number().over(w))
+      .filter(lit(offset) + col("__rn") <= k)
+      .select(keepCols: _*)
+    full.unionByName(edge)
+  }
+
   /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
     * (2006) order sampling, the quality-/length-weighted subsample
     * step of a corpus-curation pipeline ("keep K docs, longer/better
@@ -133,8 +201,18 @@ object Packing {
     * BIGINT before ranking so the comparison is integer-exact across
     * engines (ties broken by id).
     *
+    * Weight range: the fixed 1e6 micro scale resolves keys down to
+    * |ln(u)/w| ≥ 5e-7, i.e. weights up to ~1e4 keep ≥ ~100 micro-units
+    * of resolution for typical u. Far beyond that (w ≳ 2e6·|ln u|)
+    * keys round to 0 and the draw degenerates to id order among the
+    * heaviest rows. Callers with unbounded weights pre-normalize
+    * (divide by max(w)) — E-S ordering is invariant under a positive
+    * weight rescale, and the constant must stay shared with any oracle
+    * restatement, so the scale is a documented contract, not adaptive.
+    *
     * @param weightCol strictly-positive weight (caller guarantees;
-    *                  w≤0 would make ln(u)/w flip sign)
+    *                  w≤0 would make ln(u)/w flip sign; see the weight
+    *                  range note above for the supported magnitude)
     * @return (idCol, weight cols kept by caller, key_micro) — the K
     *         selected rows
     */

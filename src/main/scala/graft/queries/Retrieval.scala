@@ -437,10 +437,17 @@ object Retrieval {
     * deterministic top-fraction variant here is its testable core
     * (same ordering statistic) — noise would un-gate the oracle.
     *
-    * Selection is orderBy + limit(K): K = ceil(0.25 · pool) is one
-    * driver scalar, and the plan is TakeOrderedAndProject — the same
-    * distributed top-K shape vocab_topk asserts — not a global
-    * single-partition window.
+    * Selection is [[graft.operators.Packing.topFracSelect]] — the
+    * bucketed exact cut, NOT orderBy + limit(K). limit(K) plans as
+    * TakeOrderedAndProject, whose driver merge holds K rows: with
+    * K = ceil(0.25 · pool) that is a driver-side collect of a quarter
+    * of the corpus (and an Int K overflows past ~2³¹ pool docs). The
+    * bucketed cut keeps driver state at the ≤ nBuckets count table,
+    * K stays a Long, and the kept set is a filter of the scored frame
+    * — the batch twin of the frozen `minLogwMicro` threshold the
+    * streaming firewall already deploys
+    * ([[graft.streaming.Incremental.dsirFilterStream]]; derive its
+    * threshold from this cut via [[dsirThreshold]]).
     */
   def dsirSelect(s: SparkSession, dir: String): DataFrame =
     dsir(TextPipeline.tokenizedDocs(s, dir)
@@ -463,16 +470,31 @@ object Retrieval {
     // map-side partial aggregation.
     val scored = dsirScores(toks.filter(!isTarget), lambda, Seq("doc_id", "lang"))
 
-    // K = ceil(keep_frac · pool): one bounded driver scalar, then a
-    // distributed TakeOrderedAndProject. Counted on the POOL frame —
-    // scored has exactly one row per pool doc, so the counts agree,
-    // but this one never runs the bigram/λ pipeline.
-    val poolCount = toks.filter(!isTarget).count()
-    val k = math.ceil(keepFrac * poolCount).toInt
-    scored
-      .orderBy(col("logw_micro").desc, col("doc_id").asc)
-      .limit(k)
+    // K = ceil(keep_frac · pool) falls out of the cut's own bucket
+    // table (scored has exactly one row per pool doc), so there is no
+    // separate count job and no ordered driver merge anywhere — see
+    // the selection note above. Output is the kept SET (the gate
+    // sorts rows before hashing; an orderBy here would re-pay a
+    // kept-set-sized sort for nothing).
+    graft.operators.Packing.topFracSelect(
+      scored, "doc_id", "logw_micro", keepFrac)
   }
+
+  /** The frozen streaming threshold implied by a batch
+    * [[dsir]]/[[topFracSelect]] cut: the minimum `logw_micro` among
+    * the kept rows — one bounded aggregate over the (already
+    * result-sized) kept frame. [[graft.streaming.Incremental
+    * .dsirFilterStream]] admits `logw_micro >= threshold`, which
+    * reproduces the batch keep-set up to boundary-score ties (a
+    * threshold cannot split a tie the way the id tiebreak does — the
+    * documented batch/stream seam; on micro-rounded scores ties are
+    * rare and the stream errs INCLUSIVE).
+    */
+  def dsirThreshold(kept: DataFrame): Long =
+    kept.agg(min(col("logw_micro"))).head() match {
+      case r if r.isNullAt(0) => Long.MaxValue // empty cut admits nothing
+      case r => r.getLong(0)
+    }
 
   /** Word bigrams, built in-plan (no shuffle): "tok[i] tok[i+1]".
     * The size guard matters: Spark's sequence(1, 0) DESCENDS ([1, 0])

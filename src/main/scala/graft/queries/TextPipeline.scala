@@ -688,21 +688,27 @@ object TextPipeline {
     * (the FineWeb-style per-dump normalization: a raw score of 0.7
     * means different things in different crawls; its percentile
     * WITHIN the source is comparable across sources, so downstream
-    * thresholds cut each source at the same quantile). percent_rank
-    * over (source, score) — tie rows share a rank, so the result is
-    * deterministic with no id tiebreak; ONE shuffle on source, and a
-    * giant single source concentrating its window is the documented
-    * per-source-window skew class (same as quality_topk).
+    * thresholds cut each source at the same quantile). Tie rows share
+    * a rank (percent_rank semantics), so the result is deterministic
+    * with no id tiebreak.
+    *
+    * The plain form — `percent_rank() OVER (PARTITION BY source ORDER
+    * BY score)` — is exactly what the oracle states, but a window
+    * partition is ONE task, and calibration runs on corpora where a
+    * single source is half the data (the giant-source skew class).
+    * The engine therefore computes the identical statistic through
+    * [[graft.operators.Rankings.percentRankBucketed]]: coarse score
+    * buckets → a groups·nBuckets cum-table → per-(source, bucket)
+    * fine ranks, so a giant source runs as ~nBuckets parallel tasks
+    * (window ≡ bucketed equivalence is spec-pinned in RankingsSpec).
     */
   def qualityPercentile(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("score_micro"))
-    tokenizedDocs(s, dir)
+    val staged = tokenizedDocs(s, dir)
       .select(col("source"), col("doc_id"),
         round(TextFns.qualityScoreOf(col("text"), col("__toks")) * 1e6)
           .cast(LongType).as("score_micro"))
-      .withColumn("pctile_micro",
-        round(percent_rank().over(w) * 1e6).cast(LongType))
+    graft.operators.Rankings.percentRankBucketed(
+      staged, "source", "score_micro")
       .orderBy(col("doc_id"))
   }
 

@@ -115,6 +115,38 @@ class PackingSpec extends SparkSpec {
     assert(gotFlat == (1L to 11L).toSet, s"flat-score edge: $gotFlat") // 10*5=50<52, 11th starts at 50<52, 12th at 55
   }
 
+  test("topKSelect/topFracSelect: exact top-K by (score desc, id asc) with no ordered driver merge") {
+    val ss = spark; import ss.implicits._
+    // heavy ties straddling bucket boundaries, scores in a narrow band
+    val rows = (1L to 200L).map(id => (id, ((id * 37) % 50) * 1000L))
+    val docs = rows.toDF("doc_id", "score_micro")
+    def expected(k: Long): Set[Long] =
+      rows.sortBy { case (id, s) => (-s, id) }.take(k.toInt).map(_._1).toSet
+    for (k <- Seq(0L, 1L, 37L, 150L, 200L, 5000L);
+         nBuckets <- Seq(1, 7, 1000)) {
+      val got = Packing.topKSelect(docs.repartition(13), "doc_id",
+          "score_micro", k, nBuckets)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expected(math.min(k, 200L)),
+        s"k=$k nBuckets=$nBuckets: got ${got.size}")
+    }
+    // frac form: K = ceil(frac · n) from the same bucket table
+    val gotFrac = Packing.topFracSelect(docs, "doc_id", "score_micro", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotFrac == expected(50L), "ceil(0.25 * 200) = 50")
+    // all-equal scores: the single boundary bucket alone must cut
+    val flat = (1L to 50L).map(id => (id, 777L)).toDF("doc_id", "score_micro")
+    val gotFlat = Packing.topKSelect(flat, "doc_id", "score_micro", k = 13L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotFlat == (1L to 13L).toSet, s"flat-score edge: $gotFlat")
+    // the whole point: no TakeOrderedAndProject (K-row driver merge),
+    // no global Sort of the input — the cut is filters
+    val plan = Packing.topKSelect(docs, "doc_id", "score_micro", 50L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject"),
+      s"cut must not merge K rows on the driver:\n$plan")
+  }
+
   test("weightedSample: E-S semantics, weight bias, determinism, top-K plan") {
     val ss = spark; import ss.implicits._
     // 400 light docs (w=1) + 100 heavy (w=50): under E-S the heavy

@@ -48,4 +48,33 @@ class RankingsSpec extends SparkSpec {
       .select(col("addr")).as[String].collect().toSeq
     assert(r == Seq("a", "b", "c"))
   }
+
+  test("percentRankBucketed ≡ the per-group percent_rank window, bit-exact, any bucketing") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deliberately skewed groups: one giant source (80%), two small
+    // ones incl. a 1-row group (percent_rank = 0 convention), heavy
+    // score ties that straddle bucket boundaries
+    val rows = (1L to 800L).map(id => ("giant", id, ((id * 37) % 25) * 1000L)) ++
+      (801L to 999L).map(id => ("small", id, ((id * 13) % 7) * 1000L)) :+
+      (("solo", 1000L, 42L))
+    val docs = rows.toDF("source", "doc_id", "score_micro")
+    val w = Window.partitionBy(col("source")).orderBy(col("score_micro"))
+    val want = docs
+      .withColumn("pctile_micro",
+        round(percent_rank().over(w) * 1e6).cast("long"))
+      .select("doc_id", "pctile_micro").as[(Long, Long)].collect().toMap
+    for (nBuckets <- Seq(1, 7, 1000)) {
+      val got = Rankings.percentRankBucketed(docs.repartition(13),
+          "source", "score_micro", nBuckets = nBuckets)
+        .select("doc_id", "pctile_micro").as[(Long, Long)].collect().toMap
+      assert(got == want, s"nBuckets=$nBuckets diverged from the window form")
+    }
+    // the scale contract: no per-group-only window anywhere — every
+    // corpus-side window partitions by (group, bucket)
+    val plan = Rankings.percentRankBucketed(docs, "source", "score_micro")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percent_rank"),
+      "bucketed form must not fall back to the built-in window function")
+  }
 }

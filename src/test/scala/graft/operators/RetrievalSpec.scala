@@ -78,7 +78,8 @@ class RetrievalSpec extends SparkSpec {
       (11L, "fr", "zzz"),
       (12L, "fr", "bad junk rows bad junk rows bad junk rows")))
     val got = Retrieval.dsir(toks, col("lang") === "en", v = 64, keepFrac = 0.34)
-      .select("doc_id", "logw_micro").collect()
+      .select("doc_id", "logw_micro")
+      .orderBy(col("logw_micro").desc, col("doc_id").asc).collect()
     assert(got.map(_.getLong(0)).toSeq == Seq(10L, 11L),
       s"expected the target-like doc then the neutral doc: ${got.toSeq}")
     assert(got(0).getLong(1) > 0L, "target-like doc carries positive log-weight")
@@ -179,16 +180,51 @@ class RetrievalSpec extends SparkSpec {
       Seq(1 -> Seq("zzzznotaword"))).count() == 0)
   }
 
-  test("plan contracts: broadcast-pruned postings, no sort-merge join; dsir select is TakeOrdered") {
+  test("plan contracts: broadcast-pruned postings, no sort-merge join; dsir cut merges nothing on the driver") {
     val bm25Plan = Retrieval.bm25TopK(spark, sf).queryExecution.executedPlan.toString
     assert(bm25Plan.contains("BroadcastHashJoin"), "query-term prune must broadcast")
     assert(!bm25Plan.contains("SortMergeJoin"),
       "nothing in BM25 may shuffle both sides of a join")
 
+    // the scoring stage: λ attach broadcasts, nothing sort-merges
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        TextFns.tokens(col("text")).as("__toks"))
+    val lambda = Retrieval.dsirLambda(toks, col("lang") === "en", Retrieval.DsirV)
+    val scoredPlan = Retrieval.dsirScores(toks.filter(col("lang") =!= "en"),
+      lambda, Seq("doc_id", "lang")).queryExecution.executedPlan.toString
+    assert(scoredPlan.contains("BroadcastHashJoin"), "λ attach must broadcast")
+    assert(!scoredPlan.contains("SortMergeJoin"),
+      "λ attach and pool aggregation must never shuffle both join sides")
+
+    // the cut: K ∝ corpus, so TakeOrderedAndProject (a K-row driver
+    // merge) is the scale-killer this shape exists to avoid — the
+    // bucketed cut must plan as filters, with no ordered driver merge
     val dsirPlan = Retrieval.dsirSelect(spark, sf).queryExecution.executedPlan.toString
-    assert(dsirPlan.contains("TakeOrderedAndProject"),
-      "the keep-fraction cut must be a distributed top-K, not a global sort or window")
+    assert(!dsirPlan.contains("TakeOrderedAndProject"),
+      s"the keep-fraction cut must not merge K rows on the driver:\n$dsirPlan")
     assert(!dsirPlan.contains("SortMergeJoin"),
-      "λ attach and pool re-attach must broadcast")
+      "the cut is filters over the scored frame — no joins at all")
+  }
+
+  test("dsirThreshold: the frozen stream threshold reproduces the batch keep-set (no boundary ties)") {
+    // pool scores strictly graded (i repetitions of the target
+    // phrase → logw affine in i) so the boundary is tie-free and the
+    // threshold form can reproduce the cut EXACTLY
+    val toks = langToksDf(
+      (1L to 4L).map(i => (i, "en", "good clean data")) ++
+        (1L to 8L).map(i => (i + 9L, "fr",
+          Seq.fill(i.toInt)("good clean data").mkString(" "))))
+    val kept = Retrieval.dsir(toks, col("lang") === "en", v = 64, keepFrac = 0.3)
+    val thr = Retrieval.dsirThreshold(kept)
+    val lambda = Retrieval.dsirLambda(toks, col("lang") === "en", 64)
+    val streamed = Retrieval.dsirScores(toks.filter(col("lang") =!= "en"),
+      lambda, Seq("doc_id", "lang"))
+      .filter(col("logw_micro") >= thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchSet = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // threshold admission ⊇ batch cut always; equal when the boundary
+    // score is tie-free (this fixture's distinct per-doc scores)
+    assert(streamed == batchSet, s"stream $streamed vs batch $batchSet")
   }
 }
