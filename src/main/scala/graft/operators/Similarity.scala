@@ -141,6 +141,44 @@ object Similarity {
     ivfProbe(queries, c, cents, k, nProbe, nAssign, queryId, corpusId, vecCol)
   }
 
+  /** Expected cluster population the auto-sized quantizer targets.
+    * 128 reproduces the engine's gate fixtures at sf0.1 (2,000
+    * embeddings / 128 = 16 centroids — the fixed quantizer the oracle
+    * gates were built on), and keeps the per-cluster work constant as
+    * the corpus grows.
+    */
+  val AutoListSize = 128
+
+  /** Production coarse-quantizer sizing — the rule that keeps the
+    * cluster-blocked family LINEAR in corpus size:
+    * `nCentroids = corpus / targetListSize` (clamped). A FIXED
+    * nCentroids means cluster populations grow ∝ corpus, and every
+    * within-cluster scan (SemDeDup's pair join ∝ pop², IVF probing
+    * ∝ pop·nProbe) goes super-linear — the measured ×30 artifact
+    * (45.6×/36.1× at fixed 16). Constant expected population makes
+    * within-cluster work per row constant, so totals track corpus
+    * size; the quantizer itself stays driver-resident (≤ 2¹⁶ rows —
+    * the FAISS coarse-quantizer convention).
+    */
+  def autoCentroidCount(corpusCount: Long,
+                        targetListSize: Int = AutoListSize,
+                        minCentroids: Int = 16,
+                        maxCentroids: Int = 1 << 16): Int = {
+    val t = math.max(1, targetListSize).toLong
+    // overflow-safe ceil division (corpusCount + t - 1 wraps at Long.Max)
+    val ceilDiv = corpusCount / t + (if (corpusCount % t > 0) 1L else 0L)
+    math.max(minCentroids.toLong, math.min(maxCentroids.toLong, ceilDiv)).toInt
+  }
+
+  /** [[kmeansCentroids]] at the [[autoCentroidCount]] size — ONE
+    * bounded count job, then the trainer. The production default:
+    * pass an explicit k only to pin a fixture (the hash/floor gates
+    * keep k = 16 so results stay comparable across rounds).
+    */
+  def kmeansCentroidsAuto(corpus: DataFrame, maxIter: Int = 5, seed: Long = 42L,
+                          vecCol: String = "embedding"): DataFrame =
+    kmeansCentroids(corpus, autoCentroidCount(corpus.count()), maxIter, seed, vecCol)
+
   /** Lloyd's k-means coarse-quantizer trainer for [[ivfTopK]] — the
     * Spark-first form: `ml.KMeans` (distributed, mini-batch-free
     * Lloyd's with k-means|| init) over the embedding column via the
@@ -251,15 +289,22 @@ object Similarity {
     * then probe. Same recall/latency contract as [[ivfTopK]], better
     * list balance than the sampled quantizer on clustered corpora (a
     * sampled centroid set mirrors density, k-means spreads it).
+    *
+    * `nCentroids` DEFAULTS TO AUTO (0 sentinel → [[autoCentroidCount]]
+    * of the corpus): a fixed quantizer size is a fixture device, not a
+    * production setting — see [[autoCentroidCount]] for why. Gate
+    * fixtures pin 16 explicitly.
     */
   def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
-                     nCentroids: Int = 16, nProbe: Int = 4, nAssign: Int = 1,
+                     nCentroids: Int = 0, nProbe: Int = 4, nAssign: Int = 1,
                      maxIter: Int = 5, seed: Long = 42L,
                      queryId: String = "query_id", corpusId: String = "neighbor_id",
-                     vecCol: String = "embedding"): DataFrame =
+                     vecCol: String = "embedding"): DataFrame = {
+    val nc = if (nCentroids > 0) nCentroids else autoCentroidCount(corpus.count())
     ivfTopKWithCentroids(queries, corpus,
-      kmeansCentroids(corpus, nCentroids, maxIter, seed, vecCol),
+      kmeansCentroids(corpus, nc, maxIter, seed, vecCol),
       k, nProbe, nAssign, queryId, corpusId, vecCol)
+  }
 
   /** IVF top-k over a PRE-TRAINED centroid frame (`(centroid_id,
     * centroid)` as produced by [[kmeansCentroids]]) — the production
@@ -511,6 +556,22 @@ object Similarity {
                     corpusId: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame =
     semanticDedupReleasable(corpus, centroids, eps, corpusId, vecCol)._1
+
+  /** [[semanticDedup]] with the quantizer trained at the production
+    * [[autoCentroidCount]] size — the default path for a corpus of
+    * unknown scale. The within-cluster pair scan is ∝ population² per
+    * cluster; constant expected population (not constant nCentroids)
+    * is what keeps the total linear in corpus size. The hash-gated
+    * fixture keeps an explicit 16-centroid quantizer so its oracle
+    * stays restatable.
+    */
+  def semanticDedupAuto(corpus: DataFrame, eps: Double,
+                        corpusId: String = "vec_id",
+                        vecCol: String = "embedding",
+                        maxIter: Int = 5, seed: Long = 42L): DataFrame =
+    semanticDedup(corpus,
+      kmeansCentroidsAuto(corpus.select(col(vecCol)), maxIter, seed, vecCol),
+      eps, corpusId, vecCol)
 
   /** [[semanticDedup]] plus a release handle that unpersists the
     * staged scored frame — repeated callers (the streaming twin runs

@@ -166,6 +166,34 @@ object MediaPipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** [[mediaKnnIvf]] with the quantizer at the production
+    * [[graft.operators.Similarity.autoCentroidCount]] size — constant
+    * expected list population, so each probe's candidate work
+    * (nProbe · listSize) stays CONSTANT as the corpus grows instead
+    * of growing with it (the fixed-16 quantizer's ×30 super-linearity
+    * artifact). Not a gated query: the gate keeps the fixed quantizer
+    * for comparability; ScaleRehearsal measures this path's wall and
+    * recall@5 against the brute-force twin at ×R.
+    */
+  private val autoCentsCache = new graft.SessionCache[String]
+  def mediaKnnIvfAuto(s: SparkSession, dir: String): DataFrame = {
+    val vecs = mediaVecs(s, dir)
+    val probes = vecs.filter(col("id") % 400 === 0)
+      .withColumnRenamed("id", "query_id")
+    val corpus = vecs.withColumnRenamed("id", "neighbor_id")
+    // trained once per (session, dir) — the same production contract
+    // as [[mediaCentroids]]; an auto quantizer is still a corpus
+    // artifact, not a query artifact
+    val cents = autoCentsCache.getOrElseUpdate(s, dir)(
+      graft.operators.Similarity.kmeansCentroidsAuto(
+        vecs.select(col("embedding"))).localCheckpoint())
+    graft.operators.Similarity.ivfTopKWithCentroids(
+      probes, corpus, cents, k = 5, nProbe = 4, nAssign = 2)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),

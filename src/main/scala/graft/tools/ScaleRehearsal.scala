@@ -182,6 +182,16 @@ object ScaleRehearsal {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq("corpus_prepare", "semantic_dedup", "minhash_pairs",
         "winnow_overlap", "dedup_components_dist", "media_knn", "media_knn_ivf"))
+    // rehearsal-only queries (not driver-gated): the auto-sized
+    // quantizer production path for the cluster-blocked family. The
+    // gates keep the FIXED quantizer for cross-round comparability;
+    // these twins prove the documented nCentroids ∝ corpus rule
+    // actually flattens the fixed-quantizer ×R super-linearity.
+    val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "semantic_dedup_auto" -> ((s, dir) =>
+        graft.operators.Similarity.semanticDedupAuto(
+          Tables.embeddings(s, dir), eps = 0.4)),
+      "media_knn_ivf_auto" -> (graft.queries.MediaPipeline.mediaKnnIvfAuto _))
     val mem = new MemListener
     spark.sparkContext.addSparkListener(mem)
     val results = scala.collection.mutable.Map[(String, String), Double]()
@@ -191,7 +201,7 @@ object ScaleRehearsal {
     // side biases the reported ratio HIGH — the "scales ≈ linearly"
     // conclusion is then conservative, never flattered by warm-up.
     for (dir <- Seq(out, base); name <- qs) {
-      val fn = graft.SparkEntry.queries(name)
+      val fn = extraQueries.getOrElse(name, graft.SparkEntry.queries(name))
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       val first = (System.nanoTime() - t0) / 1e9
@@ -211,6 +221,42 @@ object ScaleRehearsal {
       f""""$name":{"base_sec":${results((base, name))}%.2f,"x${r}_sec":${results((out, name))}%.2f,"ratio":$ratio%.2f}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_summary","replicas":$r,"queries":$summary}""")
+
+    // Auto-quantizer quality evidence (round-13): the wall ratios
+    // above show the auto path's cost; this block shows what it does
+    // to RESULT quality at ×R, against ground truth the fixture
+    // construction provides. SPARK_GRAFT_SCALE_AUTOQ=1 opt-in (it
+    // re-runs the exact twins once more each).
+    if (sys.env.get("SPARK_GRAFT_SCALE_AUTOQ").contains("1")) {
+      // media: recall@5 of the auto-IVF against the brute-force exact
+      // twin on the ×R fixture — the same floor style the fixed gate
+      // uses (floor 0.75 in QualityMetrics)
+      val exact = graft.queries.MediaPipeline.queries("media_knn")(spark, out)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.queries.MediaPipeline.mediaKnnIvfAuto(spark, out)
+        .select(col("query_id"), col("neighbor_id"))
+      val mRecall = exact.intersect(approx).count().toDouble / exact.count()
+      println(f"""{"metric":"autoq_quality","name":"media_knn_ivf_auto_recall@5","value":$mRecall%.4f,"floor":0.75}""")
+
+      // semantic dedup: replica-family cohesion — the ×R fixture's
+      // ground truth is that each base vector's R perturbed replicas
+      // are a true near-dup family; cohesion = the fraction of rows
+      // sharing their family's majority component (1.0 = every family
+      // dedups as one group). Measured for BOTH quantizers on the
+      // SAME fixture, so the auto path's quality cost is a direct A/B.
+      def famCohesion(df: DataFrame): Double = {
+        val top = df.select(pmod(col("vec_id"), lit(10000000L)).as("base"),
+            col("component"))
+          .groupBy("base", "component").count()
+          .groupBy("base").agg(max("count").as("top"), sum("count").as("n"))
+        top.agg(sum(col("top")).cast("double") / sum(col("n")))
+          .head().getDouble(0)
+      }
+      val fixedC = famCohesion(graft.SparkEntry.queries("semantic_dedup")(spark, out))
+      val autoC = famCohesion(extraQueries("semantic_dedup_auto")(spark, out))
+      println(f"""{"metric":"autoq_quality","name":"semdedup_family_cohesion_fixed","value":$fixedC%.4f}""")
+      println(f"""{"metric":"autoq_quality","name":"semdedup_family_cohesion_auto","value":$autoC%.4f}""")
+    }
 
     // Quality floors at scale (round-12, VERDICT item 6): re-verify
     // the recall/accuracy floors against the ×R fixture whenever the

@@ -399,4 +399,32 @@ class SimilaritySpec extends SparkSpec {
       c -> rs.count(_._4) }
     assert(perComp.values.forall(_ == 1), s"per-component keeps: $perComp")
   }
+
+  test("autoCentroidCount: constant expected list population, clamped both ends") {
+    import Similarity._
+    assert(autoCentroidCount(0L) == 16 && autoCentroidCount(2000L) == 16,
+      "the sf0.1 gate fixture (2,000 vecs) must resolve to the fixed 16")
+    assert(autoCentroidCount(60000L) == 469, "x30: ceil(60000/128)")
+    assert(autoCentroidCount(1000000L) ==
+      math.ceil(1000000.0 / AutoListSize).toInt, "linear past the floor")
+    assert(autoCentroidCount(Long.MaxValue) == (1 << 16), "driver-resident ceiling")
+  }
+
+  test("semanticDedupAuto: the production path keeps one representative per exact-dup family") {
+    val ss = spark; import ss.implicits._
+    // 20 base vectors, each duplicated exactly (cos = 1 >= eps): every
+    // family must share a component and keep exactly one row
+    // orthogonal bases (one-hot) so NO cross-family pair can clear eps
+    val base = (0 until 20).map(i =>
+      Array.tabulate(20)(d => if (d == i) 1f else 0f))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, v), (100L + i, v)) }
+    val dec = Similarity.semanticDedupAuto(rows.toDF("vec_id", "embedding"), eps = 0.99)
+      .localCheckpoint()
+    assert(dec.count() == 40)
+    val split = dec.select(pmod(col("vec_id"), lit(100L)).as("fam"), col("component"))
+      .distinct().groupBy("fam").count().filter(col("count") > 1).count()
+    assert(split == 0, "an exact duplicate must join its base's component")
+    assert(dec.filter(col("keep")).count() == 20, "one keeper per family")
+  }
 }
