@@ -130,20 +130,37 @@ object Dedup {
     * to the constant bucket xxhash64(null) in every band, colliding
     * all such docs pairwise (O(m²) join blowup).
     */
-  private[graft] def bandedSignatures(toks: DataFrame, shingleLen: Int,
-                                      bands: Int, rowsPerBand: Int): DataFrame = {
+  /** The (doc_id, sig) stage of [[bandedSignatures]] — the expensive
+    * shingle→minhash map, split out so [[minhashProbe]] can
+    * materialize it ONCE (1 slim row per doc) and derive both the
+    * band rows and the probe-side signature fetch from the same
+    * materialization instead of running the signature expression
+    * twice per probe.
+    */
+  private[graft] def minhashSigs(toks: DataFrame, shingleLen: Int,
+                                 numHashes: Int): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(toks.sparkSession)
-    val numHashes = bands * rowsPerBand
     toks.select(col("doc_id"),
       call_function("graft_minhash", col("__toks"),
         lit(shingleLen), lit(numHashes)).as("sig"))
       .filter(col("sig").isNotNull)
-      .select(
-        col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
+
+  /** Banding over a pre-derived (doc_id, sig) frame — cheap xxhash64
+    * slices, no re-shingling.
+    */
+  private[graft] def bandedOfSigs(sigs: DataFrame, bands: Int,
+                                  rowsPerBand: Int): DataFrame =
+    sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  private[graft] def bandedSignatures(toks: DataFrame, shingleLen: Int,
+                                      bands: Int, rowsPerBand: Int): DataFrame =
+    bandedOfSigs(minhashSigs(toks, shingleLen, bands * rowsPerBand),
+      bands, rowsPerBand)
 
   /** Partition count of the on-disk LSH band index: slim band rows
     * land in `part = pmod(xxhash64(band, bucket), nParts)`
@@ -234,8 +251,15 @@ object Dedup {
   private[graft] def minhashProbeCands(newToks: DataFrame, path: String,
                                        shingleLen: Int, bands: Int,
                                        rowsPerBand: Int, nParts: Int,
-                                       excludeBatch: Option[Long]): DataFrame = {
-    val probe = bandedSignatures(newToks, shingleLen, bands, rowsPerBand)
+                                       excludeBatch: Option[Long]): DataFrame =
+    minhashProbeCandsBanded(
+      bandedSignatures(newToks, shingleLen, bands, rowsPerBand),
+      path, nParts, excludeBatch)
+
+  private def minhashProbeCandsBanded(banded: DataFrame, path: String,
+                                      nParts: Int,
+                                      excludeBatch: Option[Long]): DataFrame = {
+    val probe = banded
       .select(col("doc_id").as("probe_id"), col("band"), col("bucket"),
         partOf(nParts).as("part"))
     // bounded by nParts (≤ 64) by construction — see [[MinhashParts]]
@@ -244,7 +268,7 @@ object Dedup {
     // excludeBatch: replay safety for the streaming firewall — a
     // replayed micro-batch must not see its own appended rows
     // (`__batch` is a partition level, so this prunes, not scans)
-    val scan = newToks.sparkSession.read.parquet(s"$path/bands")
+    val scan = banded.sparkSession.read.parquet(s"$path/bands")
       .filter(col("part").isin(parts: _*))
     val idxBands = excludeBatch.fold(scan)(b => scan.filter(col("__batch") =!= b))
       .select(col("band"), col("bucket"), col("doc_id").as("index_id"))
@@ -262,13 +286,17 @@ object Dedup {
                    nParts: Int = MinhashParts,
                    excludeBatch: Option[Long] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // the batch's signatures materialize ONCE (1 slim row per doc) and
+    // feed BOTH the banded candidate join and the probe-side signature
+    // fetch — deriving them twice would run the expensive
+    // shingle/minhash map twice per probe
+    val sigs = minhashSigs(newToks, shingleLen, numHashes).localCheckpoint()
     // localCheckpoint: the candidate set feeds BOTH the sparts
     // collect below and the returned plan — without it the band join
     // (and the corpus-side scan) would execute twice per probe
-    val cands = minhashProbeCands(newToks, path, shingleLen, bands,
-      rowsPerBand, nParts, excludeBatch).localCheckpoint()
-    val probeSigs = bandedSignatures(newToks, shingleLen, bands, rowsPerBand)
-      .filter(col("band") === 0)
+    val cands = minhashProbeCandsBanded(bandedOfSigs(sigs, bands, rowsPerBand),
+      path, nParts, excludeBatch).localCheckpoint()
+    val probeSigs = sigs
       .select(col("doc_id").as("probe_id"), col("sig").as("probe_sig"))
     // signature fetch, pruned to the sparts the candidates hash into
     // (again ≤ nParts by construction)

@@ -311,6 +311,17 @@ object Incremental {
     * idempotent (duplicate re-deliveries carry identical keys and
     * dedup by id), so replay after a checkpoint loss converges to
     * the same reservoir.
+    *
+    * Crash safety: each batch writes a NEW `__v=<batchId>` snapshot
+    * directory and the merge reads the latest COMMITTED one
+    * (marker-carrying — [[readReservoir]]), never overwriting the
+    * file set it is reading. An in-place overwrite (the first-cut
+    * form) had a delete-then-write window in which a crash lost the
+    * reservoir unrecoverably — committed source batches are never
+    * re-read, so offset replay could not reconstruct it. A replayed
+    * batch re-merges onto the same pre-batch snapshot and rewrites
+    * its own `__v` dir (idempotent); older snapshots are pruned
+    * best-effort after each commit.
     */
   def weightedReservoirStream(spark: SparkSession, srcDir: String,
                               reservoirDir: String, checkpointDir: String,
@@ -331,25 +342,71 @@ object Incremental {
         val batchTop = graft.operators.Packing.weightedSample(
           staged, col("doc_id"), col("n_tokens") + 1, k)
           .select(col("doc_id"), col("n_tokens"), col("key_micro"))
-        val resPath = new org.apache.hadoop.fs.Path(reservoirDir)
-        val resExists = resPath
-          .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-          .exists(resPath)
-        val merged =
-          if (!resExists) batchTop
-          else batchTop.unionByName(
-              batch.sparkSession.read.parquet(reservoirDir))
+        val prev = latestReservoirVersion(batch.sparkSession, reservoirDir)
+        val merged = prev match {
+          case None => batchTop
+          case Some(v) => batchTop.unionByName(
+              batch.sparkSession.read.parquet(s"$reservoirDir/__v=$v"))
             .dropDuplicates("doc_id")
             .orderBy(col("key_micro").desc, col("doc_id").asc)
             .limit(k)
-        // materialize BEFORE the overwrite — the merged frame reads
-        // the same files the write replaces
-        merged.localCheckpoint()
-          .write.mode("overwrite").parquet(reservoirDir)
+        }
+        // new snapshot dir — the read set above is never touched, so
+        // a crash at ANY point leaves the previous committed snapshot
+        // intact and the replayed batch simply re-merges onto it. The
+        // explicit marker (created only after the write returns) is
+        // the commit record — the session disables _SUCCESS files
+        merged.write.mode("overwrite").parquet(s"$reservoirDir/__v=$batchId")
+        val fs = new org.apache.hadoop.fs.Path(reservoirDir)
+          .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+        fs.createNewFile(new org.apache.hadoop.fs.Path(
+          s"$reservoirDir/__v=$batchId", CommitMarker))
+        // prune superseded snapshots (best-effort: a crash here only
+        // leaves extra committed dirs; reads always pick the latest)
+        reservoirVersions(batch.sparkSession, reservoirDir)
+          .filter(_ < batchId)
+          .foreach(v => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$reservoirDir/__v=$v"), true))
       }
       .start()
     q.awaitTermination()
   }
+
+  /** Marker file recording a fully-written reservoir snapshot
+    * (written AFTER the parquet write returns — the session disables
+    * the committer's own _SUCCESS files).
+    */
+  private val CommitMarker = "_graft_committed"
+
+  /** Committed (marker-carrying) reservoir snapshot versions under
+    * `reservoirDir/__v=<batchId>/`, ascending.
+    */
+  private def reservoirVersions(spark: SparkSession, reservoirDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(reservoirDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__v="))
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, CommitMarker)))
+      .map(_.getPath.getName.stripPrefix("__v=").toLong)
+      .sorted
+  }
+
+  private def latestReservoirVersion(spark: SparkSession,
+                                     reservoirDir: String): Option[Long] =
+    reservoirVersions(spark, reservoirDir).lastOption
+
+  /** The current reservoir — the latest committed snapshot (empty
+    * K-schema frame if none yet). The read-side twin of
+    * [[weightedReservoirStream]]'s versioned layout.
+    */
+  def readReservoir(spark: SparkSession, reservoirDir: String): DataFrame =
+    latestReservoirVersion(spark, reservoirDir) match {
+      case Some(v) => spark.read.parquet(s"$reservoirDir/__v=$v")
+      case None => spark.emptyDataFrame
+        .withColumn("doc_id", lit(0L)).withColumn("n_tokens", lit(0L))
+        .withColumn("key_micro", lit(0L)).limit(0)
+    }
 
   /** Streaming phrase firewall: drop (or tag) arriving documents that
     * contain any of a frozen list of exact phrases — the
@@ -376,10 +433,15 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // coalesce: a null-text doc tokenizes to null and the match
+        // predicate evaluates null — without the coalesce, filter(!null)
+        // silently DROPPED such rows as if contaminated. The firewall's
+        // contract is "drop docs that MATCH a phrase"; a null text
+        // matches nothing and passes through.
         batch
           .withColumn("__toks", graft.functions.TextFns.tokens(col("text")))
-          .filter(!graft.queries.Retrieval.containsAnyPhrase(
-            col("__toks"), phrases.map(_._2)))
+          .filter(!coalesce(graft.queries.Retrieval.containsAnyPhrase(
+            col("__toks"), phrases.map(_._2)), lit(false)))
           .select(col("doc_id"), col("text"))
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")

@@ -193,7 +193,7 @@ object StreamRehearsal {
         timed(s"wave_$w")(
           Incremental.weightedReservoirStream(spark, src, res, ck, k = 50))
       }
-      val kept = spark.read.parquet(res).count()
+      val kept = Incremental.readReservoir(spark, res).count()
       println(s"""{"metric":"stream_state","scenario":"$label","reservoir_rows":$kept,"input":${docs.count()}}""")
     }
 

@@ -384,17 +384,29 @@ class IncrementalSpec extends SparkSpec {
 
     mkDocs(1 to 60).write.parquet(src)
     Incremental.weightedReservoirStream(ss, src, res, ck, k = 10)
-    val got1 = ss.read.parquet(res).select("doc_id").as[Long].collect().toSet
+    val got1 = Incremental.readReservoir(ss, res)
+      .select("doc_id").as[Long].collect().toSet
     assert(got1 == batchTop(mkDocs(1 to 60)), s"run1 diverged: $got1")
 
     // run 2: only the new files flow; the merged reservoir must equal
     // the batch sample over the UNION — the E-S pure-key guarantee
     mkDocs(61 to 120).write.mode("append").parquet(src)
     Incremental.weightedReservoirStream(ss, src, res, ck, k = 10)
-    val got2 = ss.read.parquet(res)
+    val got2 = Incremental.readReservoir(ss, res)
       .select("doc_id").as[Long].collect().toSet
     assert(got2 == batchTop(mkDocs(1 to 120)), s"run2 diverged: $got2")
-    assert(ss.read.parquet(res).count() == 10)
+    assert(Incremental.readReservoir(ss, res).count() == 10)
+
+    // crash-safety shape: a torn snapshot (no _SUCCESS) must be
+    // invisible to reads — the previous committed snapshot survives
+    val fs = new org.apache.hadoop.fs.Path(res)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val torn = new org.apache.hadoop.fs.Path(res, "__v=999")
+    fs.mkdirs(torn)
+    val after = Incremental.readReservoir(ss, res)
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == got2, "an uncommitted snapshot dir must never be read")
+    fs.delete(torn, true)
   }
 
   test("phraseFilterStream: ingest firewall equals the batch phrase sweep across incremental runs") {
@@ -434,6 +446,14 @@ class IncrementalSpec extends SparkSpec {
     val got2 = ss.read.parquet(dest).select("doc_id").as[Long].collect().toSet
     assert(got2 == batchKept(mkDocs(1 to 35)), s"run2 diverged: $got2")
     assert(got2.size > got1.size, "run 2 must add newly kept docs")
+
+    // a null-text doc matches nothing and must PASS THROUGH — the
+    // un-coalesced predicate silently dropped it as if contaminated
+    Seq((999L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    Incremental.phraseFilterStream(ss, src, phrases, dest, ck)
+    val got3 = ss.read.parquet(dest).select("doc_id").as[Long].collect().toSet
+    assert(got3.contains(999L), "null-text doc must pass the firewall")
   }
 
   test("minhashIndexStream: incremental dedup — probe of appended index equals the batch cross sweep") {
