@@ -109,10 +109,29 @@ object Profile {
       import graft.operators.Dedup
       import graft.functions.TextFns
       val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      // spill attribution per labeled phase (round-13: the ×30 point
+      // spills 60 GB somewhere in this pipeline — find the stage)
+      val spillMem = new java.util.concurrent.atomic.AtomicLong(0)
+      val spillDisk = new java.util.concurrent.atomic.AtomicLong(0)
+      val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
       def t(name: String)(body: => Unit): Unit = {
+        spillMem.set(0); spillDisk.set(0); shufWrite.set(0)
         val t0 = System.nanoTime()
         body
-        println(f"[profile] $name%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        val wall = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graftbridge.CodegenPrewarm.drainListeners(spark.sparkContext)
+        val mb = 1024.0 * 1024.0
+        println(f"[profile] $name%-40s ${wall}%.3f s  spill ${spillMem.get / mb}%.0f MB mem / ${spillDisk.get / mb}%.0f MB disk  shufW ${shufWrite.get / mb}%.0f MB")
       }
       // full query, warm then timed (mirrors one bench iteration)
       t("corpusPrepare warm")(

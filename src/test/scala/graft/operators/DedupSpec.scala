@@ -72,6 +72,18 @@ class DedupSpec extends SparkSpec {
     // exact J(1,3) = 8/12 ≈ 0.667; 128 hashes → σ ≈ 0.042, allow 5σ
     val e13 = est.getOrElse((1L, 3L), est((2L, 3L)))
     assert(math.abs(e13 - 8.0 / 12.0) < 0.21, s"est=$e13")
+
+    // the slim-banded A/B variant is row-identical to the fused form
+    // (same banding, same distinct-pair set, same agreement fold)
+    val toks = d.select(col("doc_id"),
+      graft.functions.TextFns.tokens(col("text")).as("__toks"))
+    val slim = Dedup.minhashCandidatesOfTokensSlim(toks,
+      shingleLen = 3, bands = 32, rowsPerBand = 4)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val fused = Dedup.minhashCandidatesOfTokens(toks,
+      shingleLen = 3, bands = 32, rowsPerBand = 4)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(slim == fused, "slim variant must emit the identical pair set")
   }
 
   test("simhash: identical docs collide at hamming 0; pairs respect maxDist") {
