@@ -124,22 +124,62 @@ object Profile {
           }
         }
       })
+      // per-STAGE ledger: which exact stage holds the wall and the
+      // spill (stage name carries the top operator + callsite)
+      case class StageRec(id: Int, name: String, tasks: Int, wallMs: Long,
+                          cpuMs: Long, spillMB: Long, maxTaskMs: Long)
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[StageRec]()
+      val stageCpu = new java.util.concurrent.ConcurrentHashMap[Int, (java.util.concurrent.atomic.AtomicLong, java.util.concurrent.atomic.AtomicLong, java.util.concurrent.atomic.AtomicLong)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            val e = stageCpu.computeIfAbsent(te.stageId, _ =>
+              (new java.util.concurrent.atomic.AtomicLong(0),
+               new java.util.concurrent.atomic.AtomicLong(0),
+               new java.util.concurrent.atomic.AtomicLong(0)))
+            e._1.addAndGet(m.executorRunTime)
+            e._2.addAndGet(m.memoryBytesSpilled)
+            e._3.updateAndGet(p => math.max(p, m.executorRunTime))
+          }
+        }
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val e = stageCpu.getOrDefault(si.stageId,
+            (new java.util.concurrent.atomic.AtomicLong(0),
+             new java.util.concurrent.atomic.AtomicLong(0),
+             new java.util.concurrent.atomic.AtomicLong(0)))
+          val wall = (for (a <- si.completionTime; b <- si.submissionTime) yield a - b).getOrElse(0L)
+          stages.add(StageRec(si.stageId, si.name.takeWhile(_ != '\n').take(90),
+            si.numTasks, wall, e._1.get, e._2.get / (1024 * 1024), e._3.get))
+        }
+      })
       def t(name: String)(body: => Unit): Unit = {
         spillMem.set(0); spillDisk.set(0); shufWrite.set(0)
+        stages.clear(); stageCpu.clear()
         val t0 = System.nanoTime()
         body
         val wall = (System.nanoTime() - t0) / 1e9
         org.apache.spark.sql.graftbridge.CodegenPrewarm.drainListeners(spark.sparkContext)
         val mb = 1024.0 * 1024.0
         println(f"[profile] $name%-40s ${wall}%.3f s  spill ${spillMem.get / mb}%.0f MB mem / ${spillDisk.get / mb}%.0f MB disk  shufW ${shufWrite.get / mb}%.0f MB")
+        import scala.jdk.CollectionConverters._
+        stages.asScala.toSeq.sortBy(-_.cpuMs).take(8).foreach { s =>
+          println(f"[stage]   #${s.id}%-5d ${s.tasks}%4d tasks  wall ${s.wallMs / 1000.0}%8.1f s  cpu ${s.cpuMs / 1000.0}%8.1f s  maxTask ${s.maxTaskMs / 1000.0}%7.1f s  spill ${s.spillMB}%6d MB  ${s.name}")
+        }
       }
-      // full query, warm then timed (mirrors one bench iteration)
-      t("corpusPrepare warm")(
-        graft.queries.TextPipeline.corpusPrepare(spark, sfDir)
-          .write.format("noop").mode("overwrite").save())
-      t("corpusPrepare timed")(
-        graft.queries.TextPipeline.corpusPrepare(spark, sfDir)
-          .write.format("noop").mode("overwrite").save())
+      // SPARK_GRAFT_PROFILE_PREPARE=pairs → skip straight to the
+      // pair-stage decomposition (the round-13 ×30 bottleneck hunt)
+      val pairsOnly = sys.env.get("SPARK_GRAFT_PROFILE_PREPARE").contains("pairs")
+      if (!pairsOnly) {
+        // full query, warm then timed (mirrors one bench iteration)
+        t("corpusPrepare warm")(
+          graft.queries.TextPipeline.corpusPrepare(spark, sfDir)
+            .write.format("noop").mode("overwrite").save())
+        t("corpusPrepare timed")(
+          graft.queries.TextPipeline.corpusPrepare(spark, sfDir)
+            .write.format("noop").mode("overwrite").save())
+      }
       // stage decomposition (fresh frames, so stage costs add up)
       t("input tally")(docs.count())
       var exact: org.apache.spark.sql.DataFrame = null

@@ -368,9 +368,25 @@ object Dedup {
   /** [[ngramJaccardPairs]] over a pre-tokenized frame (doc_id, __toks)
     * — same M7 rationale as [[minhashCandidatesOfTokens]].
     */
+  /** @param pairParts width of the pair-stage exchanges (the gram
+    *          self-join and the (id_a, id_b) count aggregation — this
+    *          operator's largest intermediates BY FAR: the joined
+    *          stream is Σ min(f, cap)² rows). 0 = session default,
+    *          which also keeps the historical fused join+partial-agg
+    *          plan. Large corpora MUST size this ∝ data (the ×30
+    *          profile measured 60+ GB of sort-spill at a fixed 32-way
+    *          width — >1 GB of per-task aggregation state); with an
+    *          explicit width the joined stream repartitions on
+    *          (id_a, id_b) BEFORE aggregating, so the count runs as a
+    *          fused exchange-local aggregate with per-task state ÷
+    *          pairParts, and the join stage carries no aggregation
+    *          map at all. [[graft.pipelines.Corpus.prepare]] derives
+    *          it from its input tally (one partition per ~1000 docs).
+    */
   def ngramJaccardPairsOfTokens(toks: DataFrame,
                                 n: Int = 3, threshold: Double = 0.8,
-                                maxShingleFreq: Long = 1000L): DataFrame = {
+                                maxShingleFreq: Long = 1000L,
+                                pairParts: Int = 0): DataFrame = {
     // Join/shuffle key is the 64-bit shingle hash, not the shingle
     // string — the blocking self-join then moves 8-byte longs instead
     // of text. At 2^64 hash space a cross-shingle collision (which
@@ -395,9 +411,17 @@ object Dedup {
     // Pinned shuffled self-join — see minhashCandidates: the exploded
     // gram table must never be a broadcast build side, whatever the
     // pre-explode stats say.
-    val inter = kept.as("a").hint("shuffle_hash").join(kept.as("b"), Seq("gram"))
+    val keptJ = if (pairParts > 0) kept.repartition(pairParts, col("gram")) else kept
+    val joined = keptJ.as("a").hint("shuffle_hash").join(keptJ.as("b"), Seq("gram"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // pairParts > 0: hash the raw pair stream to (id_a, id_b) first —
+    // the count then fuses onto that exchange (distribution already
+    // satisfied), so no aggregation state ever lives in the join stage
+    // and the agg map is partition-local at the chosen width
+    val pre = if (pairParts > 0) joined.repartition(pairParts, col("id_a"), col("id_b")) else joined
+    val inter = pre
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
 
     inter

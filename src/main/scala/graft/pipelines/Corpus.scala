@@ -102,8 +102,22 @@ object Corpus {
     //    full labeling: a pruning pipeline never needs isolated
     //    nodes or cluster minima labeled (round-11 profile: the
     //    pair+CC stage dominates this pipeline).
+    // Scale-adaptive pair-stage width (round-13): the gram self-join +
+    // pair aggregation is this pipeline's dominant intermediate — the
+    // ×30 profile measured 60+ GB of sort-spill at the session's fixed
+    // 32-way width (>1 GB of per-task aggregation state). One pair
+    // partition per ~1000 input docs keeps that state memory-sized at
+    // any corpus; the session width is the floor, so small fixtures
+    // keep their exact historical plans (pairParts = 0 path).
+    val nDocs = if (input >= 0) input else exact.count()
+    val pairParts = {
+      val derived = math.min(4096L, nDocs / 1000L).toInt
+      val session = docs.sparkSession.sessionState.conf.numShufflePartitions
+      if (derived > session) derived else 0
+    }
     val pairs = Dedup.ngramJaccardPairsOfTokens(
-      exact.select(col("doc_id"), col("__toks")), n = 3, threshold = jaccard)
+      exact.select(col("doc_id"), col("__toks")), n = 3, threshold = jaccard,
+      pairParts = pairParts)
     val losers = Dedup.componentLosers(pairs)
       .select(col("node").as("doc_id"))
     val nearDeduped = exact.join(losers, Seq("doc_id"), "left_anti")

@@ -301,12 +301,16 @@ object ScaleRehearsal {
     if (sys.env.get("SPARK_GRAFT_SCALE_AUTOQ").contains("1")) {
       // media: recall@5 of the auto-IVF against the brute-force exact
       // twin on the ×R fixture — the same floor style the fixed gate
-      // uses (floor 0.75 in QualityMetrics)
-      val exact = graft.queries.MediaPipeline.queries("media_knn")(spark, out)
-        .select(col("query_id"), col("neighbor_id"))
-      val approx = graft.queries.MediaPipeline.mediaKnnIvfAuto(spark, out)
-        .select(col("query_id"), col("neighbor_id"))
-      val mRecall = exact.intersect(approx).count().toDouble / exact.count()
+      // uses (floor 0.75 in QualityMetrics). Driver-side set compare:
+      // both results are probes×5 rows (small by construction), and a
+      // DataFrame intersect would fuse two full ANN plans into one —
+      // measured pathological at ×30 (a coalesced 4-partition sort).
+      def pairsOf(df: DataFrame): Set[(Long, Long)] =
+        df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairsOf(graft.queries.MediaPipeline.queries("media_knn")(spark, out))
+      val approx = pairsOf(graft.queries.MediaPipeline.mediaKnnIvfAuto(spark, out))
+      val mRecall = (exact intersect approx).size.toDouble / exact.size
       println(f"""{"metric":"autoq_quality","name":"media_knn_ivf_auto_recall@5","value":$mRecall%.4f,"floor":0.75}""")
 
       // semantic dedup: replica-family cohesion — the ×R fixture's

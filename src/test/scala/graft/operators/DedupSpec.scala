@@ -38,6 +38,16 @@ class DedupSpec extends SparkSpec {
       .select(col("id_a"), col("id_b"), col("jaccard")).as[(Long, Long, Double)]
       .collect().toSeq
     assert(r == Seq((1L, 2L, 0.5)))
+
+    // an explicit pair-stage width changes the plan (pre-aggregation
+    // repartition), never the result
+    val toks = d.select(col("doc_id"),
+      graft.functions.TextFns.tokens(col("text")).as("__toks"))
+    val widened = Dedup.ngramJaccardPairsOfTokens(toks, n = 3, threshold = 0.4,
+      pairParts = 7)
+      .select(col("id_a"), col("id_b"), col("jaccard")).as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(widened == r, "pairParts must be plan-only")
   }
 
   test("ngram Jaccard finds the planted near-dup, not the unrelated doc") {
