@@ -474,6 +474,84 @@ object Dedup {
         round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
   }
 
+  /** Exact-substring span SCRUBBING — the removal sibling of
+    * [[duplicatePassageStats]] (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": their ExactSubstr
+    * pass deletes every duplicated span, keeping ONE occurrence, on
+    * the evidence that verbatim-repeated text is what models memorize
+    * first). Their implementation is a suffix array over the whole
+    * corpus; the relational re-expression:
+    *
+    *  - a positioned k-token gram whose string occurs ≥ 2 times
+    *    ANYWHERE in the corpus (cross-doc or within-doc) is
+    *    duplicated;
+    *  - its FIRST occurrence under (doc_id, pos) order is canonical
+    *    and keeps its tokens;
+    *  - every other occurrence marks its k token positions for
+    *    removal, and a doc's cleaned text is its tokens minus all
+    *    marked positions. A duplicated span longer than k is tiled by
+    *    its overlapping duplicated k-grams, so the whole span
+    *    vanishes from the non-canonical copies while the canonical
+    *    copy survives intact.
+    *
+    * Scale shape: positioned grams explode once; duplicated-gram
+    * detection AND the canonical choice are ONE gram-keyed aggregate
+    * (`min(struct(doc_id, pos))` rides the count); covered positions
+    * are a bounded k-explode off the (pinned shuffled, 8-byte-key)
+    * gram join; the per-doc removal set is a `collect_set` bounded by
+    * the DOC LENGTH by construction; the splice is a per-row indexed
+    * `filter` over the staged tokens. No self-join anywhere — linear
+    * in gram occurrences, like the stats pass.
+    *
+    * Docs shorter than k tokens carry no k-span and pass through
+    * untouched (wordShinglesOf's short-doc whole-text fallback is
+    * deliberately NOT used here — a 3-token doc is not an 8-token
+    * span). Returns (doc_id, n_tokens, n_removed, clean_text) with
+    * clean_text in the engine's normalized token-joined form.
+    */
+  def exactSubstrScrub(docs: DataFrame, idCol: Column, textCol: Column,
+                       k: Int = 8): DataFrame =
+    exactSubstrScrubOfTokens(
+      graft.Tables.spread(docs)
+        .select(idCol.as("doc_id"), TextFns.tokens(textCol).as("__toks")), k)
+
+  /** [[exactSubstrScrub]] over a pre-tokenized (doc_id, __toks) frame
+    * (M7 shared-stage reuse).
+    */
+  def exactSubstrScrubOfTokens(toks: DataFrame, k: Int = 8): DataFrame = {
+    val grams = toks.filter(size(col("__toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(TextFns.wordShinglesOf(col("__toks"), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        xxhash64(col("col")).as("gram"))
+    // one gram-keyed aggregate: occurrence count + canonical (first)
+    // occurrence; 2^64 hash space — same collision argument as the
+    // stats pass
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("doc_id"), col("pos"))).as("__first"))
+      .filter(col("__n") >= 2)
+    // non-canonical occurrences → covered token positions. Pinned
+    // shuffled join: both sides are gram-exploded corpus tables and
+    // must never broadcast.
+    val covered = grams.hint("shuffle_hash").join(dup, Seq("gram"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("__first"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("__p"))
+    // per-doc removal set: ≤ doc-length ints BY CONSTRUCTION
+    val rm = covered.groupBy(col("doc_id"))
+      .agg(collect_set(col("__p")).as("__rm"))
+    toks.join(rm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("__rm")), lit(0)).cast("long").as("n_removed"),
+        array_join(
+          when(col("__rm").isNull, col("__toks")).otherwise(
+            filter(col("__toks"),
+              (t, i) => !array_contains(col("__rm"), i + 1))),
+          " ").as("clean_text"))
+  }
+
   // ---- Pair clustering ---------------------------------------------
 
   /** Connected components over a near-duplicate pair list: every doc

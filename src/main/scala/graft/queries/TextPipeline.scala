@@ -601,6 +601,19 @@ object TextPipeline {
       tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")), k = 8)
       .orderBy(col("doc_id"))
 
+  /** Exact-substring span scrubbing gate — the Lee et al. 2021
+    * ExactSubstr removal pass ([[Dedup.exactSubstrScrubOfTokens]]):
+    * duplicated ≥8-token spans vanish from every occurrence but the
+    * (doc_id, pos)-first one. Hash-gated end to end: the oracle
+    * restates positioned grams, the first-occurrence rule, position
+    * coverage, and the token splice, so the CLEANED TEXT itself (not
+    * just counts) must match byte-for-byte.
+    */
+  def substrScrub(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstrScrubOfTokens(
+      tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")), k = 8)
+      .orderBy(col("doc_id"))
+
   /** PII/noise scrubbing gate. The synthetic corpus contains no URLs,
     * emails or IPs, so the query plants them deterministically from
     * doc_id (the media queries' payload-from-id pattern): every doc
@@ -1113,6 +1126,7 @@ object TextPipeline {
     "distinct_tokens" -> (distinctTokens _),
     "token_hll" -> (tokenHll _),
     "dup_spans" -> (dupSpans _),
+    "substr_scrub" -> (substrScrub _),
     "winnow_fps" -> (winnowFps _),
     "winnow_overlap" -> (winnowOverlapPairs _),
     "text_scrub" -> (textScrub _),
@@ -1674,6 +1688,39 @@ object TextPipeline {
          |             / COUNT(*), 6) AS dup_fraction
          |FROM g LEFT JOIN f USING (gram)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // positioned grams (parallel unnest keeps pos aligned), the
+    // first-occurrence-canonical rule as a row_number window, covered
+    // positions via a constant 0..k-1 cross range, and the splice as
+    // an ordered string_agg over the uncovered positions — the
+    // cleaned text itself is hash-compared
+    "substr_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |        unnest(range(1, len(toks) - 6)) AS pos,
+         |        unnest([array_to_string(toks[i:i+7], ' ')
+         |                for i in range(1, len(toks) - 6)]) AS gram
+         |      FROM t WHERE len(toks) >= 8),
+         |s AS (SELECT doc_id, pos,
+         |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         |        COUNT(*) OVER (PARTITION BY gram) AS n
+         |      FROM g),
+         |cov AS (SELECT DISTINCT s.doc_id, s.pos + r.ofs AS p
+         |        FROM s, range(0, 8) r(ofs)
+         |        WHERE n >= 2 AND rn > 1),
+         |tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p,
+         |               unnest(toks) AS tk FROM t),
+         |kept AS (SELECT tok.doc_id, tok.p, tok.tk
+         |         FROM tok LEFT JOIN cov
+         |           ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+         |         WHERE cov.p IS NULL),
+         |clean AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS clean_text
+         |          FROM kept GROUP BY doc_id),
+         |nrm AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       CAST(COALESCE(nrm.n_removed, 0) AS BIGINT) AS n_removed,
+         |       COALESCE(clean.clean_text, '') AS clean_text
+         |FROM t LEFT JOIN nrm USING (doc_id) LEFT JOIN clean USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
     "decontam_winnow" ->
       s"""WITH ${winnowCteSql(8, 10)},
          |wsp AS (SELECT doc_id,

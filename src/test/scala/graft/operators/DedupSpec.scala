@@ -263,6 +263,25 @@ class DedupSpec extends SparkSpec {
       (4L, 1L, 0L, 0.0)))
   }
 
+  test("exactSubstrScrub removes duplicated spans everywhere but the first occurrence") {
+    val ss = spark; import ss.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h x"),                  // canonical span holder
+      (2L, "z a b c d e f g h"),                  // same 8-gram at pos 2
+      (3L, "q r s"),                              // short doc: untouched
+      (4L, "a b c d e f g h a b c d e f g h"))    // within-doc repeat, both non-canonical
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstrScrub(d, col("doc_id"), col("text"), k = 8)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 9L, 0L, "a b c d e f g h x")),
+      s"first occurrence keeps its span: ${got(1L)}")
+    assert(got(2L) == ((2L, 9L, 8L, "z")), s"later occurrence scrubbed: ${got(2L)}")
+    assert(got(3L) == ((3L, 3L, 0L, "q r s")), s"short doc untouched: ${got(3L)}")
+    assert(got(4L) == ((4L, 16L, 16L, "")),
+      s"both within-doc copies are non-canonical here: ${got(4L)}")
+  }
+
   test("connectedComponents labels every node with the min reachable id") {
     val ss = spark; import ss.implicits._
     // chain 1-2-3 closed into {1,2,3,8,9} via (9,1); separate pair {5,6}
