@@ -519,11 +519,7 @@ object Dedup {
     * (M7 shared-stage reuse).
     */
   def exactSubstrScrubOfTokens(toks: DataFrame, k: Int = 8): DataFrame = {
-    val grams = toks.filter(size(col("__toks")) >= k)
-      .select(col("doc_id"),
-        posexplode(TextFns.wordShinglesOf(col("__toks"), k)))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"),
-        xxhash64(col("col")).as("gram"))
+    val grams = positionedGrams(toks, k)
     // one gram-keyed aggregate: occurrence count + canonical (first)
     // occurrence; 2^64 hash space — same collision argument as the
     // stats pass
@@ -538,7 +534,28 @@ object Dedup {
       .filter(struct(col("doc_id"), col("pos")) =!= col("__first"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("__p"))
-    // per-doc removal set: ≤ doc-length ints BY CONSTRUCTION
+    spliceRemoved(toks, covered)
+  }
+
+  /** Positioned k-gram rows `(doc_id, pos, gram)` over a pre-tokenized
+    * frame — the derivation shared by the batch scrub and the
+    * streaming firewall (same shingling, same hashing, so the two
+    * paths cannot diverge on what a "span" is). Docs shorter than k
+    * emit nothing.
+    */
+  private[graft] def positionedGrams(toks: DataFrame, k: Int): DataFrame =
+    toks.filter(size(col("__toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(TextFns.wordShinglesOf(col("__toks"), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        xxhash64(col("col")).as("gram"))
+
+  /** Splice tail shared by the batch scrub and the streaming firewall:
+    * per-doc removal sets from a `(doc_id, __p)` covered-position
+    * frame (collect_set ≤ doc length BY CONSTRUCTION), then the
+    * indexed-filter token splice.
+    */
+  private[graft] def spliceRemoved(toks: DataFrame, covered: DataFrame): DataFrame = {
     val rm = covered.groupBy(col("doc_id"))
       .agg(collect_set(col("__p")).as("__rm"))
     toks.join(rm, Seq("doc_id"), "left")
@@ -551,6 +568,43 @@ object Dedup {
               (t, i) => !array_contains(col("__rm"), i + 1))),
           " ").as("clean_text"))
   }
+
+  /** Scrub arriving docs against a FROZEN duplicated-gram set — the
+    * streaming-firewall form of [[exactSubstrScrubOfTokens]]: the
+    * reference corpus (which holds every canonical copy) trains the
+    * dup-gram set once; any arriving span matching a frozen gram is
+    * removed outright (a stream has no global first-occurrence order,
+    * and the reference's copy IS the canonical one — the same
+    * frozen-model reduction as the DSIR/perplexity/phrase firewalls).
+    * Gram derivation and splice are the SHARED helpers, so batch and
+    * stream cannot diverge on span semantics.
+    *
+    * @param dupGrams frozen duplicated-gram hashes as a 1-column
+    *                 frame/broadcast side — driver-bounded by the
+    *                 caller's training-corpus contract
+    */
+  def scrubByFrozenGrams(toks: DataFrame, dupGrams: DataFrame,
+                         k: Int = 8): DataFrame = {
+    val covered = positionedGrams(toks, k)
+      .join(broadcast(dupGrams.select(col("gram"))), Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("__p"))
+    spliceRemoved(toks, covered)
+  }
+
+  /** The frozen dup-gram table implied by a reference corpus. The
+    * firewall default is `minOcc = 1`: any span the reference already
+    * contains counts as duplicated when it arrives again (the
+    * reference holds the canonical copy). `minOcc = 2` instead
+    * freezes only the reference's INTERNAL duplicate set — the batch
+    * scrub's own duplicate test.
+    */
+  def frozenDupGrams(referenceToks: DataFrame, k: Int = 8,
+                     minOcc: Long = 1L): DataFrame =
+    positionedGrams(referenceToks, k)
+      .groupBy(col("gram")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minOcc)
+      .select(col("gram"))
 
   // ---- Pair clustering ---------------------------------------------
 

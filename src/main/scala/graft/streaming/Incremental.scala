@@ -408,6 +408,54 @@ object Incremental {
         .withColumn("key_micro", lit(0L)).limit(0)
     }
 
+  /** Streaming exact-substring scrub firewall — the frozen-model twin
+    * of the batch ExactSubstr removal
+    * ([[graft.operators.Dedup.exactSubstrScrubOfTokens]]): a
+    * reference corpus (which holds every canonical copy) trains a
+    * duplicated-gram set ONCE
+    * ([[graft.operators.Dedup.frozenDupGrams]]); arriving documents
+    * have every span matching a frozen gram REMOVED (not dropped —
+    * the doc survives minus its already-seen passages), through the
+    * SHARED positioned-gram derivation and splice, so batch and
+    * stream cannot diverge on span semantics. A stream has no global
+    * first-occurrence order; the reference's copy is canonical by
+    * contract — the same frozen-model reduction as the
+    * DSIR/perplexity/phrase firewalls. Stateless beyond source
+    * offsets (the gram set is driver data, rebroadcast per batch);
+    * `__batch=` dynamic overwrite ⇒ exactly-once.
+    *
+    * @param dupGramRows frozen duplicated-gram hashes (driver-bounded
+    *                    by the training-corpus contract)
+    * @return survivors schema: (doc_id, n_tokens, n_removed,
+    *         clean_text)
+    */
+  def substrScrubStream(spark: SparkSession, srcDir: String,
+                        dupGramRows: Seq[Long], destDir: String,
+                        checkpointDir: String, k: Int = 8): Unit = {
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(docsSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import batch.sparkSession.implicits._
+        val dupGrams = dupGramRows.toDF("gram")
+        graft.operators.Dedup.scrubByFrozenGrams(
+          batch.select(col("doc_id"),
+            graft.functions.TextFns.tokens(col("text")).as("__toks")),
+          dupGrams, k)
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(destDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming phrase firewall: drop (or tag) arriving documents that
     * contain any of a frozen list of exact phrases — the
     * benchmark-sentence contamination gate run at ingest instead of as

@@ -409,6 +409,57 @@ class IncrementalSpec extends SparkSpec {
     fs.delete(torn, true)
   }
 
+  test("substrScrubStream scrubs frozen reference spans exactly like the batch op over the union") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    import graft.functions.TextFns
+    val base = Files.createTempDirectory("sscrub_stream").toString
+    val src = base + "/src"; val dest = base + "/dest"; val ck = base + "/ck"
+
+    // reference corpus holds the canonical span; frozen set trained once
+    val span = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val ref = (1 to 3).map(i => (100L + i, s"ref$i filler $span tail$i"))
+      .toDF("doc_id", "text")
+    val dupGrams = Dedup.frozenDupGrams(
+      ref.select(col("doc_id"), TextFns.tokens(col("text")).as("__toks")), k = 8)
+      .as[Long].collect().toSeq
+    assert(dupGrams.nonEmpty)
+
+    // arrival ids ABOVE the reference ids: the batch twin's canonical
+    // rule is min (doc_id, pos), and the frozen reduction assumes the
+    // reference copy is the canonical one
+    def mkDocs(ids: Range, dirty: Set[Long]) = ids.map { i =>
+      (1000L + i, if (dirty(i.toLong)) s"u$i $span v$i" else s"u$i clean text v$i")
+    }.toDF("doc_id", "text")
+
+    mkDocs(1 to 8, Set(2L, 5L)).write.parquet(src)
+    Incremental.substrScrubStream(ss, src, dupGrams, dest, ck)
+    val got1 = ss.read.parquet(dest).select("doc_id", "clean_text")
+      .as[(Long, String)].collect().toMap
+    assert(got1(1002L) == "u2 v2" && got1(1005L) == "u5 v5",
+      s"already-seen spans must vanish: $got1")
+    assert(got1(1001L) == "u1 clean text v1", "clean docs pass untouched")
+
+    // ≡ the BATCH scrub over reference ∪ arrivals (reference holds
+    // every canonical copy and arrivals share no span among
+    // themselves, so the frozen reduction is exact here)
+    val batchClean = Dedup.exactSubstrScrub(
+      ref.unionByName(mkDocs(1 to 8, Set(2L, 5L))),
+      col("doc_id"), col("text"), k = 8)
+      .filter(col("doc_id") >= 1000L).select("doc_id", "clean_text")
+      .as[(Long, String)].collect().toMap
+    assert(got1 == batchClean, "stream must equal the batch op over the union")
+
+    // run 2: only the new files flow
+    mkDocs(9 to 12, Set(11L)).write.mode("append").parquet(src)
+    Incremental.substrScrubStream(ss, src, dupGrams, dest, ck)
+    val got2 = ss.read.parquet(dest).select("doc_id", "clean_text")
+      .as[(Long, String)].collect().toMap
+    assert(got2.size == 12 && got2(1011L) == "u11 v11" &&
+      got2(1009L) == "u9 clean text v9", s"run2 diverged: $got2")
+  }
+
   test("phraseFilterStream: ingest firewall equals the batch phrase sweep across incremental runs") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
