@@ -49,10 +49,20 @@ object TextPipeline {
   private val pairsCache = new graft.SessionCache[String]
 
   private[queries] def ngramPairs05(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate(s, dir)(
-      Dedup.ngramJaccardPairsOfTokens(
-        tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")),
-        n = 3, threshold = 0.5).persist())
+    pairsCache.getOrElseUpdate(s, dir) {
+      val toks = tokenizedDocs(s, dir).select(col("doc_id"), col("__toks"))
+      // scale-adaptive pair-stage width, the Corpus.prepare rule
+      // (~1 partition / 1000 docs, session width as floor): the raw
+      // operator's fixed-width plan spills 80+ GB at ×30 (Profile
+      // stage ledger) while small fixtures keep their exact plans via
+      // the 0 path. The count reads the memoized persisted tokenized
+      // frame — one cheap job, paid once per (session, dir) alongside
+      // the pair build itself.
+      val derived = math.min(4096L, toks.count() / 1000L).toInt
+      val session = s.sessionState.conf.numShufflePartitions
+      Dedup.ngramJaccardPairsOfTokens(toks, n = 3, threshold = 0.5,
+        pairParts = if (derived > session) derived else 0).persist()
+    }
 
   /** Shared-frame build thunks for [[graft.Prewarm]] — each
     * materializes one session-scoped corpus artifact (M7 frames, the
