@@ -580,13 +580,20 @@ object Dedup {
     * stream cannot diverge on span semantics.
     *
     * @param dupGrams frozen duplicated-gram hashes as a 1-column
-    *                 frame/broadcast side — driver-bounded by the
-    *                 caller's training-corpus contract
+    *                 frame. NOT force-broadcast: at `minOcc = 1` the
+    *                 frozen set is ~every distinct k-gram of the
+    *                 reference (see [[frozenDupGrams]]), which grows
+    *                 with reference tokens — Catalyst's size stats
+    *                 pick broadcast for a small set (a LocalRelation
+    *                 from driver rows has exact stats) and fall back
+    *                 to a shuffled hash join when the set exceeds the
+    *                 broadcast threshold, so a large reference cannot
+    *                 OOM the driver through a forced hint
     */
   def scrubByFrozenGrams(toks: DataFrame, dupGrams: DataFrame,
                          k: Int = 8): DataFrame = {
     val covered = positionedGrams(toks, k)
-      .join(broadcast(dupGrams.select(col("gram"))), Seq("gram"))
+      .join(dupGrams.select(col("gram")), Seq("gram"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("__p"))
     spliceRemoved(toks, covered)
@@ -598,6 +605,18 @@ object Dedup {
     * reference holds the canonical copy). `minOcc = 2` instead
     * freezes only the reference's INTERNAL duplicate set — the batch
     * scrub's own duplicate test.
+    *
+    * SIZE contract: at `minOcc = 1` the filter keeps EVERY distinct
+    * k-gram, so |result| ~ reference token count — for a large
+    * reference this is a corpus-sized table, not driver data. Keep it
+    * as a DataFrame (parquet-backed for reuse) and join it
+    * ([[scrubByFrozenGrams]] size-decides broadcast vs shuffle);
+    * collect it to a driver Seq (the [[graft.streaming.Incremental
+    * .substrScrubStream]] convenience signature) ONLY when the
+    * reference is small enough that its gram set fits the driver —
+    * e.g. a benchmark/eval contamination set, the firewall's primary
+    * use. `minOcc = 2` bounds the set by the reference's internal
+    * duplication instead, usually a small fraction.
     */
   def frozenDupGrams(referenceToks: DataFrame, k: Int = 8,
                      minOcc: Long = 1L): DataFrame =

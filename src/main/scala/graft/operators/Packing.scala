@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Sequence packing for LLM training-data pipelines: assign documents
   * to fixed-token-budget chunks ("concat and chunk") by cumulative
@@ -77,17 +78,42 @@ object Packing {
   def budgetSelect(docsIn: DataFrame, idCol: String, nTokensCol: String,
                    scoreCol: String, budget: Long,
                    nBuckets: Int = 1000): DataFrame = {
-    // one materialization serves all three actions (min/max agg,
-    // bucket-sum collect, kept filters): the score expression — often
-    // a full tokenization chain — evaluates ONCE, and the driver-side
-    // cumsum is guaranteed a consistent snapshot (a source that
-    // changed between actions would silently skew the cut otherwise).
-    // The frame is narrow (id + two longs), so the checkpoint is
-    // cheap at any corpus size.
+    // self-contained form: the staged pin is released on return, so
+    // the returned plan recomputes the (narrow) staged projection at
+    // materialization — once per consumer branch. Callers whose score
+    // expression is an expensive chain, or who materialize the kept
+    // set more than once, should use [[budgetSelectReleasable]] and
+    // release after materializing (the Corpus.prepare lifecycle).
+    val (kept, release) = budgetSelectReleasable(
+      docsIn, idCol, nTokensCol, scoreCol, budget, nBuckets)
+    release()
+    kept
+  }
+
+  /** [[budgetSelect]] with the staged-frame pin surfaced: the scored
+    * projection is persisted (MEMORY_AND_DISK — lineage kept, so an
+    * executor loss recomputes lost blocks rather than failing the
+    * job, the Corpus.prepare fault-tolerance contract at the 100 TB
+    * target) and the caller unpersists via the returned release
+    * handle AFTER materializing the kept set.
+    */
+  def budgetSelectReleasable(docsIn: DataFrame, idCol: String,
+                             nTokensCol: String, scoreCol: String,
+                             budget: Long, nBuckets: Int = 1000)
+      : (DataFrame, () => Unit) = {
+    // one pinned materialization serves all three consumers (min/max
+    // agg, bucket-sum collect, kept filters): the score expression —
+    // often a full tokenization chain — evaluates ONCE, and the
+    // driver-side cumsum sees a consistent snapshot (the cut
+    // constants stay correct after release because the source is
+    // deterministic — the same contract every Spark recompute relies
+    // on).
     val docs = docsIn.select(col(idCol), col(nTokensCol).cast("long").as(nTokensCol),
-      col(scoreCol).cast("long").as(scoreCol)).localCheckpoint()
+      col(scoreCol).cast("long").as(scoreCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val release = () => { docs.unpersist(blocking = false); () }
     val agg = docs.agg(min(col(scoreCol)), max(col(scoreCol))).head()
-    if (agg.isNullAt(0)) return docs.limit(0)
+    if (agg.isNullAt(0)) return (docs.limit(0), release)
     val (mn, mx) = (agg.getLong(0), agg.getLong(1))
     val width = math.max(1L, (mx - mn) / nBuckets + 1)
     val bucketed = docs.withColumn("__bucket",
@@ -102,7 +128,7 @@ object Packing {
       else { boundary = b; offset = cum; crossed = true }
     }
     val keepCols = docs.columns.map(col).toSeq
-    if (!crossed) return docs // budget never exhausted — keep all
+    if (!crossed) return (docs, release) // budget never exhausted — keep all
     val full = bucketed.filter(col("__bucket") > boundary).select(keepCols: _*)
     // fine pass: ONE boundary bucket, ordered (score desc, id asc),
     // cum-before rule with the driver-computed offset
@@ -112,7 +138,7 @@ object Packing {
       .withColumn("__cum", sum(col(nTokensCol).cast("long")).over(w))
       .filter(lit(offset) + col("__cum") - col(nTokensCol) < budget)
       .select(keepCols: _*)
-    full.unionByName(edge)
+    (full.unionByName(edge), release)
   }
 
   /** Exact top-K selection WITHOUT an ordered driver merge — the
@@ -135,7 +161,18 @@ object Packing {
     * cannot disagree.
     */
   def topKSelect(docs: DataFrame, idCol: String, scoreCol: String,
-                 k: Long, nBuckets: Int = 1000): DataFrame =
+                 k: Long, nBuckets: Int = 1000): DataFrame = {
+    val (kept, release) = topSelect(docs, idCol, scoreCol, _ => k, nBuckets)
+    release()
+    kept
+  }
+
+  /** [[topKSelect]] with the staged-frame pin surfaced — see
+    * [[budgetSelectReleasable]] for the lifecycle contract.
+    */
+  def topKSelectReleasable(docs: DataFrame, idCol: String, scoreCol: String,
+                           k: Long, nBuckets: Int = 1000)
+      : (DataFrame, () => Unit) =
     topSelect(docs, idCol, scoreCol, _ => k, nBuckets)
 
   /** [[topKSelect]] with K derived from the input size — keep the top
@@ -144,18 +181,36 @@ object Packing {
     * Int-overflow K arithmetic anywhere (K stays a Long end to end).
     */
   def topFracSelect(docs: DataFrame, idCol: String, scoreCol: String,
-                    frac: Double, nBuckets: Int = 1000): DataFrame =
+                    frac: Double, nBuckets: Int = 1000): DataFrame = {
+    val (kept, release) =
+      topSelect(docs, idCol, scoreCol, n => math.ceil(frac * n).toLong, nBuckets)
+    release()
+    kept
+  }
+
+  /** [[topFracSelect]] with the staged-frame pin surfaced — see
+    * [[budgetSelectReleasable]] for the lifecycle contract.
+    */
+  def topFracSelectReleasable(docs: DataFrame, idCol: String, scoreCol: String,
+                              frac: Double, nBuckets: Int = 1000)
+      : (DataFrame, () => Unit) =
     topSelect(docs, idCol, scoreCol, n => math.ceil(frac * n).toLong, nBuckets)
 
   private def topSelect(docsIn: DataFrame, idCol: String, scoreCol: String,
-                        kOf: Long => Long, nBuckets: Int): DataFrame = {
-    // one materialization serves both actions (bucket-count collect,
-    // kept filters) — same consistency contract as [[budgetSelect]];
-    // callers pass the narrow scored projection.
-    val docs = docsIn.localCheckpoint()
+                        kOf: Long => Long, nBuckets: Int)
+      : (DataFrame, () => Unit) = {
+    // one pinned materialization serves both consumers (bucket-count
+    // collect, kept filters) — same consistency contract as
+    // [[budgetSelectReleasable]]; callers pass the narrow scored
+    // projection. persist, NOT localCheckpoint: the staged frame is
+    // corpus-sized, and truncated lineage would make an executor loss
+    // unrecoverable at the 100 TB target — persist keeps the short
+    // deterministic lineage so lost blocks recompute.
+    val docs = docsIn.persist(StorageLevel.MEMORY_AND_DISK)
+    val release = () => { docs.unpersist(blocking = false); () }
     val agg = docs.agg(min(col(scoreCol).cast("long")),
       max(col(scoreCol).cast("long"))).head()
-    if (agg.isNullAt(0)) return docs.limit(0)
+    if (agg.isNullAt(0)) return (docs.limit(0), release)
     val (mn, mx) = (agg.getLong(0), agg.getLong(1))
     val width = math.max(1L, (mx - mn) / nBuckets + 1)
     val bucketed = docs.withColumn("__bucket",
@@ -171,7 +226,7 @@ object Packing {
       else { boundary = b; offset = cum; crossed = true }
     }
     val keepCols = docs.columns.map(col).toSeq
-    if (!crossed) return docs // k >= input size — keep all
+    if (!crossed) return (docs, release) // k >= input size — keep all
     val full = bucketed.filter(col("__bucket") > boundary).select(keepCols: _*)
     // fine pass: ONE boundary bucket, row_number under the global
     // comparator, kept while the driver-computed offset + rank <= k
@@ -180,7 +235,7 @@ object Packing {
       .withColumn("__rn", row_number().over(w))
       .filter(lit(offset) + col("__rn") <= k)
       .select(keepCols: _*)
-    full.unionByName(edge)
+    (full.unionByName(edge), release)
   }
 
   /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
@@ -210,24 +265,67 @@ object Packing {
     * weight rescale, and the constant must stay shared with any oracle
     * restatement, so the scale is a documented contract, not adaptive.
     *
-    * @param weightCol strictly-positive weight (caller guarantees;
-    *                  w≤0 would make ln(u)/w flip sign; see the weight
-    *                  range note above for the supported magnitude)
+    * The contract is now ENFORCED in-plan: a weight that is
+    * non-positive or beyond [[MaxSampleWeight]] raises a runtime
+    * error on the offending ROW (an `raise_error` branch fused into
+    * the key expression — zero extra jobs, map-side, fires only when
+    * hit) instead of silently degenerating to id order. Callers with
+    * unbounded weights pass `normalize = true`, which rescales by one
+    * `max(w)` aggregate (E-S ordering is invariant under a positive
+    * rescale, so the sample is identical to pre-divided weights).
+    *
+    * @param weightCol strictly-positive weight — violations raise at
+    *                  runtime; see the weight range note above for
+    *                  the supported magnitude
+    * @param normalize divide weights by their global max first (one
+    *                  extra aggregate job); use when weights are not
+    *                  already bounded by [[MaxSampleWeight]]
     * @return (idCol, weight cols kept by caller, key_micro) — the K
     *         selected rows
     */
   def weightedSample(docs: DataFrame, idCol: Column, weightCol: Column,
-                     k: Int): DataFrame = {
+                     k: Int, normalize: Boolean = false): DataFrame = {
+    val w0 = weightCol.cast("double")
+    val w =
+      if (!normalize) w0
+      else {
+        // E-S is invariant under positive rescale: dividing by max(w)
+        // brings any weight range into (0, 1] without changing the
+        // selected set (ties in key_micro can shift only at the
+        // micro-rounding seam, the documented resolution contract)
+        val mx = docs.agg(max(w0)).head() match {
+          case r if r.isNullAt(0) => 1.0
+          case r => r.getDouble(0)
+        }
+        w0 / lit(if (mx > 0.0) mx else 1.0)
+      }
+    // loud-contract guard, fused into the key so column pruning can
+    // never drop it: a non-positive weight flips the key sign, an
+    // oversized one rounds every key to 0 — both silently reorder the
+    // draw to id order, which no caller ever wants
+    val wChecked = when(w <= lit(0.0) || w > lit(MaxSampleWeight),
+      raise_error(concat(
+        lit(s"weightedSample: weight "), w.cast("string"),
+        lit(s" outside (0, $MaxSampleWeight] — pre-scale or pass normalize=true"))))
+      .otherwise(w)
     // 8 hex chars = 32 bits; +0.5 keeps u strictly inside (0,1) so
     // ln(u) is finite and nonzero at both hash extremes
     val u = (conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
       .cast("double") + lit(0.5)) / lit(4294967296.0)
     docs
       .withColumn("key_micro",
-        round(log(u) / weightCol.cast("double") * lit(1e6)).cast("long"))
+        round(log(u) / wChecked * lit(1e6)).cast("long"))
       .orderBy(col("key_micro").desc, idCol.asc)
       .limit(k)
   }
+
+  /** Largest weight [[weightedSample]] accepts un-normalized: past
+    * ~2e6·|ln u| the micro-rounded key collapses to 0 and the draw
+    * degenerates to id order; 1e6 leaves margin for the small-|ln u|
+    * tail while admitting every realistic raw count (token counts,
+    * quality scores).
+    */
+  val MaxSampleWeight: Double = 1e6
 
   /** Reproducible global shuffle — the training-order step between
     * curation and packing: every epoch needs the corpus in a

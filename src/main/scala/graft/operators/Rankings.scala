@@ -66,13 +66,38 @@ object Rankings {
                           scoreCol: String,
                           outCol: String = "pctile_micro",
                           nBuckets: Int = 1000): DataFrame = {
-    // one materialization serves both actions (min/max agg, final
-    // plan) — the bucketed decomposition's consistency contract;
-    // callers pass the narrow scored projection
-    val docs = docsIn.localCheckpoint()
+    // self-contained form: the staged pin is released on return —
+    // the returned plan recomputes the (narrow) scored projection at
+    // materialization (cum-table side + probe side). Callers with an
+    // expensive score chain use [[percentRankBucketedReleasable]]
+    // and release after materializing (the Corpus.prepare lifecycle).
+    val (ranked, release) =
+      percentRankBucketedReleasable(docsIn, partCol, scoreCol, outCol, nBuckets)
+    release()
+    ranked
+  }
+
+  /** [[percentRankBucketed]] with the staged-frame pin surfaced: the
+    * scored projection is persisted (MEMORY_AND_DISK — lineage kept,
+    * so an executor loss recomputes lost blocks rather than failing
+    * the job at the 100 TB target; localCheckpoint's truncated
+    * lineage could not) and the caller unpersists via the returned
+    * release handle AFTER materializing the result.
+    */
+  def percentRankBucketedReleasable(docsIn: DataFrame, partCol: String,
+                                    scoreCol: String,
+                                    outCol: String = "pctile_micro",
+                                    nBuckets: Int = 1000)
+      : (DataFrame, () => Unit) = {
+    // one pinned materialization serves all consumers (min/max agg,
+    // cum-table aggregate, probe side) — the bucketed decomposition's
+    // consistency contract; callers pass the narrow scored projection
+    val docs = docsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val release = () => { docs.unpersist(blocking = false); () }
     val agg = docs.agg(min(col(scoreCol).cast("long")),
       max(col(scoreCol).cast("long"))).head()
-    if (agg.isNullAt(0)) return docs.withColumn(outCol, lit(null).cast("long"))
+    if (agg.isNullAt(0))
+      return (docs.withColumn(outCol, lit(null).cast("long")), release)
     val (mn, mx) = (agg.getLong(0), agg.getLong(1))
     val width = math.max(1L, (mx - mn) / nBuckets + 1)
     def bucketOf = floor((col(scoreCol).cast("long") - lit(mn)) / lit(width))
@@ -91,14 +116,15 @@ object Rankings {
     // the built-in's comparator); global rank = offset + fine rank
     val wFine = Window.partitionBy(col(partCol), col("__bucket"))
       .orderBy(col(scoreCol))
-    docs.withColumn("__bucket", bucketOf)
+    (docs.withColumn("__bucket", bucketOf)
       .join(broadcast(offsets), Seq(partCol, "__bucket"))
       .withColumn("__rk", col("__off") + rank().over(wFine) - 1L)
       .withColumn(outCol,
         when(col("__tot") === 1L, 0L).otherwise(
           round(col("__rk").cast("double") / (col("__tot") - 1L).cast("double")
             * 1e6).cast("long")))
-      .drop("__bucket", "__off", "__tot", "__rk")
+      .drop("__bucket", "__off", "__tot", "__rk"),
+      release)
   }
 
   /** Global order-by + limit top-K (reference W2 "top movers",

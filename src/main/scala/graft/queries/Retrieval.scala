@@ -476,8 +476,19 @@ object Retrieval {
     // the selection note above. Output is the kept SET (the gate
     // sorts rows before hashing; an orderBy here would re-pay a
     // kept-set-sized sort for nothing).
-    graft.operators.Packing.topFracSelect(
+    //
+    // Releasable cut + narrow result checkpoint (the corpusPrepare
+    // lifecycle): the scored frame — a full bigram-scoring chain — is
+    // persisted WITH lineage inside the cut (executor-loss-safe),
+    // evaluated once, and its pin released as soon as the narrow
+    // (doc_id, lang, logw_micro) kept set is materialized; without
+    // the checkpoint the kept set's two filter branches would re-run
+    // the scoring chain once each at materialization.
+    val (kept, release) = graft.operators.Packing.topFracSelectReleasable(
       scored, "doc_id", "logw_micro", keepFrac)
+    val out = kept.localCheckpoint()
+    release()
+    out
   }
 
   /** The frozen streaming threshold implied by a batch

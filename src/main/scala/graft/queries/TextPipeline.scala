@@ -730,9 +730,16 @@ object TextPipeline {
       .select(col("source"), col("doc_id"),
         round(TextFns.qualityScoreOf(col("text"), col("__toks")) * 1e6)
           .cast(LongType).as("score_micro"))
-    graft.operators.Rankings.percentRankBucketed(
-      staged, "source", "score_micro")
-      .orderBy(col("doc_id"))
+    // releasable form + narrow result checkpoint (the corpusPrepare
+    // lifecycle): the scored projection is persisted WITH lineage
+    // inside the operator (executor-loss-safe), evaluated once for
+    // the cum-table AND the probe side, and its pin released as soon
+    // as the narrow ranked result is materialized
+    val (ranked, release) = graft.operators.Rankings
+      .percentRankBucketedReleasable(staged, "source", "score_micro")
+    val out = ranked.localCheckpoint()
+    release()
+    out.orderBy(col("doc_id"))
   }
 
   /** Exact token-budget quality cut: keep the highest-quality docs
@@ -750,9 +757,13 @@ object TextPipeline {
         size(col("__toks")).cast(LongType).as("n_tokens"),
         round(TextFns.qualityScoreOf(col("text"), col("__toks")) * 1e6)
           .cast(LongType).as("score_micro"))
-    graft.operators.Packing.budgetSelect(
+    // releasable form + narrow result checkpoint — same lifecycle as
+    // qualityPercentile above
+    val (kept, release) = graft.operators.Packing.budgetSelectReleasable(
       staged, "doc_id", "n_tokens", "score_micro", budget = 10000L)
-      .orderBy(col("doc_id"))
+    val out = kept.localCheckpoint()
+    release()
+    out.orderBy(col("doc_id"))
   }
 
   /** Context-window chunking (the split dual of [[seqPack]]):
@@ -925,6 +936,33 @@ object TextPipeline {
           .select(col("vec_id").as("centroid_id"),
             col("embedding").as("centroid")),
         eps = 0.4)
+      val out = dec.persist()
+      out.count() // materialize while the scored pin still serves
+      release()
+      out
+    }.orderBy(col("vec_id"))
+
+  /** The PRODUCTION SemDeDup path — [[semanticDedupQ]]'s twin with the
+    * quantizer trained at [[Similarity.autoCentroidCount]] size
+    * (corpus/128 clamped, k-means||-seeded Lloyd) instead of the
+    * fixed 8-vector gate quantizer. Rows-only gated (no portable
+    * oracle can restate a trained quantizer); its VALUES gate is the
+    * `semantic_dedup_auto_block_recall` QUALITY floor — the fraction
+    * of true cosine ≥ eps pairs the auto quantizer co-clusters, the
+    * quantity a sizing-rule or trainer regression destroys first.
+    * Same memoized releasable lifecycle as the fixed twin.
+    */
+  private val semAutoCache = new graft.SessionCache[String]
+
+  def semanticDedupAutoQ(s: SparkSession, dir: String): DataFrame =
+    semAutoCache.getOrElseUpdate(s, dir) {
+      val emb = Tables.embeddings(s, dir)
+      // trained once per (session, dir) — a quantizer is a corpus
+      // artifact; nCentroids-row result, checkpoint is trivial
+      val cents = Similarity.kmeansCentroidsAuto(
+        emb.select(col("embedding"))).localCheckpoint()
+      val (dec, release) = Similarity.semanticDedupReleasable(
+        emb, cents, eps = 0.4)
       val out = dec.persist()
       out.count() // materialize while the scored pin still serves
       release()

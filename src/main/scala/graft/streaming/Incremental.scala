@@ -319,8 +319,15 @@ object Incremental {
     * form) had a delete-then-write window in which a crash lost the
     * reservoir unrecoverably — committed source batches are never
     * re-read, so offset replay could not reconstruct it. A replayed
-    * batch re-merges onto the same pre-batch snapshot and rewrites
-    * its own `__v` dir (idempotent); older snapshots are pruned
+    * batch whose own snapshot is NOT yet committed re-merges onto the
+    * pre-batch snapshot and writes its `__v` dir fresh; a replayed
+    * batch whose snapshot IS already committed (crash landed between
+    * the marker write and the streaming checkpoint commit — by then
+    * the pre-batch snapshot may already be pruned) is SKIPPED: the
+    * committed `__v=batchId` dir is byte-for-byte the merge this
+    * replay would recompute (the E-S key is a pure function of the
+    * data), so re-running it would only read-and-overwrite the same
+    * path, which Spark rejects. Older snapshots are pruned
     * best-effort after each commit.
     */
   def weightedReservoirStream(spark: SparkSession, srcDir: String,
@@ -336,37 +343,48 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val staged = batch.select(col("doc_id"),
-          size(graft.functions.TextFns.tokens(col("text")))
-            .cast("long").as("n_tokens"))
-        val batchTop = graft.operators.Packing.weightedSample(
-          staged, col("doc_id"), col("n_tokens") + 1, k)
-          .select(col("doc_id"), col("n_tokens"), col("key_micro"))
         val prev = latestReservoirVersion(batch.sparkSession, reservoirDir)
-        val merged = prev match {
-          case None => batchTop
-          case Some(v) => batchTop.unionByName(
-              batch.sparkSession.read.parquet(s"$reservoirDir/__v=$v"))
-            .dropDuplicates("doc_id")
-            .orderBy(col("key_micro").desc, col("doc_id").asc)
-            .limit(k)
+        // replay wedge guard: a committed __v >= batchId means this
+        // batch's merge already landed (the crash fell between the
+        // marker write and the checkpoint commit). Re-merging would
+        // read __v=batchId while overwriting the same path — Spark
+        // rejects that — and the pre-batch snapshot may be pruned;
+        // the committed snapshot IS this batch's deterministic
+        // result, so the replay is a no-op. (if/else, NOT an early
+        // return — `return` in a closure throws NonLocalReturnControl,
+        // which on the streaming thread would fail the query.)
+        if (!prev.exists(_ >= batchId)) {
+          val staged = batch.select(col("doc_id"),
+            size(graft.functions.TextFns.tokens(col("text")))
+              .cast("long").as("n_tokens"))
+          val batchTop = graft.operators.Packing.weightedSample(
+            staged, col("doc_id"), col("n_tokens") + 1, k)
+            .select(col("doc_id"), col("n_tokens"), col("key_micro"))
+          val merged = prev match {
+            case None => batchTop
+            case Some(v) => batchTop.unionByName(
+                batch.sparkSession.read.parquet(s"$reservoirDir/__v=$v"))
+              .dropDuplicates("doc_id")
+              .orderBy(col("key_micro").desc, col("doc_id").asc)
+              .limit(k)
+          }
+          // new snapshot dir — the read set above is never touched, so
+          // a crash at ANY point leaves the previous committed snapshot
+          // intact and the replayed batch simply re-merges onto it. The
+          // explicit marker (created only after the write returns) is
+          // the commit record — the session disables _SUCCESS files
+          merged.write.mode("overwrite").parquet(s"$reservoirDir/__v=$batchId")
+          val fs = new org.apache.hadoop.fs.Path(reservoirDir)
+            .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          fs.createNewFile(new org.apache.hadoop.fs.Path(
+            s"$reservoirDir/__v=$batchId", CommitMarker))
+          // prune superseded snapshots (best-effort: a crash here only
+          // leaves extra committed dirs; reads always pick the latest)
+          reservoirVersions(batch.sparkSession, reservoirDir)
+            .filter(_ < batchId)
+            .foreach(v => fs.delete(
+              new org.apache.hadoop.fs.Path(s"$reservoirDir/__v=$v"), true))
         }
-        // new snapshot dir — the read set above is never touched, so
-        // a crash at ANY point leaves the previous committed snapshot
-        // intact and the replayed batch simply re-merges onto it. The
-        // explicit marker (created only after the write returns) is
-        // the commit record — the session disables _SUCCESS files
-        merged.write.mode("overwrite").parquet(s"$reservoirDir/__v=$batchId")
-        val fs = new org.apache.hadoop.fs.Path(reservoirDir)
-          .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-        fs.createNewFile(new org.apache.hadoop.fs.Path(
-          s"$reservoirDir/__v=$batchId", CommitMarker))
-        // prune superseded snapshots (best-effort: a crash here only
-        // leaves extra committed dirs; reads always pick the latest)
-        reservoirVersions(batch.sparkSession, reservoirDir)
-          .filter(_ < batchId)
-          .foreach(v => fs.delete(
-            new org.apache.hadoop.fs.Path(s"$reservoirDir/__v=$v"), true))
       }
       .start()
     q.awaitTermination()
@@ -421,17 +439,43 @@ object Incremental {
     * first-occurrence order; the reference's copy is canonical by
     * contract — the same frozen-model reduction as the
     * DSIR/perplexity/phrase firewalls. Stateless beyond source
-    * offsets (the gram set is driver data, rebroadcast per batch);
-    * `__batch=` dynamic overwrite ⇒ exactly-once.
+    * offsets; `__batch=` dynamic overwrite ⇒ exactly-once.
     *
-    * @param dupGramRows frozen duplicated-gram hashes (driver-bounded
-    *                    by the training-corpus contract)
+    * @param dupGramRows frozen duplicated-gram hashes as a driver
+    *                    Seq — this signature is for SMALL frozen sets
+    *                    (benchmark/eval contamination references). At
+    *                    minOcc=1 the gram set is ~reference token
+    *                    count ([[graft.operators.Dedup
+    *                    .frozenDupGrams]] size contract): a large
+    *                    reference must NOT be collected — keep its
+    *                    gram table in parquet and use
+    *                    [[substrScrubStreamFromDir]], whose per-batch
+    *                    join size-decides broadcast vs shuffle
     * @return survivors schema: (doc_id, n_tokens, n_removed,
     *         clean_text)
     */
   def substrScrubStream(spark: SparkSession, srcDir: String,
                         dupGramRows: Seq[Long], destDir: String,
-                        checkpointDir: String, k: Int = 8): Unit = {
+                        checkpointDir: String, k: Int = 8): Unit =
+    substrScrubStreamCore(spark, srcDir, destDir, checkpointDir, k,
+      s => { import s.implicits._; dupGramRows.toDF("gram") })
+
+  /** [[substrScrubStream]] with the frozen gram set read from parquet
+    * instead of a driver Seq — the LARGE-reference form: the gram
+    * table never touches the driver, and each micro-batch's gram join
+    * is size-decided by Catalyst (broadcast when the set is small,
+    * shuffled hash join when it exceeds the broadcast threshold).
+    */
+  def substrScrubStreamFromDir(spark: SparkSession, srcDir: String,
+                               dupGramsDir: String, destDir: String,
+                               checkpointDir: String, k: Int = 8): Unit =
+    substrScrubStreamCore(spark, srcDir, destDir, checkpointDir, k,
+      s => s.read.parquet(dupGramsDir))
+
+  private def substrScrubStreamCore(spark: SparkSession, srcDir: String,
+                                    destDir: String, checkpointDir: String,
+                                    k: Int,
+                                    gramsOf: SparkSession => DataFrame): Unit = {
     val docsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
@@ -442,11 +486,16 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import batch.sparkSession.implicits._
-        val dupGrams = dupGramRows.toDF("gram")
+        val dupGrams = gramsOf(batch.sparkSession)
+        // coalesce: a null-text doc tokenizes to null __toks and the
+        // splice would emit null n_tokens/clean_text. The firewall's
+        // contract is "remove already-seen spans"; a null text holds
+        // no span and passes through as an empty doc — the same
+        // null-text pass-through as phraseFilterStream.
         graft.operators.Dedup.scrubByFrozenGrams(
           batch.select(col("doc_id"),
-            graft.functions.TextFns.tokens(col("text")).as("__toks")),
+            graft.functions.TextFns.tokens(coalesce(col("text"), lit("")))
+              .as("__toks")),
           dupGrams, k)
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")

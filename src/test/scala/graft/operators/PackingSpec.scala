@@ -183,6 +183,41 @@ class PackingSpec extends SparkSpec {
       s"expected TakeOrderedAndProject:\n$plan")
   }
 
+  test("weightedSample: out-of-range weights fail loudly; normalize=true rescales exactly") {
+    val ss = spark; import ss.implicits._
+    // w=1e9 is far past the micro-key resolution: every key would
+    // round to 0 and the draw would silently become id order — the
+    // guard must raise on the offending row instead
+    val huge = (1L to 50L).map(id => (id, 1e9)).toDF("doc_id", "w")
+    val eHuge = intercept[Exception] {
+      Packing.weightedSample(huge, col("doc_id"), col("w"), k = 10).collect()
+    }
+    assert(eHuge.getMessage != null &&
+      eHuge.getMessage.contains("weightedSample"),
+      s"expected the weight-range error, got: $eHuge")
+    // non-positive weights flip the key sign — same loud contract
+    val neg = (1L to 50L).map(id => (id, if (id == 7L) 0.0 else 2.0))
+      .toDF("doc_id", "w")
+    val eNeg = intercept[Exception] {
+      Packing.weightedSample(neg, col("doc_id"), col("w"), k = 10).collect()
+    }
+    assert(eNeg.getMessage != null && eNeg.getMessage.contains("weightedSample"))
+
+    // normalize=true: E-S ordering is invariant under a positive
+    // rescale, so the unbounded-weight draw must equal the same draw
+    // over pre-divided weights
+    val raw = (1L to 400L).map(id => (id, (1.0 + (id * 7) % 40) * 1e8))
+      .toDF("doc_id", "w")
+    val gotNorm = Packing.weightedSample(raw, col("doc_id"), col("w"),
+        k = 60, normalize = true)
+      .select("doc_id").as[Long].collect().toSet
+    val preDivided = raw.withColumn("w", col("w") / lit(40.0 * 1e8))
+    val gotPre = Packing.weightedSample(preDivided, col("doc_id"), col("w"), k = 60)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotNorm == gotPre, "normalized draw must equal the pre-divided draw")
+    assert(gotNorm.size == 60)
+  }
+
   test("deterministicShuffle: reproducible, dense, epoch-sensitive") {
     val ss = spark; import ss.implicits._
     val docs = (1L to 500L).toDF("doc_id")

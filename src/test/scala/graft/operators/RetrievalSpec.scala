@@ -199,8 +199,19 @@ class RetrievalSpec extends SparkSpec {
 
     // the cut: K ∝ corpus, so TakeOrderedAndProject (a K-row driver
     // merge) is the scale-killer this shape exists to avoid — the
-    // bucketed cut must plan as filters, with no ordered driver merge
-    val dsirPlan = Retrieval.dsirSelect(spark, sf).queryExecution.executedPlan.toString
+    // bucketed cut must plan as filters, with no ordered driver merge.
+    // Asserted on the LAZY releasable form: dsirSelect itself now
+    // checkpoints its narrow result eagerly (the corpusPrepare
+    // lifecycle), which would hide the cut's plan from the assertion.
+    // λ is materialized first — its own top-V selection is a BOUNDED
+    // TakeOrdered (512 rows, legitimate) that would otherwise trip
+    // the no-driver-merge assertion aimed at the K ∝ corpus cut.
+    val scored = Retrieval.dsirScores(toks.filter(col("lang") =!= "en"),
+      lambda.localCheckpoint(), Seq("doc_id", "lang"))
+    val (cut, release) = graft.operators.Packing.topFracSelectReleasable(
+      scored, "doc_id", "logw_micro", Retrieval.DsirKeepFrac)
+    val dsirPlan = cut.queryExecution.executedPlan.toString
+    release()
     assert(!dsirPlan.contains("TakeOrderedAndProject"),
       s"the keep-fraction cut must not merge K rows on the driver:\n$dsirPlan")
     assert(!dsirPlan.contains("SortMergeJoin"),

@@ -409,6 +409,99 @@ class IncrementalSpec extends SparkSpec {
     fs.delete(torn, true)
   }
 
+  test("weightedReservoirStream: a replayed batch whose snapshot already committed is skipped, not re-merged") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("wres_replay").toString
+    val src = base + "/src"; val res = base + "/res"; val ck = base + "/ck"
+    def mkDocs(ids: Range) = ids.map { i =>
+      (i.toLong, Seq.fill(1 + (i * 7) % 40)(s"tok$i").mkString(" "))
+    }.toDF("doc_id", "text")
+
+    mkDocs(1 to 60).write.parquet(src)
+    Incremental.weightedReservoirStream(ss, src, res, ck, k = 10)
+    val committed = Incremental.readReservoir(ss, res)
+      .select("doc_id").as[Long].collect().toSet
+    assert(committed.size == 10)
+
+    // the advisor's wedge: a crash lands BETWEEN the snapshot's
+    // commit-marker write and the streaming checkpoint commit, so on
+    // restart the replayed batch sees its own snapshot as the latest
+    // committed version (and the pre-batch snapshot is already
+    // pruned). Simulated by dropping the checkpoint: batch 0 replays
+    // over a reservoir that already committed batch 0. Pre-fix this
+    // threw "Cannot overwrite a path that is also being read from"
+    // on EVERY restart; the fix skips the batch (the committed
+    // snapshot IS the deterministic merge this replay would redo).
+    val fs = new org.apache.hadoop.fs.Path(ck)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ck), true)
+    Incremental.weightedReservoirStream(ss, src, res, ck, k = 10)
+    val after = Incremental.readReservoir(ss, res)
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == committed, "replayed committed batch must be a no-op")
+  }
+
+  test("substrScrubStream: null-text docs pass through as empty docs, not null rows") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    import graft.functions.TextFns
+    val base = Files.createTempDirectory("sscrub_null").toString
+    val src = base + "/src"; val dest = base + "/dest"; val ck = base + "/ck"
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val ref = Seq((101L, s"ref $span tail")).toDF("doc_id", "text")
+    val dupGrams = Dedup.frozenDupGrams(
+      ref.select(col("doc_id"), TextFns.tokens(col("text")).as("__toks")), k = 8)
+      .as[Long].collect().toSeq
+    Seq((1L, null: String), (2L, s"u2 $span v2"), (3L, "u3 clean v3"))
+      .toDF("doc_id", "text").write.parquet(src)
+    Incremental.substrScrubStream(ss, src, dupGrams, dest, ck)
+    val got = ss.read.parquet(dest)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // a null text holds no span: the doc survives as an EMPTY doc
+    // (the phraseFilterStream null-pass-through contract) — before
+    // the coalesce it surfaced as null n_tokens/clean_text
+    assert(got(1L) == ((1L, 0L, 0L, "")), s"null-text row diverged: ${got(1L)}")
+    assert(got(2L) == ((2L, 10L, 8L, "u2 v2")), s"scrubbed row diverged: ${got(2L)}")
+    assert(got(3L)._4 == "u3 clean v3")
+  }
+
+  test("dsirFilterStream with the batch-derived dsirThreshold reproduces the batch cut keep-set") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.queries.Retrieval
+    val base = Files.createTempDirectory("dsir_thr_stream").toString
+    val src = base + "/src"; val dest = base + "/dest"; val ck = base + "/ck"
+
+    // tie-free pool: i repetitions of the target phrase → logw
+    // strictly graded, so the threshold form can reproduce the cut
+    // exactly (the documented boundary-tie seam is not exercised —
+    // on ties the stream errs INCLUSIVE by contract)
+    val refRows = (1L to 4L).map(i => (i, "en", "good clean data")) ++
+      (1L to 8L).map(i => (i + 9L, "fr",
+        Seq.fill(i.toInt)("good clean data").mkString(" ")))
+    val toks = refRows.toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFns.tokens(col("text")).as("__toks"))
+    val kept = Retrieval.dsir(toks, col("lang") === "en", v = 64, keepFrac = 0.3)
+    val batchSet = kept.select("doc_id").as[Long].collect().toSet
+    val thr = Retrieval.dsirThreshold(kept)
+    val lambdaRows = Retrieval.dsirLambda(toks, col("lang") === "en", 64)
+      .as[(String, Long)].collect().toSeq
+
+    // the streaming firewall, frozen on (λ, threshold) derived from
+    // the batch cut — the production hand-off this spec gates
+    refRows.filter(_._2 != "en").map(r => (r._1, r._3)).toDF("doc_id", "text")
+      .write.parquet(src)
+    Incremental.dsirFilterStream(ss, src, lambdaRows, minLogwMicro = thr, dest, ck)
+    val streamSet = ss.read.parquet(dest)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamSet == batchSet,
+      s"stream admitted $streamSet, batch kept $batchSet")
+  }
+
   test("substrScrubStream scrubs frozen reference spans exactly like the batch op over the union") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
