@@ -59,7 +59,8 @@ object Prewarm {
     "corpus_prepare", "top100_refresh", "holders_upsert",
     "tx_insert_ignore", "cursor_store", "job_audit",
     "dedup_components", "dedup_components_dist",
-    "media_knn", "media_knn_ivf") // eager localCheckpoint of the decode pipeline at build
+    "media_knn", "media_knn_ivf", // eager localCheckpoint of the decode pipeline at build
+    "media_knn_ivf_auto") // + eager auto-quantizer training at build
 
   /** Run all prewarm tasks for (spark, dir); returns per-task
     * [[Task]] outcomes.

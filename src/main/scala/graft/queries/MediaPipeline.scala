@@ -171,9 +171,13 @@ object MediaPipeline {
     * expected list population, so each probe's candidate work
     * (nProbe · listSize) stays CONSTANT as the corpus grows instead
     * of growing with it (the fixed-16 quantizer's ×30 super-linearity
-    * artifact). Not a gated query: the gate keeps the fixed quantizer
-    * for comparability; ScaleRehearsal measures this path's wall and
-    * recall@5 against the brute-force twin at ×R.
+    * artifact). Gated ROWS-ONLY (a trained quantizer has no portable
+    * oracle); its VALUES gate is the per-round
+    * `media_knn_ivf_auto_recall@5` QUALITY floor against the
+    * hash-gated brute-force twin — so a sizing-rule or trainer
+    * regression in the PRODUCTION path trips the round artifact, not
+    * just the ×R rehearsal. The fixed-quantizer gate stays for
+    * cross-round comparability.
     */
   private val autoCentsCache = new graft.SessionCache[String]
   def mediaKnnIvfAuto(s: SparkSession, dir: String): DataFrame = {
@@ -199,7 +203,8 @@ object MediaPipeline {
     "media_frames" -> (mediaFrames _),
     "media_audio" -> (mediaAudio _),
     "media_knn" -> (mediaKnn _),
-    "media_knn_ivf" -> (mediaKnnIvf _))
+    "media_knn_ivf" -> (mediaKnnIvf _),
+    "media_knn_ivf_auto" -> (mediaKnnIvfAuto _))
 
   /** The resized 4×4×3 pixel at flat index i (ch = i%3, x = (i/3)%4,
     * y = i/12) samples source pixel (2x, 2y) of the 8×8×3 stub image:

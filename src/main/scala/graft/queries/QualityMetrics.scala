@@ -57,6 +57,8 @@ object QualityMetrics {
     "knn_lsh_recall@5" -> 0.7,
     "knn_ivf_recall@5" -> 0.75,
     "media_knn_ivf_recall@5" -> 0.75,
+    "media_knn_ivf_auto_recall@5" -> 0.75,
+    "semantic_dedup_auto_block_ratio" -> 0.9,
     "token_hll_accuracy" -> 0.95,
     "bpe_compression" -> 1.5)
 
@@ -90,6 +92,51 @@ object QualityMetrics {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** Blocking quality of the auto-quantizer SemDeDup production path
+    * RELATIVE to the hash-gated fixed-quantizer twin: (true cosine ≥
+    * eps pairs the auto quantizer co-clusters) / (pairs the fixed
+    * quantizer co-clusters), over the same brute-force truth sweep.
+    * Co-clustering is the quantity the
+    * [[graft.operators.Similarity.autoCentroidCount]] sizing rule
+    * and the k-means trainer determine, and the first thing a
+    * regression in either destroys (SemDeDup can only merge what its
+    * blocking co-clusters; a degenerate quantizer sends every
+    * near-dup pair to different clusters and the dedup silently
+    * keeps everything). The RATIO form is the verdict's "auto ≥
+    * fixed-baseline" contract made per-round: absolute block recall
+    * at the loose eps = 0.4 is fixture-dependent (~0.5 here for BOTH
+    * quantizers — borderline pairs straddle any 16-way partition of
+    * a 500-vector space), while the ratio is ~1 whenever the trained
+    * quantizer blocks at least as well as the fixed one and collapses
+    * on a real regression. Truth is quadratic in vectors — a GATE
+    * computation over the small embeddings fixture, never a pipeline
+    * operator (the cluster blocking exists precisely to avoid it at
+    * corpus scale).
+    */
+  private def semanticAutoBlockRatio(s: SparkSession, dir: String): DataFrame = {
+    val truth = Similarity.cosinePairsBlocked(
+      graft.Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+      lit(1), threshold = 0.4)
+      .select(col("id_a"), col("id_b"))
+    def coClustered(dec: DataFrame): DataFrame = {
+      val clusters = dec.select(col("vec_id"), col("cluster"))
+      truth
+        .join(clusters.select(col("vec_id").as("id_a"), col("cluster").as("__ca")), "id_a")
+        .join(clusters.select(col("vec_id").as("id_b"), col("cluster").as("__cb")), "id_b")
+        .filter(col("__ca") === col("__cb"))
+        .select(col("id_a"), col("id_b"))
+    }
+    val auto = coClustered(TextPipeline.semanticDedupAutoQ(s, dir))
+      .agg(count(lit(1)).as("numer"))
+    val fixed = coClustered(TextPipeline.semanticDedupQ(s, dir))
+      .agg(count(lit(1)).as("denom"))
+    auto.crossJoin(fixed)
+      .select(lit("semantic_dedup_auto_block_ratio").as("metric"),
+        round(col("numer").cast("double")
+          / greatest(col("denom"), lit(1L)).cast("double"), 6).as("value"),
+        col("numer"), col("denom"))
   }
 
   /** HLL accuracy: 1 − max over (per-source rows + union row) of
@@ -159,6 +206,15 @@ object QualityMetrics {
       recallOf("media_knn_ivf_recall@5",
         keyed(MediaPipeline.mediaKnnIvf(s, dir), "query_id", "neighbor_id"),
         keyed(MediaPipeline.mediaKnn(s, dir), "query_id", "neighbor_id")),
+      // the auto-quantizer PRODUCTION paths (round-14): the fixed
+      // quantizers above stay for cross-round comparability; these
+      // gate the documented defaults a real deployment runs, so a
+      // sizing-rule or trainer regression trips the round artifact
+      // instead of shipping silently between ×R rehearsals
+      recallOf("media_knn_ivf_auto_recall@5",
+        keyed(MediaPipeline.mediaKnnIvfAuto(s, dir), "query_id", "neighbor_id"),
+        keyed(MediaPipeline.mediaKnn(s, dir), "query_id", "neighbor_id")),
+      semanticAutoBlockRatio(s, dir),
       hllAccuracy(s, dir))
     val all = rows.reduce(_ unionByName _)
     val floorCol = floors.foldLeft(lit(Double.NaN)) { case (acc, (m, f)) =>

@@ -79,7 +79,8 @@ object TextPipeline {
     Seq(
       "tokenized_docs" -> (() => { tokenizedDocs(s, dir).count(); () }),
       "ivf_centroids" -> (() => { ivfCentroids(s, dir); () }),
-      "semantic_dedup" -> (() => { semanticDedupQ(s, dir); () })),
+      "semantic_dedup" -> (() => { semanticDedupQ(s, dir); () }),
+      "semantic_dedup_auto" -> (() => { semanticDedupAutoQ(s, dir); () })),
     // phase 1: the builds that read the tokenized frame
     Seq(
       "ngram_pairs" -> (() => { ngramPairs05(s, dir).count(); () }),
@@ -91,6 +92,7 @@ object TextPipeline {
     toksCache.evictSession(s)
     centsCache.evictSession(s)
     semCache.evictSession(s)
+    semAutoCache.evictSession(s)
     pplCache.evictSession(s)
   }
 
@@ -1187,6 +1189,7 @@ object TextPipeline {
     "quality_model_score" -> (qualityModelScore _),
     "quality_model_filter" -> (qualityModelFilter _),
     "semantic_dedup" -> (semanticDedupQ _),
+    "semantic_dedup_auto" -> (semanticDedupAutoQ _),
     "lm_perplexity" -> (lmPerplexity _),
     "ppl_buckets" -> (pplBuckets _))
 

@@ -183,15 +183,15 @@ object ScaleRehearsal {
       .getOrElse(Seq("corpus_prepare", "semantic_dedup", "minhash_pairs",
         "winnow_overlap", "dedup_components_dist", "media_knn", "media_knn_ivf"))
     // rehearsal-only queries (not driver-gated): the auto-sized
-    // quantizer production path for the cluster-blocked family. The
-    // gates keep the FIXED quantizer for cross-round comparability;
-    // these twins prove the documented nCentroids ∝ corpus rule
-    // actually flattens the fixed-quantizer ×R super-linearity.
+    // quantizer production path for the cluster-blocked family. Since
+    // round 14 both auto paths are ALSO gated rows-only queries with
+    // per-round QUALITY floors (SparkEntry.queries resolves them);
+    // the rehearsal keeps an UNMEMOIZED semantic_dedup_auto so the ×R
+    // wall measures the build, not a session-cache hit.
     val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
       "semantic_dedup_auto" -> ((s, dir) =>
         graft.operators.Similarity.semanticDedupAuto(
-          Tables.embeddings(s, dir), eps = 0.4)),
-      "media_knn_ivf_auto" -> (graft.queries.MediaPipeline.mediaKnnIvfAuto _))
+          Tables.embeddings(s, dir), eps = 0.4)))
     val mem = new MemListener
     spark.sparkContext.addSparkListener(mem)
     val results = scala.collection.mutable.Map[(String, String), Double]()

@@ -25,9 +25,14 @@ class ContractSpec extends SparkSpec {
     // minhash_indexed: xxhash64-based like minhash_pairs; probe ≡
     // batch-sweep is spec-proven exactly (DedupSpec) and the probe
     // path carries its own recall floor (minhash_indexed_recall).
+    // media_knn_ivf_auto / semantic_dedup_auto: the TRAINED-quantizer
+    // production defaults (round 14) — no portable oracle can restate
+    // a k-means result; floor-gated per round (auto recall@5 ≥ 0.75
+    // vs the exact twin; auto/fixed blocking ratio ≥ 0.9 over the
+    // brute-force cosine truth — QualityMetrics).
     assert(rowsOnly == Set("minhash_pairs", "simhash_pairs", "knn_lsh",
       "knn_ivf", "token_hll", "bpe_tokens", "media_knn_ivf",
-      "minhash_indexed"),
+      "minhash_indexed", "media_knn_ivf_auto", "semantic_dedup_auto"),
       s"rows-only drift — every addition here needs a spec + a written reason: $rowsOnly")
   }
 
