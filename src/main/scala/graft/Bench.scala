@@ -37,17 +37,38 @@ object Bench {
     // SPARK_GRAFT_NO_INPUT_CACHE=1 is the dev A/B kill switch.
     if (!sys.env.contains("SPARK_GRAFT_NO_INPUT_CACHE")) Tables.enableInputCache()
 
+    // Per-query JOB counter (round-14): the artifact embeds a
+    // job_overhead_ms probe, but consuming it requires knowing how
+    // many jobs each query fires — the overhead-sensitive class is
+    // "many tiny jobs", and cross-round deltas on sub-second queries
+    // previously needed manual forensics to separate plan changes
+    // from scheduler drift. Counted via onJobStart; the listener bus
+    // is drained AFTER the timed region so attribution is exact and
+    // the drain never inflates a wall.
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCounter.incrementAndGet()
+    })
+    def drainJobs(): Long = {
+      org.apache.spark.sql.graftbridge.CodegenPrewarm.drainListeners(spark.sparkContext)
+      jobCounter.get()
+    }
+
     // A failed query must NOT contribute a (tiny) elapsed time — that
     // would make breakage look like a speedup. Record the error and
     // surface it in the JSON + a nonzero exit instead.
-    def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+    def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Option[String]) = {
+      val j0 = drainJobs()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        ((System.nanoTime() - t0) / 1e9, None)
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, drainJobs() - j0, None)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        ((System.nanoTime() - t0) / 1e9, Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
+        ((System.nanoTime() - t0) / 1e9, drainJobs() - j0,
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
       }
     }
 
@@ -64,7 +85,7 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    def pass(): Seq[(String, (Double, Option[String]))] =
+    def pass(): Seq[(String, (Double, Long, Option[String]))] =
       ordered.map { case (name, fn) => name -> run(name, fn) }
 
     // Concurrent shared-artifact build (see [[Prewarm]]): the same
@@ -93,13 +114,16 @@ object Bench {
     // previous query happened to leave behind — the minimum over
     // repetitions is the standard least-noise estimator (what
     // timeit/JMH report), and a third repetition measurably tightens
-    // it at this run-to-run variance (±10-30% per query).
+    // it at this run-to-run variance (±10-30% per query). Job counts
+    // take the min too: stray extra jobs (a memo cache rebuild, GC)
+    // belong to the pass that paid them, not to the query's plan.
     val steadyPasses = Seq(pass(), pass(), pass())
     val steady = steadyPasses.transpose.map { ps =>
       val name = ps.head._1
-      name -> (ps.map(_._2._1).min, ps.flatMap(_._2._2).headOption)
+      name -> (ps.map(_._2._1).min, ps.map(_._2._2).min,
+        ps.flatMap(_._2._3).headOption)
     }
-    val errors = (cold ++ steady).collect { case (n, (_, Some(e))) => n -> e }
+    val errors = (cold ++ steady).collect { case (n, (_, _, Some(e))) => n -> e }
       .groupBy(_._1).map { case (n, es) => n -> es.head._2 }.toSeq.sortBy(_._1)
 
     def jsonNum(xs: Seq[(String, Double)]): String =
@@ -110,6 +134,7 @@ object Bench {
 
     val total     = steady.map(_._2._1).sum
     val coldTotal = prewarmSec + cold.map(_._2._1).sum
+    val steadyJobs = steady.map(_._2._2).sum
     // Per-job fixed-overhead probe — the artifact's own environment
     // normalizer: machine-wide scheduler drift (observed round 12:
     // ~2-3× per-job overhead between same-day sessions on identical
@@ -133,8 +158,19 @@ object Bench {
     // and queries_steady (per-query min of three steady passes; sums
     // to value). "queries" stays as an alias of the STEADY map — the
     // driver's documented key.
-    val steadyJson = jsonNum(steady.map { case (n, (t, _)) => n -> t })
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"job_overhead_ms":$jobOverheadMs,"queries_cold":${jsonNum(cold.map { case (n, (t, _)) => n -> t })},"errors":${jsonStr(errors)},"sf":"$sfDir","queries_steady":$steadyJson,"queries":$steadyJson}""")
+    // Overhead-adjusted steady total (round-14, VERDICT item 4): the
+    // per-query job counts × this session's measured per-job floor,
+    // subtracted from the steady total — the number that stays
+    // comparable across rounds when the machine-wide scheduler band
+    // drifts (a 7 ms vs 3 ms band moves a 3000-job suite by ~12 s of
+    // pure environment). Per-query counts ship in BENCH_FULL so a
+    // sub-second delta can be read as (jobs × band) at a glance.
+    val valueOverheadAdj = math.max(0.0,
+      math.round((total - steadyJobs * jobOverheadMs / 1000.0) * 100) / 100.0)
+    val steadyJson = jsonNum(steady.map { case (n, (t, _, _)) => n -> t })
+    val steadyJobsJson = steady.map { case (n, (_, j, _)) => "\"" + n + "\":" + j }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"job_overhead_ms":$jobOverheadMs,"steady_jobs":$steadyJobs,"value_overhead_adj":$valueOverheadAdj,"queries_cold":${jsonNum(cold.map { case (n, (t, _, _)) => n -> t })},"errors":${jsonStr(errors)},"sf":"$sfDir","queries_steady":$steadyJson,"queries":$steadyJson}""")
     // Round number for per-round artifacts: one past the newest
     // BENCH_r{N}.json in cwd (this round's driver file doesn't exist
     // yet while Bench is running). Run from a foreign cwd that
@@ -186,9 +222,10 @@ object Bench {
       try {
         val path = f"BENCH_FULL_r$round%02d.json"
         java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
-          s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"prewarm_failures":$prewarmFailures,"job_overhead_ms":$jobOverheadMs,"n_queries":${ordered.size},"n_errors":${errors.size},"sf":"$sfDir",
-             |"queries_cold":${jsonNum(cold.map { case (n, (t, _)) => n -> t })},
+          s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"prewarm_failures":$prewarmFailures,"job_overhead_ms":$jobOverheadMs,"steady_jobs":$steadyJobs,"value_overhead_adj":$valueOverheadAdj,"n_queries":${ordered.size},"n_errors":${errors.size},"sf":"$sfDir",
+             |"queries_cold":${jsonNum(cold.map { case (n, (t, _, _)) => n -> t })},
              |"queries_steady":$steadyJson,
+             |"queries_steady_jobs":$steadyJobsJson,
              |"errors":${jsonStr(errors)}}
              |""".stripMargin)
         System.err.println(s"[bench] full artifact: $path")
@@ -200,7 +237,7 @@ object Bench {
     // above gets its head (the "value" field) truncated off. Emit a
     // second, short, self-contained total line LAST so tail-capture
     // always retains a parseable record of the official numbers.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"job_overhead_ms":$jobOverheadMs,"n_queries":${ordered.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prewarm_sec":$prewarmSec,"job_overhead_ms":$jobOverheadMs,"steady_jobs":$steadyJobs,"value_overhead_adj":$valueOverheadAdj,"n_queries":${ordered.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

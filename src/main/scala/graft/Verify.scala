@@ -8,7 +8,21 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Subset hook (dev, round-14): SPARK_GRAFT_VERIFY_ONLY=a,b,c dumps
+    // only those queries AND filters oracle_sql.json to match, so
+    // check_oracle.py sweeps exactly the subset — used for the ×R
+    // fixture hash sweeps, where a handful of oracle restatements
+    // (pair CTEs) are quadratic on the DuckDB side. Unknown names
+    // fail fast. The driver's per-round gate never sets this.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
+    def wanted(n: String): Boolean = only.forall(_.contains(n))
+    SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -27,7 +41,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -181,7 +181,8 @@ object ScaleRehearsal {
     val qs = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq("corpus_prepare", "semantic_dedup", "minhash_pairs",
-        "winnow_overlap", "dedup_components_dist", "media_knn", "media_knn_ivf"))
+        "winnow_overlap", "dedup_components_dist", "media_knn", "media_knn_ivf",
+        "substr_scrub")) // round-14: the ExactSubstr gram aggregate's ×R point
     // rehearsal-only queries (not driver-gated): the auto-sized
     // quantizer production path for the cluster-blocked family. Since
     // round 14 both auto paths are ALSO gated rows-only queries with

@@ -197,6 +197,40 @@ object StreamRehearsal {
       println(s"""{"metric":"stream_state","scenario":"$label","reservoir_rows":$kept,"input":${docs.count()}}""")
     }
 
+    // ---- 6. substrScrubStream over the ×R documents ---------------
+    // the exact-substring scrub firewall (round-14): frozen dup-gram
+    // set trained ONCE on a 10% reference slice (~minOcc=1, so
+    // |grams| ~ reference tokens — the PARQUET-backed form, whose
+    // per-batch gram join is size-decided rather than force-broadcast,
+    // is exactly what this exercises), arrivals scrubbed in waves.
+    // The scale claim: per-wave wall stays batch-bound (flat) as
+    // waves accumulate, because the frozen set is reused and each
+    // wave reads only its new files.
+    label = "substr_scrub_stream"
+    if (wanted(label)) locally {
+      import graft.functions.TextFns
+      val docs = spark.read.parquet(s"$fixture/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val ref = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val gramsDir = s"$work/ss_grams"
+      timed("train_frozen_grams")(
+        graft.operators.Dedup.frozenDupGrams(
+          ref.select(col("doc_id"), TextFns.tokens(col("text")).as("__toks")),
+          k = 8)
+          .write.mode("overwrite").parquet(gramsDir))
+      val arrivals = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val src = s"$work/ss_src"; val dest = s"$work/ss_dest"; val ck = s"$work/ss_ck"
+      for (w <- 0 until waves) {
+        arrivals.filter(pmod(col("doc_id"), lit(waves)) === w)
+          .write.mode("append").parquet(src)
+        timed(s"wave_$w")(
+          Incremental.substrScrubStreamFromDir(spark, src, gramsDir, dest, ck))
+      }
+      val out = spark.read.parquet(dest)
+      val acct = out.agg(count(lit(1)), sum(col("n_removed"))).head()
+      println(s"""{"metric":"stream_state","scenario":"$label","docs":${acct.getLong(0)},"tokens_removed":${acct.getLong(1)},"input":${arrivals.count()},"grams_bytes":${fsSize(spark, gramsDir)}}""")
+    }
+
     // per-batch progress dump (the evidence table for BASELINE.md)
     import scala.jdk.CollectionConverters._
     recorded.asScala.toSeq.sortBy(b => (b.label, b.batchId)).foreach { b =>

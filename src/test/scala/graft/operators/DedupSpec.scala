@@ -303,16 +303,19 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 12 && got.forall(_._2 == 0L))
   }
 
-  test("connectedComponents closes a diameter-100 chain within 8 rounds (log-diameter)") {
+  test("connectedComponents closes a diameter-100 chain within 12 rounds (log-diameter)") {
     val ss = spark; import ss.implicits._
     // min-label propagation would need 100 rounds here; the alternating
-    // large-star/small-star contraction must do it in O(log d).
+    // large-star/small-star contraction must do it in O(log d) — 12
+    // covers log2(100) ≈ 7 contraction rounds plus the double-step
+    // detection lag (the loop materializes two alternations per step
+    // and needs one unchanged step to OBSERVE the fixpoint).
     // smallGraphMaxEdges = 0 forces the DISTRIBUTED loop — without it
     // the driver union-find fast path would absorb this graph and the
     // log-diameter claim would go untested.
     val chain = (0L to 100L).sliding(2).map(w => (w(0), w(1))).toSeq
       .toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(chain, maxRounds = 8,
+    val got = Dedup.connectedComponents(chain, maxRounds = 12,
         smallGraphMaxEdges = 0L)
       .select(col("node"), col("component")).as[(Long, Long)].collect()
     assert(got.length == 101 && got.forall(_._2 == 0L))
