@@ -27,8 +27,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single files; Spark-written xR rehearsal
+        # fixtures are part-file DIRECTORIES — glob accordingly
+        path = Path(sf_dir) / f"{t}.parquet"
+        pattern = f"{path}/*.parquet" if path.is_dir() else str(path)
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
     n_bad = 0
     for name in sorted(oracle):
