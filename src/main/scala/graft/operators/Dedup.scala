@@ -975,6 +975,16 @@ object Dedup {
     // whole query at sf0.1). Signatures are 16 bytes/doc, so the
     // checkpoint is data-scale-cheap at any corpus size — the same
     // iterative-frame idiom as connectedComponents.
+    //
+    // localCheckpoint (not the persist+release discipline of the
+    // Packing/Rankings cuts) is a DELIBERATE trade here: the five
+    // consumers evaluate inside ONE query materialization with no
+    // release seam afterward (persist would pin the blocks until
+    // session end; localCheckpoint blocks free with the frame's GC),
+    // and an executor loss mid-query costs one query retry over a
+    // 16-byte/doc artifact — at the 100 TB target the signature
+    // table belongs on storage anyway (the writeLshIndex layout),
+    // where this stage disappears entirely.
     val sh = simhashSignaturesOfTokens(toks).localCheckpoint()
     val banded0 = sh.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>

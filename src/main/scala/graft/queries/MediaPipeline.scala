@@ -113,7 +113,13 @@ object MediaPipeline {
           // float is exact for counts <= 48; the native graft_dot path
           // (array<float>) then accumulates in double like the oracle
           transform(col("histogram8"), h => h.cast("float")).as("embedding"))
-        .localCheckpoint()
+        // persist, NOT localCheckpoint (round-14): this is a MEMOIZED
+        // corpus-sized frame with a real release seam (SessionCache
+        // eviction unpersists it), so lineage can be kept — an
+        // executor loss re-runs the short decode chain for the lost
+        // blocks instead of failing every downstream media query for
+        // the rest of the session
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** Image similarity search — the multimodal column flowing into the

@@ -259,6 +259,26 @@ class ExplainSpec extends SparkSpec {
     } finally docs.unpersist(blocking = false)
   }
 
+  test("scrubByFrozenGrams: a small frozen gram set still broadcasts without the forced hint") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import graft.functions.TextFns
+    // Round-14 removed the forced broadcast() on the frozen-gram join
+    // (a minOcc=1 gram set grows with the reference, and a forced
+    // hint would OOM the driver on a large one). The firewall's hot
+    // path — a SMALL frozen set from driver rows (a LocalRelation
+    // with exact stats) — must still plan as a broadcast join, or
+    // every micro-batch pays a two-sided exchange for a 3-row table.
+    val ss = spark; import ss.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+    val dupGrams = Seq(1L, 2L, 3L).toDF("gram")
+    val p = Dedup.scrubByFrozenGrams(toks, dupGrams, k = 8)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"small frozen gram set must broadcast into the gram join:\n$p")
+  }
+
   test("zorder_key: the Morton expression stays inside whole-stage codegen") {
     val df = SparkEntry.queries("zorder_key")(spark, dir)
     df.collect()

@@ -442,6 +442,31 @@ class IncrementalSpec extends SparkSpec {
     assert(after == committed, "replayed committed batch must be a no-op")
   }
 
+  test("substrScrubStreamFromDir: parquet-backed gram set scrubs identically to the driver-Seq form") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    import graft.functions.TextFns
+    val base = Files.createTempDirectory("sscrub_dir").toString
+    val src = base + "/src"; val ck1 = base + "/ck1"; val ck2 = base + "/ck2"
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val ref = Seq((101L, s"ref $span tail")).toDF("doc_id", "text")
+    val gramsDf = Dedup.frozenDupGrams(
+      ref.select(col("doc_id"), TextFns.tokens(col("text")).as("__toks")), k = 8)
+    gramsDf.write.parquet(base + "/grams")
+    val gramRows = gramsDf.as[Long].collect().toSeq
+    Seq((1L, s"u1 $span v1"), (2L, "u2 clean v2"))
+      .toDF("doc_id", "text").write.parquet(src)
+    Incremental.substrScrubStream(ss, src, gramRows, base + "/d1", ck1)
+    Incremental.substrScrubStreamFromDir(ss, src, base + "/grams", base + "/d2", ck2)
+    def rows(d: String) = ss.read.parquet(d)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(rows(base + "/d1") == rows(base + "/d2"),
+      "the large-reference (parquet gram) form must scrub identically")
+    assert(rows(base + "/d1").exists(r => r._1 == 1L && r._4 == "u1 v1"))
+  }
+
   test("substrScrubStream: null-text docs pass through as empty docs, not null rows") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
