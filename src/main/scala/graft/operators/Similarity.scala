@@ -552,10 +552,28 @@ object Similarity {
     * Returns one row per corpus vector: (vec_id, cluster, component,
     * cent_cos, keep).
     */
+  /** One-shot form: the staged scored pin is NOT released (it lives
+    * until session end) — fine for a single invocation per session
+    * (specs, one-off jobs); anything called repeatedly uses
+    * [[semanticDedupReleasable]] and releases after materializing
+    * (the semanticDedupQ / semanticDedupStream lifecycle).
+    */
   def semanticDedup(corpus: DataFrame, centroids: DataFrame, eps: Double,
                     corpusId: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame =
     semanticDedupReleasable(corpus, centroids, eps, corpusId, vecCol)._1
+
+  /** [[semanticDedupAuto]] with the pin surfaced — see
+    * [[semanticDedupReleasable]] for the lifecycle contract.
+    */
+  def semanticDedupAutoReleasable(corpus: DataFrame, eps: Double,
+                                  corpusId: String = "vec_id",
+                                  vecCol: String = "embedding",
+                                  maxIter: Int = 5, seed: Long = 42L)
+      : (DataFrame, () => Unit) =
+    semanticDedupReleasable(corpus,
+      kmeansCentroidsAuto(corpus.select(col(vecCol)), maxIter, seed, vecCol),
+      eps, corpusId, vecCol)
 
   /** [[semanticDedup]] with the quantizer trained at the production
     * [[autoCentroidCount]] size — the default path for a corpus of

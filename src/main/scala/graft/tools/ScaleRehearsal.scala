@@ -345,6 +345,20 @@ object ScaleRehearsal {
       val (allPass, _) = graft.Quality.writeArtifact(spark, out, qout)
       println(s"""{"metric":"scale_quality","artifact":"$qout","all_pass":$allPass}""")
     }
+
+    // Session overhead stamp (round-14): every rehearsal table in
+    // BASELINE.md needs its environment context attached — the ×30
+    // A/B this round measured the SAME code's cold wall moving 133 →
+    // 432 s and the CC loop 25 → 1.4 s purely by session, so a ratio
+    // without its band is not comparable across rounds.
+    val overheadMs = {
+      spark.sparkContext.parallelize(Seq(1), 1).count() // warm
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 50) { spark.sparkContext.parallelize(Seq(1), 1).count(); i += 1 }
+      math.round((System.nanoTime() - t0) / 1e6 / 50 * 100) / 100.0
+    }
+    println(s"""{"metric":"rehearsal_overhead","job_overhead_ms":$overheadMs}""")
     spark.stop()
   }
 }
