@@ -71,6 +71,16 @@ object Packing {
     * that skew is the documented cost of exactness, and nBuckets is
     * the knob.
     *
+    * DETERMINISM REQUIREMENT (self-contained form): the staged pin is
+    * released on return, so the scored projection recomputes at each
+    * consumer materialization, and the driver-computed boundary/offset
+    * constants assume every recomputation yields the same rows. The
+    * source and score expression must therefore be deterministic — a
+    * non-deterministic score (rand(), current_timestamp(), a mutating
+    * source) silently skews the cut. For such sources use
+    * [[budgetSelectReleasable]] and release only AFTER materializing
+    * (the snapshot-consistent lifecycle).
+    *
     * @param budget token budget B (kept iff cum_before < B)
     * @return the kept rows as the (idCol, nTokensCol, scoreCol)
     *         projection (the operator materializes exactly that)
@@ -159,6 +169,12 @@ object Packing {
     * `scoreCol` must be a non-null integral column (the engine's
     * micro-rounding convention) so bucket arithmetic and row ordering
     * cannot disagree.
+    *
+    * DETERMINISM REQUIREMENT: same contract as [[budgetSelect]] — the
+    * self-contained form recomputes the scored projection after the
+    * driver derives the cut constants, so source and score must be
+    * deterministic; otherwise use [[topKSelectReleasable]] and release
+    * after materializing.
     */
   def topKSelect(docs: DataFrame, idCol: String, scoreCol: String,
                  k: Long, nBuckets: Int = 1000): DataFrame = {
@@ -179,6 +195,10 @@ object Packing {
     * `ceil(frac · n)` rows. The count comes free from the same bucket
     * table that drives the cut, so no separate count job and no
     * Int-overflow K arithmetic anywhere (K stays a Long end to end).
+    *
+    * DETERMINISM REQUIREMENT: same contract as [[budgetSelect]] —
+    * deterministic source and score, or use
+    * [[topFracSelectReleasable]] and release after materializing.
     */
   def topFracSelect(docs: DataFrame, idCol: String, scoreCol: String,
                     frac: Double, nBuckets: Int = 1000): DataFrame = {

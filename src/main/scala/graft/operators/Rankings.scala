@@ -60,6 +60,14 @@ object Rankings {
     * broadcast — calibration groups are crawls/dumps (dozens), never
     * an unbounded key.
     *
+    * DETERMINISM REQUIREMENT (self-contained form): the staged pin is
+    * released on return, so the scored projection recomputes per
+    * consumer materialization while the cum-table constants were
+    * derived from the first evaluation — source and score expression
+    * must be deterministic, or the assigned percentiles silently skew.
+    * Non-deterministic sources use
+    * [[percentRankBucketedReleasable]] and release after materializing.
+    *
     * @return input + `outCol` = round(percent_rank · 1e6) as long
     */
   def percentRankBucketed(docsIn: DataFrame, partCol: String,

@@ -120,9 +120,20 @@ object QualityMetrics {
       .agg(avg(col("cent_cos")).as("__a"))
     val fixed = TextPipeline.semanticDedupQ(s, dir)
       .agg(avg(col("cent_cos")).as("__f"))
+    // the ratio is only well-conditioned when the fixed baseline's
+    // mean cosine is meaningfully positive — 8 arbitrary seed vectors
+    // can in principle land near-orthogonal to a corpus (mean ≈ 0 or
+    // < 0), where a/f explodes or flips sign and a BETTER auto
+    // quantizer could read below the floor (or a worse one above it).
+    // Degenerate branch: fall back to the difference sign — auto at
+    // least as fit as fixed passes exactly at the 1.0 floor, worse
+    // fails at 0.0. The 1e-6 cutoff matches the micro-rounding
+    // resolution of the reported numer/denom columns.
     auto.crossJoin(fixed)
       .select(lit("semantic_dedup_auto_fit_ratio").as("metric"),
-        round(col("__a") / col("__f"), 6).as("value"),
+        when(col("__f") > lit(1e-6), round(col("__a") / col("__f"), 6))
+          .otherwise(when(col("__a") >= col("__f"), lit(1.0)).otherwise(lit(0.0)))
+          .as("value"),
         round(col("__a") * 1e6).cast("long").as("numer"),
         round(col("__f") * 1e6).cast("long").as("denom"))
   }

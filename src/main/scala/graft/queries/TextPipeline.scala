@@ -328,7 +328,11 @@ object TextPipeline {
 
   /** Token-count-weighted sample of 50 documents without replacement
     * (Efraimidis–Spirakis order sampling; weight = n_tokens + 1 so
-    * empty docs keep a nonzero draw) — the deterministic
+    * empty docs keep a nonzero draw, clamped at
+    * [[graft.operators.Packing.MaxSampleWeight]] so a pathological
+    * ≥1e6-token doc ties at max weight instead of tripping the
+    * in-plan range guard — the clamp is mirrored in the oracle SQL,
+    * keeping the key a shared pure function) — the deterministic
     * quality-weighted subsample step. Hash-gated: the hash-uniform,
     * ln-key micro-rounding, top-K cut and tiebreak all restate in
     * DuckDB.
@@ -338,7 +342,9 @@ object TextPipeline {
       .select(col("doc_id"),
         size(TextFns.tokens(col("text"))).cast(LongType).as("n_tokens"))
     graft.operators.Packing.weightedSample(
-      staged, col("doc_id"), col("n_tokens") + 1, k = 50)
+      staged, col("doc_id"),
+      least(col("n_tokens") + 1,
+        lit(graft.operators.Packing.MaxSampleWeight.toLong)), k = 50)
       .select(col("doc_id"), col("n_tokens"), col("key_micro"))
       .orderBy(col("doc_id"))
   }
@@ -949,9 +955,13 @@ object TextPipeline {
     * (corpus/128 clamped, k-means||-seeded Lloyd) instead of the
     * fixed 8-vector gate quantizer. Rows-only gated (no portable
     * oracle can restate a trained quantizer); its VALUES gate is the
-    * `semantic_dedup_auto_block_recall` QUALITY floor — the fraction
-    * of true cosine ≥ eps pairs the auto quantizer co-clusters, the
-    * quantity a sizing-rule or trainer regression destroys first.
+    * `semantic_dedup_auto_fit_ratio` QUALITY floor ≥ 1.0 — quantizer
+    * FITNESS (mean vector-to-assigned-centroid cosine, the k-means
+    * objective) of the trained quantizer relative to the fixed
+    * 8-seed twin, the quantity an untrained/garbage/dead-centroid
+    * trainer regression collapses first (deliberately NOT a
+    * pair-blocking recall — see [[QualityMetrics]] for why recall
+    * falls mechanically with the sizing rule at ×R).
     * Same memoized releasable lifecycle as the fixed twin.
     */
   private val semAutoCache = new graft.SessionCache[String]
@@ -1831,10 +1841,12 @@ object TextPipeline {
     // Efraimidis–Spirakis: u from the first 8 md5 hex chars of the id
     // (DuckDB casts '0x…' strings to BIGINT; Spark uses conv(…,16,10)),
     // key = ln(u)/w micro-rounded BEFORE the rank so the top-K cut is
-    // integer-exact in both engines
+    // integer-exact in both engines; w clamped at 1e6 like the Spark
+    // side (MaxSampleWeight) while n_tokens stays the true count
     "weighted_sample" ->
-      s"""WITH t AS (SELECT doc_id, len($toksSql) + 1 AS w FROM documents),
-         |k AS (SELECT doc_id, CAST(w - 1 AS BIGINT) AS n_tokens,
+      s"""WITH t AS (SELECT doc_id, len($toksSql) AS n_toks,
+         |             least(len($toksSql) + 1, 1000000) AS w FROM documents),
+         |k AS (SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
          |        CAST(round(ln((CAST(concat('0x',
          |              substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
          |            + 0.5) / 4294967296.0) / w * 1000000) AS BIGINT) AS key_micro

@@ -344,7 +344,7 @@ object Incremental {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val prev = latestReservoirVersion(batch.sparkSession, reservoirDir)
-        // replay wedge guard: a committed __v >= batchId means this
+        // replay wedge guard: a committed __v == batchId means this
         // batch's merge already landed (the crash fell between the
         // marker write and the checkpoint commit). Re-merging would
         // read __v=batchId while overwriting the same path — Spark
@@ -353,12 +353,39 @@ object Incremental {
         // result, so the replay is a no-op. (if/else, NOT an early
         // return — `return` in a closure throws NonLocalReturnControl,
         // which on the streaming thread would fail the query.)
-        if (!prev.exists(_ >= batchId)) {
+        //
+        // ONLY equality is a legitimate replay: under the documented
+        // crash window prev can never be strictly ahead of the batch
+        // being delivered. prev > batchId means the streaming
+        // checkpoint was lost/reset while the reservoir dir survived
+        // (batch ids restarted at 0) — silently skipping would commit
+        // every new batch up to the old version as processed and DROP
+        // its data, so fail loudly instead.
+        if (prev.exists(_ > batchId)) {
+          throw new IllegalStateException(
+            s"weightedReservoirStream: committed reservoir snapshot __v=${prev.get} " +
+            s"is ahead of delivered batch $batchId — streaming checkpoint and " +
+            s"reservoir dir '$reservoirDir' are out of sync (checkpoint reset/loss " +
+            "with a surviving reservoir). Refusing to skip new data: clear the " +
+            "reservoir dir or restore the matching checkpoint.")
+        } else if (!prev.contains(batchId)) {
           val staged = batch.select(col("doc_id"),
             size(graft.functions.TextFns.tokens(col("text")))
               .cast("long").as("n_tokens"))
+          // weight clamped to MaxSampleWeight, NOT normalize=true: the
+          // merge compares key_micro ACROSS batches, so the key must
+          // stay a pure function of (id, weight) — a per-batch max
+          // rescale would make keys incomparable between batches. The
+          // clamp keeps the key pure and defuses the poison pill a
+          // single ≥1e6-token doc would otherwise arm (raise_error in
+          // the key → batch never commits → every restart replays and
+          // re-raises); docs at/beyond the clamp tie at max weight
+          // (id-ordered among themselves), which is the documented
+          // resolution limit, not data loss.
           val batchTop = graft.operators.Packing.weightedSample(
-            staged, col("doc_id"), col("n_tokens") + 1, k)
+            staged, col("doc_id"),
+            least(col("n_tokens") + 1,
+              lit(graft.operators.Packing.MaxSampleWeight.toLong)), k)
             .select(col("doc_id"), col("n_tokens"), col("key_micro"))
           val merged = prev match {
             case None => batchTop

@@ -28,8 +28,9 @@ class ContractSpec extends SparkSpec {
     // media_knn_ivf_auto / semantic_dedup_auto: the TRAINED-quantizer
     // production defaults (round 14) — no portable oracle can restate
     // a k-means result; floor-gated per round (auto recall@5 ≥ 0.75
-    // vs the exact twin; auto/fixed blocking ratio ≥ 0.9 over the
-    // brute-force cosine truth — QualityMetrics).
+    // vs the exact twin; semantic_dedup_auto_fit_ratio ≥ 1.0 — mean
+    // assigned-centroid cosine of the trained quantizer relative to
+    // the fixed 8-seed twin, i.e. k-means fitness — QualityMetrics).
     assert(rowsOnly == Set("minhash_pairs", "simhash_pairs", "knn_lsh",
       "knn_ivf", "token_hll", "bpe_tokens", "media_knn_ivf",
       "minhash_indexed", "media_knn_ivf_auto", "semantic_dedup_auto"),

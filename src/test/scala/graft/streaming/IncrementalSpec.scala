@@ -379,7 +379,9 @@ class IncrementalSpec extends SparkSpec {
         docs.select(col("doc_id"),
           size(graft.functions.TextFns.tokens(col("text")))
             .cast("long").as("n_tokens")),
-        col("doc_id"), col("n_tokens") + 1, k = 10)
+        col("doc_id"),
+        least(col("n_tokens") + 1,
+          lit(graft.operators.Packing.MaxSampleWeight.toLong)), k = 10)
         .select("doc_id").as[Long].collect().toSet
 
     mkDocs(1 to 60).write.parquet(src)
@@ -440,6 +442,55 @@ class IncrementalSpec extends SparkSpec {
     val after = Incremental.readReservoir(ss, res)
       .select("doc_id").as[Long].collect().toSet
     assert(after == committed, "replayed committed batch must be a no-op")
+  }
+
+  test("weightedReservoirStream: a reservoir AHEAD of the delivered batch fails loudly, never skips new data") {
+    val ss = spark; import ss.implicits._
+    val base = Files.createTempDirectory("wres_desync").toString
+    val src = base + "/src"; val res = base + "/res"; val ck = base + "/ck"
+    (1 to 20).map(i => (i.toLong, s"tok$i tok$i")).toDF("doc_id", "text")
+      .write.parquet(src)
+    Incremental.weightedReservoirStream(ss, src, res, ck, k = 5)
+
+    // checkpoint lost/reset while the reservoir survives: batch ids
+    // restart at 0, but a committed __v=5 claims batches 1..5 already
+    // merged. Pre-fix the guard silently skipped every new batch up
+    // to 5 (data committed as processed and DROPPED); now it must
+    // refuse with a clear out-of-sync error.
+    val fs = new org.apache.hadoop.fs.Path(res)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val v0 = new org.apache.hadoop.fs.Path(res, "__v=0")
+    val v5 = new org.apache.hadoop.fs.Path(res, "__v=5")
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs, v0, fs, v5, false,
+      ss.sparkContext.hadoopConfiguration))
+    fs.delete(new org.apache.hadoop.fs.Path(ck), true)
+    (21 to 40).map(i => (i.toLong, s"tok$i")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Incremental.weightedReservoirStream(ss, src, res, ck, k = 5)
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains("out of sync"),
+      s"expected a checkpoint/reservoir out-of-sync error, got: $msg")
+  }
+
+  test("weightedReservoirStream: a >=1e6-token document is clamped, not a poison pill") {
+    val ss = spark; import ss.implicits._
+    val base = Files.createTempDirectory("wres_huge").toString
+    val src = base + "/src"; val res = base + "/res"; val ck = base + "/ck"
+    // one doc past MaxSampleWeight tokens: pre-fix the raw n_tokens+1
+    // weight tripped weightedSample's raise_error INSIDE the batch —
+    // the batch never committed, so every restart replayed and
+    // re-raised (permanent wedge). The clamp ties it at max weight.
+    val huge = ("x " * 1000001).trim
+    ((1 to 9).map(i => (i.toLong, s"tok$i tok$i")) :+ (99L, huge))
+      .toDF("doc_id", "text").write.parquet(src)
+    Incremental.weightedReservoirStream(ss, src, res, ck, k = 3)
+    val got = Incremental.readReservoir(ss, res)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size == 3, s"stream must complete and keep k docs, got $got")
+    assert(got.contains(99L),
+      "the max-weight doc should dominate the weighted draw")
   }
 
   test("substrScrubStreamFromDir: parquet-backed gram set scrubs identically to the driver-Seq form") {
