@@ -387,11 +387,80 @@ object Dedup {
                                 n: Int = 3, threshold: Double = 0.8,
                                 maxShingleFreq: Long = 1000L,
                                 pairParts: Int = 0): DataFrame = {
-    // Join/shuffle key is the 64-bit shingle hash, not the shingle
-    // string — the blocking self-join then moves 8-byte longs instead
-    // of text. At 2^64 hash space a cross-shingle collision (which
-    // would overcount one intersection) is negligible at any corpus
-    // size this runs on.
+    // Shuffle key is the 64-bit shingle hash, not the shingle string —
+    // the blocking stage then moves 8-byte longs instead of text. At
+    // 2^64 hash space a cross-shingle collision (which would overcount
+    // one intersection) is negligible at any corpus size this runs on.
+    //
+    // Round-15 restructure (the heaviest-shuffle optimization pass):
+    // the previous form shuffled the occurrence stream ~3× — a freq
+    // aggregate, a grams⨝freq filter join, and a pinned pair
+    // self-join whose exchange carried EVERY occurrence, singleton
+    // grams included. A singleton gram (f = 1) can never produce a
+    // pair, and on marker-diversified ×R corpora singletons dominate
+    // the stream. New shape: ONE shuffle of the occurrence stream
+    // into per-gram doc lists (+ f), sizes derived from the kept
+    // lists, and the pair stream exploded map-side from f ≥ 2 lists
+    // only — no self-join anywhere, and the pair exchange starts
+    // after the singleton prune. Values are identical by
+    // construction: singletons contribute to sizes (the Jaccard
+    // denominator universe) but never to intersections, exactly as
+    // before — DedupSpec pins new ≡ old on a mixed fixture and the
+    // ngram_jaccard hash gate re-pins it against DuckDB every round.
+    val grams = toks
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.wordShinglesOf(col("__toks"), n))).as("__g"))
+      .select(col("doc_id"), xxhash64(col("__g")).as("gram"))
+    // pairParts > 0 pre-hashes the occurrence stream so the list
+    // aggregate fuses onto that exchange (per-task agg state ÷
+    // pairParts — the Corpus.prepare data-proportional width rule)
+    val gramsW = if (pairParts > 0) grams.repartition(pairParts, col("gram")) else grams
+    // per-gram doc lists: bounded by maxShingleFreq (≤ 8 KB a list at
+    // the default 1000 cap — the cap is REQUIRED at scale, as it
+    // always was: an uncapped degenerate gram now concentrates one
+    // task's list exactly as it concentrated one join key before)
+    val lists = gramsW.groupBy(col("gram"))
+      .agg(collect_list(col("doc_id")).as("__ds"), count(lit(1)).as("__f"))
+      .filter(col("__f") <= maxShingleFreq)
+    // Similarity is over the KEPT shingle universe: sizes must come
+    // from the kept lists, not raw grams, or the denominator counts
+    // dropped stop-shingles the numerator can never match.
+    val sizes = lists.select(explode(col("__ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // pair stream: every unordered doc pair sharing a kept f ≥ 2 gram,
+    // generated by a per-row HOF explode (id_b ranges over the list
+    // elements above id_a) — map-side, no join, singleton-free
+    val pairsRaw = lists.filter(col("__f") >= 2)
+      .select(explode(col("__ds")).as("id_a"), col("__ds"))
+      .select(col("id_a"),
+        explode(filter(col("__ds"), d => d > col("id_a"))).as("id_b"))
+    // pairParts > 0: hash the raw pair stream to (id_a, id_b) first —
+    // the count then fuses onto that exchange (distribution already
+    // satisfied), so the agg map is partition-local at the chosen width
+    val pre = if (pairParts > 0) pairsRaw.repartition(pairParts, col("id_a"), col("id_b")) else pairsRaw
+    val inter = pre
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The pre-round-15 join-based formulation of
+    * [[ngramJaccardPairsOfTokens]] — kept as the A/B contrast for the
+    * shared-pair-build optimization pass (ScaleRehearsal measures
+    * both; DedupSpec pins result equality). Shape: freq-filter join +
+    * pinned shuffled gram self-join, occurrence stream shuffled ~3×,
+    * singleton grams carried all the way into the pair exchange.
+    */
+  private[graft] def ngramJaccardPairsOfTokensJoined(
+      toks: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxShingleFreq: Long = 1000L, pairParts: Int = 0): DataFrame = {
     val grams = toks
       .select(col("doc_id"),
         explode(array_distinct(TextFns.wordShinglesOf(col("__toks"), n))).as("__g"))
@@ -403,27 +472,17 @@ object Dedup {
           .filter(col("f") <= maxShingleFreq).select("gram")
         grams.join(freq, "gram")
       }
-    // Similarity is over the KEPT shingle universe: sizes must come
-    // from `kept`, not `grams`, or the denominator counts dropped
-    // stop-shingles the numerator can never match.
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-
-    // Pinned shuffled self-join — see minhashCandidates: the exploded
-    // gram table must never be a broadcast build side, whatever the
-    // pre-explode stats say.
+    // pinned shuffled self-join — the exploded gram table must never
+    // be a broadcast build side, whatever the pre-explode stats say
     val keptJ = if (pairParts > 0) kept.repartition(pairParts, col("gram")) else kept
     val joined = keptJ.as("a").hint("shuffle_hash").join(keptJ.as("b"), Seq("gram"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    // pairParts > 0: hash the raw pair stream to (id_a, id_b) first —
-    // the count then fuses onto that exchange (distribution already
-    // satisfied), so no aggregation state ever lives in the join stage
-    // and the agg map is partition-local at the chosen width
     val pre = if (pairParts > 0) joined.repartition(pairParts, col("id_a"), col("id_b")) else joined
     val inter = pre
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
-
     inter
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")

@@ -58,22 +58,67 @@ object Similarity {
     when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Pair-scoring budget per map task for [[bruteForceTopK]]: each map
+    * task materializes and LOCALLY SORTS (its corpus slice × all
+    * queries) scored rows ahead of the partial WindowGroupLimit that
+    * cuts them to k per query, so per-task sort memory is
+    * pairsPerTask · ~24 B ≈ 50 MB at this default — the knob that
+    * keeps the exact all-pairs gate memory-bounded (zero spill) at
+    * ANY corpus size. With a fixed core-count exchange the per-task
+    * pair load grows ∝ corpus·queries: the ×30 media gate put ~17M
+    * pairs in each of 32 tasks and spilled 12.5 GB under a crowded
+    * heap (BASELINE r14) — quadratic DATA is the gate's documented
+    * nature, but quadratic PER-TASK memory was an avoidable artifact
+    * of partitioning by cores instead of by pairs.
+    */
+  val BruteForcePairsPerTask: Long = 2000000L
+
+  /** Corpus-side exchange width for [[bruteForceTopK]]: enough tasks
+    * that no task sorts more than [[BruteForcePairsPerTask]] pairs,
+    * never fewer than the cluster's cores (tiling is free
+    * parallelism), hard-capped at 32768 tasks (scheduling overhead —
+    * past that, raise the per-task budget instead). Pure function,
+    * spec-pinned.
+    */
+  def bruteForcePartitionCount(nQueries: Long, nCorpus: Long,
+                               minParts: Int): Int = {
+    val byPairs = nQueries * nCorpus / BruteForcePairsPerTask + 1
+    math.min(32768L, math.max(minParts.toLong, byPairs)).toInt
+  }
+
   /** Exact cosine top-k: for each row of `queries`, the k nearest
     * `corpus` rows. Output: (query_id, neighbor_id, cos, rank).
     * `queries` must be small enough to broadcast (typical: a probe
     * set); `corpus` can be arbitrarily large — it streams through one
     * scan with no shuffle except the final per-query top-k, whose
     * input is already reduced to candidate scores.
+    *
+    * Memory shape (the tiled-exact gate, round 15): the corpus side
+    * is exchanged into [[bruteForcePartitionCount]] slices — sized
+    * from two cheap counts so each map task scores and sorts at most
+    * [[BruteForcePairsPerTask]] pairs before the map-side partial
+    * WindowGroupLimit cuts them to k per query. Tiling changes the
+    * task grid, not the answer: the global top-k is the re-rank of
+    * the per-slice survivors under the same (cos DESC, id ASC)
+    * comparator, so the result is bit-identical at any width (the
+    * hash gates pin it). Work is still all-pairs BY DESIGN — this is
+    * the exactness gate the approximate family floors against, never
+    * the 100 TB production path (that is IVF/LSH).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      queryId: String = "query_id", corpusId: String = "neighbor_id",
                      vecCol: String = "embedding"): DataFrame = {
-    // Repartition the corpus: the broadcast join keeps its partitioning,
-    // so a single-file scan would otherwise score every pair in one task.
     val q = queries.select(col(queryId), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"))
-    val c = graft.Tables.spread(corpus).select(col(corpusId), col(vecCol).as("__cv"),
+    val c0 = corpus.select(col(corpusId), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
+    // two tiny count jobs size the exchange (queries is probe-sized;
+    // corpus counts are metadata-cheap on parquet and cache-hit cheap
+    // on the memoized vector frames) — the price of a gate that
+    // cannot spill regardless of session heap pressure
+    val nParts = bruteForcePartitionCount(q.count(), c0.count(),
+      queries.sparkSession.sparkContext.defaultParallelism)
+    val c = c0.repartition(nParts)
     val scored = c.join(broadcast(q), col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId),
         round(cosineWithNorms(col("__qv"), col("__cv"),

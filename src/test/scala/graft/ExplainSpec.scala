@@ -244,8 +244,6 @@ class ExplainSpec extends SparkSpec {
     docs.count()
     try {
       val shapes = Seq(
-        "ngram" -> Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-          n = 3, threshold = 0.5),
         "minhash" -> Dedup.minhashCandidates(docs, col("doc_id"), col("text"),
           shingleLen = 3, bands = 8, rowsPerBand = 4),
         "simhash" -> Dedup.simhashPairs(docs, col("doc_id"), col("text"),
@@ -256,6 +254,17 @@ class ExplainSpec extends SparkSpec {
         assert(p.contains("ShuffledHashJoin"),
           s"$name pair self-join must be a shuffled join, not a broadcast:\n$p")
       }
+      // the round-15 ngram pair build has NO self-join at all: pairs
+      // explode map-side from per-gram doc lists (one Generate chain
+      // over the list aggregate), so the broadcast-an-exploded-corpus
+      // failure class is structurally gone — pin that shape instead
+      val pNgram = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+          n = 3, threshold = 0.5)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(pNgram.contains("ObjectHashAggregate") && pNgram.contains("Generate"),
+        s"ngram pair build must be the list-aggregate + explode shape:\n$pNgram")
+      assert(!pNgram.contains("BroadcastNestedLoopJoin"),
+        s"ngram pair build must not degrade to a nested-loop join:\n$pNgram")
     } finally docs.unpersist(blocking = false)
   }
 

@@ -59,6 +59,37 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("ngram pair build: list-explode form ≡ the join form on a mixed fixture") {
+    val ss = spark; import ss.implicits._
+    // exercises every path the round-15 restructure touched: singleton
+    // grams (unique tails — prunable, never pair-bearing), shared
+    // grams at several frequencies, a stop-shingle past the cap
+    // (must leave BOTH the numerator and the denominator), threshold
+    // boundary pairs, and a doc with no shingles at all
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog one"),
+      (2L, "the quick brown fox jumps over the lazy dog two"),
+      (3L, "the quick brown fox leaps over a sleepy cat still"),
+      (4L, "completely different text with its own unique words here"),
+      (5L, "stop stop stop stop stop stop stop stop"),
+      (6L, "stop stop stop stop stop stop stop stop"),
+      (7L, "stop stop stop stop stop stop stop stop"),
+      (8L, "ab")).toDF("doc_id", "text")
+    val toks = d.select(col("doc_id"),
+      graft.functions.TextFns.tokens(col("text")).as("__toks"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b"), round(col("jaccard"), 9))
+        .as[(Long, Long, Double)].collect().toSet
+    for (cap <- Seq(2L, 1000L, Long.MaxValue); pp <- Seq(0, 5)) {
+      val neu = rows(Dedup.ngramJaccardPairsOfTokens(
+        toks, n = 3, threshold = 0.2, maxShingleFreq = cap, pairParts = pp))
+      val old = rows(Dedup.ngramJaccardPairsOfTokensJoined(
+        toks, n = 3, threshold = 0.2, maxShingleFreq = cap, pairParts = pp))
+      assert(neu == old, s"cap=$cap pairParts=$pp: forms diverged\nnew=$neu\nold=$old")
+      assert(cap == 2L || neu.nonEmpty, s"fixture should produce pairs at cap=$cap")
+    }
+  }
+
   test("maxShingleFreq=1 drops every shared shingle → no pairs") {
     val ss = spark; import ss.implicits._
     val d = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")

@@ -29,6 +29,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got.sortBy(_._2) == Seq((10L, 1), (11L, 2)))
   }
 
+  test("bruteForcePartitionCount: pair-bounded, core-floored, hard-capped") {
+    import Similarity.{bruteForcePartitionCount => parts, BruteForcePairsPerTask => B}
+    // small pair loads stay at the core floor (tiling below cores
+    // would only shrink parallelism)
+    assert(parts(50L, 2000L, 32) == 32, "gate fixture: core floor")
+    assert(parts(0L, 0L, 32) == 32, "empty inputs: core floor")
+    // the ×30 media shape that spilled 12.5 GB under 32 fixed tasks:
+    // ~3.8k probes × 150k corpus = 562M pairs → ~282 slices of ≤ 2M
+    val x30 = parts(3750L, 150000L, 32)
+    assert(x30 == 3750L * 150000L / B + 1, s"x30 sizing: got $x30")
+    assert(x30 > 200 && x30 < 400, s"x30 slice count sanity: $x30")
+    // per-task pairs never exceed the budget below the hard cap
+    assert(1000000L * 32768L / parts(1000L, 32768000L, 32) <= B)
+    // the 32768-task ceiling: past it, the budget gives, not the grid
+    assert(parts(1000000L, 1000000000L, 32) == 32768)
+  }
+
+  test("bruteForceTopK is invariant to the corpus-side task grid (tiled ≡ one-shot)") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (1 to 300).map(i =>
+      (i.toLong, Array.fill(6)(rnd.nextGaussian().toFloat)))
+      .toDF("neighbor_id", "embedding")
+    val queries = (1 to 5).map(i =>
+      (i * 100L, Array.fill(6)(rnd.nextGaussian().toFloat)))
+      .toDF("query_id", "embedding")
+    def rows(c: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(queries, c, k = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSet
+    // 1-partition and 64-partition corpora must produce the identical
+    // ranked set: the per-slice partial limit + global re-rank under
+    // the shared (cos DESC, id ASC) comparator is exact at any width
+    assert(rows(corpus.coalesce(1)) == rows(corpus.repartition(64)))
+  }
+
   test("graft_signsketch is bit-identical to the composed HOF formulation") {
     val ss = spark; import ss.implicits._
     graft.plans.GraftExtensions.ensureRegistered(ss)
