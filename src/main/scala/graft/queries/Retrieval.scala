@@ -477,16 +477,30 @@ object Retrieval {
     // sorts rows before hashing; an orderBy here would re-pay a
     // kept-set-sized sort for nothing).
     //
-    // Releasable cut + narrow result checkpoint (the corpusPrepare
+    // Releasable cut + narrow result pin (the corpusPrepare
     // lifecycle): the scored frame — a full bigram-scoring chain — is
     // persisted WITH lineage inside the cut (executor-loss-safe),
     // evaluated once, and its pin released as soon as the narrow
     // (doc_id, lang, logw_micro) kept set is materialized; without
-    // the checkpoint the kept set's two filter branches would re-run
-    // the scoring chain once each at materialization.
+    // the pin the kept set's two filter branches would re-run the
+    // scoring chain once each at materialization.
+    //
+    // persist, NOT localCheckpoint (round-15): the kept frame is
+    // keepFrac-sized — CORPUS-scale at the 100 TB target (25% of the
+    // pool), not a bounded summary — and localCheckpoint's truncated
+    // lineage would turn any executor loss after this point into a
+    // job failure. Persist keeps the short deterministic lineage
+    // (source → scoring chain → cut filter, all literals), so lost
+    // blocks recompute; the recompute re-pays the scoring chain for
+    // those blocks only — the documented price of recoverability,
+    // the Corpus.prepare convention (Corpus.scala:87). Steady-state
+    // cost vs the old localCheckpoint: none (same one eager
+    // materialization); blocks are freed by SessionCache eviction
+    // upstream or the ContextCleaner when the frame goes out of reach.
     val (kept, release) = graft.operators.Packing.topFracSelectReleasable(
       scored, "doc_id", "logw_micro", keepFrac)
-    val out = kept.localCheckpoint()
+    val out = kept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while the scored pin still serves
     release()
     out
   }

@@ -738,14 +738,19 @@ object TextPipeline {
       .select(col("source"), col("doc_id"),
         round(TextFns.qualityScoreOf(col("text"), col("__toks")) * 1e6)
           .cast(LongType).as("score_micro"))
-    // releasable form + narrow result checkpoint (the corpusPrepare
+    // releasable form + narrow result pin (the corpusPrepare
     // lifecycle): the scored projection is persisted WITH lineage
     // inside the operator (executor-loss-safe), evaluated once for
     // the cum-table AND the probe side, and its pin released as soon
-    // as the narrow ranked result is materialized
+    // as the narrow ranked result is materialized. persist, NOT
+    // localCheckpoint (round-15): the ranked frame is one row per
+    // input doc — corpus-sized at the 100 TB target — so truncated
+    // lineage would make an executor loss fatal; persist keeps the
+    // deterministic recompute path (the Corpus.prepare convention)
     val (ranked, release) = graft.operators.Rankings
       .percentRankBucketedReleasable(staged, "source", "score_micro")
-    val out = ranked.localCheckpoint()
+    val out = ranked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while the staged pin still serves
     release()
     out.orderBy(col("doc_id"))
   }
@@ -765,8 +770,14 @@ object TextPipeline {
         size(col("__toks")).cast(LongType).as("n_tokens"),
         round(TextFns.qualityScoreOf(col("text"), col("__toks")) * 1e6)
           .cast(LongType).as("score_micro"))
-    // releasable form + narrow result checkpoint — same lifecycle as
-    // qualityPercentile above
+    // releasable form + narrow result checkpoint. localCheckpoint is
+    // FINE here, unlike qualityPercentile/dsir (round-15 exemption,
+    // argued with numbers): the kept set is BUDGET-bounded — at most
+    // budget/1 ≈ 10k tokens of docs regardless of corpus size (the
+    // crossing doc fills the budget), a bounded summary, not a
+    // corpus-fraction — so truncated lineage risks re-running a
+    // trivially small frame, and eager local materialization is the
+    // cheaper lifecycle (no ContextCleaner dependency).
     val (kept, release) = graft.operators.Packing.budgetSelectReleasable(
       staged, "doc_id", "n_tokens", "score_micro", budget = 10000L)
     val out = kept.localCheckpoint()
