@@ -1024,8 +1024,6 @@ object Dedup {
 
   def simhashPairsOfTokens(toks: DataFrame,
                            maxDist: Int = 3, maxPieceFreq: Long = 1000L): DataFrame = {
-    val chunks = maxDist + 1
-    val bitsPer = 64 / chunks
     // The signature frame feeds FIVE consumers in the capped branch
     // (freq, cold, hot, and both self-join sides) and Catalyst does
     // not share common subplans across shuffles — without
@@ -1045,6 +1043,28 @@ object Dedup {
     // table belongs on storage anyway (the writeLshIndex layout),
     // where this stage disappears entirely.
     val sh = simhashSignaturesOfTokens(toks).localCheckpoint()
+    hammingPairsOfSignatures(sh, maxDist, maxPieceFreq)
+  }
+
+  /** Hamming-distance-≤maxDist pairs over ANY 64-bit signature frame
+    * `(doc_id, sh)` — the pigeonhole-LSH pair core shared by the
+    * SimHash text path ([[simhashPairsOfTokens]]) and the perceptual
+    * image path (dHash fingerprints from
+    * [[graft.queries.MediaPipeline.mediaPhashPairs]]): split 64 bits
+    * into (maxDist+1) chunks; any pair within distance maxDist must
+    * agree on ≥1 whole chunk, so candidates come from equi-joins on
+    * chunk values — never O(n²). With `maxPieceFreq = Long.MaxValue`
+    * the pigeonhole is EXACT (every true pair is a candidate and the
+    * final bit_count filter is exact), which is what lets a
+    * signature family whose fingerprint math an oracle can restate be
+    * hash-gated end to end; the capped default trades the documented
+    * hot-bucket recall seam for boundedness on low-entropy corpora
+    * (see [[simhashPairs]]).
+    */
+  def hammingPairsOfSignatures(sh: DataFrame, maxDist: Int = 3,
+                               maxPieceFreq: Long = 1000L): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
     val banded0 = sh.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
         call_function("shiftright", col("sh"), c * bitsPer)

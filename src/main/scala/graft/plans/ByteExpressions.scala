@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType}
 
@@ -87,4 +87,99 @@ case class ByteHistogram8(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): ByteHistogram8 =
     copy(child = newChild)
+}
+
+/** 64-bit difference hash (dHash) of a decoded interleaved pixel
+  * buffer — the perceptual image fingerprint of the LAION-style
+  * image-dedup pipeline (resize small → grayscale → compare each
+  * pixel to its right neighbor → one bit per comparison). Bit
+  * k = y·(w−1)+x is set iff gray(x+1, y) > gray(x, y), with
+  * gray = ⌊Σ channels / c⌋ (integer mean — portable to any SQL
+  * oracle). Gradient SIGNS survive brightness/contrast shifts and
+  * recompression, which is exactly what byte-equality and histogram
+  * features don't — dHash changes little under the edits that make
+  * two images "the same picture".
+  *
+  * Contract: the input must already be resized so (w−1)·h = 64 (the
+  * canonical 9×8); anything else — or a truncated buffer — is null
+  * (decode-or-drop, the Media family convention). One tight
+  * primitive pass via `doGenCode`, same codegen discipline as the
+  * sibling byte features: fingerprinting a 100 TB image corpus is a
+  * map-only projection with zero exchanges.
+  */
+case class DHash64(pxCol: Expression, wCol: Expression,
+                   hCol: Expression, cCol: Expression)
+    extends QuaternaryExpression {
+
+  override def first: Expression = pxCol
+  override def second: Expression = wCol
+  override def third: Expression = hCol
+  override def fourth: Expression = cCol
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (pxCol.dataType == BinaryType && wCol.dataType == IntegerType &&
+        hCol.dataType == IntegerType && cCol.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_dhash64(pixels binary, width int, height int, channels int) — got " +
+        Seq(pxCol, wCol, hCol, cCol).map(_.dataType.simpleString).mkString(", "))
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dhash64"
+
+  override def nullSafeEval(p: Any, wA: Any, hA: Any, cA: Any): Any = {
+    val px = p.asInstanceOf[Array[Byte]]
+    val w = wA.asInstanceOf[Int]; val h = hA.asInstanceOf[Int]
+    val c = cA.asInstanceOf[Int]
+    if (c <= 0 || w < 2 || (w - 1) * h != 64 || px.length < w * h * c) null
+    else {
+      var fp = 0L; var k = 0; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w - 1) {
+          var s0 = 0; var s1 = 0; var ch = 0
+          val o0 = (y * w + x) * c; val o1 = o0 + c
+          while (ch < c) { s0 += px(o0 + ch) & 0xff; s1 += px(o1 + ch) & 0xff; ch += 1 }
+          if (s1 / c > s0 / c) fp |= (1L << k)
+          k += 1; x += 1
+        }
+        y += 1
+      }
+      fp
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, w, h, c) => {
+      val fp = ctx.freshName("fp"); val k = ctx.freshName("k")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val s0 = ctx.freshName("s0"); val s1 = ctx.freshName("s1")
+      val ch = ctx.freshName("ch"); val o0 = ctx.freshName("o0")
+      s"""
+         |if ($c <= 0 || $w < 2 || ($w - 1) * $h != 64 || $p.length < $w * $h * $c) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $fp = 0L; int $k = 0;
+         |  for (int $y = 0; $y < $h; $y++) {
+         |    for (int $x = 0; $x < $w - 1; $x++) {
+         |      int $s0 = 0; int $s1 = 0;
+         |      int $o0 = ($y * $w + $x) * $c;
+         |      for (int $ch = 0; $ch < $c; $ch++) {
+         |        $s0 += $p[$o0 + $ch] & 0xff; $s1 += $p[$o0 + $c + $ch] & 0xff;
+         |      }
+         |      if ($s1 / $c > $s0 / $c) $fp |= (1L << $k);
+         |      $k++;
+         |    }
+         |  }
+         |  ${ev.value} = $fp;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): DHash64 =
+    copy(pxCol = newFirst, wCol = newSecond, hCol = newThird,
+      cCol = newFourth)
 }

@@ -332,6 +332,13 @@ object GraftExtensions {
         require(children.size == 1, "graft_byte_hist8(binary) takes exactly one argument")
         ByteHistogram8(children.head)
       }),
+    (new FunctionIdentifier("graft_dhash64"),
+      new ExpressionInfo(classOf[DHash64].getName, "graft_dhash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "graft_dhash64(pixels, width, height, channels) takes four arguments")
+        DHash64(children.head, children(1), children(2), children(3))
+      }),
     (new FunctionIdentifier("graft_sum_uint"),
       new ExpressionInfo(classOf[SumBigUInt].getName, "graft_sum_uint"),
       (children: Seq[Expression]) => {

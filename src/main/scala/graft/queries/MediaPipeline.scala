@@ -204,19 +204,82 @@ object MediaPipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Perceptual image near-dup pairs — the LAION-style image-dedup
+    * step the feature-vector ANN family doesn't cover: decode →
+    * canonical 9×8 resize → 64-bit dHash (native
+    * [[graft.plans.DHash64]]: grayscale gradient signs, one codegen'd
+    * map pass) → Hamming-≤3 pairs via the SAME pigeonhole blocking
+    * the SimHash text path uses
+    * ([[graft.operators.Dedup.hammingPairsOfSignatures]]) — never
+    * O(n²). The pair frame feeds
+    * [[graft.operators.Dedup.connectedComponents]] exactly like the
+    * text near-dup pairs (spec-pinned in MediaSpec).
+    *
+    * HASH-GATED end to end, not rows-only: the stub pixel function,
+    * the nearest-neighbor resize index map, the integer-mean
+    * grayscale, the gradient-sign bits, and the Hamming count all
+    * restate in portable SQL (the oracle compares per-bit sums, never
+    * constructing the int64 — bit 63 would overflow a signed BIGINT
+    * shift), and the pigeonhole runs UNCAPPED here
+    * (maxPieceFreq = MaxValue), which makes it EXACT by the
+    * pigeonhole theorem — so blocking can be value-checked against
+    * brute force. Production corpora use the capped default instead
+    * (the simhash recall-seam trade, same knob).
+    */
+  def mediaPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    val resized = Media.resizeImages(
+      Media.decodeImages(imageFixture(s, dir)), 9, 8)
+    // 8 bytes/doc; feeds both self-join sides of the pair core — the
+    // simhashPairsOfTokens materialization rationale, same idiom
+    val sig = resized.select(col("id").as("doc_id"),
+        call_function("graft_dhash64", col("pixels"), col("width"),
+          col("height"), col("channels")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .localCheckpoint()
+    graft.operators.Dedup.hammingPairsOfSignatures(
+        sig, maxDist = 3, maxPieceFreq = Long.MaxValue)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast(LongType).as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
     "media_audio" -> (mediaAudio _),
     "media_knn" -> (mediaKnn _),
     "media_knn_ivf" -> (mediaKnnIvf _),
-    "media_knn_ivf_auto" -> (mediaKnnIvfAuto _))
+    "media_knn_ivf_auto" -> (mediaKnnIvfAuto _),
+    "media_phash_pairs" -> (mediaPhashPairs _))
 
   /** The resized 4×4×3 pixel at flat index i (ch = i%3, x = (i/3)%4,
     * y = i/12) samples source pixel (2x, 2y) of the 8×8×3 stub image:
     * v = (id·31 + ((2y·8 + 2x)·3 + ch)·7) mod 256.
     */
   val oracles: Map[String, String] = Map(
+    // dHash from first principles: resized 9×8 pixel (x, y, ch) samples
+    // source index (y·8 + (x·8)//9)·3 + ch of the stub image; gray is
+    // the integer channel mean; bit k = y·8+x compares right-neighbor
+    // grays; Hamming is the per-bit disagreement SUM (never the int64 —
+    // bit 63 would overflow a signed BIGINT shift)
+    "media_phash_pairs" ->
+      """WITH ids AS (SELECT event_id AS id FROM events WHERE event_id % 40 = 0),
+        |g AS (SELECT id, x, y,
+        |        ( ((id*31 + ((y*8 + (x*8)//9)*3 + 0)*7) % 256)
+        |        + ((id*31 + ((y*8 + (x*8)//9)*3 + 1)*7) % 256)
+        |        + ((id*31 + ((y*8 + (x*8)//9)*3 + 2)*7) % 256) ) // 3 AS gray
+        |      FROM ids, range(0, 9) tx(x), range(0, 8) ty(y)),
+        |bits AS (SELECT a.id, a.y*8 + a.x AS k,
+        |                CASE WHEN b2.gray > a.gray THEN 1 ELSE 0 END AS bit
+        |         FROM g a JOIN g b2 ON a.id = b2.id AND b2.y = a.y AND b2.x = a.x + 1
+        |         WHERE a.x < 8),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |             SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+        |      FROM bits a JOIN bits b ON a.k = b.k AND a.id < b.id
+        |      GROUP BY a.id, b.id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM p WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     "media_knn" ->
       """WITH ids AS (SELECT event_id AS id FROM events WHERE event_id % 40 = 0),
         |px AS (

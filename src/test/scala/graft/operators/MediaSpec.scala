@@ -364,4 +364,90 @@ class MediaSpec extends SparkSpec {
       assert(rs == (1L to rs.size), s"ranks must be dense from 1: $rs")
     }
   }
+
+  test("graft_dhash64: gradient-sign bits match hand computation; contract nulls") {
+    val ss = spark; import ss.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(ss)
+    // 9×8 grayscale ramp rising left→right: every comparison is
+    // gray(x+1) > gray(x) → all 64 bits set (-1L)
+    val ramp = Array.tabulate(72)(i => ((i % 9) * 10).toByte)
+    // falling ramp: no bit set
+    val fall = Array.tabulate(72)(i => (80 - (i % 9) * 10).toByte)
+    // 3-channel: integer channel MEAN decides — channel values
+    // (3x, 3x+1, 3x+2) mean to 3x+1, rising with x: all bits set
+    val rgb = Array.tabulate(9 * 8 * 3) { i =>
+      val x = (i / 3) % 9
+      (x * 3 + (i % 3)).toByte
+    }
+    // one flipped comparison: ramp with a single dip at (x=4, y=0) —
+    // exactly bits 3 (40>30 → dip breaks) and 4 recompute
+    val dip = ramp.clone(); dip(4) = 25
+    def dh(px: Array[Byte], w: Int, h: Int, c: Int): Option[Long] =
+      Seq((1L, px)).toDF("id", "pixels")
+        .select(call_function("graft_dhash64", col("pixels"),
+          lit(w), lit(h), lit(c)).as("dh"))
+        .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(dh(ramp, 9, 8, 1).contains(-1L), "rising ramp: all 64 bits")
+    assert(dh(fall, 9, 8, 1).contains(0L), "falling ramp: no bits")
+    assert(dh(rgb, 9, 8, 3).contains(-1L), "channel-mean gray: rising")
+    val dipped = dh(dip, 9, 8, 1).get
+    assert(dipped != -1L && java.lang.Long.bitCount(dipped ^ -1L) == 1,
+      f"single dip flips exactly one bit: $dipped%016x")
+    // contract: wrong geometry or truncated buffer → null, not garbage
+    assert(dh(ramp, 8, 8, 1).isEmpty, "(w-1)*h != 64 must be null")
+    assert(dh(ramp.take(50), 9, 8, 1).isEmpty, "short buffer must be null")
+  }
+
+  test("media_phash_pairs: exact dups at Hamming 0, near-dups found, pairs feed CC") {
+    val ss = spark; import ss.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(ss)
+    // planted corpus: 1 and 2 identical images; 3 a one-pixel edit of
+    // them (near-dup); 4 the inverted image (far)
+    val base = Media.stubImage(7L)
+    val edited = base.clone()
+    edited(9 + 20) = (edited(9 + 20) + 120).toByte // bump one pixel byte
+    val inv = base.take(9) ++ base.drop(9).map(b => (255 - (b & 0xff)).toByte)
+    val imgs = Seq((1L, base), (2L, base), (3L, edited), (4L, inv))
+      .toDF("id", "payload")
+    val sig = Media.resizeImages(Media.decodeImages(imgs), 9, 8)
+      .select(col("id").as("doc_id"),
+        call_function("graft_dhash64", col("pixels"), col("width"),
+          col("height"), col("channels")).as("sh"))
+    val pairsDf = Dedup.hammingPairsOfSignatures(sig, maxDist = 3,
+        maxPieceFreq = Long.MaxValue)
+    val m = pairsDf.select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, d) => ((a, b), d) }.toMap
+    assert(m.get((1L, 2L)).contains(0), s"identical images must pair at 0: $m")
+    assert(m.contains((1L, 3L)) && m.contains((2L, 3L)),
+      s"one-pixel edit must stay within the Hamming budget: $m")
+    assert(!m.keys.exists { case (a, b) => a == 4L || b == 4L },
+      s"the inverted image must not pair: $m")
+    // the pair frame drops straight into the CC family like text pairs
+    val comps = Dedup.connectedComponents(pairsDf.select("id_a", "id_b"))
+      .select(col("node"), col("component"))
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"phash pairs must cluster through connectedComponents: $comps")
+  }
+
+  test("media_phash_pairs plan: the fingerprint is one codegen'd map projection") {
+    // the query localCheckpoints the signature frame, so the dhash
+    // projection is only visible in the signature-producing plan —
+    // assert the codegen contract there (the zorder-test pattern:
+    // codegen stages print as "*(n)" prefixes, so the Project line
+    // carrying the expression must wear one)
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val imgs = graft.queries.MediaPipeline.imageFixture(spark, "/root/testdata/sf0.001")
+    val sigPlan = Media.resizeImages(Media.decodeImages(imgs), 9, 8)
+      .select(call_function("graft_dhash64", col("pixels"), col("width"),
+        col("height"), col("channels")).as("sh"))
+    assert(sigPlan.filter(col("sh").isNotNull).count() > 0,
+      "fixture images must fingerprint")
+    val executed = sigPlan.queryExecution.executedPlan.toString
+    assert(executed.contains("graft_dhash64"), s"missing dhash expr:\n$executed")
+    assert(executed.linesIterator.exists(l =>
+        l.contains("graft_dhash64") && "\\*\\(\\d+\\)".r.findFirstIn(l).isDefined),
+      s"dhash projection must be codegen'd:\n$executed")
+  }
 }
