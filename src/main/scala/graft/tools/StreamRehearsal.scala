@@ -70,13 +70,21 @@ object StreamRehearsal {
 
     // ---- 1. semanticDedupStream over the ×R embeddings ------------
     // waves split by vec_id so replicas (offset by 1e7) interleave;
-    // quantizer trained once on the full corpus (production shape)
+    // quantizer trained once on the full corpus and FROZEN — since
+    // round 15 at the PRODUCTION autoCentroidCount size (constant
+    // expected list population — the fixed-16 form made per-batch
+    // within-cluster scans grow ∝ corpus; parity with the batch auto
+    // decision is spec-pinned in IncrementalSpec). Expected shape:
+    // flat waves — frozen centroids mean each wave pays only its own
+    // assignment + keeper-probe, pruned to the batch's clusters.
     label = "semantic_dedup_stream"
     if (wanted(label)) locally {
       val emb = spark.read.parquet(s"$fixture/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
+      val t0 = System.nanoTime()
       val cents = graft.operators.Similarity
-        .kmeansCentroids(emb, k = 16).localCheckpoint()
+        .kmeansCentroidsAuto(emb.select(col("embedding"))).localCheckpoint()
+      println(f"""{"metric":"stream_rehearsal","scenario":"$label","step":"train_auto_quantizer","n_centroids":${cents.count()},"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
       val src = s"$work/sem_src"; val keep = s"$work/sem_keep"; val ck = s"$work/sem_ck"
       for (w <- 0 until waves) {
         emb.filter(pmod(col("vec_id"), lit(waves)) === w)

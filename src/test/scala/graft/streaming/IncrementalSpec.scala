@@ -985,6 +985,57 @@ class IncrementalSpec extends SparkSpec {
       s"expected real dedup, got ${keptIds.size} keepers")
   }
 
+  test("semanticDedupStream frozen on the AUTO quantizer equals batch semanticDedupAuto (round-15)") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val base = Files.createTempDirectory("semdedup_auto_stream").toString
+    val src = base + "/src"; val keep = base + "/keep"; val ck = base + "/ck"
+    val rnd = new scala.util.Random(47)
+    val eps = 0.92
+    val centers = (0 until 6).map { _ =>
+      val v = Array.tabulate(12)(_ => (rnd.nextFloat() - 0.5f) * 2f)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val all = (0L until 90L).map(i =>
+      (i, centers((i % 6).toInt).map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)))
+    val df = all.toDF("vec_id", "embedding")
+
+    // the PRODUCTION quantizer: trained once at autoCentroidCount size
+    // (the deterministic seed makes this byte-identical to the set
+    // semanticDedupAuto trains internally), then FROZEN into the
+    // stream — the frozen-model firewall contract every other
+    // streaming twin follows
+    val cents = Similarity.kmeansCentroidsAuto(df.select(col("embedding")))
+      .localCheckpoint()
+
+    // single wave from empty state: no prior keepers, so stream ≡ the
+    // within-batch rule ≡ the batch decision under the same quantizer
+    df.write.parquet(src)
+    Incremental.semanticDedupStream(ss, src, cents, keep, ck, eps)
+    val streamKept = ss.read.parquet(keep)
+      .select("vec_id").as[Long].collect().toSet
+    val batchDec = Similarity.semanticDedupAuto(df, eps)
+    val batchKept = batchDec.filter(col("keep"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(streamKept == batchKept,
+      s"stream keepers must equal the batch auto decision:\n" +
+        s"stream=$streamKept\nbatch=$batchKept")
+    assert(streamKept.nonEmpty && streamKept.size < 90,
+      s"fixture must actually dedup: ${streamKept.size} keepers")
+    // keeper centroid assignment matches the batch cluster column —
+    // the on-disk layout IS the decision frame's blocking
+    val streamClusters = ss.read.parquet(keep)
+      .select(col("vec_id"), col("centroid").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val batchClusters = batchDec.filter(col("keep"))
+      .select(col("vec_id"), col("cluster"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamClusters == batchClusters,
+      "keeper centroid assignments must match the batch clusters")
+  }
+
   test("ivfIndexStream: incrementally-appended index probes identically to a batch-built one") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
