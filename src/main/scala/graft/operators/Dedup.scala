@@ -392,52 +392,82 @@ object Dedup {
     // 2^64 hash space a cross-shingle collision (which would overcount
     // one intersection) is negligible at any corpus size this runs on.
     //
-    // Round-15 restructure (the heaviest-shuffle optimization pass):
-    // the previous form shuffled the occurrence stream ~3× — a freq
-    // aggregate, a grams⨝freq filter join, and a pinned pair
-    // self-join whose exchange carried EVERY occurrence, singleton
-    // grams included. A singleton gram (f = 1) can never produce a
+    // Round-15 restructure (the heaviest-shuffle optimization pass,
+    // second iteration): a singleton gram (f = 1) can never produce a
     // pair, and on marker-diversified ×R corpora singletons dominate
-    // the stream. New shape: ONE shuffle of the occurrence stream
-    // into per-gram doc lists (+ f), sizes derived from the kept
-    // lists, and the pair stream exploded map-side from f ≥ 2 lists
-    // only — no self-join anywhere, and the pair exchange starts
-    // after the singleton prune. Values are identical by
-    // construction: singletons contribute to sizes (the Jaccard
-    // denominator universe) but never to intersections, exactly as
-    // before — DedupSpec pins new ≡ old on a mixed fixture and the
-    // ngram_jaccard hash gate re-pins it against DuckDB every round.
+    // the occurrence stream — yet the previous form carried every one
+    // of them through a full-stream freq-filter join AND the pinned
+    // pair self-join. A collect_list rewrite (no join at all) was
+    // measured FIRST and rejected: ×10 A/B showed the per-gram list
+    // aggregate 2-3× SLOWER than the join form (83 s vs 25 s steady)
+    // because millions of singleton groups push ObjectHashAggregate
+    // into sort-based fallback, and the list subplan executes once per
+    // consumer — a recorded negative result (BASELINE r15). The shape
+    // that wins keeps the fixed-width machinery and prunes instead:
+    //  1. ONE freq aggregate (map-side partial, 8-byte keys), pinned
+    //     for exactly two EAGER driver jobs, then released;
+    //  2. the tiny stop-gram list (f > cap; ≤ occurrences/cap rows BY
+    //     CONSTRUCTION) broadcast-anti-joins the stream map-side —
+    //     sizes need no full-stream join anymore;
+    //  3. a Bloom over the pair-bearing grams (2 ≤ f ≤ cap — the
+    //     Decontam pre-shuffle shape) prunes ~99% of singleton
+    //     occurrences BEFORE the pair exchange, in codegen. A false
+    //     positive admits a singleton whose self-join survivor set is
+    //     empty (it meets only itself and dies on id_a < id_b), so
+    //     the Bloom affects bytes moved, never values; stop grams
+    //     cannot slip through — they were removed EXACTLY in step 2.
+    // DedupSpec pins bloom form ≡ the pre-round-15 join form across
+    // caps and widths; the ngram_jaccard hash gate re-pins it against
+    // DuckDB every round.
+    val spark = toks.sparkSession
+    graft.plans.GraftExtensions.ensureRegistered(spark)
     val grams = toks
       .select(col("doc_id"),
         explode(array_distinct(TextFns.wordShinglesOf(col("__toks"), n))).as("__g"))
       .select(col("doc_id"), xxhash64(col("__g")).as("gram"))
-    // pairParts > 0 pre-hashes the occurrence stream so the list
-    // aggregate fuses onto that exchange (per-task agg state ÷
-    // pairParts — the Corpus.prepare data-proportional width rule)
-    val gramsW = if (pairParts > 0) grams.repartition(pairParts, col("gram")) else grams
-    // per-gram doc lists: bounded by maxShingleFreq (≤ 8 KB a list at
-    // the default 1000 cap — the cap is REQUIRED at scale, as it
-    // always was: an uncapped degenerate gram now concentrates one
-    // task's list exactly as it concentrated one join key before)
-    val lists = gramsW.groupBy(col("gram"))
-      .agg(collect_list(col("doc_id")).as("__ds"), count(lit(1)).as("__f"))
-      .filter(col("__f") <= maxShingleFreq)
-    // Similarity is over the KEPT shingle universe: sizes must come
-    // from the kept lists, not raw grams, or the denominator counts
-    // dropped stop-shingles the numerator can never match.
-    val sizes = lists.select(explode(col("__ds")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // pair stream: every unordered doc pair sharing a kept f ≥ 2 gram,
-    // generated by a per-row HOF explode (id_b ranges over the list
-    // elements above id_a) — map-side, no join, singleton-free
-    val pairsRaw = lists.filter(col("__f") >= 2)
-      .select(explode(col("__ds")).as("id_a"), col("__ds"))
-      .select(col("id_a"),
-        explode(filter(col("__ds"), d => d > col("id_a"))).as("id_b"))
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("__f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nPairGrams, stopGrams) =
+      try {
+        // eager job 1: pair-gram count (Bloom sizing) + the stop list
+        val a = freq.agg(
+          sum(when(col("__f").between(2L, maxShingleFreq), 1L).otherwise(0L)),
+          collect_list(when(col("__f") > maxShingleFreq, col("gram")))).head()
+        val n0 = if (a.isNullAt(0)) 0L else a.getLong(0)
+        (n0, a.getSeq[Long](1))
+      } catch { case e: Throwable => freq.unpersist(blocking = false); throw e }
+    // eager job 2: the Bloom itself (empty pair universe → no Bloom,
+    // pair stream statically empty — the cap=1 contract)
+    val bloom =
+      if (nPairGrams == 0L) None
+      else Some(Decontam.buildBloom(
+        freq.filter(col("__f").between(2L, maxShingleFreq)).select("gram"),
+        nPairGrams, fpp = 0.01))
+    freq.unpersist(blocking = false) // both consumers were eager
+    import spark.implicits._
+    val stopDf = stopGrams.toDF("gram")
+    // kept universe (sizes denominator): exact stop-set anti-join,
+    // map-side (the stop list is tiny by construction), then a
+    // partial-agged per-doc count — no full-stream join anywhere
+    val kept = grams.join(broadcast(stopDf), Seq("gram"), "left_anti")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // pair stream: Bloom-pruned map-side BEFORE any exchange
+    val pairSrc = bloom match {
+      case None => kept.limit(0)
+      case Some(b) => kept.filter(
+        call_function("graft_bloom_contains", lit(b), col("gram")))
+    }
+    // Pinned shuffled self-join — see minhashCandidates: the exploded
+    // gram table must never be a broadcast build side, whatever the
+    // pre-explode stats say.
+    val keptJ = if (pairParts > 0) pairSrc.repartition(pairParts, col("gram")) else pairSrc
+    val joined = keptJ.as("a").hint("shuffle_hash").join(keptJ.as("b"), Seq("gram"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     // pairParts > 0: hash the raw pair stream to (id_a, id_b) first —
     // the count then fuses onto that exchange (distribution already
     // satisfied), so the agg map is partition-local at the chosen width
-    val pre = if (pairParts > 0) pairsRaw.repartition(pairParts, col("id_a"), col("id_b")) else pairsRaw
+    val pre = if (pairParts > 0) joined.repartition(pairParts, col("id_a"), col("id_b")) else joined
     val inter = pre
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))

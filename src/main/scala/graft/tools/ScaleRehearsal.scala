@@ -371,10 +371,14 @@ object ScaleRehearsal {
       println(s"""{"metric":"scale_quality","artifact":"$qout","all_pass":$allPass}""")
     }
 
-    // Ngram pair-build A/B (round-15): the restructured one-shuffle
-    // list-explode form vs the pre-round-15 join form, both scales,
-    // same session — the measured evidence for the heaviest-shuffle
-    // optimization pass. SPARK_GRAFT_SCALE_NGRAM_AB=1 opt-in.
+    // Ngram pair-build A/B (round-15): the Bloom-singleton-pruned
+    // default vs the pre-round-15 join form, both scales, same
+    // session — the measured evidence for the heaviest-shuffle
+    // optimization pass. (A collect_list no-join form was measured
+    // first in this block and REJECTED: 83 s vs 25 s steady at ×10 —
+    // ObjectHashAggregate sort-based fallback on singleton-dominated
+    // gram streams; negative result recorded in BASELINE r15.)
+    // SPARK_GRAFT_SCALE_NGRAM_AB=1 opt-in.
     if (sys.env.get("SPARK_GRAFT_SCALE_NGRAM_AB").contains("1")) {
       import graft.operators.Dedup
       def toksOf(dir: String) =
@@ -388,7 +392,7 @@ object ScaleRehearsal {
       }
       for ((nm, dir) <- Seq(("base", base), (s"x$r", out));
            (form, fn) <- Seq(
-             ("list", (t: DataFrame, w: Int) =>
+             ("bloom", (t: DataFrame, w: Int) =>
                Dedup.ngramJaccardPairsOfTokens(t, n = 3, threshold = 0.5, pairParts = w)),
              ("join", (t: DataFrame, w: Int) =>
                Dedup.ngramJaccardPairsOfTokensJoined(t, n = 3, threshold = 0.5, pairParts = w)))) {

@@ -254,17 +254,17 @@ class ExplainSpec extends SparkSpec {
         assert(p.contains("ShuffledHashJoin"),
           s"$name pair self-join must be a shuffled join, not a broadcast:\n$p")
       }
-      // the round-15 ngram pair build has NO self-join at all: pairs
-      // explode map-side from per-gram doc lists (one Generate chain
-      // over the list aggregate), so the broadcast-an-exploded-corpus
-      // failure class is structurally gone — pin that shape instead
+      // the round-15 ngram pair build keeps the pinned shuffled
+      // self-join but Bloom-prunes singleton grams map-side BEFORE the
+      // pair exchange (the Decontam pre-shuffle shape) — pin both: the
+      // join stays shuffled, and the membership test sits in the plan
       val pNgram = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
           n = 3, threshold = 0.5)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
-      assert(pNgram.contains("ObjectHashAggregate") && pNgram.contains("Generate"),
-        s"ngram pair build must be the list-aggregate + explode shape:\n$pNgram")
-      assert(!pNgram.contains("BroadcastNestedLoopJoin"),
-        s"ngram pair build must not degrade to a nested-loop join:\n$pNgram")
+      assert(pNgram.contains("ShuffledHashJoin"),
+        s"ngram pair self-join must be a shuffled join, not a broadcast:\n$pNgram")
+      assert(pNgram.contains("might_contain"),
+        s"ngram pair stream must be Bloom-pruned pre-shuffle:\n$pNgram")
     } finally docs.unpersist(blocking = false)
   }
 

@@ -59,7 +59,7 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
-  test("ngram pair build: list-explode form ≡ the join form on a mixed fixture") {
+  test("ngram pair build: Bloom-pruned form ≡ the join form on a mixed fixture") {
     val ss = spark; import ss.implicits._
     // exercises every path the round-15 restructure touched: singleton
     // grams (unique tails — prunable, never pair-bearing), shared
