@@ -182,7 +182,7 @@ object Similarity {
     val c = graft.Tables.spread(corpus).select(col(corpusId), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
     val cents = c.orderBy(xxhash64(col(corpusId))).limit(nCentroids)
-      .select(col(corpusId).as("__centroid"), col("__cv").as("__centv"))
+      .select(col(corpusId).as("centroid_id"), col("__cv").as("centroid"))
     ivfProbe(queries, c, cents, k, nProbe, nAssign, queryId, corpusId, vecCol)
   }
 
@@ -215,14 +215,170 @@ object Similarity {
     math.max(minCentroids.toLong, math.min(maxCentroids.toLong, ceilDiv)).toInt
   }
 
+  /** Auto-quantizer size at/above which training and assignment go
+    * TWO-LEVEL ([[kmeansCentroidsHier]] + [[graft.plans.IvfAssignHier]]).
+    * Below it the flat path's N·k assignment is cheap and the trainer
+    * is ml.KMeans — every hash/floor gate fixture (k ≤ 16 at sf ≤ 0.1)
+    * stays byte-identical. Above it the flat shape is the quadratic
+    * term the ×10/×30 media-IVF rehearsals measured: with k ∝
+    * corpus/listSize, corpus assignment is O(N²/listSize) flat but
+    * O(N·√k) two-level.
+    */
+  val HierThreshold = 512
+
   /** [[kmeansCentroids]] at the [[autoCentroidCount]] size — ONE
     * bounded count job, then the trainer. The production default:
     * pass an explicit k only to pin a fixture (the hash/floor gates
-    * keep k = 16 so results stay comparable across rounds).
+    * keep k = 16 so results stay comparable across rounds). At
+    * k ≥ `hierThreshold` the trainer and the frame switch to the
+    * two-level form (extra `supercell`/`__supervec` columns — every
+    * quantizer consumer in this file detects them and assigns through
+    * [[graft.plans.IvfAssignHier]]); the auto family is floor-gated,
+    * not hash-gated, exactly so the production sizing can evolve.
     */
   def kmeansCentroidsAuto(corpus: DataFrame, maxIter: Int = 5, seed: Long = 42L,
-                          vecCol: String = "embedding"): DataFrame =
-    kmeansCentroids(corpus, autoCentroidCount(corpus.count()), maxIter, seed, vecCol)
+                          vecCol: String = "embedding",
+                          hierThreshold: Int = HierThreshold): DataFrame = {
+    val n = corpus.count()
+    val k = autoCentroidCount(n)
+    if (k < hierThreshold) kmeansCentroids(corpus, k, maxIter, seed, vecCol)
+    else kmeansCentroidsHier(corpus, k, maxIter, seed, vecCol, knownCount = n)
+  }
+
+  /** Two-level (hierarchical) k-means coarse quantizer — the trainer
+    * that keeps the AUTO-sized family tractable once k ∝ corpus makes
+    * flat training quadratic (ml.KMeans scans all k centers for all N
+    * points every iteration). Standard hierarchical shape (the
+    * inverted-multi-index / big-k FAISS convention):
+    *
+    *  1. level-1: ml.KMeans with S = ⌈√k⌉ supercells, trained on a
+    *     deterministic hash-sample of ≤ 256·S vectors (k-means needs
+    *     ~O(100) points per center — more adds cost, not quality);
+    *  2. every corpus vector maps to its supercell (flat
+    *     [[graft.plans.IvfAssign]], S-sized scan — cheap);
+    *  3. level-2 init: an expected-quota deterministic hash-sample
+    *     inside each supercell (quota = pop/[[AutoListSize]], ≥ 1 —
+    *     the constant-list-population rule applied per supercell),
+    *     entirely map-side;
+    *  4. `lloydIters` distributed Lloyd refinements where each vector
+    *     updates only within its NEAREST supercell
+    *     ([[graft.plans.IvfAssignHier]] at superProbe = 1 — a pure
+    *     map), and the per-(centroid, dim) means aggregate through
+    *     micro-rounded longs (the [[kmeansStep]] convention: integer
+    *     sums are order-exact, so the trainer is deterministic under
+    *     any task schedule).
+    *
+    * Total cost O(N·√k) per pass vs the flat trainer's O(N·k). The
+    * returned frame carries (centroid_id, centroid, supercell,
+    * __supervec); consumers without two-level awareness can ignore the
+    * extra columns and still assign flat against (centroid_id,
+    * centroid) — the hierarchy only ACCELERATES assignment, the
+    * centroids are the quantizer. Centroid count tracks the quota sum
+    * (≈ k), not exactly k — the auto rule targets list POPULATION,
+    * not a centroid census.
+    */
+  def kmeansCentroidsHier(corpus: DataFrame, k: Int, maxIter: Int = 5,
+                          seed: Long = 42L, vecCol: String = "embedding",
+                          lloydIters: Int = 2,
+                          knownCount: Long = 0L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vcol = col(vecCol)
+    val n = if (knownCount > 0) knownCount else corpus.count()
+    val nS = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val sampleTarget = 256L * nS
+    val l1Corpus = if (n <= sampleTarget) corpus else
+      corpus.filter(pmod(xxhash64(vcol), lit(math.max(1L, n / sampleTarget))) === 0)
+    val supers = kmeansCentroids(l1Corpus, nS, maxIter, seed, vecCol)
+      .orderBy(col("centroid_id")).collect()
+    val sIds = supers.map(_.getLong(0))
+    val sVecs = supers.map(_.getSeq[Float](1).toArray)
+    def toSuper(vec: Column): Column = element_at(ColumnBridge.column(
+      graft.plans.IvfAssign(ColumnBridge.expression(vec), sIds, sVecs, 1)), 1)
+
+    val assigned = corpus.select(vcol.as("__v"), toSuper(vcol).as("__sc"))
+    // expected-quota init sample per supercell, plus a min-by-hash
+    // guarantee row so no non-empty supercell inits empty; dedupe on
+    // (supercell, vector hash) collapses the guarantee into the sample
+    // when the sample already caught it
+    val steps = assigned.groupBy(col("__sc")).agg(count(lit(1)).as("__pop"))
+      .withColumn("__quota",
+        greatest(lit(1L), round(col("__pop") / lit(AutoListSize.toDouble)).cast("long")))
+      .withColumn("__step",
+        greatest(lit(1L), (col("__pop") / col("__quota")).cast("long")))
+    val sampled = assigned.join(broadcast(steps), Seq("__sc"))
+      .filter(pmod(xxhash64(col("__v")), col("__step")) === 0)
+      .select(col("__sc"), col("__v"))
+    val guaranteed = assigned.groupBy(col("__sc"))
+      .agg(min_by(col("__v"), xxhash64(col("__v"))).as("__v"))
+    val initRows = sampled.union(guaranteed)
+      .withColumn("__h", xxhash64(col("__v")))
+      .dropDuplicates("__sc", "__h")
+      .orderBy(col("__sc"), col("__h"))
+      .select(col("__sc"), col("__v")).collect()
+    var scs = initRows.map(_.getLong(0))
+    var cvecs = initRows.map(_.getSeq[Float](1).toArray)
+
+    // distributed Lloyd refinements, supercell-restricted
+    val d = cvecs.headOption.map(_.length).getOrElse(0)
+    var it = 0
+    while (it < lloydIters && d > 0) {
+      val q = hierArrays(scs, sVecs, cvecs)
+      val nearest = element_at(ColumnBridge.column(graft.plans.IvfAssignHier(
+        ColumnBridge.expression(vcol), q.superVecs, q.starts, q.ids, q.vecs, 1, 1)), 1)
+      val means = corpus
+        .select(nearest.as("__cid"), posexplode(vcol).as(Seq("__i", "__x")))
+        .groupBy(col("__cid"), col("__i"))
+        .agg(count(lit(1)).as("__n"),
+          sum(round(col("__x").cast("double") * lit(1e6)).cast("long")).as("__s"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getInt(1),
+          math.round(r.getLong(3).toDouble / r.getLong(2)) / 1e6)))
+        .groupBy(_._1)
+      val refined = q.ids.indices.map { j =>
+        means.get(q.ids(j)) match {
+          case Some(dims) =>
+            val v = q.vecs(j).clone()
+            dims.foreach { case (_, (i, x)) => if (i < v.length) v(i) = x.toFloat }
+            v
+          case None => q.vecs(j) // empty cluster keeps its vector
+        }
+      }.toArray
+      scs = q.superOf
+      cvecs = refined
+      it += 1
+    }
+
+    val q = hierArrays(scs, sVecs, cvecs)
+    q.ids.indices.map { j =>
+      (q.ids(j), q.vecs(j), q.superOf(j), sVecs(sIds.indexOf(q.superOf(j))))
+    }.toDF("centroid_id", "centroid", "supercell", "__supervec")
+  }
+
+  /** Grouped driver layout for the two-level expression: members
+    * sorted by supercell (then original order), global centroid ids =
+    * the sorted index, empty supercells dropped. `superOf(j)` is the
+    * supercell id of member j.
+    */
+  private final case class HierArrays(ids: Array[Long], vecs: Array[Array[Float]],
+                                      superVecs: Array[Array[Float]],
+                                      starts: Array[Int], superOf: Array[Long])
+  private def hierArrays(memberSupercell: Array[Long],
+                         allSuperVecs: Array[Array[Float]],
+                         memberVecs: Array[Array[Float]]): HierArrays = {
+    val order = memberSupercell.indices.sortBy(j => (memberSupercell(j), j))
+    val ids = order.indices.map(_.toLong).toArray
+    val vecs = order.map(j => memberVecs(j)).toArray
+    val superOf = order.map(j => memberSupercell(j)).toArray
+    val present = superOf.distinct.sorted
+    val starts = new Array[Int](present.length + 1)
+    var j = 0
+    for (p <- present.indices) {
+      while (j < superOf.length && superOf(j) == present(p)) j += 1
+      starts(p + 1) = j
+    }
+    HierArrays(ids, vecs, present.map(s => allSuperVecs(s.toInt)), starts, superOf)
+  }
 
   /** Lloyd's k-means coarse-quantizer trainer for [[ivfTopK]] — the
     * Spark-first form: `ml.KMeans` (distributed, mini-batch-free
@@ -365,9 +521,7 @@ object Similarity {
                            vecCol: String = "embedding"): DataFrame = {
     val c = graft.Tables.spread(corpus).select(col(corpusId), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
-    val cents = centroids
-      .select(col("centroid_id").as("__centroid"), col("centroid").as("__centv"))
-    ivfProbe(queries, c, cents, k, nProbe, nAssign, queryId, corpusId, vecCol)
+    ivfProbe(queries, c, centroids, k, nProbe, nAssign, queryId, corpusId, vecCol)
   }
 
   /** Shared IVF probe machinery: assign corpus rows to their
@@ -395,21 +549,18 @@ object Similarity {
                        k: Int, nProbe: Int, nAssign: Int,
                        queryId: String, corpusId: String, vecCol: String): DataFrame = {
     // The quantizer collects to the driver: bounded by nCentroids BY
-    // CONSTRUCTION (16-256 rows — a coarse quantizer IS driver-sized;
-    // FAISS holds it in RAM on every worker for the same reason).
-    // cast defensively: callers may hand an IntegerType centroid id
-    // (collectQuantizer has the same guard)
-    val centRows = cents.select(col("__centroid").cast("long"), col("__centv")).collect()
-    val ids = centRows.map(_.getLong(0))
-    val vecs = centRows.map(_.getSeq[Float](1).toArray)
-    def assignTo(vec: Column, n: Int): Column = ColumnBridge.column(
-      graft.plans.IvfAssign(ColumnBridge.expression(vec), ids, vecs, n))
-
+    // CONSTRUCTION (a coarse quantizer IS driver-sized; FAISS holds it
+    // in RAM on every worker for the same reason). A two-level frame
+    // ([[kmeansCentroidsHier]]) assigns through IvfAssignHier — the
+    // O(√k)-per-row path the auto sizing needs — and both sides use
+    // the SAME quantizer object, so probes land exactly where
+    // indexing put their candidates.
+    val q = collectQuantizerHier(cents)
     val assigned = c.select(col(corpusId), col("__cv"), col("__cn"),
-      explode(assignTo(col("__cv"), nAssign)).as("__centroid"))
+      explode(q.assign(col("__cv"), nAssign)).as("__centroid"))
     val probes = queries.select(col(queryId), col(vecCol).as("__qv"),
         norm(col(vecCol)).as("__qn"),
-        explode(assignTo(col(vecCol), nProbe)).as("__centroid"))
+        explode(q.assign(col(vecCol), nProbe)).as("__centroid"))
     scoreProbedLists(assigned, probes, k, dedupe = nAssign > 1,
       queryId, corpusId)
   }
@@ -478,22 +629,21 @@ object Similarity {
   def ivfIndexRows(corpus: DataFrame, centroids: DataFrame,
                    nAssign: Int = 1,
                    corpusId: String = "neighbor_id",
-                   vecCol: String = "embedding"): DataFrame = {
-    val (ids, vecs) = collectQuantizer(centroids)
-    ivfIndexRowsQ(corpus, ids, vecs, nAssign, corpusId, vecCol)
-  }
+                   vecCol: String = "embedding"): DataFrame =
+    ivfIndexRowsQ(corpus, collectQuantizerHier(centroids), nAssign, corpusId, vecCol)
 
-  /** Array-quantizer form of [[ivfIndexRows]] for callers that hold
-    * the collected quantizer already — the streaming index loop
+  /** Collected-quantizer form of [[ivfIndexRows]] for callers that
+    * hold the collected quantizer already — the streaming index loop
     * collects it once at query start instead of once per micro-batch.
+    * Batch build and incremental append sharing ONE collected object
+    * is also what keeps a two-level quantizer's (approximate)
+    * assignment identical on both sides.
     */
-  private[graft] def ivfIndexRowsQ(corpus: DataFrame, ids: Array[Long],
-                                   vecs: Array[Array[Float]], nAssign: Int,
+  private[graft] def ivfIndexRowsQ(corpus: DataFrame, q: CollectedQuantizer,
+                                   nAssign: Int,
                                    corpusId: String, vecCol: String): DataFrame =
     corpus.select(col(corpusId), col(vecCol),
-      explode(ColumnBridge.column(graft.plans.IvfAssign(
-        ColumnBridge.expression(col(vecCol)), ids, vecs, nAssign)))
-        .as("centroid"))
+      explode(q.assign(col(vecCol), nAssign)).as("centroid"))
 
   /** Top-k probe against a [[writeIvfIndex]] layout. The probed
     * centroid set becomes BOTH a literal partition-pruning predicate
@@ -509,7 +659,7 @@ object Similarity {
                     queryId: String = "query_id",
                     corpusId: String = "neighbor_id",
                     vecCol: String = "embedding"): DataFrame = {
-    val (ids, vecs) = collectQuantizer(centroids)
+    val q = collectQuantizerHier(centroids)
     // materialized once: the frame feeds BOTH the partition-pruning
     // collect below and the scoring join — without pinning it, a
     // nondeterministic queries frame (sample, unordered limit) could
@@ -517,9 +667,7 @@ object Similarity {
     // scan would prune partitions the join then expects to probe
     val probes = queries.select(col(queryId), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"),
-      explode(ColumnBridge.column(graft.plans.IvfAssign(
-        ColumnBridge.expression(col(vecCol)), ids, vecs, nProbe)))
-        .as("__centroid"))
+      explode(q.assign(col(vecCol), nProbe)).as("__centroid"))
       .localCheckpoint()
     // the probe list collects driver-side: bounded by |queries|·nProbe
     // BY CONTRACT (queries are a small probe batch — the same premise
@@ -541,6 +689,64 @@ object Similarity {
       .select(col("centroid_id").cast("long"), col("centroid")).collect()
     (rows.map(_.getLong(0)), rows.map(_.getSeq[Float](1).toArray))
   }
+
+  /** Number of supercells a two-level assignment scans members of.
+    * 4 mirrors the probe-side nProbe default: the true nearest
+    * centroid is overwhelmingly inside the 4 nearest supercells (the
+    * floor gates measure exactly this — the auto paths are
+    * recall/fitness-floored, never hash-gated).
+    */
+  val SuperProbe = 4
+
+  /** A driver-collected quantizer plus its optional two-level layout.
+    * `ids`/`vecs` always hold EVERY centroid (flat consumers — the
+    * SemDeDup centroid-cosine broadcast frame, index writers — read
+    * them directly); `hier` adds the supercell grouping that
+    * [[assign]] routes through [[graft.plans.IvfAssignHier]].
+    */
+  private[graft] final case class CollectedQuantizer(
+      ids: Array[Long], vecs: Array[Array[Float]],
+      hier: Option[(Array[Array[Float]], Array[Int])]) {
+    def assign(vec: Column, n: Int, superProbe: Int = SuperProbe): Column =
+      hier match {
+        case Some((sv, starts)) => ColumnBridge.column(graft.plans.IvfAssignHier(
+          ColumnBridge.expression(vec), sv, starts, ids, vecs, superProbe, n))
+        case None => ColumnBridge.column(graft.plans.IvfAssign(
+          ColumnBridge.expression(vec), ids, vecs, n))
+      }
+  }
+
+  /** [[collectQuantizer]] that detects the two-level columns
+    * ([[kmeansCentroidsHier]]'s `supercell`/`__supervec`) and builds
+    * the grouped member layout; a plain (centroid_id, centroid) frame
+    * collects flat. Members sort by (supercell, centroid_id) — ids are
+    * PRESERVED, only the scan layout reorders — and supercells with no
+    * members are dropped (they could win the level-1 rank and offer
+    * nothing).
+    */
+  private[graft] def collectQuantizerHier(centroids: DataFrame): CollectedQuantizer =
+    if (!centroids.columns.contains("supercell"))
+      collectQuantizer(centroids) match { case (ids, vecs) => CollectedQuantizer(ids, vecs, None) }
+    else {
+      val rows = centroids.select(col("centroid_id").cast("long"), col("centroid"),
+          col("supercell").cast("long"), col("__supervec"))
+        .collect()
+        .sortBy(r => (r.getLong(2), r.getLong(0)))
+      val ids = rows.map(_.getLong(0))
+      val vecs = rows.map(_.getSeq[Float](1).toArray)
+      val superOf = rows.map(_.getLong(2))
+      val present = superOf.distinct
+      val superVecs = present.map { s =>
+        rows(superOf.indexOf(s)).getSeq[Float](3).toArray
+      }
+      val starts = new Array[Int](present.length + 1)
+      var j = 0
+      for (p <- present.indices) {
+        while (j < superOf.length && superOf(j) == present(p)) j += 1
+        starts(p + 1) = j
+      }
+      CollectedQuantizer(ids, vecs, Some((superVecs, starts)))
+    }
 
   // ---- int8 quantization --------------------------------------------
 
@@ -648,12 +854,11 @@ object Similarity {
       : (DataFrame, () => Unit) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (ids, vecs) = collectQuantizer(centroids)
+    val q = collectQuantizerHier(centroids)
     val assigned = corpus.select(col(corpusId).cast("long").as("vec_id"),
       col(vecCol).as("__v"), norm(col(vecCol)).as("__n"),
-      explode(ColumnBridge.column(graft.plans.IvfAssign(
-        ColumnBridge.expression(col(vecCol)), ids, vecs, 1))).as("cluster"))
-    val centDf = ids.zip(vecs).toSeq.toDF("cluster", "__cv")
+      explode(q.assign(col(vecCol), 1)).as("cluster"))
+    val centDf = q.ids.zip(q.vecs).toSeq.toDF("cluster", "__cv")
       .withColumn("__cn", norm(col("__cv")))
     val scored = assigned.join(broadcast(centDf), Seq("cluster"))
       .withColumn("cent_cos", round(cosineWithNorms(col("__v"), col("__cv"),

@@ -306,6 +306,241 @@ object IvfAssign {
     }
 }
 
+/** Two-level (hierarchical) coarse-quantizer assignment: centroids are
+  * grouped into supercells (level-1 centroids); a vector first ranks
+  * the S supercells, then scans only the member centroids of its top
+  * `superProbe` supercells for its `nAssign` best. Per-row cost drops
+  * from O(k) ([[IvfAssign]]'s flat scan) to O(S + superProbe·k/S) ≈
+  * O(√k) at S ≈ √k — which is what keeps the AUTO-sized quantizer's
+  * corpus assignment LINEARITHMIC instead of quadratic: with
+  * nCentroids ∝ corpus/listSize (the constant-list-population rule), a
+  * flat N·k scan is O(N²/listSize), the dominant super-linear term the
+  * ×10/×30 media-IVF rehearsals measured. The same two-level shape is
+  * how large-scale ANN systems keep big coarse quantizers assignable
+  * (the inverted multi-index family, Babenko & Lempitsky 2012; FAISS'
+  * hierarchical coarse quantizers).
+  *
+  * Assignment is APPROXIMATE when superProbe < S (a vector's true
+  * nearest centroid can sit in an unprobed supercell); with
+  * superProbe ≥ S it degenerates to a full scan and is CONTRACTUALLY
+  * bit-identical to [[IvfAssign]] over the same members (same cosine
+  * fold, same cos-desc/id-desc comparator — property-tested). Only the
+  * floor-gated auto paths use superProbe < S; hash-gated fixtures stay
+  * on the flat expression.
+  *
+  * Member layout: supercell s owns `memberIds/memberVecs` indices
+  * `[memberStarts(s), memberStarts(s+1))`. Empty supercells must be
+  * dropped by the builder (they could win the level-1 rank and
+  * contribute nothing). Supercell ties break toward the larger
+  * supercell INDEX, mirroring the member comparator's larger-id-wins.
+  *
+  * Output length is min(nAssign, scanned members) — callers that need
+  * exactly nAssign use superProbe large enough that probed supercells
+  * hold ≥ nAssign members (listSize ≫ nAssign in every production
+  * sizing).
+  */
+case class IvfAssignHier(child: Expression,
+                         superVecs: Array[Array[Float]],
+                         memberStarts: Array[Int],
+                         memberIds: Array[Long],
+                         memberVecs: Array[Array[Float]],
+                         superProbe: Int, nAssign: Int)
+  extends UnaryExpression {
+
+  require(superVecs.nonEmpty, "graft_ivf_assign_hier: no supercells")
+  require(memberStarts.length == superVecs.length + 1 &&
+    memberStarts.head == 0 && memberStarts.last == memberIds.length,
+    "graft_ivf_assign_hier: memberStarts must bracket memberIds per supercell")
+  require(memberStarts.sliding(2).forall(p => p(0) < p(1)),
+    "graft_ivf_assign_hier: empty supercells must be dropped by the builder")
+  require(memberIds.length == memberVecs.length && memberIds.nonEmpty,
+    "graft_ivf_assign_hier: member ids and vectors must align and be non-empty")
+  require(superProbe >= 1 && nAssign >= 1,
+    s"graft_ivf_assign_hier: superProbe/nAssign must be >= 1, got $superProbe/$nAssign")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_ivf_assign_hier requires array<float>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ivf_assign_hier"
+
+  @transient private lazy val superNorms: Array[Double] =
+    IvfAssign.norms(superVecs)
+  @transient private lazy val memberNorms: Array[Double] =
+    IvfAssign.norms(memberVecs)
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val nd = v.numElements()
+    var nv = 0.0
+    var i = 0
+    while (i < nd) { val x = v.getFloat(i).toDouble; nv += x * x; i += 1 }
+    nv = math.sqrt(nv)
+    def cosTo(c: Array[Float], cn: Double): Double = {
+      val d = nv * cn
+      if (d == 0.0) 0.0
+      else {
+        val n = math.min(nd, c.length)
+        var s = 0.0
+        var t = 0
+        while (t < n) { s += v.getFloat(t).toDouble * c(t).toDouble; t += 1 }
+        s / d
+      }
+    }
+    val nS = superVecs.length
+    val sCos = new Array[Double](nS)
+    var j = 0
+    while (j < nS) { sCos(j) = cosTo(superVecs(j), superNorms(j)); j += 1 }
+    val probe = math.min(superProbe, nS)
+    val picked = new Array[Int](probe)
+    val sUsed = new Array[Boolean](nS)
+    var scanned = 0
+    var r = 0
+    while (r < probe) {
+      var best = -1
+      var jj = 0
+      while (jj < nS) {
+        if (!sUsed(jj) && (best < 0 || sCos(jj) > sCos(best) ||
+          (sCos(jj) == sCos(best) && jj > best))) best = jj
+        jj += 1
+      }
+      sUsed(best) = true
+      picked(r) = best
+      scanned += memberStarts(best + 1) - memberStarts(best)
+      r += 1
+    }
+    val candIdx = new Array[Int](scanned)
+    val candCos = new Array[Double](scanned)
+    var w = 0
+    r = 0
+    while (r < probe) {
+      val s0 = memberStarts(picked(r)); val s1 = memberStarts(picked(r) + 1)
+      var m = s0
+      while (m < s1) {
+        candIdx(w) = m
+        candCos(w) = cosTo(memberVecs(m), memberNorms(m))
+        w += 1; m += 1
+      }
+      r += 1
+    }
+    val take = math.min(nAssign, scanned)
+    val out = new Array[Long](take)
+    val used = new Array[Boolean](scanned)
+    r = 0
+    while (r < take) {
+      var best = -1
+      var jj = 0
+      while (jj < scanned) {
+        if (!used(jj) && (best < 0 || candCos(jj) > candCos(best) ||
+          (candCos(jj) == candCos(best) &&
+            memberIds(candIdx(jj)) > memberIds(candIdx(best))))) best = jj
+        jj += 1
+      }
+      used(best) = true
+      out(r) = memberIds(candIdx(best))
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sv = ctx.addReferenceObj("superVecs", superVecs, "float[][]")
+      val sn = ctx.addReferenceObj("superNorms", superNorms, "double[]")
+      val ms = ctx.addReferenceObj("memberStarts", memberStarts, "int[]")
+      val mi = ctx.addReferenceObj("memberIds", memberIds, "long[]")
+      val mv = ctx.addReferenceObj("memberVecs", memberVecs, "float[][]")
+      val mn = ctx.addReferenceObj("memberNorms", memberNorms, "double[]")
+      val nd = ctx.freshName("nd"); val nv = ctx.freshName("nv")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val t = ctx.freshName("t"); val r = ctx.freshName("r")
+      val m = ctx.freshName("m"); val w = ctx.freshName("w")
+      val best = ctx.freshName("best"); val s = ctx.freshName("s")
+      val d = ctx.freshName("d"); val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val sCos = ctx.freshName("sCos"); val sUsed = ctx.freshName("sUsed")
+      val picked = ctx.freshName("picked"); val scanned = ctx.freshName("scanned")
+      val probe = ctx.freshName("probe")
+      val candIdx = ctx.freshName("candIdx"); val candCos = ctx.freshName("candCos")
+      val take = ctx.freshName("take"); val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      s"""
+         |int $nd = $a.numElements();
+         |double $nv = 0.0;
+         |for (int $i = 0; $i < $nd; $i++) {
+         |  double ${nv}_x = (double) $a.getFloat($i);
+         |  $nv += ${nv}_x * ${nv}_x;
+         |}
+         |$nv = java.lang.Math.sqrt($nv);
+         |double[] $sCos = new double[$sv.length];
+         |for (int $j = 0; $j < $sv.length; $j++) {
+         |  double $d = $nv * $sn[$j];
+         |  if ($d == 0.0D) { $sCos[$j] = 0.0D; continue; }
+         |  float[] $c = $sv[$j];
+         |  int $n = java.lang.Math.min($nd, $c.length);
+         |  double $s = 0.0;
+         |  for (int $t = 0; $t < $n; $t++) {
+         |    $s += (double) $a.getFloat($t) * (double) $c[$t];
+         |  }
+         |  $sCos[$j] = $s / $d;
+         |}
+         |int $probe = java.lang.Math.min(${superProbe}, $sv.length);
+         |int[] $picked = new int[$probe];
+         |boolean[] $sUsed = new boolean[$sv.length];
+         |int $scanned = 0;
+         |for (int $r = 0; $r < $probe; $r++) {
+         |  int $best = -1;
+         |  for (int $j = 0; $j < $sv.length; $j++) {
+         |    if (!$sUsed[$j] && ($best < 0 || $sCos[$j] > $sCos[$best] ||
+         |        ($sCos[$j] == $sCos[$best] && $j > $best))) $best = $j;
+         |  }
+         |  $sUsed[$best] = true;
+         |  $picked[$r] = $best;
+         |  $scanned += $ms[$best + 1] - $ms[$best];
+         |}
+         |int[] $candIdx = new int[$scanned];
+         |double[] $candCos = new double[$scanned];
+         |int $w = 0;
+         |for (int $r = 0; $r < $probe; $r++) {
+         |  for (int $m = $ms[$picked[$r]]; $m < $ms[$picked[$r] + 1]; $m++) {
+         |    $candIdx[$w] = $m;
+         |    double $d = $nv * $mn[$m];
+         |    if ($d == 0.0D) { $candCos[$w] = 0.0D; }
+         |    else {
+         |      float[] $c = $mv[$m];
+         |      int $n = java.lang.Math.min($nd, $c.length);
+         |      double $s = 0.0;
+         |      for (int $t = 0; $t < $n; $t++) {
+         |        $s += (double) $a.getFloat($t) * (double) $c[$t];
+         |      }
+         |      $candCos[$w] = $s / $d;
+         |    }
+         |    $w++;
+         |  }
+         |}
+         |int $take = java.lang.Math.min(${nAssign}, $scanned);
+         |long[] $out = new long[$take];
+         |boolean[] $used = new boolean[$scanned];
+         |for (int $r = 0; $r < $take; $r++) {
+         |  int $best = -1;
+         |  for (int $j = 0; $j < $scanned; $j++) {
+         |    if (!$used[$j] && ($best < 0 || $candCos[$j] > $candCos[$best] ||
+         |        ($candCos[$j] == $candCos[$best] &&
+         |          $mi[$candIdx[$j]] > $mi[$candIdx[$best]]))) $best = $j;
+         |  }
+         |  $used[$best] = true;
+         |  $out[$r] = $mi[$candIdx[$best]];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IvfAssignHier =
+    copy(child = newChild)
+}
+
 /** Session extensions registering graft's native expressions
   * (public `SparkSessionExtensions` API — applied by
   * [[graft.GraftSession]]'s builder; callable via

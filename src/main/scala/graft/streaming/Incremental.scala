@@ -794,14 +794,16 @@ object Incremental {
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))))
     // the quantizer collects ONCE here (nCentroids-bounded arrays);
-    // each micro-batch reuses the arrays — no per-batch driver job
-    val (qIds, qVecs) = Similarity.collectQuantizer(centroids)
+    // each micro-batch reuses the collected object — no per-batch
+    // driver job, and (for a two-level frame) the same approximate
+    // assignment as the batch builder
+    val cq = Similarity.collectQuantizerHier(centroids)
     val q = spark.readStream.schema(vecSchema).parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Similarity.ivfIndexRowsQ(batch, qIds, qVecs, nAssign, corpusId, vecCol)
+        Similarity.ivfIndexRowsQ(batch, cq, nAssign, corpusId, vecCol)
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("centroid", "__batch").parquet(destDir)
@@ -861,8 +863,6 @@ object Incremental {
       org.apache.spark.sql.types.StructField(vecCol,
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))))
-    // quantizer collected ONCE (nCentroids-bounded), reused per batch
-    val (qIds, qVecs) = Similarity.collectQuantizer(centroids)
     val q = spark.readStream.schema(vecSchema).parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())

@@ -412,4 +412,31 @@ class ExplainSpec extends SparkSpec {
       s"bloom prune missing from the train-side scan:\n$p")
     assert(p.contains("graft_winnow"), s"native expression missing:\n$p")
   }
+
+  test("two-level auto quantizer: hier assignment stays inside whole-stage codegen, no join") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = (0 until 300).map { i =>
+      (100L + i, Array.tabulate(8)(d =>
+        (if (d == i % 4) 5.0 else math.sin(i * 7 + d) * 0.3).toFloat))
+    }.toDF("neighbor_id", "embedding").localCheckpoint()
+    val cents = graft.operators.Similarity.kmeansCentroidsAuto(
+      corpus.select(col("embedding")), hierThreshold = 1)
+    val queries = corpus.limit(5)
+      .select(col("neighbor_id").as("query_id"), col("embedding"))
+      .localCheckpoint()
+    val df = graft.operators.Similarity.ivfTopKWithCentroids(
+      queries, corpus, cents, k = 3, nProbe = 2, nAssign = 2)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("graft_ivf_assign_hier"),
+      s"two-level frame must assign through IvfAssignHier:\n$executed")
+    // the corpus-side assignment is a pure map — a generate over the
+    // native expression inside a codegen stage, never a centroid join
+    assert("\\*\\(\\d+\\) Generate explode\\(graft_ivf_assign_hier".r
+      .findFirstIn(executed).isDefined,
+      s"hier assignment explode must be codegen'd:\n$executed")
+    assert(!executed.contains("BroadcastNestedLoopJoin"),
+      s"quantizer must be driver-resident, not joined:\n$executed")
+  }
 }

@@ -446,6 +446,156 @@ class SimilaritySpec extends SparkSpec {
     assert(autoCentroidCount(Long.MaxValue) == (1 << 16), "driver-resident ceiling")
   }
 
+  test("IvfAssignHier covering every supercell is bit-identical to flat IvfAssign") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val rnd = new scala.util.Random(11)
+    val dims = 8
+    // 10 members in 3 supercells (sizes 4/5/1), incl. a duplicate
+    // member (tie -> larger id) and a zero member
+    val memberVecs = (Array.tabulate(9)(_ =>
+      Array.tabulate(dims)(_ => (rnd.nextFloat() - 0.5f) * 2f)) :+
+      Array.fill(dims)(0f)).patch(7, Seq(Array.tabulate(dims)(d =>
+        (d + 1).toFloat)), 1)
+    val dup = memberVecs(2).clone()
+    val allVecs = memberVecs :+ dup
+    val ids = Array.tabulate(11)(j => 50L + j)
+    val starts = Array(0, 4, 9, 11)
+    val superVecs = Array.tabulate(3)(_ =>
+      Array.tabulate(dims)(_ => (rnd.nextFloat() - 0.5f) * 2f))
+    val probes: Seq[Array[Float]] =
+      (0 until 30).map(_ => Array.tabulate(dims)(_ => (rnd.nextFloat() - 0.5f) * 2f)) ++
+        Seq(Array.fill(dims)(0f), Array.empty[Float], dup.clone())
+    for (n <- Seq(1, 2, 5)) {
+      val df = probes.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+      val flat = df.select(col("i"), ColumnBridge.column(graft.plans.IvfAssign(
+        ColumnBridge.expression(col("v")), ids, allVecs, n)).as("a"))
+        .as[(Int, Seq[Long])].collect().sortBy(_._1).map(_._2)
+      // superProbe = S (3) scans every member -> must equal flat exactly
+      val hier = df.select(col("i"), ColumnBridge.column(graft.plans.IvfAssignHier(
+        ColumnBridge.expression(col("v")), superVecs, starts, ids, allVecs, 3, n)).as("a"))
+        .as[(Int, Seq[Long])].collect().sortBy(_._1).map(_._2)
+      assert(hier.toSeq == flat.toSeq, s"nAssign=$n full-probe divergence")
+      // interpreted eval agrees with codegen
+      probes.take(4).zip(hier).foreach { case (v, g) =>
+        val ev = graft.plans.IvfAssignHier(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(v,
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+          superVecs, starts, ids, allVecs, 3, n)
+          .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        assert(ev.toLongArray().toSeq == g, "interpreted/codegen divergence")
+      }
+    }
+  }
+
+  test("IvfAssignHier at superProbe = 1 restricts the scan to the nearest supercell") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val ss = spark; import ss.implicits._
+    // two orthogonal supercells; the probe's EXACT duplicate (id 1)
+    // is filed under the X supercell, but the probe ranks the Y
+    // supercell first — superProbe = 1 must stay inside Y and return
+    // its member (id 2), the documented approximation; superProbe = 2
+    // recovers the duplicate
+    val superVecs = Array(Array(10f, 0f), Array(0f, 10f))
+    val members = Array(Array(1f, 0f), Array(0.1f, 1f), Array(1f, 1f))
+    val ids = Array(0L, 1L, 2L)
+    val starts = Array(0, 2, 3)
+    val probe = Seq((0, Array(0.1f, 1f))).toDF("i", "v")
+    def assignWith(sp: Int): Long =
+      probe.select(ColumnBridge.column(graft.plans.IvfAssignHier(
+        ColumnBridge.expression(col("v")), superVecs, starts, ids, members, sp, 1)))
+        .as[Seq[Long]].head().head
+    assert(assignWith(1) == 2L, "restricted scan must pick the Y supercell's member")
+    assert(assignWith(2) == 1L, "full probe finds the globally nearest member")
+  }
+
+  test("kmeansCentroidsHier: deterministic, supercell-grouped, list population near target") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(31)
+    // 4 loose clusters x 300 vectors
+    val corpus = (0 until 1200).map { i =>
+      val axis = i % 4
+      (i.toLong, Array.tabulate(8)(d =>
+        (if (d == axis * 2) 5.0 else rnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    def train() = Similarity.kmeansCentroidsHier(corpus, k = 10, maxIter = 5)
+      .select(col("centroid_id"), col("centroid"), col("supercell"), col("__supervec"))
+      .as[(Long, Array[Float], Long, Array[Float])].collect().sortBy(_._1)
+    val a = train(); val b = train()
+    assert(a.map(r => (r._1, r._2.toSeq, r._3, r._4.toSeq)).toSeq ==
+      b.map(r => (r._1, r._2.toSeq, r._3, r._4.toSeq)).toSeq,
+      "hier trainer must be deterministic")
+    assert(a.nonEmpty && a.length <= 40, s"centroid count ${a.length} off the quota scale")
+    // grouped layout: ids ascend with supercell blocks contiguous
+    val bySc = a.map(_._3)
+    assert(bySc.toSeq == bySc.sorted.toSeq, "members must be grouped by supercell")
+    // every supercell id refers to one shared supervec
+    a.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4.toSeq).distinct.length == 1) }
+    // assignment through the trained frame keeps expected list
+    // population within 4x of the target (loose: tiny fixture)
+    val q = Similarity.collectQuantizerHier(
+      Similarity.kmeansCentroidsHier(corpus, k = 10, maxIter = 5))
+    assert(q.hier.nonEmpty, "trained frame must carry the two-level layout")
+    val pops = corpus.select(explode(q.assign(col("embedding"), 1)).as("c"))
+      .groupBy("c").count().as[(Long, Long)].collect().map(_._2)
+    assert(pops.sum == 1200)
+  }
+
+  test("kmeansCentroidsAuto: flat below the threshold, two-level at it, SemDeDup agrees on separable data") {
+    val ss = spark; import ss.implicits._
+    val base = (0 until 20).map(i =>
+      Array.tabulate(20)(d => if (d == i) 1f else 0f))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, v), (100L + i, v)) }
+    val corpus = rows.toDF("vec_id", "embedding").localCheckpoint()
+    val flatCents = Similarity.kmeansCentroidsAuto(corpus.select(col("embedding")))
+    assert(!flatCents.columns.contains("supercell"),
+      "below the threshold the auto trainer must stay flat (gate fixtures)")
+    val hierCents = Similarity.kmeansCentroidsAuto(corpus.select(col("embedding")),
+      hierThreshold = 1)
+    assert(hierCents.columns.contains("supercell") &&
+      hierCents.columns.contains("__supervec"))
+    // the auto production rule must hold through the two-level path:
+    // one keeper per exact-dup family (orthogonal one-hot families)
+    val dec = Similarity.semanticDedup(corpus, hierCents, eps = 0.99)
+      .localCheckpoint()
+    assert(dec.count() == 40)
+    val split = dec.select(pmod(col("vec_id"), lit(100L)).as("fam"), col("component"))
+      .distinct().groupBy("fam").count().filter(col("count") > 1).count()
+    assert(split == 0, "exact duplicates must share a component under the hier quantizer")
+    assert(dec.filter(col("keep")).count() == 20, "one keeper per family")
+  }
+
+  test("ivfTopKWithCentroids over a hier-trained quantizer: exact dups at rank 1, recall floor vs brute force") {
+    val ss = spark; import ss.implicits._
+    val vecs = (0 until 400).map { i =>
+      val axis = i % 4
+      Array.tabulate(8)(d =>
+        (if (d == axis * 2) 10.0 else math.sin(i * 13 + d) * 0.4).toFloat)
+    }
+    val queries = vecs.take(40).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("query_id", "embedding")
+    val corpus = vecs.zipWithIndex.map { case (v, i) => (100L + i, v) }
+      .toDF("neighbor_id", "embedding").localCheckpoint()
+    val cents = Similarity.kmeansCentroidsHier(corpus, k = 8, maxIter = 5,
+      vecCol = "embedding")
+    val hier = Similarity.ivfTopKWithCentroids(queries, corpus, cents,
+      k = 5, nProbe = 2, nAssign = 2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+    val got = pairs(hier)
+    val top1 = hier.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+    assert(top1.length == 40 && top1.forall { case (q, n, c) => n == 100L + q && c == 1.0 },
+      "every query's exact duplicate must surface at rank 1")
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus, k = 5))
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"hier IVF recall@5 $recall below floor")
+  }
+
   test("semanticDedupAuto: the production path keeps one representative per exact-dup family") {
     val ss = spark; import ss.implicits._
     // 20 base vectors, each duplicated exactly (cos = 1 >= eps): every
