@@ -240,9 +240,39 @@ object Similarity {
                           vecCol: String = "embedding",
                           hierThreshold: Int = HierThreshold): DataFrame = {
     val n = corpus.count()
-    val k = autoCentroidCount(n)
-    if (k < hierThreshold) kmeansCentroids(corpus, k, maxIter, seed, vecCol)
-    else kmeansCentroidsHier(corpus, k, maxIter, seed, vecCol, knownCount = n)
+    val k0 = autoCentroidCount(n)
+    // Duplicate-heavy corpora (decoded media features, quantized
+    // embeddings): a quantizer cannot make use of more centroids than
+    // DISTINCT vectors, and both trainers degrade when k approaches
+    // the distinct count (ml.KMeans converges to duplicated centers;
+    // the hier init's expected-quota hash-sample collapses under
+    // value collisions — measured on the ×10 media corpus: 25k rows,
+    // 32 distinct values). One map-side HLL pass decides; when the
+    // distinct set is quantizer-sized, train on it EXACTLY (it is
+    // driver-bounded by construction: < 2·k0 ≤ 2¹⁷ rows).
+    val approxDistinct = corpus
+      .agg(approx_count_distinct(xxhash64(col(vecCol)))).head().getLong(0)
+    if (approxDistinct < 2L * k0) {
+      // multiplicity is intentionally dropped: a coarse quantizer
+      // partitions the SPACE; dedup-before-train is the standard way
+      // to keep duplicate mass from pinning every center on one value
+      val d = corpus.dropDuplicates(vecCol).localCheckpoint()
+      val dn = d.count()
+      if (dn <= k0)
+        // the EXACT quantizer: every distinct vector is a centroid
+        // (k-means over n = k points converges there anyway); ids in
+        // deterministic hash order, frame bounded < 2·k0 rows
+        d.select(col(vecCol).as("centroid"))
+          .withColumn("centroid_id",
+            row_number().over(Window.orderBy(xxhash64(col("centroid"))))
+              .cast("long") - 1)
+          .select(col("centroid_id"), col("centroid"))
+      else if (k0 < hierThreshold) kmeansCentroids(d, k0, maxIter, seed, vecCol)
+      else kmeansCentroidsHier(d, k0, maxIter, seed, vecCol, knownCount = dn,
+        targetList = math.max(1, math.ceil(dn.toDouble / k0).toInt))
+    }
+    else if (k0 < hierThreshold) kmeansCentroids(corpus, k0, maxIter, seed, vecCol)
+    else kmeansCentroidsHier(corpus, k0, maxIter, seed, vecCol, knownCount = n)
   }
 
   /** Two-level (hierarchical) k-means coarse quantizer — the trainer
@@ -280,7 +310,8 @@ object Similarity {
   def kmeansCentroidsHier(corpus: DataFrame, k: Int, maxIter: Int = 5,
                           seed: Long = 42L, vecCol: String = "embedding",
                           lloydIters: Int = 2,
-                          knownCount: Long = 0L): DataFrame = {
+                          knownCount: Long = 0L,
+                          targetList: Int = AutoListSize): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val vcol = col(vecCol)
@@ -303,7 +334,7 @@ object Similarity {
     // when the sample already caught it
     val steps = assigned.groupBy(col("__sc")).agg(count(lit(1)).as("__pop"))
       .withColumn("__quota",
-        greatest(lit(1L), round(col("__pop") / lit(AutoListSize.toDouble)).cast("long")))
+        greatest(lit(1L), round(col("__pop") / lit(targetList.toDouble)).cast("long")))
       .withColumn("__step",
         greatest(lit(1L), (col("__pop") / col("__quota")).cast("long")))
     val sampled = assigned.join(broadcast(steps), Seq("__sc"))

@@ -105,7 +105,7 @@ object MediaPipeline {
     * representation-agnostic.
     */
   private val vecsCache = new graft.SessionCache[String]
-  private def mediaVecs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def mediaVecs(s: SparkSession, dir: String): DataFrame =
     vecsCache.getOrElseUpdate(s, dir) {
       Media.imageFeatures(
         Media.resizeImages(Media.decodeImages(imageFixture(s, dir)), 4, 4))
@@ -185,6 +185,27 @@ object MediaPipeline {
     * just the ×R rehearsal. The fixed-quantizer gate stays for
     * cross-round comparability.
     */
+  /** [[mediaKnnIvfAuto]] with the auto-SIZED quantizer forced onto
+    * the FLAT trainer/assignment path — the ×R rehearsal's A/B
+    * contrast for the two-level rewrite (uncached, dev-only: the
+    * production path is [[mediaKnnIvfAuto]], which goes two-level at
+    * [[graft.operators.Similarity.HierThreshold]]).
+    */
+  private[graft] def mediaKnnIvfAutoFlat(s: SparkSession, dir: String): DataFrame = {
+    val vecs = mediaVecs(s, dir)
+    val probes = vecs.filter(col("id") % 400 === 0)
+      .withColumnRenamed("id", "query_id")
+    val corpus = vecs.withColumnRenamed("id", "neighbor_id")
+    val emb = vecs.select(col("embedding"))
+    val cents = graft.operators.Similarity.kmeansCentroids(emb,
+      k = graft.operators.Similarity.autoCentroidCount(emb.count())).localCheckpoint()
+    graft.operators.Similarity.ivfTopKWithCentroids(
+      probes, corpus, cents, k = 5, nProbe = 4, nAssign = 2)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private val autoCentsCache = new graft.SessionCache[String]
   def mediaKnnIvfAuto(s: SparkSession, dir: String): DataFrame = {
     val vecs = mediaVecs(s, dir)

@@ -192,7 +192,21 @@ object ScaleRehearsal {
     val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
       "semantic_dedup_auto" -> ((s, dir) =>
         graft.operators.Similarity.semanticDedupAuto(
-          Tables.embeddings(s, dir), eps = 0.4)))
+          Tables.embeddings(s, dir), eps = 0.4)),
+      // flat-trained auto-size contrast for the two-level rewrite
+      // (round-15): same probes/corpus/k, quantizer forced flat
+      "media_knn_ivf_auto_flat" -> ((s, dir) =>
+        graft.queries.MediaPipeline.mediaKnnIvfAutoFlat(s, dir)),
+      // two-level quantizer forced ON for the embeddings corpus (its
+      // auto k sits just under the production threshold at ×30) —
+      // the hier-vs-flat mechanics A/B on a genuinely continuous
+      // vector corpus, paired with `semantic_dedup_auto` (flat)
+      "semantic_dedup_auto_hier" -> ((s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.Similarity.semanticDedup(emb,
+          graft.operators.Similarity.kmeansCentroidsAuto(
+            emb.select(col("embedding")), hierThreshold = 1), eps = 0.4)
+      }))
     // Session-throughput probe (round-15, self-normalizing protocol):
     // the ~10 ms/job scheduler overhead barely moves between sessions,
     // but heavy-compute throughput swings 1.5-6× (the round-14 same-day

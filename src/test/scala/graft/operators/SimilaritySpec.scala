@@ -542,6 +542,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pops.sum == 1200)
   }
 
+  test("kmeansCentroidsAuto: duplicate-heavy corpus caps k at the distinct set and trains on it") {
+    val ss = spark; import ss.implicits._
+    // 4000 rows, only 6 distinct vectors (the decoded-media shape
+    // that collapsed the hash-sample init): the auto rule would ask
+    // for 32 centroids; the distinct pre-cap must hand back <= 6,
+    // and assignment must still cover the whole corpus exactly
+    val distinctVecs = (0 until 6).map(i =>
+      Array.tabulate(8)(d => if (d == i) 1f else 0.1f * i))
+    val corpus = (0 until 4000).map(i => (i.toLong, distinctVecs(i % 6)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val cents = Similarity.kmeansCentroidsAuto(corpus.select(col("embedding")),
+      hierThreshold = 1) // force the hier branch to prove the cap preempts it
+    val k = cents.count()
+    assert(k == 6, s"the exact quantizer must be the distinct set itself, got $k")
+    val q = Similarity.collectQuantizerHier(cents)
+    val assignedCount = corpus
+      .select(explode(q.assign(col("embedding"), 1)).as("c"))
+      .groupBy("c").count().agg(sum("count")).head().getLong(0)
+    assert(assignedCount == 4000, "every row must assign to some centroid")
+  }
+
   test("kmeansCentroidsAuto: flat below the threshold, two-level at it, SemDeDup agrees on separable data") {
     val ss = spark; import ss.implicits._
     val base = (0 until 20).map(i =>
