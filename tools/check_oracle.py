@@ -9,7 +9,9 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 Dev tool only — the real gate is driver-side.
 """
 import json
+import os
 import sys
+import threading
 from pathlib import Path
 
 import duckdb
@@ -34,7 +36,27 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
+    # Opt-in watchdog for the xR fixture sweeps: some oracle SQL
+    # restatements are pair-CTE/brute-force quadratic on the DuckDB
+    # side (fine at the driver's sf0.01 gate, hours at x30). With
+    # GRAFT_ORACLE_TIMEOUT_S set, a query whose ORACLE exceeds the
+    # budget is reported SKIPPED (DuckDB-side cost, not a result
+    # mismatch) instead of hanging the sweep. Unset = exact old
+    # behavior; the driver's per-round gate never sets this.
+    timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT_S", "0") or 0)
+
+    def run_oracle(sql: str):
+        if timeout_s <= 0:
+            return con.execute(sql).fetchdf()
+        timer = threading.Timer(timeout_s, con.interrupt)
+        timer.start()
+        try:
+            return con.execute(sql).fetchdf()
+        finally:
+            timer.cancel()
+
     n_bad = 0
+    skipped = []
     for name in sorted(oracle):
         qdir = Path(out_dir) / name
         if not qdir.exists():
@@ -43,8 +65,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         got = pd.read_parquet(qdir)
         try:
-            want = con.execute(oracle[name]).fetchdf()
+            want = run_oracle(oracle[name])
+        except duckdb.InterruptException:
+            print(f"SKIPPED  {name} (oracle exceeded {timeout_s:.0f}s budget)")
+            skipped.append(name)
+            continue
         except Exception as e:
+            if timeout_s > 0 and "INTERRUPT" in str(e).upper():
+                print(f"SKIPPED  {name} (oracle exceeded {timeout_s:.0f}s budget)")
+                skipped.append(name)
+                continue
             print(f"ORACLE-ERR {name}: {e}")
             n_bad += 1
             continue
@@ -94,7 +124,9 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_bad += 1
         else:
             print(f"OK       {name} ({len(g)} rows)")
-    print(f"\n{len(oracle) - n_bad}/{len(oracle)} queries match")
+    n_run = len(oracle) - len(skipped)
+    tail = f" ({len(skipped)} skipped on oracle budget: {', '.join(skipped)})" if skipped else ""
+    print(f"\n{n_run - n_bad}/{n_run} queries match{tail}")
     return 1 if n_bad else 0
 
 
