@@ -1095,11 +1095,7 @@ object Dedup {
                                maxPieceFreq: Long = 1000L): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    val banded0 = sh.select(col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
-        call_function("shiftright", col("sh"), c * bitsPer)
-          .bitwiseAND(lit((1L << bitsPer) - 1)))))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
+    val banded0 = hammingBanded(sh, maxDist)
 
     def pairsOf(banded: DataFrame, keys: Seq[String]): DataFrame = {
       val aCols = keys.map(col) :+ col("doc_id").as("id_a") :+ col("sh").as("sh_a")
@@ -1149,5 +1145,105 @@ object Dedup {
           .unionByName(pairsOf(subKept, Seq("chunk", "piece", "subchunk", "subpiece")))
       }
     candidates.groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  /** Pigeonhole chunk/piece rows of a 64-bit signature frame
+    * `(doc_id, sh)` — the (maxDist+1)-way bit split shared by the
+    * in-memory pair sweep ([[hammingPairsOfSignatures]]) and the
+    * on-disk Hamming index ([[writeHammingIndex]] /
+    * [[hammingProbe]]). Keeping one derivation is what makes the
+    * probe's candidate set provably identical to the sweep's: both
+    * sides of any (index, probe) comparison band through this exact
+    * expression.
+    */
+  private def hammingBanded(sh: DataFrame, maxDist: Int): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    sh.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
+        call_function("shiftright", col("sh"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1)))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
+  }
+
+  /** Partition count of the on-disk Hamming (perceptual-fingerprint)
+    * index — the [[MinhashParts]] convention: banded rows land in
+    * `part = pmod(xxhash64(chunk, piece), nParts)` directories, so a
+    * probe prunes its scan to the ≤ nParts partitions the batch's
+    * pieces hash into. Unlike the MinHash layout there is no separate
+    * signature table: the fingerprint IS 8 bytes, so carrying it on
+    * every banded row costs less than the extra candidate-bounded
+    * join the split would buy back.
+    */
+  val HammingParts = 64
+
+  private def hpartOf(nParts: Int): Column =
+    pmod(xxhash64(col("chunk"), col("piece")), lit(nParts)).cast("int")
+
+  /** The index-layout frame behind [[writeHammingIndex]] — shared
+    * with the streaming appender
+    * ([[graft.streaming.Incremental.phashDedupStream]]) so batch
+    * build and incremental append can never diverge on the banding.
+    */
+  private[graft] def hammingIndexRows(sigs: DataFrame, maxDist: Int,
+                                      nParts: Int): DataFrame =
+    hammingBanded(sigs, maxDist)
+      .select(col("doc_id"), col("sh"), col("chunk"), col("piece"),
+        hpartOf(nParts).as("part"))
+
+  /** Materialize a 64-bit signature corpus (dHash/SimHash — any
+    * [[hammingPairsOfSignatures]]-compatible frame) as an ON-DISK
+    * Hamming index under `bands/part=<p>/__batch=<n>/` (batch seed at
+    * `__batch=-1`, the IVF/BM25/MinHash convention — a batch-built
+    * index can be incrementally maintained in place by the streaming
+    * firewall). Probing never rescans the corpus: incremental image
+    * near-dup against a 100 TB indexed corpus is batch-sized.
+    */
+  def writeHammingIndex(sigs: DataFrame, path: String, maxDist: Int = 3,
+                        nParts: Int = HammingParts): Unit =
+    hammingIndexRows(sigs, maxDist, nParts)
+      .withColumn("__batch", lit(-1L))
+      .repartition(col("part"))
+      .sortWithinPartitions(col("chunk"), col("piece"))
+      .write.mode("overwrite").partitionBy("part", "__batch")
+      .parquet(s"$path/bands")
+
+  /** Hamming-≤maxDist matches of a NEW batch of signatures against an
+    * indexed corpus: the batch's chunk/piece rows (same derivation as
+    * the index — [[hammingBanded]]) equi-join the indexed rows on
+    * (chunk, piece), the scan restricted up front to the ≤ nParts
+    * partitions the batch hashes into (`part IN` pruning — never a
+    * corpus scan), then the exact bit_count filter on the carried
+    * fingerprints. Returns `(probe_id, index_id, hamming)` with
+    * hamming ≤ maxDist — EXACT by the pigeonhole theorem (the probe
+    * side is uncapped; boundedness comes from the batch being
+    * batch-sized). Docs already in the index match themselves;
+    * `probe_id != index_id` filtering is left to the caller.
+    *
+    * `excludeBatch`: replay safety for the streaming firewall — a
+    * replayed micro-batch must not see its own appended rows
+    * (`__batch` is a partition level, so this prunes, not scans).
+    */
+  def hammingProbe(sigs: DataFrame, path: String, maxDist: Int = 3,
+                   nParts: Int = HammingParts,
+                   excludeBatch: Option[Long] = None): DataFrame = {
+    val probe = hammingBanded(sigs, maxDist)
+      .select(col("doc_id").as("probe_id"), col("sh").as("__shp"),
+        col("chunk"), col("piece"), hpartOf(nParts).as("part"))
+    // bounded by nParts (≤ 64) by construction — see [[HammingParts]]
+    val parts = probe.select("part").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val scan = sigs.sparkSession.read.parquet(s"$path/bands")
+      .filter(col("part").isin(parts: _*))
+    val idx = excludeBatch.fold(scan)(b => scan.filter(col("__batch") =!= b))
+      .select(col("chunk"), col("piece"),
+        col("doc_id").as("index_id"), col("sh").as("__shi"))
+    // pinned shuffle join — the index side is corpus-sized and must
+    // never broadcast; see minhashProbeCandsBanded
+    probe.hint("shuffle_hash").join(idx, Seq("chunk", "piece"))
+      .select(col("probe_id"), col("index_id"),
+        bit_count(col("__shp").bitwiseXOR(col("__shi"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .groupBy("probe_id", "index_id").agg(min("hamming").as("hamming"))
   }
 }

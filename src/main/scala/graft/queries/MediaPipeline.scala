@@ -248,22 +248,75 @@ object MediaPipeline {
     * (the simhash recall-seam trade, same knob).
     */
   def mediaPhashPairs(s: SparkSession, dir: String): DataFrame = {
-    graft.plans.GraftExtensions.ensureRegistered(s)
-    val resized = Media.resizeImages(
-      Media.decodeImages(imageFixture(s, dir)), 9, 8)
     // 8 bytes/doc; feeds both self-join sides of the pair core — the
     // simhashPairsOfTokens materialization rationale, same idiom
-    val sig = resized.select(col("id").as("doc_id"),
-        call_function("graft_dhash64", col("pixels"), col("width"),
-          col("height"), col("channels")).as("sh"))
-      .filter(col("sh").isNotNull)
-      .localCheckpoint()
+    val sig = phashSigs(s, dir).localCheckpoint()
     graft.operators.Dedup.hammingPairsOfSignatures(
         sig, maxDist = 3, maxPieceFreq = Long.MaxValue)
       .select(col("id_a"), col("id_b"),
         col("hamming").cast(LongType).as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** The shared decode → 9×8 resize → native dHash fingerprint frame
+    * `(doc_id, sh)` behind the perceptual family — one derivation, so
+    * the pair sweep, the on-disk index build, and the probe can never
+    * diverge on the fingerprint math.
+    */
+  private def phashSigs(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    Media.resizeImages(Media.decodeImages(imageFixture(s, dir)), 9, 8)
+      .select(col("id").as("doc_id"),
+        call_function("graft_dhash64", col("pixels"), col("width"),
+          col("height"), col("channels")).as("sh"))
+      .filter(col("sh").isNotNull)
+  }
+
+  // On-disk Hamming index for media_phash_indexed, built once per
+  // (session, dir) over "the already-ingested corpus" (ids with
+  // id % 120 != 0 — a family-splitting cut: the stub pixel function
+  // repeats every 32 image ids, and 32 | the %-40 id stride × any
+  // power of two, so a parity cut would put every exact-dup family
+  // entirely on one side and the probe would be vacuous; mod 3 on
+  // id/40 interleaves family members across both sides). The
+  // minhashIndexFor temp-dir idiom.
+  private val phashIdxDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def phashIndexFor(s: SparkSession, dir: String): String =
+    phashIdxDirs.computeIfAbsent((graft.SessionCache.idOf(s), dir), { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft_ph_idx")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(path).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      graft.operators.Dedup.writeHammingIndex(
+        phashSigs(s, dir).filter(col("doc_id") % 120 =!= 0), path.toString)
+      path.toString
+    })
+
+  /** Incremental perceptual near-dup through the ON-DISK Hamming band
+    * index ([[graft.operators.Dedup.writeHammingIndex]]): the
+    * id % 120 == 0 images play the "new batch" probing an index built
+    * over the other two thirds — the corpus side's fingerprints are
+    * never recomputed and the index scan prunes to the ≤64 partitions
+    * the batch's pieces hash into (DedupSpec plan-asserts the
+    * PartitionFilters), which is what makes image dedup of a daily
+    * batch against a 100 TB indexed corpus batch-sized instead of
+    * corpus-sized. HASH-GATED end to end (the minhash_indexed twin is
+    * rows-only only because MinHash signatures are xxhash64-based;
+    * dHash restates in portable SQL): probe ≡ exact uncapped sweep is
+    * additionally spec-proven in DedupSpec.
+    */
+  def mediaPhashIndexed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.hammingProbe(
+        phashSigs(s, dir).filter(col("doc_id") % 120 === 0),
+        phashIndexFor(s, dir))
+      .select(col("probe_id"), col("index_id"),
+        col("hamming").cast(LongType).as("hamming"))
+      .orderBy(col("probe_id"), col("index_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (mediaFeatures _),
@@ -272,7 +325,8 @@ object MediaPipeline {
     "media_knn" -> (mediaKnn _),
     "media_knn_ivf" -> (mediaKnnIvf _),
     "media_knn_ivf_auto" -> (mediaKnnIvfAuto _),
-    "media_phash_pairs" -> (mediaPhashPairs _))
+    "media_phash_pairs" -> (mediaPhashPairs _),
+    "media_phash_indexed" -> (mediaPhashIndexed _))
 
   /** The resized 4×4×3 pixel at flat index i (ch = i%3, x = (i/3)%4,
     * y = i/12) samples source pixel (2x, 2y) of the 8×8×3 stub image:
@@ -301,6 +355,26 @@ object MediaPipeline {
         |      GROUP BY a.id, b.id)
         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
         |FROM p WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    // the indexed probe: identical dHash restatement, pairs restricted
+    // to (new batch = id%120==0) × (indexed corpus = id%120<>0)
+    "media_phash_indexed" ->
+      """WITH ids AS (SELECT event_id AS id FROM events WHERE event_id % 40 = 0),
+        |g AS (SELECT id, x, y,
+        |        ( ((id*31 + ((y*8 + (x*8)//9)*3 + 0)*7) % 256)
+        |        + ((id*31 + ((y*8 + (x*8)//9)*3 + 1)*7) % 256)
+        |        + ((id*31 + ((y*8 + (x*8)//9)*3 + 2)*7) % 256) ) // 3 AS gray
+        |      FROM ids, range(0, 9) tx(x), range(0, 8) ty(y)),
+        |bits AS (SELECT a.id, a.y*8 + a.x AS k,
+        |                CASE WHEN b2.gray > a.gray THEN 1 ELSE 0 END AS bit
+        |         FROM g a JOIN g b2 ON a.id = b2.id AND b2.y = a.y AND b2.x = a.x + 1
+        |         WHERE a.x < 8),
+        |p AS (SELECT a.id AS probe_id, b.id AS index_id,
+        |             SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+        |      FROM bits a JOIN bits b ON a.k = b.k
+        |      WHERE a.id % 120 = 0 AND b.id % 120 <> 0
+        |      GROUP BY a.id, b.id)
+        |SELECT probe_id, index_id, CAST(hamming AS BIGINT) AS hamming
+        |FROM p WHERE hamming <= 3 ORDER BY probe_id, index_id""".stripMargin,
     "media_knn" ->
       """WITH ids AS (SELECT event_id AS id FROM events WHERE event_id % 40 = 0),
         |px AS (

@@ -719,6 +719,89 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming perceptual-image near-dup firewall — the multimodal
+    * twin of [[minhashDedupStream]], over the on-disk Hamming index
+    * ([[graft.operators.Dedup.writeHammingIndex]]): arriving ENCODED
+    * images are admitted iff their dHash fingerprint is NOT within
+    * Hamming distance `maxDist` of an already-admitted image's; the
+    * LAION-style ingest-time image dedup a 100 TB multimodal corpus
+    * runs continuously. Same three-step per-micro-batch shape:
+    *
+    *  1. decode → canonical 9×8 resize → native
+    *     [[graft.plans.DHash64]] fingerprint (decode-or-drop: rows
+    *     whose payload doesn't decode, or whose fingerprint is null,
+    *     never reach the index — the Media family convention), then
+    *     dedup WITHIN the batch by the full batch rule (the SHARED
+    *     [[graft.operators.Dedup.hammingPairsOfSignatures]] pigeonhole
+    *     sweep + [[graft.operators.Dedup.componentLosers]] min-id
+    *     keeps — no stream-specific rule to diverge);
+    *  2. drop batch survivors with a Hamming-≤maxDist match against
+    *     the index ([[graft.operators.Dedup.hammingProbe]] —
+    *     partition-pruned to the ≤64 parts the batch's pieces hash
+    *     into, never a corpus scan);
+    *  3. append survivors' banded rows under `part=<p>/__batch=<n>/`
+    *     (dynamic overwrite ⇒ exactly-once on replay; the probe
+    *     excludes `__batch = <current>`, so a replayed batch
+    *     reproduces its original decisions) and the surviving
+    *     `(doc_id, sh)` rows under `__batch=<n>/` in destDir.
+    *
+    * Every step is deterministic (stub-codec decode, integer dHash,
+    * xxhash64 banding), so the whole stream is exactly reproducible:
+    * IncrementalSpec asserts the streaming kept set ≡ a sequential
+    * batch-by-batch application of the identical rule. State is the
+    * on-disk index only — each micro-batch costs O(batch) regardless
+    * of how large the admitted corpus has grown.
+    */
+  def phashDedupStream(spark: SparkSession, srcDir: String, indexDir: String,
+                       destDir: String, checkpointDir: String,
+                       maxDist: Int = 3): Unit = {
+    val imgSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val q = spark.readStream.schema(imgSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Dedup, Media}
+        graft.plans.GraftExtensions.ensureRegistered(batch.sparkSession)
+        val sig = Media.resizeImages(Media.decodeImages(batch), 9, 8)
+          .select(col("id").as("doc_id"),
+            call_function("graft_dhash64", col("pixels"), col("width"),
+              col("height"), col("channels")).as("sh"))
+          .filter(col("sh").isNotNull)
+        val pairs = Dedup.hammingPairsOfSignatures(sig, maxDist)
+        val batchKept = sig.join(
+          Dedup.componentLosers(pairs).withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left_anti")
+        // unseeded-start probe guard — the minhashDedupStream idiom
+        val bandsPath = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+        val indexExists = bandsPath
+          .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          .exists(bandsPath)
+        val indexHits =
+          if (!indexExists) batchKept.limit(0).select(col("doc_id"))
+          else Dedup.hammingProbe(batchKept, indexDir, maxDist,
+            excludeBatch = Some(batchId))
+            .select(col("probe_id").as("doc_id")).distinct()
+        // decide once — the index append and the kept write below
+        // must see the SAME survivor set, not re-run the probe
+        val survivors = batchKept.join(indexHits, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        Dedup.hammingIndexRows(survivors, maxDist, Dedup.HammingParts)
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("part", "__batch").parquet(s"$indexDir/bands")
+        survivors.withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(destDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming BM25 index maintenance: new documents' postings append
     * into the [[graft.queries.Retrieval.writeBm25Index]] layout as
     * they arrive — per micro-batch one narrow map (the shared

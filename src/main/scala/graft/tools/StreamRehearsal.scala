@@ -239,6 +239,33 @@ object StreamRehearsal {
       println(s"""{"metric":"stream_state","scenario":"$label","docs":${acct.getLong(0)},"tokens_removed":${acct.getLong(1)},"input":${arrivals.count()},"grams_bytes":${fsSize(spark, gramsDir)}}""")
     }
 
+    // ---- 7. phashDedupStream over ×R stub images -------------------
+    // the perceptual-image firewall (round-15): unseeded start, waves
+    // split by image id. Payloads are the deterministic IMG0 stubs
+    // with id/160 as the pixel seed, so every 4-id run is an exact-dup
+    // family — the probe gets real cross-wave hits, not just misses.
+    // State is the on-disk Hamming band index only; the scale claim
+    // is per-wave wall staying batch-bound (decode + dHash are
+    // map-side; the probe prunes to ≤64 parts) as the index grows.
+    label = "phash_dedup_stream"
+    if (wanted(label)) locally {
+      val imgs = spark.read.parquet(s"$fixture/events.parquet")
+        .select(col("event_id").as("id")).filter(col("id") % 40 === 0)
+        .as[Long].map(id => (id, graft.operators.Media.stubImage(id / 160)))
+        .toDF("id", "payload")
+        .localCheckpoint()
+      val src = s"$work/ph_src"; val idx = s"$work/ph_idx"
+      val dest = s"$work/ph_kept"; val ck = s"$work/ph_ck"
+      for (w <- 0 until waves) {
+        imgs.filter(pmod(col("id"), lit(waves * 40)) === w * 40)
+          .write.mode("append").parquet(src)
+        timed(s"wave_$w")(
+          Incremental.phashDedupStream(spark, src, idx, dest, ck))
+      }
+      val kept = spark.read.parquet(dest).count()
+      println(s"""{"metric":"stream_state","scenario":"$label","kept":$kept,"input":${imgs.count()},"index_bytes":${fsSize(spark, idx)}}""")
+    }
+
     // per-batch progress dump (the evidence table for BASELINE.md)
     import scala.jdk.CollectionConverters._
     recorded.asScala.toSeq.sortBy(b => (b.label, b.batchId)).foreach { b =>

@@ -258,6 +258,51 @@ class DedupSpec extends SparkSpec {
       s"sigs scan must prune by spart:\n${sigsPf.mkString("\n")}")
   }
 
+  test("hamming index: probe of a new batch equals the exact sweep's cross pairs; parts prune") {
+    val ss = spark; import ss.implicits._
+    // indexed corpus A and batch B as raw 64-bit fingerprints: B
+    // plants ≤3-bit twins of A signatures plus far-away novel ones
+    val baseSigs = Seq(
+      1L -> 0x0123456789abcdefL, 2L -> 0x0f0f0f0f0f0f0f0fL,
+      3L -> 0x7777000011118888L, 4L -> 0xdeadbeefcafe4242L,
+      5L -> 0x1111222233334444L)
+    val corpusA = baseSigs.toDF("doc_id", "sh")
+    val batchB = Seq(
+      101L -> (0x0123456789abcdefL ^ 0x1L),          // dist 1 of doc 1
+      102L -> (0x0f0f0f0f0f0f0f0fL ^ 0x8800L),       // dist 2 of doc 2
+      103L -> (0x7777000011118888L ^ 0x100100100L),  // dist 3 of doc 3
+      104L -> (0xdeadbeefcafe4242L ^ 0xf0f0L),       // dist 8 — no match
+      105L -> 0x5a5a5a5a5a5a5a5aL                    // novel
+    ).toDF("doc_id", "sh")
+
+    val base = java.nio.file.Files.createTempDirectory("hm_idx").toString
+    Dedup.writeHammingIndex(corpusA, base)
+    val probe = Dedup.hammingProbe(batchB, base)
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+
+    // the EXACT sweep (uncapped pigeonhole) over A ∪ B, restricted to
+    // cross (B, A) pairs — same reference the probe must reproduce
+    val sweep = Dedup.hammingPairsOfSignatures(
+        corpusA.union(batchB), maxDist = 3, maxPieceFreq = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      .filter { case (a, b, _) => (a > 100) != (b > 100) }
+      .map { case (a, b, d) => if (a > 100) (a, b, d) else (b, a, d) }.toSet
+    assert(got == sweep,
+      s"probe diverged from the exact sweep's cross pairs:\n$got\nvs\n$sweep")
+    assert(got.map(_._1) == Set(101L, 102L, 103L),
+      "exactly the planted ≤3-bit twins must surface")
+
+    // the bands scan prunes by part (partition filter, not post-scan)
+    val plan = Dedup.hammingProbe(batchB.limit(1), base)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("part") &&
+      (l.contains("IN") || l.contains("in(") ||
+        (l.contains("part#") && l.contains(" = ")))),
+      s"bands scan must prune by part:\n${pf.mkString("\n")}")
+  }
+
   test("null-token docs never enter minhash banding (no constant-bucket blowup)") {
     val ss = spark; import ss.implicits._
     // three docs with NULL token arrays + two real docs: the null docs

@@ -806,6 +806,113 @@ class IncrementalSpec extends SparkSpec {
     assert(keptPairs == 0L, s"kept set must be candidate-free at θ, found $keptPairs pairs")
   }
 
+  test("phashDedupStream: streaming image firewall equals the sequential batch rule, unseeded start") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.{Dedup, Media}
+    val base = Files.createTempDirectory("ph_fw").toString
+    val src = base + "/src"; val idx = base + "/idx"
+    val dest = base + "/kept"; val ck = base + "/ck"
+    val maxDist = 3
+
+    // a 9×8 single-channel IMG0 whose dHash is EXACTLY fp: each row
+    // walks ±8 from 120, so gray(x+1) > gray(x) iff bit y·8+x is set —
+    // fingerprints are directly programmable, near-dups are bit flips
+    def imgOf(fp: Long): Array[Byte] = {
+      val px = new Array[Byte](72)
+      for (y <- 0 until 8) {
+        var v = 120
+        px(y * 9) = v.toByte
+        for (x <- 0 until 8) {
+          v = if (((fp >>> (y * 8 + x)) & 1L) == 1L) v + 8 else v - 8
+          px(y * 9 + x + 1) = v.toByte
+        }
+      }
+      Media.ImageMagic ++ Array[Byte](0, 9, 0, 8, 1) ++ px
+    }
+    val f1 = 0x0123456789abcdefL
+    val farA = 0x5555aaaa3333cccdL
+    val farB = 0x9966cc33aa55ff00L
+    val farC = 0x00ff00ff12345678L
+    val farD = 0x7e7e181881818ff0L
+    val fps: Map[Long, Long] = Map(
+      // run 1: a 3-member family (within-batch dups), two far images
+      // with a planted twin, one standalone
+      1L -> f1, 2L -> (f1 ^ 0x1L), 3L -> (f1 ^ 0x18L),
+      4L -> farA, 5L -> (farA ^ 0x2L), 6L -> farB,
+      // run 2: twins of run-1 keepers (must drop through the INDEX),
+      // a new family (within-batch dup), a novel standalone
+      11L -> (f1 ^ 0x2L), 12L -> (farB ^ 0x101L),
+      13L -> farC, 14L -> (farC ^ 0x1L), 15L -> farD)
+    def mkImgs(ids: Seq[Long]) = ids.map { i =>
+      // id 7 is a corrupt payload: decode-or-drop must silently skip it
+      if (i == 7L) (i, "not an image at all".getBytes("UTF-8"))
+      else (i, imgOf(fps(i)))
+    }.toDF("id", "payload")
+
+    // the sequential twin over the fingerprints themselves (decode is
+    // exact by construction): within-batch capped sweep + min-id
+    // keeps, then drop on any EXACT Hamming-≤maxDist hit against the
+    // kept-so-far set — the identical rule the stream applies
+    def expectedKept(batches: Seq[Seq[Long]]): Set[Long] = {
+      var kept = Set.empty[Long]
+      for (b <- batches) {
+        val ids = b.filterNot(_ == 7L)
+        val batchPairs = Dedup.hammingPairsOfSignatures(
+          ids.map(i => (i, fps(i))).toDF("doc_id", "sh"), maxDist)
+        val losers = Dedup.componentLosers(batchPairs)
+          .collect().map(_.getLong(0)).toSet
+        val batchKept = ids.toSet -- losers
+        val crossHit =
+          if (kept.isEmpty) Set.empty[Long]
+          else Dedup.hammingPairsOfSignatures(
+            (batchKept ++ kept).toSeq.map(i => (i, fps(i))).toDF("doc_id", "sh"),
+            maxDist, maxPieceFreq = Long.MaxValue)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+            .flatMap { case (a, bId) =>
+              if (batchKept.contains(a) && kept.contains(bId)) Some(a)
+              else if (batchKept.contains(bId) && kept.contains(a)) Some(bId)
+              else None
+            }.toSet
+        kept ++= (batchKept -- crossHit)
+      }
+      kept
+    }
+    def keptOnDisk(): Set[Long] =
+      ss.read.parquet(dest).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // run 1: unseeded index (ids 1..7 incl. the corrupt payload)
+    val run1 = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    mkImgs(run1).write.parquet(src)
+    Incremental.phashDedupStream(ss, src, idx, dest, ck, maxDist)
+    val exp1 = expectedKept(Seq(run1))
+    assert(keptOnDisk() == exp1, s"run 1 kept set diverged: ${keptOnDisk()} vs $exp1")
+    assert(exp1 == Set(1L, 4L, 6L), "families collapse to min ids; corrupt row dropped")
+
+    // run 2: incremental — drops must reference run-1 keepers through
+    // the appended index, not a recompute
+    val run2 = Seq(11L, 12L, 13L, 14L, 15L)
+    mkImgs(run2).write.mode("append").parquet(src)
+    Incremental.phashDedupStream(ss, src, idx, dest, ck, maxDist)
+    val exp2 = expectedKept(Seq(run1, run2))
+    assert(keptOnDisk() == exp2, s"run 2 kept set diverged: ${keptOnDisk()} vs $exp2")
+    assert(exp2 == Set(1L, 4L, 6L, 13L, 15L),
+      "index twins drop, new family collapses, novel admits")
+
+    // survivor separation invariant: no Hamming-≤maxDist pair inside
+    // the kept set (the firewall's analogue of the MinHash θ rule)
+    val keptPairs = Dedup.hammingPairsOfSignatures(
+      exp2.toSeq.map(i => (i, fps(i))).toDF("doc_id", "sh"),
+      maxDist, maxPieceFreq = Long.MaxValue).count()
+    assert(keptPairs == 0L, s"kept set must be Hamming-separated, found $keptPairs pairs")
+
+    // the stream's stored fingerprints are the dHash of the decoded
+    // images — the index is probeable by ANY later batch API consumer
+    val storedSh = ss.read.parquet(dest)
+      .select(col("doc_id"), col("sh")).as[(Long, Long)].collect().toMap
+    assert(storedSh == exp2.map(i => i -> fps(i)).toMap,
+      "stored fingerprints must equal the programmed dHash values")
+  }
+
   test("bm25IndexStream: appended postings + stats refresh probe identically to the direct scorer") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
