@@ -183,3 +183,86 @@ case class DHash64(pxCol: Expression, wCol: Expression,
     copy(pxCol = newFirst, wCol = newSecond, hCol = newThird,
       cCol = newFourth)
 }
+
+/** 64-bit audio fingerprint of a decoded sample array — the acoustic
+  * sibling of [[DHash64]], the one-band simplification of the Philips
+  * robust hash (Haitsma & Kalker 2002: sign of energy differences
+  * between consecutive frames survives transcoding, resampling, and
+  * level shifts — exactly what sample-byte equality doesn't). The
+  * array splits into 65 contiguous windows w(i) = ⌊i·65/n⌋ (every
+  * window non-empty for n ≥ 65); window energy e_w = Σ|v_i| (integer —
+  * portable to any SQL oracle); bit k is set iff e_{k+1} > e_k.
+  * Inputs with n < 65 (windows would alias) or null samples are null —
+  * the decode-or-drop convention of the Media family. One tight
+  * primitive pass via `doGenCode`: fingerprinting a 100 TB audio
+  * corpus is a map-only projection with zero exchanges.
+  */
+case class AudioHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_audiohash64(samples array<int>) — got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audiohash64"
+
+  override def nullSafeEval(s: Any): Any = {
+    val arr = s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n < 65) null
+    else {
+      val e = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        val v = arr.getInt(i).toLong
+        e(((i.toLong * 65L) / n).toInt) += (if (v < 0) -v else v)
+        i += 1
+      }
+      var fp = 0L; var k = 0
+      while (k < 64) {
+        if (e(k + 1) > e(k)) fp |= (1L << k)
+        k += 1
+      }
+      fp
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val n = ctx.freshName("n"); val e = ctx.freshName("e")
+      val i = ctx.freshName("i"); val v = ctx.freshName("v")
+      val k = ctx.freshName("k"); val fp = ctx.freshName("fp")
+      val bad = ctx.freshName("bad")
+      s"""
+         |final int $n = $s.numElements();
+         |if ($n < 65) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final long[] $e = new long[65];
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n && !$bad; $i++) {
+         |    if ($s.isNullAt($i)) { $bad = true; } else {
+         |      final long $v = (long) $s.getInt($i);
+         |      $e[(int) (((long) $i * 65L) / $n)] += ($v < 0L ? -$v : $v);
+         |    }
+         |  }
+         |  if ($bad) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    long $fp = 0L;
+         |    for (int $k = 0; $k < 64; $k++) {
+         |      if ($e[$k + 1] > $e[$k]) $fp |= (1L << $k);
+         |    }
+         |    ${ev.value} = $fp;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AudioHash64 =
+    copy(child = newChild)
+}

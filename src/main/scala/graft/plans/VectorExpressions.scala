@@ -574,6 +574,13 @@ object GraftExtensions {
           "graft_dhash64(pixels, width, height, channels) takes four arguments")
         DHash64(children.head, children(1), children(2), children(3))
       }),
+    (new FunctionIdentifier("graft_audiohash64"),
+      new ExpressionInfo(classOf[AudioHash64].getName, "graft_audiohash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_audiohash64(samples) takes exactly one argument")
+        AudioHash64(children.head)
+      }),
     (new FunctionIdentifier("graft_sum_uint"),
       new ExpressionInfo(classOf[SumBigUInt].getName, "graft_sum_uint"),
       (children: Seq[Expression]) => {

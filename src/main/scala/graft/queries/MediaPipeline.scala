@@ -318,6 +318,36 @@ object MediaPipeline {
         col("hamming").cast(LongType).as("hamming"))
       .orderBy(col("probe_id"), col("index_id"))
 
+  /** Acoustic near-dup pairs — the audio sibling of
+    * [[mediaPhashPairs]]: decode → native
+    * [[graft.plans.AudioHash64]] fingerprint (energy-envelope delta
+    * signs over 65 windows, the one-band Haitsma–Kalker robust-hash
+    * shape) → Hamming-≤3 pairs through the SAME uncapped pigeonhole
+    * core. Clips are 130-sample stubs so each of the 65 windows is
+    * exactly 2 samples — the windowing rule w = ⌊i·65/n⌋ restates in
+    * SQL as i // 2, which is what lets the whole path (decode math,
+    * integer |v| energies, delta-sign bits, Hamming count) hash-gate
+    * end to end like the image twin.
+    */
+  def mediaAudioPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    val clips = Tables.events(s, dir).select(col("event_id"))
+      .filter(col("event_id") % 50 === 0)
+      .as[Long].map(id => (id, Media.stubAudio(id, n = 130)))
+      .toDF("id", "payload")
+    val sig = Media.decodeAudio(clips)
+      .select(col("id").as("doc_id"),
+        call_function("graft_audiohash64", col("samples")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .localCheckpoint()
+    graft.operators.Dedup.hammingPairsOfSignatures(
+        sig, maxDist = 3, maxPieceFreq = Long.MaxValue)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast(LongType).as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
@@ -326,7 +356,8 @@ object MediaPipeline {
     "media_knn_ivf" -> (mediaKnnIvf _),
     "media_knn_ivf_auto" -> (mediaKnnIvfAuto _),
     "media_phash_pairs" -> (mediaPhashPairs _),
-    "media_phash_indexed" -> (mediaPhashIndexed _))
+    "media_phash_indexed" -> (mediaPhashIndexed _),
+    "media_audio_phash" -> (mediaAudioPhash _))
 
   /** The resized 4×4×3 pixel at flat index i (ch = i%3, x = (i/3)%4,
     * y = i/12) samples source pixel (2x, 2y) of the 8×8×3 stub image:
@@ -375,6 +406,27 @@ object MediaPipeline {
         |      GROUP BY a.id, b.id)
         |SELECT probe_id, index_id, CAST(hamming AS BIGINT) AS hamming
         |FROM p WHERE hamming <= 3 ORDER BY probe_id, index_id""".stripMargin,
+    // audio fingerprint from first principles: stub sample i of clip id
+    // is ((id·37 + i·11) mod 2048) − 1024 (16-bit BE roundtrip is
+    // exact); 130 samples → window w = i // 2 (the ⌊i·65/n⌋ rule at
+    // n = 130); energy = Σ|v|; bit k compares consecutive window
+    // energies; Hamming is the per-bit disagreement sum
+    "media_audio_phash" ->
+      """WITH ids AS (SELECT event_id AS id FROM events WHERE event_id % 50 = 0),
+        |v AS (SELECT id, i, ((id*37 + i*11) % 2048) - 1024 AS v
+        |      FROM ids, range(0, 130) t(i)),
+        |e AS (SELECT id, i // 2 AS w, SUM(ABS(v)) AS e
+        |      FROM v GROUP BY id, w),
+        |bits AS (SELECT a.id, a.w AS k,
+        |                CASE WHEN b2.e > a.e THEN 1 ELSE 0 END AS bit
+        |         FROM e a JOIN e b2 ON a.id = b2.id AND b2.w = a.w + 1
+        |         WHERE a.w < 64),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |             SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+        |      FROM bits a JOIN bits b ON a.k = b.k AND a.id < b.id
+        |      GROUP BY a.id, b.id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM p WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     "media_knn" ->
       """WITH ids AS (SELECT event_id AS id FROM events WHERE event_id % 40 = 0),
         |px AS (

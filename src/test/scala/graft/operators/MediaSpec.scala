@@ -431,6 +431,50 @@ class MediaSpec extends SparkSpec {
       s"phash pairs must cluster through connectedComponents: $comps")
   }
 
+  test("graft_audiohash64: energy-delta bits match hand computation; contract nulls; codegen'd") {
+    val ss = spark; import ss.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(ss)
+    // n = 65 → every window is ONE sample, so e_k = |v_k| and the
+    // bits are directly programmable from the sample magnitudes
+    def ah(vs: Seq[Integer]): Option[Long] =
+      Seq(Tuple1(vs)).toDF("samples")
+        .select(call_function("graft_audiohash64", col("samples")).as("ah"))
+        .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    def boxed(vs: Seq[Int]): Seq[Integer] = vs.map(Integer.valueOf)
+    val rising = boxed(0 to 64)
+    val falling = boxed((0 to 64).reverse)
+    val negRising = boxed((0 to 64).map(-_)) // |v| rises — abs decides
+    assert(ah(rising).contains(-1L), "rising magnitudes: all 64 bits")
+    assert(ah(falling).contains(0L), "falling magnitudes: no bits")
+    assert(ah(negRising).contains(-1L), "negative samples fingerprint on |v|")
+    // one dip at window 10 flips exactly the two comparisons it enters
+    val dip = (0 to 64).toArray; dip(10) = 0
+    val dipped = ah(boxed(dip.toSeq)).get
+    assert(java.lang.Long.bitCount(dipped ^ -1L) == 1 && ((dipped >> 9) & 1L) == 0L,
+      f"dip at window 10 clears exactly bit 9 (e10 > e9 fails): $dipped%016x")
+    // two samples per window (the 130-sample fixture shape): energies sum
+    val paired = boxed((0 to 64).flatMap(k => Seq(k, k))) // n=130, e_k = 2k
+    assert(ah(paired).contains(-1L), "window sums preserve the rising envelope")
+    // contract: too-short arrays and null samples are null, not garbage
+    assert(ah(boxed(0 to 63)).isEmpty, "n < 65 must be null")
+    assert(ah(boxed(0 to 63) :+ null.asInstanceOf[Integer]).isEmpty,
+      "null sample must be null")
+    // codegen contract: the fingerprint is one codegen'd map projection
+    // over the decoded frame (a literal array would constant-fold to a
+    // LocalTableScan and a transform()-built one rides a CodegenFallback
+    // HOF — the real decode subtree is the honest plan to assert on)
+    val clips = Seq((1L, Media.stubAudio(1L, n = 130)),
+        (2L, Media.stubAudio(2L, n = 130))).toDF("id", "payload")
+    val sigPlan = Media.decodeAudio(clips)
+      .select(call_function("graft_audiohash64", col("samples")).as("ah"))
+    assert(sigPlan.filter(col("ah").isNotNull).count() == 2,
+      "stub clips must fingerprint")
+    val plan = sigPlan.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("graft_audiohash64") && "\\*\\(\\d+\\)".r.findFirstIn(l).isDefined),
+      s"audiohash projection must be codegen'd:\n$plan")
+  }
+
   test("media_phash_pairs plan: the fingerprint is one codegen'd map projection") {
     // the query localCheckpoints the signature frame, so the dhash
     // projection is only visible in the signature-producing plan —
