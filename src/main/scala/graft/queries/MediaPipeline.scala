@@ -348,6 +348,78 @@ object MediaPipeline {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Temporal perceptual video near-dup — the clip-level rollup that
+    * completes the image ([[mediaPhashPairs]]) / audio
+    * ([[mediaAudioPhash]]) / video fingerprint triple: frame-sample
+    * every 2nd frame ([[graft.operators.Media.sampleFrames]]) →
+    * decode → canonical 9×8 resize → per-frame native dHash
+    * ([[graft.plans.DHash64]]) → ALIGNED-frame Hamming-≤3 matches
+    * through the SAME uncapped pigeonhole core → clips pair when ≥2
+    * of their 3 sampled frames match (the majority-of-sampled-frames
+    * rule of frame-fingerprint video dedup). Candidate generation
+    * stays the banded equi-join (never O(n²)); frame alignment is an
+    * exact post-filter on the composite key — a cross-frame piece
+    * collision only adds a candidate the filter removes, and at
+    * production scale the band key would fold frame_index in (same
+    * on-disk layout, one more partition column) — the composite-key
+    * form keeps the shared
+    * [[graft.operators.Dedup.hammingPairsOfSignatures]] core
+    * unchanged.
+    *
+    * HASH-GATED end to end like its siblings: VID0 frame f of clip id
+    * carries stubImage(id·1000+f, 8×8×3) pixels — the image fixture's
+    * stub shape — so container walk, decode bytes, the resize index
+    * map, integer-mean grayscale, gradient-sign bits, per-frame
+    * Hamming counts, and the ≥2-frame rollup all restate in portable
+    * SQL (the per-frame CTE is [[mediaPhashPairs]]'s with
+    * id → id·1000+f).
+    */
+  def mediaVideoPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // 8×8×3 frames — the image fixture's stub shape, whose dHash is
+    // proven discriminative ([[mediaPhashPairs]]); the 4×4×1 default
+    // is too small for gradient-sign separation (adjacent resized
+    // pixels mostly sample the SAME source pixel, so nearly all bits
+    // tie at 0 and unrelated clips land within any Hamming budget)
+    val vids = Tables.events(s, dir).select(col("event_id"))
+      .filter(col("event_id") % 120 === 0)
+      .as[Long].map(id => (id, Media.stubVideo(id, frames = 6, w = 8, h = 8, c = 3)))
+      .toDF("id", "payload")
+    videoPhashPairsOf(vids).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The clip-pairing core behind [[mediaVideoPhash]] over any
+    * `(id, payload)` video frame: sampled frames must stay < 10 for
+    * the composite key (every fixture and the spec's planted clips
+    * are ≤ 6 frames). Spec-exercised directly on planted
+    * identical / partially-overlapping / disjoint clips.
+    */
+  private[graft] def videoPhashPairsOf(vids: DataFrame, stride: Int = 2,
+                                       maxDist: Int = 3,
+                                       minFrames: Int = 2): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(vids.sparkSession)
+    // composite doc_id = clip·10 + frame survives the single-id
+    // decode/resize stages (frame_index < 10 by the 6-frame fixture);
+    // 8 bytes/frame, feeds both self-join sides of the pair core —
+    // the simhashPairsOfTokens materialization rationale
+    val frames = Media.sampleFrames(vids, stride)
+      .select((col("id") * 10 + col("frame_index")).as("key"), col("payload"))
+    val sig = Media.resizeImages(Media.decodeImages(frames, idCol = "key"), 9, 8)
+      .select(col("id").as("doc_id"),
+        call_function("graft_dhash64", col("pixels"), col("width"),
+          col("height"), col("channels")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .localCheckpoint()
+    graft.operators.Dedup.hammingPairsOfSignatures(
+        sig, maxDist, maxPieceFreq = Long.MaxValue)
+      // aligned frames only; same frame ⇒ distinct clips (id_a < id_b)
+      .filter(col("id_a") % 10 === col("id_b") % 10)
+      .groupBy((col("id_a") / 10).cast(LongType).as("id_a"),
+        (col("id_b") / 10).cast(LongType).as("id_b"))
+      .agg(count(lit(1)).as("frames_matched"))
+      .filter(col("frames_matched") >= minFrames)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
@@ -357,7 +429,8 @@ object MediaPipeline {
     "media_knn_ivf_auto" -> (mediaKnnIvfAuto _),
     "media_phash_pairs" -> (mediaPhashPairs _),
     "media_phash_indexed" -> (mediaPhashIndexed _),
-    "media_audio_phash" -> (mediaAudioPhash _))
+    "media_audio_phash" -> (mediaAudioPhash _),
+    "media_video_phash" -> (mediaVideoPhash _))
 
   /** The resized 4×4×3 pixel at flat index i (ch = i%3, x = (i/3)%4,
     * y = i/12) samples source pixel (2x, 2y) of the 8×8×3 stub image:
@@ -427,6 +500,30 @@ object MediaPipeline {
         |      GROUP BY a.id, b.id)
         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
         |FROM p WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    // video near-dup from first principles: sampled frame f ∈ {0,2,4}
+    // of clip id carries stubImage(id·1000+f, 8×8×3) pixels, so the
+    // per-frame dHash restates exactly like the image twin with
+    // id → id·1000+f, then clips roll up on ≥2 matched aligned frames
+    "media_video_phash" ->
+      """WITH ids AS (SELECT event_id AS id FROM events WHERE event_id % 120 = 0),
+        |fr AS (SELECT id, f FROM ids, (VALUES (0), (2), (4)) tf(f)),
+        |g AS (SELECT id, f, x, y,
+        |        ( (((id*1000 + f)*31 + ((y*8 + (x*8)//9)*3 + 0)*7) % 256)
+        |        + (((id*1000 + f)*31 + ((y*8 + (x*8)//9)*3 + 1)*7) % 256)
+        |        + (((id*1000 + f)*31 + ((y*8 + (x*8)//9)*3 + 2)*7) % 256) ) // 3 AS gray
+        |      FROM fr, range(0, 9) tx(x), range(0, 8) ty(y)),
+        |bits AS (SELECT a.id, a.f, a.y*8 + a.x AS k,
+        |                CASE WHEN b2.gray > a.gray THEN 1 ELSE 0 END AS bit
+        |         FROM g a JOIN g b2 ON a.id = b2.id AND a.f = b2.f
+        |                           AND b2.y = a.y AND b2.x = a.x + 1
+        |         WHERE a.x < 8),
+        |fp AS (SELECT a.id AS id_a, b.id AS id_b,
+        |              SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+        |       FROM bits a JOIN bits b ON a.k = b.k AND a.f = b.f AND a.id < b.id
+        |       GROUP BY a.id, b.id, a.f)
+        |SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS frames_matched
+        |FROM fp WHERE hamming <= 3
+        |GROUP BY id_a, id_b HAVING COUNT(*) >= 2 ORDER BY id_a, id_b""".stripMargin,
     "media_knn" ->
       """WITH ids AS (SELECT event_id AS id FROM events WHERE event_id % 40 = 0),
         |px AS (

@@ -494,4 +494,37 @@ class MediaSpec extends SparkSpec {
         l.contains("graft_dhash64") && "\\*\\(\\d+\\)".r.findFirstIn(l).isDefined),
       s"dhash projection must be codegen'd:\n$executed")
   }
+
+  test("media_video_phash: aligned-frame rollup pairs clips on >=2 sampled-frame matches") {
+    val ss = spark; import ss.implicits._
+    def img(seed: Long) = Media.stubImage(seed, 8, 8, 3)
+    // pixel inversion flips every strict gradient sign — far in
+    // Hamming by construction (the media_phash_pairs spec idiom),
+    // unlike a different SEED, whose structured stub bytes can land
+    // near any other seed's gradient pattern
+    def inv(p: Array[Byte]): Array[Byte] =
+      p.take(9) ++ p.drop(9).map(b => (255 - (b & 0xff)).toByte)
+    def vid(frames: Seq[Array[Byte]]): Array[Byte] =
+      Media.VideoMagic ++ Array(((frames.size >> 8) & 0xff).toByte,
+        (frames.size & 0xff).toByte) ++ frames.flatten.toArray
+    // 6-frame clips, stride 2 samples frames {0, 2, 4}: A == B on all
+    // frames; C shares sampled frames 0 and 2 with A (2-of-3 — pairs);
+    // D shares only sampled frame 0 (1-of-3 — must NOT pair)
+    val fA = (0 until 6).map(f => img(5000L + f))
+    val clips = Seq(
+      (1L, vid(fA)),
+      (2L, vid(fA)),
+      (3L, vid(fA.take(4) ++ fA.slice(4, 6).map(inv))),
+      (4L, vid(fA.take(1) ++ fA.slice(1, 6).map(inv))))
+      .toDF("id", "payload")
+    val got = graft.queries.MediaPipeline.videoPhashPairsOf(clips)
+      .select("id_a", "id_b", "frames_matched")
+      .as[(Long, Long, Long)].collect().toSet
+    // C and D additionally share sampled frame 4 (both inverted-A) on
+    // top of frame 0, so the rollup keeps (3,4) at exactly 2 — a
+    // second 2-of-3 pair from a different frame combination
+    assert(got == Set((1L, 2L, 3L), (1L, 3L, 2L), (2L, 3L, 2L), (3L, 4L, 2L)),
+      s"expected identical clips at 3 matched frames, both 2-of-3 overlaps at 2, " +
+        s"and no pair for the 1-of-3 combinations: $got")
+  }
 }
