@@ -239,19 +239,43 @@ object StreamRehearsal {
       println(s"""{"metric":"stream_state","scenario":"$label","docs":${acct.getLong(0)},"tokens_removed":${acct.getLong(1)},"input":${arrivals.count()},"grams_bytes":${fsSize(spark, gramsDir)}}""")
     }
 
-    // ---- 7. phashDedupStream over ×R stub images -------------------
+    // ---- 7. phashDedupStream over ×R diverse images -----------------
     // the perceptual-image firewall (round-15): unseeded start, waves
-    // split by image id. Payloads are the deterministic IMG0 stubs
-    // with id/160 as the pixel seed, so every 4-id run is an exact-dup
-    // family — the probe gets real cross-wave hits, not just misses.
+    // split by image id. Payloads use a splitmix64 pixel function, NOT
+    // stubImage: the stub's `seed·31 + i·7` makes every image a
+    // UNIFORM BYTE SHIFT of every other, so gradient signs differ only
+    // at mod-256 wrap positions — 16 of the 32 seed classes land
+    // within Hamming 3 of a neighbor, the class graph connects, and
+    // the transitive firewall collapses the whole corpus to ONE keeper
+    // (measured: kept=1 of 25,000 — flat waves against a 1-row index
+    // prove nothing). Mixed pixels separate classes cleanly (min
+    // cross-class distance 12 over 400 seeds, zero accidental ≤3);
+    // seed = id/160 keeps 4-id exact-dup families, and every 5th seed
+    // carries an EDITED copy (one channel bumped) of the previous
+    // seed's image — a planted near-dup (distance ≤2), so the probe
+    // gets real within-radius cross-wave hits, not just exact ones.
     // State is the on-disk Hamming band index only; the scale claim
     // is per-wave wall staying batch-bound (decode + dHash are
-    // map-side; the probe prunes to ≤64 parts) as the index grows.
+    // map-side; the probe prunes to ≤64 parts) as the index GROWS
+    // (~4/5·families admitted, not a degenerate singleton).
     label = "phash_dedup_stream"
     if (wanted(label)) locally {
+      def mix(z0: Long): Long = {
+        var z = z0 * 0x9E3779B97F4A7C15L
+        z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+        z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      def imgOf(seed: Long): Array[Byte] = {
+        val base = if (seed % 5 == 4) seed - 1 else seed
+        val px = Array.tabulate(8 * 8 * 3)(i => (mix(base * 192 + i) & 0xff).toByte)
+        if (seed % 5 == 4) px(60) = ((px(60) & 0xff) + 120).toByte
+        graft.operators.Media.ImageMagic ++
+          Array[Byte](0, 8, 0, 8, 3) ++ px
+      }
       val imgs = spark.read.parquet(s"$fixture/events.parquet")
         .select(col("event_id").as("id")).filter(col("id") % 40 === 0)
-        .as[Long].map(id => (id, graft.operators.Media.stubImage(id / 160)))
+        .as[Long].map(id => (id, imgOf(id / 160)))
         .toDF("id", "payload")
         .localCheckpoint()
       val src = s"$work/ph_src"; val idx = s"$work/ph_idx"
