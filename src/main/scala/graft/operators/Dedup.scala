@@ -1092,34 +1092,47 @@ object Dedup {
     * (see [[simhashPairs]]).
     */
   def hammingPairsOfSignatures(sh: DataFrame, maxDist: Int = 3,
-                               maxPieceFreq: Long = 1000L): DataFrame = {
+                               maxPieceFreq: Long = 1000L,
+                               alignCols: Seq[String] = Nil): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    val banded0 = hammingBanded(sh, maxDist)
+    val banded0 = hammingBanded(sh, maxDist, alignCols)
 
+    // `alignCols` extend EVERY blocking key (band join, frequency
+    // caps) and the final pair rollup: pairs form only within an
+    // alignment group, and the returned frame carries the group — the
+    // temporal-video shape (align on frame index: clips compare
+    // frame-for-frame, and a piece shared by MISALIGNED frames never
+    // becomes a candidate, so the exchange volume stays per-frame at
+    // any stride). Nil (the default) is the plain signature sweep.
     def pairsOf(banded: DataFrame, keys: Seq[String]): DataFrame = {
-      val aCols = keys.map(col) :+ col("doc_id").as("id_a") :+ col("sh").as("sh_a")
-      val bCols = keys.map(col) :+ col("doc_id").as("id_b") :+ col("sh").as("sh_b")
+      val jKeys = alignCols ++ keys
+      val aCols = jKeys.map(col) :+ col("doc_id").as("id_a") :+ col("sh").as("sh_a")
+      val bCols = jKeys.map(col) ++
+        Seq(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       val l = banded.select(aCols: _*)
       val r = banded.select(bCols: _*)
       // Pinned shuffled self-join — see minhashCandidates.
-      l.hint("shuffle_hash").join(r, keys).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      l.hint("shuffle_hash").join(r, jKeys).filter(col("id_a") < col("id_b"))
+        .select(alignCols.map(col) ++ Seq(col("id_a"), col("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming")): _*)
         .filter(col("hamming") <= maxDist)
     }
+    def freqKeys(keys: Seq[String]): Seq[Column] = (alignCols ++ keys).map(col)
 
     val candidates =
       if (maxPieceFreq == Long.MaxValue) pairsOf(banded0, Seq("chunk", "piece"))
       else {
-        val freq = banded0.groupBy(col("chunk"), col("piece"))
+        val freq = banded0.groupBy(freqKeys(Seq("chunk", "piece")): _*)
           .agg(count(lit(1)).as("__f"))
         val cold = banded0.join(
-          freq.filter(col("__f") <= maxPieceFreq).select("chunk", "piece"),
-          Seq("chunk", "piece"), "left_semi")
+          freq.filter(col("__f") <= maxPieceFreq)
+            .select(freqKeys(Seq("chunk", "piece")): _*),
+          alignCols ++ Seq("chunk", "piece"), "left_semi")
         val hot = banded0.join(
-          freq.filter(col("__f") > maxPieceFreq).select("chunk", "piece"),
-          Seq("chunk", "piece"), "left_semi")
+          freq.filter(col("__f") > maxPieceFreq)
+            .select(freqKeys(Seq("chunk", "piece")): _*),
+          alignCols ++ Seq("chunk", "piece"), "left_semi")
         // Complement of chunk c's bit range: high bits shifted down
         // into place, OR'd with the untouched low bits — a
         // (64−bitsPer)-bit value whose sub-chunks partition every bit
@@ -1131,20 +1144,22 @@ object Dedup {
           col("chunk") * bitsPer)
           .bitwiseOR(col("sh").bitwiseAND(lowMask))
         val subBanded0 = hot.withColumn("__rest", rest)
-          .select(col("doc_id"), col("sh"), col("chunk"), col("piece"),
+          .select(alignCols.map(col) ++ Seq(col("doc_id"), col("sh"),
+            col("chunk"), col("piece"),
             posexplode(transform(sequence(lit(0), lit(chunks - 1)), sc =>
               call_function("shiftrightunsigned", col("__rest"), sc * subBits)
-                .bitwiseAND(lit((1L << subBits) - 1)))))
+                .bitwiseAND(lit((1L << subBits) - 1))))): _*)
           .withColumnRenamed("pos", "subchunk").withColumnRenamed("col", "subpiece")
         val subKept = subBanded0.join(
-          subBanded0.groupBy(col("chunk"), col("piece"), col("subchunk"), col("subpiece"))
+          subBanded0.groupBy(freqKeys(Seq("chunk", "piece", "subchunk", "subpiece")): _*)
             .agg(count(lit(1)).as("__f")).filter(col("__f") <= maxPieceFreq)
-            .select("chunk", "piece", "subchunk", "subpiece"),
-          Seq("chunk", "piece", "subchunk", "subpiece"), "left_semi")
+            .select(freqKeys(Seq("chunk", "piece", "subchunk", "subpiece")): _*),
+          alignCols ++ Seq("chunk", "piece", "subchunk", "subpiece"), "left_semi")
         pairsOf(cold, Seq("chunk", "piece"))
           .unionByName(pairsOf(subKept, Seq("chunk", "piece", "subchunk", "subpiece")))
       }
-    candidates.groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+    candidates.groupBy((alignCols :+ "id_a").map(col) :+ col("id_b"): _*)
+      .agg(min("hamming").as("hamming"))
   }
 
   /** Pigeonhole chunk/piece rows of a 64-bit signature frame
@@ -1156,13 +1171,14 @@ object Dedup {
     * sides of any (index, probe) comparison band through this exact
     * expression.
     */
-  private def hammingBanded(sh: DataFrame, maxDist: Int): DataFrame = {
+  private def hammingBanded(sh: DataFrame, maxDist: Int,
+                            alignCols: Seq[String] = Nil): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    sh.select(col("doc_id"), col("sh"),
+    sh.select(alignCols.map(col) ++ Seq(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
         call_function("shiftright", col("sh"), c * bitsPer)
-          .bitwiseAND(lit((1L << bitsPer) - 1)))))
+          .bitwiseAND(lit((1L << bitsPer) - 1))))): _*)
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
   }
 

@@ -357,14 +357,12 @@ object MediaPipeline {
     * through the SAME uncapped pigeonhole core → clips pair when ≥2
     * of their 3 sampled frames match (the majority-of-sampled-frames
     * rule of frame-fingerprint video dedup). Candidate generation
-    * stays the banded equi-join (never O(n²)); frame alignment is an
-    * exact post-filter on the composite key — a cross-frame piece
-    * collision only adds a candidate the filter removes, and at
-    * production scale the band key would fold frame_index in (same
-    * on-disk layout, one more partition column) — the composite-key
-    * form keeps the shared
-    * [[graft.operators.Dedup.hammingPairsOfSignatures]] core
-    * unchanged.
+    * stays the banded equi-join (never O(n²)), with the frame index
+    * an ALIGNMENT KEY of the band join itself
+    * ([[graft.operators.Dedup.hammingPairsOfSignatures]]'s
+    * `alignCols`): pieces shared by misaligned frames never become
+    * candidates, so exchange volume stays per-frame at any stride
+    * count — not stride× inflated by cross-frame collisions.
     *
     * HASH-GATED end to end like its siblings: VID0 frame f of clip id
     * carries stubImage(id·1000+f, 8×8×3) pixels — the image fixture's
@@ -398,24 +396,27 @@ object MediaPipeline {
                                        maxDist: Int = 3,
                                        minFrames: Int = 2): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(vids.sparkSession)
-    // composite doc_id = clip·10 + frame survives the single-id
-    // decode/resize stages (frame_index < 10 by the 6-frame fixture);
-    // 8 bytes/frame, feeds both self-join sides of the pair core —
-    // the simhashPairsOfTokens materialization rationale
+    // composite key = clip·10 + frame survives the single-id
+    // decode/resize stages (frame_index < 10 by the 6-frame fixture),
+    // then splits back into (doc_id = clip, frame); 8 bytes + frame
+    // per row, feeds both self-join sides of the pair core — the
+    // simhashPairsOfTokens materialization rationale
     val frames = Media.sampleFrames(vids, stride)
       .select((col("id") * 10 + col("frame_index")).as("key"), col("payload"))
     val sig = Media.resizeImages(Media.decodeImages(frames, idCol = "key"), 9, 8)
-      .select(col("id").as("doc_id"),
+      .select((col("id") / 10).cast(LongType).as("doc_id"),
+        (col("id") % 10).as("frame"),
         call_function("graft_dhash64", col("pixels"), col("width"),
           col("height"), col("channels")).as("sh"))
       .filter(col("sh").isNotNull)
       .localCheckpoint()
+    // frame is an ALIGNMENT key of the banded join itself (pieces
+    // shared by misaligned frames never become candidates — the
+    // per-frame exchange volume the scaladoc promises at stride
+    // counts beyond a fixture's); same frame ⇒ distinct clips
     graft.operators.Dedup.hammingPairsOfSignatures(
-        sig, maxDist, maxPieceFreq = Long.MaxValue)
-      // aligned frames only; same frame ⇒ distinct clips (id_a < id_b)
-      .filter(col("id_a") % 10 === col("id_b") % 10)
-      .groupBy((col("id_a") / 10).cast(LongType).as("id_a"),
-        (col("id_b") / 10).cast(LongType).as("id_b"))
+        sig, maxDist, maxPieceFreq = Long.MaxValue, alignCols = Seq("frame"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("frames_matched"))
       .filter(col("frames_matched") >= minFrames)
   }

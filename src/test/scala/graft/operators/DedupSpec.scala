@@ -441,4 +441,29 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("hammingPairsOfSignatures alignCols: pairs form within a group only; caps count per group") {
+    val ss = spark; import ss.implicits._
+    // identical 64-bit signatures across two alignment groups: a
+    // global sweep would pair all of them; the aligned sweep must
+    // never emit a cross-group pair even at distance 0
+    val sh = Seq((1L, 0L, 0x0F0FL), (2L, 0L, 0x0F0FL), (5L, 0L, 0x0F0FL),
+      (3L, 1L, 0x0F0FL), (4L, 1L, 0x0F0FL)).toDF("doc_id", "g", "sh")
+    val exact = Dedup.hammingPairsOfSignatures(sh, maxDist = 3,
+        maxPieceFreq = Long.MaxValue, alignCols = Seq("g"))
+      .select("g", "id_a", "id_b", "hamming")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(exact == Set((0L, 1L, 2L, 0), (0L, 1L, 5L, 0), (0L, 2L, 5L, 0),
+      (1L, 3L, 4L, 0)), s"cross-group ids must never pair: $exact")
+    // piece frequencies must count WITHIN the group: at cap 2 the
+    // 3-member group 0 goes hot (and its identical sigs die on the
+    // sub-band cap too), while group 1 (freq 2 <= cap) keeps its pair;
+    // a GLOBAL freq (5 > 2) would wrongly kill group 1 as well
+    val capped = Dedup.hammingPairsOfSignatures(sh, maxDist = 3,
+        maxPieceFreq = 2L, alignCols = Seq("g"))
+      .select("g", "id_a", "id_b", "hamming")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(capped == Set((1L, 3L, 4L, 0)),
+      s"per-group capping must spare the under-cap group: $capped")
+  }
 }
