@@ -1093,7 +1093,8 @@ object Dedup {
     */
   def hammingPairsOfSignatures(sh: DataFrame, maxDist: Int = 3,
                                maxPieceFreq: Long = 1000L,
-                               alignCols: Seq[String] = Nil): DataFrame = {
+                               alignCols: Seq[String] = Nil,
+                               pairParts: Int = 0): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
     val banded0 = hammingBanded(sh, maxDist, alignCols)
@@ -1105,18 +1106,34 @@ object Dedup {
     // frame-for-frame, and a piece shared by MISALIGNED frames never
     // becomes a candidate, so the exchange volume stays per-frame at
     // any stride). Nil (the default) is the plain signature sweep.
-    def pairsOf(banded: DataFrame, keys: Seq[String]): DataFrame = {
+    // `pairParts > 0` is the scale-adaptive exchange width (the
+    // ngramJaccardPairsOfTokens / Corpus.prepare rule): the banded
+    // frame repartitions on the band keys BEFORE the self-join and
+    // the candidate stream hashes to (align…, id_a, id_b) before the
+    // rollup, so the rollup's aggregation fuses onto that exchange.
+    // At the default width the ×30 uncapped image sweep's 88M-pair
+    // candidate stream spilled 33 GB through 32 sort/agg tasks;
+    // width spreads band buckets and pair groups across tasks —
+    // never the answer (DedupSpec pins width-invariance), only the
+    // task grid. The 0 path keeps small fixtures' exact plans.
+    def pairsOf(banded0: DataFrame, keys: Seq[String]): DataFrame = {
       val jKeys = alignCols ++ keys
+      val banded = if (pairParts > 0)
+        banded0.repartition(pairParts, jKeys.map(col): _*) else banded0
       val aCols = jKeys.map(col) :+ col("doc_id").as("id_a") :+ col("sh").as("sh_a")
       val bCols = jKeys.map(col) ++
         Seq(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       val l = banded.select(aCols: _*)
       val r = banded.select(bCols: _*)
       // Pinned shuffled self-join — see minhashCandidates.
-      l.hint("shuffle_hash").join(r, jKeys).filter(col("id_a") < col("id_b"))
+      val joined = l.hint("shuffle_hash").join(r, jKeys)
+        .filter(col("id_a") < col("id_b"))
         .select(alignCols.map(col) ++ Seq(col("id_a"), col("id_b"),
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming")): _*)
         .filter(col("hamming") <= maxDist)
+      if (pairParts > 0)
+        joined.repartition(pairParts, (alignCols ++ Seq("id_a", "id_b")).map(col): _*)
+      else joined
     }
     def freqKeys(keys: Seq[String]): Seq[Column] = (alignCols ++ keys).map(col)
 

@@ -252,10 +252,25 @@ object MediaPipeline {
     // simhashPairsOfTokens materialization rationale, same idiom
     val sig = phashSigs(s, dir).localCheckpoint()
     graft.operators.Dedup.hammingPairsOfSignatures(
-        sig, maxDist = 3, maxPieceFreq = Long.MaxValue)
+        sig, maxDist = 3, maxPieceFreq = Long.MaxValue,
+        pairParts = hammingWidth(s, sig))
       .select(col("id_a"), col("id_b"),
         col("hamming").cast(LongType).as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Scale-adaptive exchange width for the uncapped Hamming sweeps —
+    * the ngramPairs05 / Corpus.prepare rule (~1 partition per 250
+    * signatures ≈ 1 per 1000 banded rows, session width as floor,
+    * 4096 cap): at the session default the ×30 image sweep's 88M-pair
+    * candidate stream spilled 33 GB through 32 sort/agg tasks; width
+    * is plan-only (DedupSpec pins width-invariance of the results).
+    * The count reads the localCheckpointed signature frame — one
+    * cheap bounded job per query call.
+    */
+  private def hammingWidth(s: SparkSession, sig: DataFrame): Int = {
+    val derived = math.min(4096L, sig.count() / 250L).toInt
+    if (derived > s.sessionState.conf.numShufflePartitions) derived else 0
   }
 
   /** The shared decode → 9×8 resize → native dHash fingerprint frame
@@ -329,7 +344,24 @@ object MediaPipeline {
     * integer |v| energies, delta-sign bits, Hamming count) hash-gate
     * end to end like the image twin.
     */
-  def mediaAudioPhash(s: SparkSession, dir: String): DataFrame = {
+  def mediaAudioPhash(s: SparkSession, dir: String): DataFrame =
+    audioPhashPairsOf(s, dir, maxPieceFreq = Long.MaxValue)
+
+  /** [[mediaAudioPhash]] with the piece-frequency cap exposed. The
+    * GATED query runs UNCAPPED (exact by the pigeonhole theorem — the
+    * hash gate's requirement) and is safe at every gate scale; but
+    * energy-envelope hashes are the family's LOW-ENTROPY member, and
+    * on a corpus whose envelopes cluster the uncapped sweep is
+    * output-bound BY CONSTRUCTION, not by plan: the ×30 rehearsal
+    * fixture collapses to 128 distinct fingerprints over 60k clips
+    * (the sawtooth stub's envelope), making the true pair output
+    * 1.1×10⁸ rows from 1.7×10⁹ candidates. Production corpora with
+    * clustered fingerprints run the capped default (the
+    * [[graft.operators.Dedup.simhashPairs]] recall-seam trade, same
+    * knob) — the ×R rehearsal measures this form.
+    */
+  private[graft] def audioPhashPairsOf(s: SparkSession, dir: String,
+                                       maxPieceFreq: Long): DataFrame = {
     import s.implicits._
     graft.plans.GraftExtensions.ensureRegistered(s)
     val clips = Tables.events(s, dir).select(col("event_id"))
@@ -342,7 +374,8 @@ object MediaPipeline {
       .filter(col("sh").isNotNull)
       .localCheckpoint()
     graft.operators.Dedup.hammingPairsOfSignatures(
-        sig, maxDist = 3, maxPieceFreq = Long.MaxValue)
+        sig, maxDist = 3, maxPieceFreq = maxPieceFreq,
+        pairParts = hammingWidth(s, sig))
       .select(col("id_a"), col("id_b"),
         col("hamming").cast(LongType).as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
@@ -415,7 +448,8 @@ object MediaPipeline {
     // per-frame exchange volume the scaladoc promises at stride
     // counts beyond a fixture's); same frame ⇒ distinct clips
     graft.operators.Dedup.hammingPairsOfSignatures(
-        sig, maxDist, maxPieceFreq = Long.MaxValue, alignCols = Seq("frame"))
+        sig, maxDist, maxPieceFreq = Long.MaxValue, alignCols = Seq("frame"),
+        pairParts = hammingWidth(vids.sparkSession, sig))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("frames_matched"))
       .filter(col("frames_matched") >= minFrames)

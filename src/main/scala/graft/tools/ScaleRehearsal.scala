@@ -197,6 +197,14 @@ object ScaleRehearsal {
       // (round-15): same probes/corpus/k, quantizer forced flat
       "media_knn_ivf_auto_flat" -> ((s, dir) =>
         graft.queries.MediaPipeline.mediaKnnIvfAutoFlat(s, dir)),
+      // the production config for low-entropy fingerprint corpora
+      // (round-15): the ×30 audio fixture collapses to 128 distinct
+      // fingerprints over 60k clips, so the UNCAPPED gate sweep's
+      // true output is 1.1e8 pairs — output-bound by construction;
+      // this capped form is what a clustered corpus runs
+      "media_audio_phash_capped" -> ((s, dir) =>
+        graft.queries.MediaPipeline.audioPhashPairsOf(s, dir,
+          maxPieceFreq = 1000L)),
       // two-level quantizer forced ON for the embeddings corpus (its
       // auto k sits just under the production threshold at ×30) —
       // the hier-vs-flat mechanics A/B on a genuinely continuous

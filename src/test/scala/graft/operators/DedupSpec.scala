@@ -466,4 +466,22 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((1L, 3L, 4L, 0)),
       s"per-group capping must spare the under-cap group: $capped")
   }
+
+  test("hammingPairsOfSignatures pairParts: width changes the task grid, never the pairs") {
+    val ss = spark; import ss.implicits._
+    // 4-id families, one member a single bit off its family (near-dup)
+    val sh = (1L to 40L).map(i => (i, (i / 4) * 64 + (if (i % 4 == 0) 1L else 0L)))
+      .toDF("doc_id", "sh")
+    def run(w: Int, cap: Long) = Dedup.hammingPairsOfSignatures(
+        sh, maxDist = 3, maxPieceFreq = cap, pairParts = w)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val base = run(0, Long.MaxValue)
+    assert(base.nonEmpty && base.exists(_._3 > 0),
+      s"fixture must produce exact AND near pairs: $base")
+    for (w <- Seq(7, 64); cap <- Seq(Long.MaxValue, 3L)) {
+      assert(run(w, cap) == run(0, cap),
+        s"pairParts=$w must be plan-only at cap=$cap")
+    }
+  }
 }
