@@ -873,6 +873,47 @@ object Similarity {
       kmeansCentroidsAuto(corpus.select(col(vecCol)), maxIter, seed, vecCol),
       eps, corpusId, vecCol)
 
+  /** Semantic (embedding-level) cross-split decontamination — the
+    * embedding sibling of the n-gram family ([[graft.operators
+    * .Decontam]]): a training document is DROPPED when its embedding
+    * sits within cosine `eps` of ANY holdout (benchmark/eval)
+    * document — the paraphrase leak the verbatim k-gram and winnow
+    * filters can't see. Returns one row per corpus vector:
+    * `(idCol, nearest_holdout, max_cos, kept)` with
+    * `kept = max_cos < eps` — the caller filters or audits.
+    *
+    * Scale shape: the holdout side is DRIVER-SIZED BY CONSTRUCTION
+    * (an eval set is thousands of rows where the corpus is billions —
+    * the same boundedness argument as the coarse quantizer), so it
+    * collects once and scores through the native codegen'd
+    * [[graft.plans.IvfAssign]] — nearest holdout (max cosine, ties →
+    * higher id) is a pure MAP over the corpus, and the one broadcast
+    * join that recovers the winning cosine value is map-side too:
+    * ZERO corpus-side exchanges at any corpus size. `max_cos` is
+    * micro-rounded to 6dp BEFORE the eps comparison (the engine's
+    * cross-engine boundary convention).
+    */
+  def semanticDecontam(corpus: DataFrame, holdout: DataFrame, eps: Double,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val rows = holdout.select(col(idCol).cast("long"), col(vecCol)).collect()
+    require(rows.nonEmpty, "semanticDecontam: empty holdout")
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Float](1).toArray)
+    val nearest = element_at(ColumnBridge.column(graft.plans.IvfAssign(
+      ColumnBridge.expression(col(vecCol)), ids, vecs, 1)), 1)
+    val hFrame = holdout.select(col(idCol).as("nearest_holdout"),
+      col(vecCol).as("__hv"), norm(col(vecCol)).as("__hn"))
+    graft.Tables.spread(corpus)
+      .select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"),
+        nearest.as("nearest_holdout"))
+      .join(broadcast(hFrame), Seq("nearest_holdout"))
+      .select(col(idCol), col("nearest_holdout"),
+        round(cosineWithNorms(col("__v"), col("__hv"),
+          col("__n"), col("__hn")), 6).as("max_cos"))
+      .withColumn("kept", col("max_cos") < lit(eps))
+  }
+
   /** [[semanticDedup]] plus a release handle that unpersists the
     * staged scored frame — repeated callers (the streaming twin runs
     * this once per micro-batch) must release after materializing the

@@ -928,6 +928,22 @@ object TextPipeline {
       col("vec_id"), col("embedding"), col("label"), threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Semantic cross-split decontamination over the embeddings table:
+    * every 97th vector plays the holdout (benchmark) split, the rest
+    * the training corpus; a training vector is flagged dropped when
+    * its cosine to the nearest holdout vector reaches 0.8. HASH-GATED
+    * end to end — nearest-holdout argmax (incl. the higher-id tie
+    * rule of [[graft.plans.IvfAssign]]), the 6dp cosine rounding, and
+    * the kept flag all restate in SQL.
+    */
+  def semanticDecontamQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.semanticDecontam(
+        emb.filter(col("vec_id") % 97 =!= 0),
+        emb.filter(col("vec_id") % 97 === 0), eps = 0.8)
+      .orderBy(col("vec_id"))
+  }
+
   /** SemDeDup over the embeddings table with a DETERMINISTIC coarse
     * quantizer (the first 8 vectors as centroids) so the WHOLE
     * decision — assignment argmax incl. the higher-id tie rule,
@@ -1179,6 +1195,7 @@ object TextPipeline {
     "knn_lsh_exact" -> (knnLshExact _),
     "knn_ivf_exact" -> (knnIvfExact _),
     "embed_neardup" -> (embedNeardup _),
+    "semantic_decontam" -> (semanticDecontamQ _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_dist" -> (dedupComponentsDist _),
     "embed_quant" -> (embedQuant _),
@@ -1987,5 +2004,25 @@ object TextPipeline {
          |             ELSE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) END, 6) AS cos
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT block, id_a, id_b, cos FROM p WHERE cos >= 0.4
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin,
+    // nearest-holdout argmax restated: ranked on the RAW double
+    // cosine with ties -> HIGHER holdout id (exactly the IvfAssign
+    // comparator — the sequential double fold is IEEE-identical
+    // across engines, the qmScoreSql convention), 6dp-rounded only at
+    // the output and the eps comparison (the engine's boundary rule)
+    "semantic_decontam" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |h AS (SELECT vec_id AS hid, v AS hv, nrm AS hn FROM e WHERE vec_id % 97 = 0),
+         |c AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % 97 <> 0),
+         |s AS (SELECT c.vec_id, h.hid,
+         |  CASE WHEN c.nrm * h.hn = 0 THEN 0.0
+         |       ELSE ${dotSql("c.v", "h.hv")} / (c.nrm * h.hn) END AS cos_raw
+         |  FROM c, h),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                   ORDER BY cos_raw DESC, hid DESC) AS rn
+         |      FROM s)
+         |SELECT vec_id, hid AS nearest_holdout, round(cos_raw, 6) AS max_cos,
+         |       round(cos_raw, 6) < 0.8 AS kept
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
 }

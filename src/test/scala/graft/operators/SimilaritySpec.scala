@@ -634,4 +634,23 @@ class SimilaritySpec extends SparkSpec {
     assert(split == 0, "an exact duplicate must join its base's component")
     assert(dec.filter(col("keep")).count() == 20, "one keeper per family")
   }
+
+  test("semanticDecontam: nearest-holdout argmax, higher-id ties, eps boundary on the rounded cosine") {
+    val ss = spark; import ss.implicits._
+    val holdout = Seq(
+      (100L, Array(1f, 0f)), (200L, Array(1f, 0f)), // exact tie -> 200
+      (300L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2f, 0f)),   // cos 1 vs 100/200 -> nearest 200, dropped
+      (2L, Array(0f, 3f)),   // cos 1 vs 300 -> dropped
+      (3L, Array(1f, 1f)),   // cos .707107 everywhere -> tie -> 300, kept
+      (4L, Array(-1f, 0f)))  // best is cos 0 vs 300 -> kept
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontam(corpus, holdout, eps = 0.8)
+      .select("vec_id", "nearest_holdout", "max_cos", "kept")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 200L, 1.0, false), (2L, 300L, 1.0, false),
+      (3L, 300L, 0.707107, true), (4L, 300L, 0.0, true)), s"got $got")
+  }
 }
