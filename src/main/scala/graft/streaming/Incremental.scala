@@ -205,6 +205,54 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming semantic-decontamination firewall — the frozen-holdout
+    * twin of [[graft.operators.Similarity.semanticDecontam]]: arriving
+    * embedded documents are scored against a FIXED holdout (benchmark)
+    * split and admitted iff their nearest-holdout cosine stays under
+    * `eps`. The holdout frame collects ONCE at stream start (it is
+    * driver-sized by construction — the coarse-quantizer boundedness
+    * argument) and every micro-batch scores through the same operator
+    * call, so stream ≡ batch is by shared code, not reimplementation
+    * (IncrementalSpec pins output ≡ batch-over-union). Stateless
+    * beyond source offsets; `__batch=` dynamic overwrite ⇒
+    * exactly-once on replay. The 100 TB shape: benchmark sets change
+    * rarely — a NEW holdout means a new stream (and a batch back-scrub
+    * of the already-admitted corpus), exactly like retraining the
+    * quality/perplexity firewalls' frozen models.
+    *
+    * @return survivors schema: (vec_id, embedding)
+    */
+  def semanticDecontamStream(spark: SparkSession, srcDir: String,
+                             holdout: DataFrame, eps: Double,
+                             destDir: String, checkpointDir: String): Unit = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val vecSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    // pin the holdout once — semanticDecontam collects it per call,
+    // and a per-batch re-collect of an unchanging frame is waste
+    val frozenHoldout = holdout
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val q = spark.readStream.schema(vecSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = graft.operators.Similarity.semanticDecontam(
+          batch, frozenHoldout, eps)
+        batch.join(scored.filter(col("kept")).select("vec_id"), Seq("vec_id"),
+            "left_semi")
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(destDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming perplexity firewall — the frozen-model twin of the
     * batch fluency ceiling ([[graft.pipelines.Corpus.prepare]]'s
     * `maxPpl` stage): incoming docs are scored under a

@@ -279,6 +279,39 @@ class IncrementalSpec extends SparkSpec {
     assert(got2 == batchKeep(mkDocs(1 to 90)), "run2 keep set diverged")
   }
 
+  test("semanticDecontamStream keeps what the frozen-holdout batch scorer keeps, across runs") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("semdecon_stream").toString
+    val src = base + "/src"; val dest = base + "/dest"; val ck = base + "/ck"
+    // holdout: two fixed directions; corpus vectors rotate around them
+    // so both keeps and drops occur in every wave
+    val holdout = Seq((9001L, Array(1f, 0f)), (9002L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    def mkVecs(ids: Range) = ids.map { i =>
+      val a = i * 0.35
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "embedding")
+    def batchKeep(vecs: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.operators.Similarity.semanticDecontam(vecs, holdout, eps = 0.8)
+        .filter(col("kept")).select("vec_id").as[Long].collect().toSet
+
+    mkVecs(1 to 40).write.parquet(src)
+    Incremental.semanticDecontamStream(ss, src, holdout, eps = 0.8, dest, ck)
+    val got1 = ss.read.parquet(dest).select("vec_id").as[Long].collect().toSet
+    val want1 = batchKeep(mkVecs(1 to 40))
+    assert(got1 == want1, s"run1 keep set diverged: ${got1.diff(want1)} / ${want1.diff(got1)}")
+    assert(got1.nonEmpty && got1.size < 40,
+      s"fixture must exercise both keep and drop (kept ${got1.size}/40)")
+
+    // run 2: only the new files flow; union must equal the batch
+    // decision over everything (per-row deterministic, frozen holdout)
+    mkVecs(41 to 70).write.mode("append").parquet(src)
+    Incremental.semanticDecontamStream(ss, src, holdout, eps = 0.8, dest, ck)
+    val got2 = ss.read.parquet(dest).select("vec_id").as[Long].collect().toSet
+    assert(got2 == batchKeep(mkVecs(1 to 70)), "run2 keep set diverged")
+  }
+
   test("perplexityFilterStream drops what the batch frozen-model ceiling drops, across runs") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
