@@ -892,6 +892,12 @@ object Similarity {
     * ZERO corpus-side exchanges at any corpus size. `max_cos` is
     * micro-rounded to 6dp BEFORE the eps comparison (the engine's
     * cross-engine boundary convention).
+    *
+    * Rows whose `vecCol` is NULL are EXCLUDED from the output (the
+    * nearest-holdout expression is null for them and the recovery
+    * join drops the row) — callers that must not lose unembeddable
+    * rows route them around the scorer explicitly (the streaming
+    * firewall passes them through as admitted).
     */
   def semanticDecontam(corpus: DataFrame, holdout: DataFrame, eps: Double,
                        idCol: String = "vec_id",

@@ -241,10 +241,17 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // null-embedding arrivals PASS THROUGH rather than vanish: the
+        // scorer's inner join on the (null) nearest id would silently
+        // drop them, and a firewall must never silently lose data it
+        // cannot judge (the substrScrubStream null-text convention) —
+        // an unembeddable doc is not evidence of contamination
         val scored = graft.operators.Similarity.semanticDecontam(
-          batch, frozenHoldout, eps)
-        batch.join(scored.filter(col("kept")).select("vec_id"), Seq("vec_id"),
-            "left_semi")
+          batch.filter(col("embedding").isNotNull), frozenHoldout, eps)
+        batch.filter(col("embedding").isNull)
+          .unionByName(batch.join(
+            scored.filter(col("kept")).select("vec_id"), Seq("vec_id"),
+            "left_semi"))
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("__batch").parquet(destDir)

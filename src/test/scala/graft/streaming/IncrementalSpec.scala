@@ -305,11 +305,17 @@ class IncrementalSpec extends SparkSpec {
       s"fixture must exercise both keep and drop (kept ${got1.size}/40)")
 
     // run 2: only the new files flow; union must equal the batch
-    // decision over everything (per-row deterministic, frozen holdout)
-    mkVecs(41 to 70).write.mode("append").parquet(src)
+    // decision over everything (per-row deterministic, frozen
+    // holdout), and a null-embedding arrival PASSES THROUGH rather
+    // than silently vanishing (the substrScrubStream null-text rule)
+    mkVecs(41 to 70)
+      .unionByName(Seq((999L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+      .write.mode("append").parquet(src)
     Incremental.semanticDecontamStream(ss, src, holdout, eps = 0.8, dest, ck)
     val got2 = ss.read.parquet(dest).select("vec_id").as[Long].collect().toSet
-    assert(got2 == batchKeep(mkVecs(1 to 70)), "run2 keep set diverged")
+    assert(got2 == batchKeep(mkVecs(1 to 70)) + 999L,
+      "run2 keep set diverged (the unembeddable doc must be admitted)")
   }
 
   test("perplexityFilterStream drops what the batch frozen-model ceiling drops, across runs") {
