@@ -439,4 +439,22 @@ class ExplainSpec extends SparkSpec {
     assert(!executed.contains("BroadcastNestedLoopJoin"),
       s"quantizer must be driver-resident, not joined:\n$executed")
   }
+
+  test("semantic_decontam: nearest-holdout scoring is map-side — broadcast join, no corpus exchange") {
+    val p = plan("semantic_decontam")
+    // the one join recovers the winning cosine from the driver-sized
+    // holdout — it must broadcast; a shuffled join would put a
+    // corpus-sized exchange on the scoring path
+    assert(p.contains("BroadcastHashJoin"),
+      s"holdout recovery must be a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffled join may appear on the corpus side:\n$p")
+    // exchanges: Tables.spread's round-robin, the broadcast exchange,
+    // and the presentation sort's range exchange (tree+detail
+    // double-print => <= 6 string matches = 3 nodes); a groupBy-max
+    // formulation would add a corpus-keyed hash exchange
+    assert(count(p, "Exchange") <= 6, s"corpus must not shuffle for the argmax:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+      s"the argmax is the native expression, never an aggregate:\n$p")
+  }
 }
