@@ -1116,10 +1116,10 @@ object Dedup {
     // width spreads band buckets and pair groups across tasks —
     // never the answer (DedupSpec pins width-invariance), only the
     // task grid. The 0 path keeps small fixtures' exact plans.
-    def pairsOf(banded0: DataFrame, keys: Seq[String]): DataFrame = {
+    def pairsOf(bandedIn: DataFrame, keys: Seq[String]): DataFrame = {
       val jKeys = alignCols ++ keys
       val banded = if (pairParts > 0)
-        banded0.repartition(pairParts, jKeys.map(col): _*) else banded0
+        bandedIn.repartition(pairParts, jKeys.map(col): _*) else bandedIn
       val aCols = jKeys.map(col) :+ col("doc_id").as("id_a") :+ col("sh").as("sh_a")
       val bCols = jKeys.map(col) ++
         Seq(col("doc_id").as("id_b"), col("sh").as("sh_b"))

@@ -873,6 +873,13 @@ object Similarity {
       kmeansCentroidsAuto(corpus.select(col(vecCol)), maxIter, seed, vecCol),
       eps, corpusId, vecCol)
 
+  /** Driver-side row ceiling for [[semanticDecontam]]'s holdout —
+    * the coarse-quantizer bound ([[autoCentroidCount]] maxCentroids):
+    * past it the "eval-set-sized" premise is false and the caller
+    * should swap sides or pre-reduce, not broadcast harder.
+    */
+  val MaxHoldoutRows: Int = 1 << 16
+
   /** Semantic (embedding-level) cross-split decontamination — the
     * embedding sibling of the n-gram family ([[graft.operators
     * .Decontam]]): a training document is DROPPED when its embedding
@@ -902,8 +909,24 @@ object Similarity {
   def semanticDecontam(corpus: DataFrame, holdout: DataFrame, eps: Double,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
-    val rows = holdout.select(col(idCol).cast("long"), col(vecCol)).collect()
+    // The "driver-sized by construction" assumption is ENFORCED, not
+    // assumed: collect through a limit one past the quantizer bound
+    // (2^16 — the FAISS coarse-quantizer convention, the same ceiling
+    // as autoCentroidCount's maxCentroids) so an oversized holdout
+    // fails with a sized message instead of an opaque driver OOM.
+    val rows = holdout.select(col(idCol).cast("long"), col(vecCol))
+      .limit(MaxHoldoutRows + 1).collect()
     require(rows.nonEmpty, "semanticDecontam: empty holdout")
+    require(rows.length <= MaxHoldoutRows,
+      s"semanticDecontam: holdout exceeds $MaxHoldoutRows rows — the " +
+        "holdout side must be driver-sized (an eval set, not a corpus); " +
+        "swap the sides or pre-reduce the holdout")
+    rows.foreach { r =>
+      require(!r.isNullAt(1),
+        s"semanticDecontam: null $vecCol in holdout row " +
+          s"($idCol=${if (r.isNullAt(0)) "null" else r.getLong(0)}) — " +
+          "every holdout document must carry an embedding")
+    }
     val ids = rows.map(_.getLong(0))
     val vecs = rows.map(_.getSeq[Float](1).toArray)
     val nearest = element_at(ColumnBridge.column(graft.plans.IvfAssign(

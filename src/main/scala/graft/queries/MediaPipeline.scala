@@ -253,7 +253,7 @@ object MediaPipeline {
     val sig = phashSigs(s, dir).localCheckpoint()
     graft.operators.Dedup.hammingPairsOfSignatures(
         sig, maxDist = 3, maxPieceFreq = Long.MaxValue,
-        pairParts = hammingWidth(s, sig))
+        pairParts = hammingWidth(s, sig, Some(s"$dir#img")))
       .select(col("id_a"), col("id_b"),
         col("hamming").cast(LongType).as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
@@ -266,11 +266,26 @@ object MediaPipeline {
     * candidate stream spilled 33 GB through 32 sort/agg tasks; width
     * is plan-only (DedupSpec pins width-invariance of the results).
     * The count reads the localCheckpointed signature frame — one
-    * cheap bounded job per query call.
+    * cheap bounded job, MEMOIZED per (session, fixture, family) when
+    * the caller supplies a key, so bench loops and repeated
+    * explain/plan-only calls pay it once per session, not per call
+    * (the checkpoint itself is the remaining construction-time job,
+    * documented at each call site).
     */
-  private def hammingWidth(s: SparkSession, sig: DataFrame): Int = {
-    val derived = math.min(4096L, sig.count() / 250L).toInt
-    if (derived > s.sessionState.conf.numShufflePartitions) derived else 0
+  private val widthCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
+
+  private def hammingWidth(s: SparkSession, sig: DataFrame,
+                           memoKey: Option[String] = None): Int = {
+    def derive: Integer = {
+      val derived = math.min(4096L, sig.count() / 250L).toInt
+      if (derived > s.sessionState.conf.numShufflePartitions) derived else 0
+    }
+    memoKey match {
+      case Some(k) => widthCache.computeIfAbsent(
+        (graft.SessionCache.idOf(s), k), _ => derive).intValue()
+      case None => derive.intValue()
+    }
   }
 
   /** The shared decode → 9×8 resize → native dHash fingerprint frame
@@ -375,7 +390,7 @@ object MediaPipeline {
       .localCheckpoint()
     graft.operators.Dedup.hammingPairsOfSignatures(
         sig, maxDist = 3, maxPieceFreq = maxPieceFreq,
-        pairParts = hammingWidth(s, sig))
+        pairParts = hammingWidth(s, sig, Some(s"$dir#aud")))
       .select(col("id_a"), col("id_b"),
         col("hamming").cast(LongType).as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
@@ -416,29 +431,44 @@ object MediaPipeline {
       .filter(col("event_id") % 120 === 0)
       .as[Long].map(id => (id, Media.stubVideo(id, frames = 6, w = 8, h = 8, c = 3)))
       .toDF("id", "payload")
-    videoPhashPairsOf(vids).orderBy(col("id_a"), col("id_b"))
+    videoPhashPairsOf(vids, widthKey = Some(s"$dir#vid"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** The clip-pairing core behind [[mediaVideoPhash]] over any
-    * `(id, payload)` video frame: sampled frames must stay < 10 for
-    * the composite key (every fixture and the spec's planted clips
-    * are ≤ 6 frames). Spec-exercised directly on planted
-    * identical / partially-overlapping / disjoint clips.
+    * `(id, payload)` video frame: sampled frames must stay < 1000 for
+    * the composite key — ENFORCED in-plan (an `assert_true` fused
+    * into the key expression fails the job with a message instead of
+    * silently corrupting (clip, frame) pairs), so a future caller
+    * with long clips hits an error, never wrong pairs. Spec-exercised
+    * directly on planted identical / partially-overlapping / disjoint
+    * clips.
     */
   private[graft] def videoPhashPairsOf(vids: DataFrame, stride: Int = 2,
                                        maxDist: Int = 3,
-                                       minFrames: Int = 2): DataFrame = {
+                                       minFrames: Int = 2,
+                                       widthKey: Option[String] = None)
+      : DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(vids.sparkSession)
-    // composite key = clip·10 + frame survives the single-id
-    // decode/resize stages (frame_index < 10 by the 6-frame fixture),
-    // then splits back into (doc_id = clip, frame); 8 bytes + frame
-    // per row, feeds both self-join sides of the pair core — the
-    // simhashPairsOfTokens materialization rationale
+    // composite key = clip·1000 + frame survives the single-id
+    // decode/resize stages, then splits back into (doc_id = clip,
+    // frame); 8 bytes + frame per row, feeds both self-join sides of
+    // the pair core — the simhashPairsOfTokens materialization
+    // rationale. The assert rides the key projection (coalesce of a
+    // passing assert's NULL with 0), so column pruning can never drop
+    // the invariant check while the key survives.
+    val keyGuard = coalesce(
+      assert_true(col("frame_index") < 1000,
+        lit("videoPhashPairsOf: frame_index >= 1000 would corrupt the " +
+          "clip*1000 + frame composite key — re-widen the multiplier " +
+          "before sampling clips this long")).cast(LongType),
+      lit(0L))
     val frames = Media.sampleFrames(vids, stride)
-      .select((col("id") * 10 + col("frame_index")).as("key"), col("payload"))
+      .select((col("id") * 1000 + col("frame_index") + keyGuard).as("key"),
+        col("payload"))
     val sig = Media.resizeImages(Media.decodeImages(frames, idCol = "key"), 9, 8)
-      .select((col("id") / 10).cast(LongType).as("doc_id"),
-        (col("id") % 10).as("frame"),
+      .select((col("id") / 1000).cast(LongType).as("doc_id"),
+        (col("id") % 1000).as("frame"),
         call_function("graft_dhash64", col("pixels"), col("width"),
           col("height"), col("channels")).as("sh"))
       .filter(col("sh").isNotNull)
@@ -449,7 +479,7 @@ object MediaPipeline {
     // counts beyond a fixture's); same frame ⇒ distinct clips
     graft.operators.Dedup.hammingPairsOfSignatures(
         sig, maxDist, maxPieceFreq = Long.MaxValue, alignCols = Seq("frame"),
-        pairParts = hammingWidth(vids.sparkSession, sig))
+        pairParts = hammingWidth(vids.sparkSession, sig, widthKey))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("frames_matched"))
       .filter(col("frames_matched") >= minFrames)
