@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import graft.functions.TextFns
-import graft.operators.{Dedup, Packing}
+import graft.operators.{Dedup, Packing, Similarity}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -25,7 +25,9 @@ object Corpus {
   final case class PrepareStats(input: Long, afterExact: Long,
                                 afterNearDup: Long, afterQuality: Long,
                                 afterModel: Long = -1L,
-                                afterPpl: Long = -1L)
+                                afterPpl: Long = -1L,
+                                afterSemantic: Long = -1L,
+                                afterDecontam: Long = -1L)
 
   /** @param docs       (doc_id: long, text: string) + any passthrough columns
     * @param jaccard    near-dup threshold on word-trigram Jaccard
@@ -56,6 +58,33 @@ object Corpus {
     *                   dropped (docs with <2 tokens carry no
     *                   perplexity and always pass)
     * @param pplVocab   bigram-LM vocabulary cap (with `maxPpl`)
+    * @param embeddings doc embeddings `(vec_id = doc_id, embedding)`
+    *                   — required by the two embedding-level stages
+    *                   below; docs WITHOUT an embedding row pass both
+    *                   stages untouched (the streaming-firewall
+    *                   rule: never silently lose data the scorer
+    *                   cannot judge)
+    * @param semanticEps >0 enables SemDeDup over the near-dup
+    *                   survivors' embeddings ([[Similarity
+    *                   .semanticDedup]]): within-cluster cosine-≥eps
+    *                   duplicate groups keep only the member least
+    *                   like its centroid (Abbas et al. 2023)
+    * @param semanticCentroids coarse quantizer for the SemDeDup
+    *                   stage; null trains one at the production
+    *                   [[Similarity.autoCentroidCount]] size on the
+    *                   survivors (the gated query passes a fixed
+    *                   deterministic quantizer so the oracle can
+    *                   restate the stage)
+    * @param decontamHoldout non-null enables semantic benchmark
+    *                   decontamination ([[Similarity
+    *                   .semanticDecontam]]): docs whose embedding
+    *                   reaches cosine `decontamEps` of ANY holdout
+    *                   (eval-set) embedding are dropped — the
+    *                   paraphrase leak the k-gram filter can't see.
+    *                   Must be driver-sized (an eval set; enforced at
+    *                   [[Similarity.MaxHoldoutRows]])
+    * @param decontamEps cosine ceiling vs the holdout (with
+    *                   `decontamHoldout`)
     * @return (prepared frame with split/shard/chunk assignment,
     *         per-stage row accounting, release handle that unpersists
     *         the staged corpus-sized frames — call it once the
@@ -68,7 +97,12 @@ object Corpus {
               shuffleSeed: String = null,
               modelWeights: Array[Double] = null, modelBias: Double = 0.0,
               paretoAlpha: Double = 9.0,
-              maxPpl: Double = 0.0, pplVocab: Int = 1024)
+              maxPpl: Double = 0.0, pplVocab: Int = 1024,
+              embeddings: DataFrame = null,
+              semanticEps: Double = 0.0,
+              semanticCentroids: DataFrame = null,
+              decontamHoldout: DataFrame = null,
+              decontamEps: Double = 0.8)
       : (DataFrame, PrepareStats, () => Unit) = {
     def tally(df: DataFrame): Long = if (withStats) df.count() else -1L
     val input = tally(docs)
@@ -122,28 +156,72 @@ object Corpus {
       .select(col("node").as("doc_id"))
     val nearDeduped = exact.join(losers, Seq("doc_id"), "left_anti")
 
+    // 2b (opt-in). SemDeDup over the near-dup survivors' embeddings:
+    //     within-cluster cosine-≥eps duplicate groups keep one
+    //     representative (lowest centroid similarity — the member
+    //     that adds the most information to its cluster). The loser
+    //     set is a NARROW (doc_id) frame persisted with lineage, so
+    //     the vector-carrying scored pin inside
+    //     semanticDedupReleasable is released as soon as the losers
+    //     materialize — the memoized-query lifecycle. Docs without an
+    //     embedding row never appear in the decision frame and pass
+    //     through the anti-join untouched.
+    val semLost: Option[DataFrame] =
+      if (semanticEps <= 0.0) None
+      else {
+        require(embeddings != null,
+          "prepare: semanticEps > 0 needs an `embeddings` frame")
+        val survVecs = embeddings.join(
+          nearDeduped.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+        val cents =
+          if (semanticCentroids != null) semanticCentroids
+          else Similarity.kmeansCentroidsAuto(
+            survVecs.select(col("embedding"))).localCheckpoint()
+        val (dec, releaseSem) =
+          Similarity.semanticDedupReleasable(survVecs, cents, semanticEps)
+        val lost = dec.filter(!col("keep"))
+          .select(col("vec_id").as("doc_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        pinned += lost
+        lost.count() // materialize while the scored pin still serves
+        releaseSem()
+        Some(lost)
+      }
+    val semDeduped = semLost.fold(nearDeduped)(l =>
+      nearDeduped.join(l, Seq("doc_id"), "left_anti"))
+
     // 3. quality floor over the staged tokens
-    val scored = nearDeduped
+    val scored = semDeduped
       .withColumn("quality", TextFns.qualityScoreOf(col("text"), col("__toks")))
       .filter(col("quality") >= minQuality)
 
     // Stage tallies 1-3 fused into ONE action over the staged pin
     // (round-11 profile: three separate counts were three jobs, each
     // re-reading the pin — the accounting is a single conditional
-    // aggregate once the loser set is known)
-    val (nExact, nNearDup, nQuality) =
-      if (!withStats) (-1L, -1L, -1L)
+    // aggregate once the loser sets are known; the semantic loser
+    // frame joins in as one more flag, still one action)
+    val (nExact, nNearDup, nSemantic, nQuality) =
+      if (!withStats) (-1L, -1L, -1L, -1L)
       else {
-        val r = exact
+        val flagged0 = exact
           .join(losers.withColumn("__lost", lit(true)), Seq("doc_id"), "left")
+        val flagged = semLost.fold(flagged0.withColumn("__slost", lit(false)))(
+          l => flagged0.join(
+            l.withColumn("__slost", lit(true)), Seq("doc_id"), "left"))
+        val r = flagged
           .select(coalesce(col("__lost"), lit(false)).as("__lost"),
+            coalesce(col("__slost"), lit(false)).as("__slost"),
             (TextFns.qualityScoreOf(col("text"), col("__toks")) >= minQuality)
               .as("__q"))
           .agg(count(lit(1)).as("a"),
             count(when(!col("__lost"), 1)).as("b"),
-            count(when(!col("__lost") && col("__q"), 1)).as("c"))
+            count(when(!col("__lost") && !col("__slost"), 1)).as("c"),
+            count(when(!col("__lost") && !col("__slost") && col("__q"), 1))
+              .as("d"))
           .head()
-        (r.getLong(0), r.getLong(1), r.getLong(2))
+        (r.getLong(0), r.getLong(1),
+          if (semLost.isEmpty) -1L else r.getLong(2), r.getLong(3))
       }
 
     // 3b (opt-in). learned quality filter: Pareto-threshold
@@ -206,11 +284,32 @@ object Corpus {
           Seq("doc_id"), "left_anti")
       }
 
-    // 4c (opt-in). temperature mixture sampling toward a token budget
+    // 4c (opt-in). semantic benchmark decontamination: drop docs
+    //     whose embedding reaches cosine `decontamEps` of ANY holdout
+    //     embedding — the paraphrase leak the verbatim k-gram stage
+    //     (4b) can't see. The scorer is map-only over the survivors
+    //     (driver-resident holdout + one broadcast join — zero
+    //     corpus-side exchanges), so no pin is needed; docs without
+    //     an embedding row never reach the scorer and pass through.
+    val semClean =
+      if (decontamHoldout == null) cleaned
+      else {
+        require(embeddings != null,
+          "prepare: decontamHoldout needs an `embeddings` frame")
+        val survVecs = embeddings.join(
+          cleaned.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val leaked = Similarity
+          .semanticDecontam(survVecs, decontamHoldout, decontamEps)
+          .filter(!col("kept")).select(col("vec_id").as("doc_id"))
+        cleaned.join(leaked, Seq("doc_id"), "left_anti")
+      }
+    val nDecontam = if (decontamHoldout == null) -1L else tally(semClean)
+
+    // 4d (opt-in). temperature mixture sampling toward a token budget
     //     (requires a `source` column; keeps the per-source `rate`).
     val mixed =
-      if (mixBudget <= 0L) cleaned
-      else mixtureSample(cleaned, size(col("__toks")).cast("long"), mixBudget)
+      if (mixBudget <= 0L) semClean
+      else mixtureSample(semClean, size(col("__toks")).cast("long"), mixBudget)
 
     // 5. token-budget packing — id order by default; epoch-seeded
     //    reproducible shuffle order when `shuffleSeed` is given (the
@@ -226,7 +325,7 @@ object Corpus {
       .drop("__toks")
 
     (prepared, PrepareStats(input, nExact, nNearDup, nQuality,
-      nModel, nPpl),
+      nModel, nPpl, nSemantic, nDecontam),
       // release handle: unpersist every corpus-sized pin. Call AFTER
       // materializing the prepared frame (its lineage reads through
       // `exact`); calling earlier is safe but re-tokenizes once.

@@ -1049,6 +1049,57 @@ object TextPipeline {
       .orderBy(col("stage"))
   }
 
+  /** [[corpusPrepare]] with the EMBEDDING-LEVEL stages composed in —
+    * the full curation story a 100 TB run wants as ONE accounted
+    * pipeline: exact dedup → lexical near-dup prune → SemDeDup over
+    * the survivors' embeddings (deterministic first-8-vector
+    * quantizer, eps 0.4 — the `semantic_dedup` gate convention) →
+    * quality floor → stable split → semantic benchmark
+    * decontamination (every-97th-vector holdout, eps 0.8 — the
+    * `semantic_decontam` convention) → token-budget packing. Each
+    * stage is the operator its standalone oracle already gates; THIS
+    * oracle restates the whole composition as one CTE chain, so
+    * survivor-set chaining bugs (e.g. semantic dedup scoring
+    * non-survivors, decontam running before the quality floor it
+    * documents) hash-fail even when each stage is individually
+    * correct. Production swaps the fixed quantizer for
+    * [[graft.operators.Similarity.kmeansCentroidsAuto]] and the
+    * fixture holdout for a real eval set (same operator, same plan).
+    */
+  def corpusPrepareSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(s, dir)
+    val (prepared, stats, release) = Corpus.prepare(docs,
+      embeddings = emb,
+      semanticEps = 0.4,
+      semanticCentroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid")),
+      decontamHoldout = emb.filter(col("vec_id") % 97 === 0),
+      decontamEps = 0.8)
+    val packed = prepared.select("split", "shard", "n_tokens", "chunk_id")
+      .localCheckpoint()
+    release()
+    val stages = Seq(
+      ("1_input", stats.input),
+      ("2_exact_survivors", stats.afterExact),
+      ("3_neardup_survivors", stats.afterNearDup),
+      ("4_semantic_survivors", stats.afterSemantic),
+      ("5_quality_survivors", stats.afterQuality),
+      ("6_decontam_survivors", stats.afterDecontam)).toDF("stage", "n")
+    val splits = packed
+      .groupBy(concat(lit("7_split_"), col("split")).as("stage"))
+      .agg(count(lit(1)).as("n"))
+    val chunks = packed
+      .agg(countDistinct(col("shard"), col("chunk_id")).as("n"))
+      .select(lit("8_packed_chunks").as("stage"), col("n"))
+    val toks = packed.agg(sum(col("n_tokens")).as("n"))
+      .select(lit("9_packed_tokens").as("stage"), col("n"))
+    stages.unionByName(splits).unionByName(chunks).unionByName(toks)
+      .orderBy(col("stage"))
+  }
+
   /** Frozen quality-classifier artifact: d=64 hashed-feature logistic
     * weights distilled from the heuristic quality score on the fixture
     * corpus (label = score ≥ corpus median) by
@@ -1179,6 +1230,7 @@ object TextPipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_prepare" -> (corpusPrepare _),
+    "corpus_prepare_semantic" -> (corpusPrepareSemantic _),
     "dedup_exact" -> (dedupExact _),
     "ngram_jaccard" -> (ngramJaccard _),
     "minhash_pairs" -> (minhashPairs _),
@@ -1594,6 +1646,123 @@ object TextPipeline {
          |    SELECT DISTINCT shard, FLOOR((cum - n_toks) / 2048) FROM p)
          |  UNION ALL
          |  SELECT '7_packed_tokens', CAST(SUM(n_toks) AS BIGINT) FROM p
+         |) ORDER BY stage""".stripMargin,
+    // the corpus_prepare chain with the two embedding-level stages
+    // composed in: the semantic_dedup CTE block re-scoped to the
+    // near-dup survivors (s* names) and the semantic_decontam leak
+    // rule re-scoped to the quality survivors (d* names) — the leak
+    // decision reduces to round(MAX(raw cos), 6) >= eps because the
+    // argmax row's cosine IS the max regardless of the id tie rule
+    "corpus_prepare_semantic" ->
+      s"""WITH RECURSIVE
+         |surv AS (SELECT MIN(doc_id) AS doc_id
+         |         FROM (SELECT doc_id, $normSql AS norm FROM documents)
+         |         GROUP BY norm),
+         |sd AS (SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)),
+         |${ngramCteSqlOver("sd")},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |losers AS (SELECT src AS doc_id FROM reach
+         |           GROUP BY src HAVING LEAST(src, MIN(dst)) <> src),
+         |nd AS (SELECT * FROM sd
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |se AS (SELECT vec_id, embedding AS v,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings
+         |  WHERE vec_id IN (SELECT doc_id FROM nd)),
+         |sc AS (SELECT vec_id AS cid, embedding AS cv,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS cn FROM embeddings
+         |  WHERE vec_id < 8),
+         |sa0 AS (SELECT se.vec_id, sc.cid,
+         |  CASE WHEN se.nrm * sc.cn = 0 THEN 0.0
+         |       ELSE ${dotSql("se.v", "sc.cv")} / (se.nrm * sc.cn) END AS cos
+         |  FROM se, sc),
+         |sa AS (SELECT vec_id, cid AS cluster, round(cos, 6) AS cent_cos FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                               ORDER BY cos DESC, cid DESC) AS rn
+         |  FROM sa0) WHERE rn = 1),
+         |ss AS (SELECT sa.vec_id, sa.cluster, sa.cent_cos, se.v, se.nrm
+         |       FROM sa JOIN se USING (vec_id)),
+         |sp AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |       FROM ss x JOIN ss y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |       WHERE round(CASE WHEN x.nrm * y.nrm = 0 THEN 0.0
+         |                        ELSE ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm)
+         |                   END, 6) >= 0.4),
+         |sedges AS (SELECT id_a AS src, id_b AS dst FROM sp
+         |           UNION SELECT id_b, id_a FROM sp),
+         |sreach(src, dst) AS (
+         |  SELECT src, dst FROM sedges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM sreach r JOIN sedges e2 ON r.dst = e2.src),
+         |scomp AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
+         |          FROM sreach GROUP BY src),
+         |sl AS (SELECT ss.vec_id, ss.cent_cos,
+         |              COALESCE(scomp.component, ss.vec_id) AS component
+         |       FROM ss LEFT JOIN scomp USING (vec_id)),
+         |sk AS (SELECT vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY component
+         |                            ORDER BY cent_cos ASC, vec_id ASC) AS rn
+         |       FROM sl),
+         |sem AS (SELECT * FROM nd
+         |        WHERE doc_id NOT IN (SELECT vec_id FROM sk WHERE rn <> 1)),
+         |tq AS (SELECT doc_id, text, $toksSql AS toks FROM sem),
+         |mq AS (SELECT doc_id, text, toks,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) END AS awl,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter(toks, w -> list_contains($stopList, w))) AS DOUBLE) / len(toks) END AS sr
+         |  FROM tq),
+         |qs AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_toks
+         |       FROM mq
+         |       WHERE round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+         |           + (CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+         |           + least(sr * 5.0, 1.0) * 0.2
+         |           + greatest(0.0, 1.0 - pr * 4.0) * 0.2, 6) >= 0.3),
+         |dh AS (SELECT vec_id AS hid, embedding AS hv,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS hn FROM embeddings
+         |  WHERE vec_id % 97 = 0),
+         |dc AS (SELECT vec_id, embedding AS v,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings
+         |  WHERE vec_id IN (SELECT doc_id FROM qs)),
+         |leaked AS (SELECT dc.vec_id
+         |  FROM dc, dh
+         |  GROUP BY dc.vec_id
+         |  HAVING round(MAX(CASE WHEN dc.nrm * dh.hn = 0 THEN 0.0
+         |    ELSE ${dotSql("dc.v", "dh.hv")} / (dc.nrm * dh.hn) END), 6) >= 0.8),
+         |ds AS (SELECT doc_id, text, n_toks FROM qs
+         |       WHERE doc_id NOT IN (SELECT vec_id FROM leaked)),
+         |pk AS (SELECT doc_id, n_toks,
+         |  CASE WHEN substring(md5(text), 1, 2) < 'cc' THEN 'train'
+         |       WHEN substring(md5(text), 1, 2) < 'e6' THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  doc_id % 8 AS shard,
+         |  SUM(n_toks) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM ds)
+         |SELECT stage, n FROM (
+         |  SELECT '1_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+         |  UNION ALL
+         |  SELECT '2_exact_survivors', CAST(COUNT(*) AS BIGINT) FROM surv
+         |  UNION ALL
+         |  SELECT '3_neardup_survivors', CAST(COUNT(*) AS BIGINT) FROM nd
+         |  UNION ALL
+         |  SELECT '4_semantic_survivors', CAST(COUNT(*) AS BIGINT) FROM sem
+         |  UNION ALL
+         |  SELECT '5_quality_survivors', CAST(COUNT(*) AS BIGINT) FROM qs
+         |  UNION ALL
+         |  SELECT '6_decontam_survivors', CAST(COUNT(*) AS BIGINT) FROM ds
+         |  UNION ALL
+         |  SELECT '7_split_' || split, CAST(COUNT(*) AS BIGINT) FROM pk GROUP BY split
+         |  UNION ALL
+         |  SELECT '8_packed_chunks', CAST(COUNT(*) AS BIGINT) FROM (
+         |    SELECT DISTINCT shard, FLOOR((cum - n_toks) / 2048) FROM pk)
+         |  UNION ALL
+         |  SELECT '9_packed_tokens', CAST(SUM(n_toks) AS BIGINT) FROM pk
          |) ORDER BY stage""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH $ngramCteSql

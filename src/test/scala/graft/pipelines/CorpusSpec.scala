@@ -169,6 +169,63 @@ class CorpusSpec extends SparkSpec {
     assert(offStats.afterModel == -1L && offStats.afterPpl == -1L)
   }
 
+  test("prepare semantic stages: planted paraphrase collapses, benchmark leak drops, unembedded passes") {
+    val ss = spark; import ss.implicits._
+    // lexically DISJOINT texts (no shared 3-gram, no exact dup) so
+    // only the embedding-level stages can drop anything
+    val docs = Seq(
+      (1L, "alpha one the report covers quarterly revenue and the growth outlook"),
+      (2L, "beta two a summary of sales figures with projections for next year"),
+      (3L, "gamma three benchmark question about the capital city of france"),
+      (4L, "delta four unrelated essay on tidal patterns near rocky coastlines"),
+      (5L, "epsilon five no embedding was computed for this arriving document")
+    ).toDF("doc_id", "text")
+    // docs 1 and 2: planted PARAPHRASE pair (cosine ≈ 0.9999, far
+    // beyond eps) in centroid-0's cluster; doc 3 sits alone in
+    // cluster 1; doc 4 ties 0-0 between centroids (tie → higher id);
+    // doc 5 has NO embedding row at all
+    val emb = Seq(
+      (1L, Array(0.90f, 0.10f, 0f, 0f)),
+      (2L, Array(0.89f, 0.11f, 0f, 0f)),
+      (3L, Array(0f, 0.95f, 0.05f, 0f)),
+      (4L, Array(0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f))
+    ).toDF("centroid_id", "centroid")
+    // holdout: one benchmark embedding nearly parallel to doc 3's
+    val holdout = Seq((100L, Array(0f, 0.94f, 0.06f, 0f)))
+      .toDF("vec_id", "embedding")
+
+    val (prepared, stats, release) = Corpus.prepare(docs,
+      jaccard = 1.01, minQuality = 0.0, budget = 64, nShards = 2,
+      embeddings = emb, semanticEps = 0.95, semanticCentroids = cents,
+      decontamHoldout = holdout, decontamEps = 0.9)
+    val kept = prepared.select("doc_id").as[Long].collect().toSet
+
+    // SemDeDup keeps the pair member LEAST like its centroid: doc 1's
+    // cent_cos (0.9939) > doc 2's (0.9925), so doc 1 is the loser
+    assert(!kept.contains(1L), "paraphrase loser (higher cent_cos) must drop")
+    assert(kept.contains(2L), "paraphrase keeper must survive")
+    // decontam drops the doc nearest the planted benchmark embedding
+    assert(!kept.contains(3L), "benchmark-leak doc must be decontaminated away")
+    assert(kept.contains(4L), "orthogonal doc survives both stages")
+    // the firewall rule: a doc the scorer cannot judge passes through
+    assert(kept.contains(5L), "doc without an embedding must pass untouched")
+
+    assert(stats == Corpus.PrepareStats(5, 5, 5, 4,
+      afterSemantic = 4, afterDecontam = 3),
+      s"per-stage accounting must chain through the semantic stages: $stats")
+    release()
+
+    // stages off → sentinels untouched (composition stays opt-in)
+    val (_, offStats, rel2) = Corpus.prepare(docs,
+      jaccard = 1.01, minQuality = 0.0, budget = 64, nShards = 2)
+    assert(offStats.afterSemantic == -1L && offStats.afterDecontam == -1L)
+    rel2()
+  }
+
   test("mixtureRates matches the hand-computed temperature rule") {
     val ss = spark; import ss.implicits._
     // source a: 9 tokens (w=3), source b: 16 tokens (w=4); Σw=7.
