@@ -1219,10 +1219,11 @@ object Dedup {
     * build and incremental append can never diverge on the banding.
     */
   private[graft] def hammingIndexRows(sigs: DataFrame, maxDist: Int,
-                                      nParts: Int): DataFrame =
-    hammingBanded(sigs, maxDist)
-      .select(col("doc_id"), col("sh"), col("chunk"), col("piece"),
-        hpartOf(nParts).as("part"))
+                                      nParts: Int,
+                                      alignCols: Seq[String] = Nil): DataFrame =
+    hammingBanded(sigs, maxDist, alignCols)
+      .select(alignCols.map(col) ++ Seq(col("doc_id"), col("sh"),
+        col("chunk"), col("piece"), hpartOf(nParts).as("part")): _*)
 
   /** Materialize a 64-bit signature corpus (dHash/SimHash — any
     * [[hammingPairsOfSignatures]]-compatible frame) as an ON-DISK
@@ -1233,8 +1234,9 @@ object Dedup {
     * near-dup against a 100 TB indexed corpus is batch-sized.
     */
   def writeHammingIndex(sigs: DataFrame, path: String, maxDist: Int = 3,
-                        nParts: Int = HammingParts): Unit =
-    hammingIndexRows(sigs, maxDist, nParts)
+                        nParts: Int = HammingParts,
+                        alignCols: Seq[String] = Nil): Unit =
+    hammingIndexRows(sigs, maxDist, nParts, alignCols)
       .withColumn("__batch", lit(-1L))
       .repartition(col("part"))
       .sortWithinPartitions(col("chunk"), col("piece"))
@@ -1256,27 +1258,39 @@ object Dedup {
     * `excludeBatch`: replay safety for the streaming firewall — a
     * replayed micro-batch must not see its own appended rows
     * (`__batch` is a partition level, so this prunes, not scans).
+    *
+    * `alignCols` extend the band join (the
+    * [[hammingPairsOfSignatures]] rule): probe and index rows match
+    * only within an alignment group, and the returned frame carries
+    * the group — the temporal-video shape (frame-aligned probes
+    * against a frame-carrying index, so a piece shared by misaligned
+    * frames never becomes a candidate). The index must have been
+    * written with the SAME alignCols; Nil (the default) is the plain
+    * signature probe, byte-identical to the image path.
     */
   def hammingProbe(sigs: DataFrame, path: String, maxDist: Int = 3,
                    nParts: Int = HammingParts,
-                   excludeBatch: Option[Long] = None): DataFrame = {
-    val probe = hammingBanded(sigs, maxDist)
-      .select(col("doc_id").as("probe_id"), col("sh").as("__shp"),
-        col("chunk"), col("piece"), hpartOf(nParts).as("part"))
+                   excludeBatch: Option[Long] = None,
+                   alignCols: Seq[String] = Nil): DataFrame = {
+    val probe = hammingBanded(sigs, maxDist, alignCols)
+      .select(alignCols.map(col) ++ Seq(col("doc_id").as("probe_id"),
+        col("sh").as("__shp"), col("chunk"), col("piece"),
+        hpartOf(nParts).as("part")): _*)
     // bounded by nParts (≤ 64) by construction — see [[HammingParts]]
     val parts = probe.select("part").distinct()
       .collect().map(_.getInt(0)).toSeq
     val scan = sigs.sparkSession.read.parquet(s"$path/bands")
       .filter(col("part").isin(parts: _*))
     val idx = excludeBatch.fold(scan)(b => scan.filter(col("__batch") =!= b))
-      .select(col("chunk"), col("piece"),
-        col("doc_id").as("index_id"), col("sh").as("__shi"))
+      .select(alignCols.map(col) ++ Seq(col("chunk"), col("piece"),
+        col("doc_id").as("index_id"), col("sh").as("__shi")): _*)
     // pinned shuffle join — the index side is corpus-sized and must
     // never broadcast; see minhashProbeCandsBanded
-    probe.hint("shuffle_hash").join(idx, Seq("chunk", "piece"))
-      .select(col("probe_id"), col("index_id"),
-        bit_count(col("__shp").bitwiseXOR(col("__shi"))).as("hamming"))
+    probe.hint("shuffle_hash").join(idx, alignCols ++ Seq("chunk", "piece"))
+      .select(alignCols.map(col) ++ Seq(col("probe_id"), col("index_id"),
+        bit_count(col("__shp").bitwiseXOR(col("__shi"))).as("hamming")): _*)
       .filter(col("hamming") <= maxDist)
-      .groupBy("probe_id", "index_id").agg(min("hamming").as("hamming"))
+      .groupBy((alignCols ++ Seq("probe_id", "index_id")).map(col): _*)
+      .agg(min("hamming").as("hamming"))
   }
 }

@@ -485,7 +485,42 @@ object MediaPipeline {
       .filter(col("frames_matched") >= minFrames)
   }
 
+  /** End-to-end multimodal preparation
+    * ([[graft.pipelines.MediaCorpus.prepare]]) surfaced as per-stage
+    * accounting over the image fixture: input size, decoded rows,
+    * survivors after perceptual near-dup pruning and the brightness
+    * floor, and the packed-manifest totals. HASH-GATED as one CTE
+    * chain (the `corpus_prepare` convention): the dHash pair core
+    * restates per-bit (the `media_phash_pairs` oracle), components
+    * close transitively, brightness is the exact integer-arithmetic
+    * stub sum, and the manifest cumsum is the `seq_pack` shape — so
+    * stage-wiring bugs hash-fail even when each stage is
+    * individually green. The 127.0 floor splits the fixture's 8
+    * distinct brightness values (123.17…132.5) non-trivially.
+    */
+  def mediaPrepare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (manifest, stats, release) = graft.pipelines.MediaCorpus.prepare(
+      imageFixture(s, dir), minBrightness = 127.0,
+      pixelBudget = 1024, nShards = 4)
+    val packed = manifest.select("shard", "chunk_id", "n_pixels")
+      .localCheckpoint()
+    release()
+    val stages = Seq(
+      ("1_input", stats.input),
+      ("2_decoded", stats.decoded),
+      ("3_neardup_survivors", stats.afterNearDup),
+      ("4_feature_survivors", stats.afterFeature)).toDF("stage", "n")
+    val chunks = packed
+      .agg(countDistinct(col("shard"), col("chunk_id")).as("n"))
+      .select(lit("5_manifest_chunks").as("stage"), col("n"))
+    val pixels = packed.agg(sum(col("n_pixels")).as("n"))
+      .select(lit("6_manifest_pixels").as("stage"), col("n"))
+    stages.unionByName(chunks).unionByName(pixels).orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_prepare" -> (mediaPrepare _),
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
     "media_audio" -> (mediaAudio _),
@@ -507,6 +542,58 @@ object MediaPipeline {
     // the integer channel mean; bit k = y·8+x compares right-neighbor
     // grays; Hamming is the per-bit disagreement SUM (never the int64 —
     // bit 63 would overflow a signed BIGINT shift)
+    // the media_phash_pairs per-bit dHash CTE + transitive-closure
+    // losers (the corpus_prepare convention) + the exact stub
+    // brightness sum + the seq_pack cumsum, chained as one statement
+    "media_prepare" ->
+      """WITH RECURSIVE
+        |ids AS (SELECT event_id AS id FROM events WHERE event_id % 40 = 0),
+        |g AS (SELECT id, x, y,
+        |        ( ((id*31 + ((y*8 + (x*8)//9)*3 + 0)*7) % 256)
+        |        + ((id*31 + ((y*8 + (x*8)//9)*3 + 1)*7) % 256)
+        |        + ((id*31 + ((y*8 + (x*8)//9)*3 + 2)*7) % 256) ) // 3 AS gray
+        |      FROM ids, range(0, 9) tx(x), range(0, 8) ty(y)),
+        |bits AS (SELECT a.id, a.y*8 + a.x AS k,
+        |                CASE WHEN b2.gray > a.gray THEN 1 ELSE 0 END AS bit
+        |         FROM g a JOIN g b2 ON a.id = b2.id AND b2.y = a.y AND b2.x = a.x + 1
+        |         WHERE a.x < 8),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b
+        |      FROM bits a JOIN bits b ON a.k = b.k AND a.id < b.id
+        |      GROUP BY a.id, b.id
+        |      HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |losers AS (SELECT src AS id FROM reach
+        |           GROUP BY src HAVING LEAST(src, MIN(dst)) <> src),
+        |nd AS (SELECT id FROM ids
+        |       WHERE id NOT IN (SELECT id FROM losers)),
+        |br AS (SELECT id, CAST(SUM((id*31 + i*7) % 256) AS DOUBLE) / 192
+        |         AS brightness
+        |       FROM ids, range(0, 192) t(i) GROUP BY id),
+        |fs AS (SELECT nd.id FROM nd JOIN br USING (id)
+        |       WHERE br.brightness BETWEEN 127.0 AND 255.0),
+        |pk AS (SELECT id, CAST(192 AS BIGINT) AS n_pixels, id % 4 AS shard,
+        |  SUM(192) OVER (PARTITION BY id % 4 ORDER BY id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM fs)
+        |SELECT stage, n FROM (
+        |  SELECT '1_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM ids
+        |  UNION ALL
+        |  SELECT '2_decoded', CAST(COUNT(*) AS BIGINT) FROM ids
+        |  UNION ALL
+        |  SELECT '3_neardup_survivors', CAST(COUNT(*) AS BIGINT) FROM nd
+        |  UNION ALL
+        |  SELECT '4_feature_survivors', CAST(COUNT(*) AS BIGINT) FROM fs
+        |  UNION ALL
+        |  SELECT '5_manifest_chunks', CAST(COUNT(*) AS BIGINT) FROM (
+        |    SELECT DISTINCT shard, FLOOR((cum - n_pixels) / 1024) FROM pk)
+        |  UNION ALL
+        |  SELECT '6_manifest_pixels', CAST(SUM(n_pixels) AS BIGINT) FROM pk
+        |) ORDER BY stage""".stripMargin,
     "media_phash_pairs" ->
       """WITH ids AS (SELECT event_id AS id FROM events WHERE event_id % 40 = 0),
         |g AS (SELECT id, x, y,

@@ -59,6 +59,7 @@ object QualityMetrics {
     "media_knn_ivf_recall@5" -> 0.75,
     "media_knn_ivf_auto_recall@5" -> 0.75,
     "semantic_dedup_auto_fit_ratio" -> 1.0,
+    "audio_phash_capped_recall" -> 0.9,
     "token_hll_accuracy" -> 0.95,
     "bpe_compression" -> 1.5)
 
@@ -214,6 +215,21 @@ object QualityMetrics {
         keyed(MediaPipeline.mediaKnnIvfAuto(s, dir), "query_id", "neighbor_id"),
         keyed(MediaPipeline.mediaKnn(s, dir), "query_id", "neighbor_id")),
       semanticAutoFitRatio(s, dir),
+      // the CAPPED acoustic path's recall seam (round-16): the
+      // production default caps hot band pieces (maxPieceFreq = 1000,
+      // the hammingPairsOfSignatures default) because energy-envelope
+      // hashes are the fingerprint family's low-entropy member — the
+      // uncapped ×30 sweep is output-bound by construction (BASELINE
+      // negative result). This floor gates what that cap can LOSE:
+      // capped pairs vs the uncapped exact sweep over the identical
+      // fingerprints (the simhash_recall pattern; the truth side is
+      // the gated media_audio_phash itself, feasible wherever the
+      // round artifact runs — at ×R the truth is pair-volume-bound
+      // and the sweep documents the cost instead of skipping the
+      // metric silently)
+      recallOf("audio_phash_capped_recall",
+        MediaPipeline.audioPhashPairsOf(s, dir, maxPieceFreq = 1000L),
+        MediaPipeline.mediaAudioPhash(s, dir)),
       hllAccuracy(s, dir))
     val all = rows.reduce(_ unionByName _)
     val floorCol = floors.foldLeft(lit(Double.NaN)) { case (acc, (m, f)) =>

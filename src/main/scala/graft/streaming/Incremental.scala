@@ -857,6 +857,158 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming ACOUSTIC near-dup firewall — [[phashDedupStream]] with
+    * the energy-envelope fingerprint ([[graft.plans.AudioHash64]]):
+    * arriving encoded clips are admitted iff their hash is not within
+    * Hamming `maxDist` of an admitted clip's, through the same on-disk
+    * Hamming band index (decode-or-drop, within-batch sweep + min-id
+    * keeps, partition-pruned probe, `part/__batch` append with replay
+    * exclusion). The within-batch sweep runs the CAPPED default —
+    * acoustic fingerprints are the family's low-entropy member
+    * (BASELINE ×30: the uncapped sweep is output-bound by
+    * construction on clustered corpora), the
+    * `audio_phash_capped_recall` QUALITY floor gates the seam.
+    */
+  def audioPhashDedupStream(spark: SparkSession, srcDir: String,
+                            indexDir: String, destDir: String,
+                            checkpointDir: String, maxDist: Int = 3): Unit = {
+    val clipSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val q = spark.readStream.schema(clipSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Dedup, Media}
+        graft.plans.GraftExtensions.ensureRegistered(batch.sparkSession)
+        val sig = Media.decodeAudio(batch)
+          .select(col("id").as("doc_id"),
+            call_function("graft_audiohash64", col("samples")).as("sh"))
+          .filter(col("sh").isNotNull)
+        val pairs = Dedup.hammingPairsOfSignatures(sig, maxDist)
+        val batchKept = sig.join(
+          Dedup.componentLosers(pairs).withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left_anti")
+        // unseeded-start probe guard — the minhashDedupStream idiom
+        val bandsPath = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+        val indexExists = bandsPath
+          .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          .exists(bandsPath)
+        val indexHits =
+          if (!indexExists) batchKept.limit(0).select(col("doc_id"))
+          else Dedup.hammingProbe(batchKept, indexDir, maxDist,
+            excludeBatch = Some(batchId))
+            .select(col("probe_id").as("doc_id")).distinct()
+        // decide once — the index append and the kept write below
+        // must see the SAME survivor set, not re-run the probe
+        val survivors = batchKept.join(indexHits, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        Dedup.hammingIndexRows(survivors, maxDist, Dedup.HammingParts)
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("part", "__batch").parquet(s"$indexDir/bands")
+        survivors.withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(destDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming TEMPORAL VIDEO near-dup firewall — the clip-level twin
+    * that completes the image/audio/video fingerprint triple: an
+    * arriving clip is admitted iff fewer than `minFrames` of its
+    * sampled frames are Hamming-≤maxDist matches of the SAME-INDEX
+    * frames of any single admitted clip (the ≥2-of-3 rollup of
+    * [[graft.queries.MediaPipeline.mediaVideoPhash]]). The on-disk
+    * index stores per-frame banded rows with `frame` as an ALIGNMENT
+    * key of the band join itself ([[graft.operators.Dedup
+    * .hammingProbe]] `alignCols`): pieces shared by misaligned frames
+    * never become candidates, so probe exchange volume stays
+    * per-frame at any clip length. Same three-step per-micro-batch
+    * shape and replay-exclusion contract as its siblings; frames
+    * sample every `stride`-th (the [[graft.operators.Media
+    * .sampleFrames]] rule), and clips whose payload fails the
+    * container walk contribute no frames and are dropped (the
+    * decode-or-drop convention).
+    */
+  def videoPhashDedupStream(spark: SparkSession, srcDir: String,
+                            indexDir: String, destDir: String,
+                            checkpointDir: String, maxDist: Int = 3,
+                            stride: Int = 2, minFrames: Int = 2): Unit = {
+    val clipSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val q = spark.readStream.schema(clipSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Dedup, Media}
+        graft.plans.GraftExtensions.ensureRegistered(batch.sparkSession)
+        // composite key = clip·1000 + frame (the videoPhashPairsOf
+        // contract, same in-plan assert_true guard rationale: the
+        // fixture path samples ≤ a handful of frames; a longer clip
+        // fails loudly instead of corrupting pairs)
+        val keyGuard = coalesce(
+          assert_true(col("frame_index") < 1000,
+            lit("videoPhashDedupStream: frame_index >= 1000 would " +
+              "corrupt the clip*1000 + frame composite key"))
+            .cast(org.apache.spark.sql.types.LongType),
+          lit(0L))
+        val frames = Media.sampleFrames(batch, stride)
+          .select((col("id") * 1000 + col("frame_index") + keyGuard).as("key"),
+            col("payload"))
+        val sig = Media.resizeImages(Media.decodeImages(frames, idCol = "key"), 9, 8)
+          .select((col("id") / 1000).cast(org.apache.spark.sql.types.LongType)
+              .as("doc_id"),
+            (col("id") % 1000).as("frame"),
+            call_function("graft_dhash64", col("pixels"), col("width"),
+              col("height"), col("channels")).as("sh"))
+          .filter(col("sh").isNotNull)
+          .localCheckpoint()
+        // within-batch clip dedup: aligned-frame pairs → ≥minFrames
+        // rollup → component losers (min-id keeps), the batch rule
+        val framePairs = Dedup.hammingPairsOfSignatures(sig, maxDist,
+          alignCols = Seq("frame"))
+        val clipPairs = framePairs.groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("__fm"))
+          .filter(col("__fm") >= minFrames)
+        val batchKept = sig.join(
+          Dedup.componentLosers(clipPairs).withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left_anti")
+        val bandsPath = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+        val indexExists = bandsPath
+          .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          .exists(bandsPath)
+        val indexHits =
+          if (!indexExists) batchKept.limit(0).select(col("doc_id"))
+          else Dedup.hammingProbe(batchKept, indexDir, maxDist,
+            excludeBatch = Some(batchId), alignCols = Seq("frame"))
+            .groupBy(col("probe_id"), col("index_id"))
+            .agg(count(lit(1)).as("__fm"))
+            .filter(col("__fm") >= minFrames)
+            .select(col("probe_id").as("doc_id")).distinct()
+        val survivors = batchKept.join(indexHits, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        Dedup.hammingIndexRows(survivors, maxDist, Dedup.HammingParts,
+          alignCols = Seq("frame"))
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("part", "__batch").parquet(s"$indexDir/bands")
+        survivors.withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(destDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming BM25 index maintenance: new documents' postings append
     * into the [[graft.queries.Retrieval.writeBm25Index]] layout as
     * they arrive — per micro-batch one narrow map (the shared

@@ -952,6 +952,142 @@ class IncrementalSpec extends SparkSpec {
       "stored fingerprints must equal the programmed dHash values")
   }
 
+  test("audioPhashDedupStream: streaming acoustic firewall equals the sequential batch rule") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.{Dedup, Media}
+    val base = Files.createTempDirectory("aud_fw").toString
+    val src = base + "/src"; val idx = base + "/idx"
+    val dest = base + "/kept"; val ck = base + "/ck"
+    val maxDist = 3
+
+    // a 130-sample AUD0 clip whose AudioHash64 is EXACTLY fp: 65
+    // 2-sample windows walk their energy ±16 from 2000, so
+    // e(k+1) > e(k) iff bit k is set — fingerprints are directly
+    // programmable, near-dups are bit flips (the imgOf idiom)
+    def audOf(fp: Long): Array[Byte] = {
+      val energies = new Array[Int](65)
+      energies(0) = 2000
+      for (k <- 0 until 64)
+        energies(k + 1) = energies(k) +
+          (if (((fp >>> k) & 1L) == 1L) 16 else -16)
+      val hdr = Media.AudioMagic ++ Array[Byte](
+        ((16000 >> 8) & 0xff).toByte, (16000 & 0xff).toByte, 1.toByte,
+        ((130 >> 8) & 0xff).toByte, (130 & 0xff).toByte)
+      hdr ++ (0 until 130).flatMap { i =>
+        val v = energies(i / 2) / 2
+        Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      }.toArray
+    }
+    val f1 = 0x0123456789abcdefL
+    val farA = 0x5555aaaa3333cccdL
+    val farB = 0x9966cc33aa55ff00L
+    val farC = 0x00ff00ff12345678L
+    val fps: Map[Long, Long] = Map(
+      1L -> f1, 2L -> (f1 ^ 0x1L), 3L -> farA, 4L -> farB,
+      11L -> (f1 ^ 0x2L), 12L -> farC, 13L -> (farC ^ 0x11L))
+    def mkClips(ids: Seq[Long]) = ids.map { i =>
+      if (i == 7L) (i, "not an audio clip".getBytes("UTF-8"))
+      else (i, audOf(fps(i)))
+    }.toDF("id", "payload")
+    def keptOnDisk(): Set[Long] =
+      ss.read.parquet(dest).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // run 1: within-batch twin (2 collapses into 1), corrupt row drops
+    mkClips(Seq(1L, 2L, 3L, 4L, 7L)).write.parquet(src)
+    Incremental.audioPhashDedupStream(ss, src, idx, dest, ck, maxDist)
+    assert(keptOnDisk() == Set(1L, 3L, 4L),
+      s"run 1: family keeps min id, corrupt drops: ${keptOnDisk()}")
+
+    // run 2: index twin drops THROUGH the index; within-batch family
+    // collapses; 13 is 2 bits from 12 (same batch) -> family of 12
+    mkClips(Seq(11L, 12L, 13L)).write.mode("append").parquet(src)
+    Incremental.audioPhashDedupStream(ss, src, idx, dest, ck, maxDist)
+    assert(keptOnDisk() == Set(1L, 3L, 4L, 12L),
+      s"run 2: 11 drops via index, 13 collapses into 12: ${keptOnDisk()}")
+
+    // kept set is Hamming-separated (the firewall invariant)
+    val keptPairs = Dedup.hammingPairsOfSignatures(
+      keptOnDisk().toSeq.map(i => (i, fps(i))).toDF("doc_id", "sh"),
+      maxDist, maxPieceFreq = Long.MaxValue).count()
+    assert(keptPairs == 0L)
+    // stored fingerprints are the programmed AudioHash64 values
+    val storedSh = ss.read.parquet(dest)
+      .select(col("doc_id"), col("sh")).as[(Long, Long)].collect().toMap
+    assert(storedSh == keptOnDisk().map(i => i -> fps(i)).toMap)
+  }
+
+  test("videoPhashDedupStream: aligned-frame firewall, >=2-of-3 rollup, misaligned twin admits") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.Media
+    val base = Files.createTempDirectory("vid_fw").toString
+    val src = base + "/src"; val idx = base + "/idx"
+    val dest = base + "/kept"; val ck = base + "/ck"
+
+    // programmable 9x8x1 frame — dHash is exactly fp (the imgOf idiom
+    // of the image firewall spec)
+    def imgOf(fp: Long): Array[Byte] = {
+      val px = new Array[Byte](72)
+      for (y <- 0 until 8) {
+        var v = 120
+        px(y * 9) = v.toByte
+        for (x <- 0 until 8) {
+          v = if (((fp >>> (y * 8 + x)) & 1L) == 1L) v + 8 else v - 8
+          px(y * 9 + x + 1) = v.toByte
+        }
+      }
+      Media.ImageMagic ++ Array[Byte](0, 9, 0, 8, 1) ++ px
+    }
+    // a 6-frame VID0 whose SAMPLED frames (0, 2, 4 at stride 2) carry
+    // the three given fingerprints; odd frames carry filler
+    def vidOf(fp0: Long, fp2: Long, fp4: Long): Array[Byte] = {
+      val filler = 0x0f0f0f0ff0f0f0f0L
+      val frames = Seq(fp0, filler, fp2, filler, fp4, filler)
+      Media.VideoMagic ++ Array[Byte](0, 6) ++
+        frames.flatMap(f => imgOf(f)).toArray
+    }
+    val fA = 0x0123456789abcdefL
+    val fB = 0xfedcba9876543210L
+    val fC = 0x5555aaaa3333ccccL
+    val clips: Map[Long, Array[Byte]] = Map(
+      1L -> vidOf(fA, fB, fC),
+      // 2 aligned near-matches (bit flips on frames 0 and 2) -> dup of 1
+      2L -> vidOf(fA ^ 0x1L, fB ^ 0x6L, 0x9966cc33aa55ff00L),
+      // only ONE aligned match -> admitted
+      3L -> vidOf(fA ^ 0x2L, 0x00ff00ff12345678L, 0x7e7e181881818ff0L),
+      4L -> vidOf(0x1122334455667788L, 0xaabbccddeeff0011L, 0xc3c3c3c33c3c3c3cL),
+      // run 2: 2-of-3 twin of clip 1 -> drops THROUGH the index
+      11L -> vidOf(fA ^ 0x4L, fB, 0x123412341234fedcL),
+      // clip 1's fingerprints ROTATED across frames: zero ALIGNED
+      // matches -> admits (pins the alignment semantics)
+      12L -> vidOf(fB, fC, fA),
+      // one aligned match against clip 4 -> admits
+      13L -> vidOf(0x1122334455667789L, 0x8844221188442211L, 0xfeedfacecafebeefL))
+    def mkVids(ids: Seq[Long]) = ids.map { i =>
+      if (i == 7L) (i, "not a video".getBytes("UTF-8")) else (i, clips(i))
+    }.toDF("id", "payload")
+    def keptOnDisk(): Set[Long] =
+      ss.read.parquet(dest).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    mkVids(Seq(1L, 2L, 3L, 4L, 7L)).write.parquet(src)
+    Incremental.videoPhashDedupStream(ss, src, idx, dest, ck)
+    assert(keptOnDisk() == Set(1L, 3L, 4L),
+      s"run 1: 2-of-3 dup collapses to min id, 1-of-3 admits, corrupt drops: ${keptOnDisk()}")
+
+    mkVids(Seq(11L, 12L, 13L)).write.mode("append").parquet(src)
+    Incremental.videoPhashDedupStream(ss, src, idx, dest, ck)
+    assert(keptOnDisk() == Set(1L, 3L, 4L, 12L, 13L),
+      s"run 2: index twin drops, ROTATED twin admits (alignment), 1-of-3 admits: ${keptOnDisk()}")
+
+    // the stored per-frame fingerprints reconstruct each kept clip's
+    // programmed sampled-frame hashes
+    val stored = ss.read.parquet(dest)
+      .select(col("doc_id"), col("frame"), col("sh"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(stored(1L) == Seq(fA, fB, fC))
+    assert(stored(12L) == Seq(fB, fC, fA))
+  }
+
   test("bm25IndexStream: appended postings + stats refresh probe identically to the direct scorer") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
