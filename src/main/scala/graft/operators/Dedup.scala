@@ -1267,17 +1267,32 @@ object Dedup {
     * frames never becomes a candidate). The index must have been
     * written with the SAME alignCols; Nil (the default) is the plain
     * signature probe, byte-identical to the image path.
+    *
+    * `probeParts > 0` is the scale-adaptive exchange width — the
+    * [[hammingPairsOfSignatures]] `pairParts` rule applied to the
+    * probe: the probe side repartitions on the band keys before the
+    * join and the match stream hashes to (align…, probe_id, index_id)
+    * before the min-rollup, so the rollup's aggregation fuses onto
+    * that exchange instead of funnelling the candidate stream through
+    * the session's fixed task grid (the ×30 indexed-image probe
+    * measured 15 GB peak execution memory through 32 tasks at the
+    * default width). Plan-only — DedupSpec pins width-invariance of
+    * the results; 0 keeps small batches' exact plans.
     */
   def hammingProbe(sigs: DataFrame, path: String, maxDist: Int = 3,
                    nParts: Int = HammingParts,
                    excludeBatch: Option[Long] = None,
-                   alignCols: Seq[String] = Nil): DataFrame = {
-    val probe = hammingBanded(sigs, maxDist, alignCols)
+                   alignCols: Seq[String] = Nil,
+                   probeParts: Int = 0): DataFrame = {
+    val jKeys = alignCols ++ Seq("chunk", "piece")
+    val probe0 = hammingBanded(sigs, maxDist, alignCols)
       .select(alignCols.map(col) ++ Seq(col("doc_id").as("probe_id"),
         col("sh").as("__shp"), col("chunk"), col("piece"),
         hpartOf(nParts).as("part")): _*)
+    val probe = if (probeParts > 0)
+      probe0.repartition(probeParts, jKeys.map(col): _*) else probe0
     // bounded by nParts (≤ 64) by construction — see [[HammingParts]]
-    val parts = probe.select("part").distinct()
+    val parts = probe0.select("part").distinct()
       .collect().map(_.getInt(0)).toSeq
     val scan = sigs.sparkSession.read.parquet(s"$path/bands")
       .filter(col("part").isin(parts: _*))
@@ -1286,10 +1301,15 @@ object Dedup {
         col("doc_id").as("index_id"), col("sh").as("__shi")): _*)
     // pinned shuffle join — the index side is corpus-sized and must
     // never broadcast; see minhashProbeCandsBanded
-    probe.hint("shuffle_hash").join(idx, alignCols ++ Seq("chunk", "piece"))
+    val matches = probe.hint("shuffle_hash").join(idx, jKeys)
       .select(alignCols.map(col) ++ Seq(col("probe_id"), col("index_id"),
         bit_count(col("__shp").bitwiseXOR(col("__shi"))).as("hamming")): _*)
       .filter(col("hamming") <= maxDist)
+    val spread = if (probeParts > 0)
+      matches.repartition(probeParts,
+        (alignCols ++ Seq("probe_id", "index_id")).map(col): _*)
+    else matches
+    spread
       .groupBy((alignCols ++ Seq("probe_id", "index_id")).map(col): _*)
       .agg(min("hamming").as("hamming"))
   }

@@ -290,6 +290,91 @@ object StreamRehearsal {
       println(s"""{"metric":"stream_state","scenario":"$label","kept":$kept,"input":${imgs.count()},"index_bytes":${fsSize(spark, idx)}}""")
     }
 
+    // ---- 9. audioPhashDedupStream over synthetic ×R clips ---------
+    // the acoustic firewall twin: mix-derived samples give full-
+    // entropy fingerprints (the REALISTIC clustered-corpus shape —
+    // the stub sawtooth's 128-value collapse is the adversarial
+    // case ScaleRehearsal's capped batch sweep measures); every 5th
+    // clip perturbs one sample of its predecessor (≤2 fingerprint
+    // bits — a planted near-dup the index must catch across waves)
+    label = "audio_phash_dedup_stream"
+    if (wanted(label)) locally {
+      def mix(z0: Long): Long = {
+        var z = z0 * 0x9E3779B97F4A7C15L
+        z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+        z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      def audOf(seed: Long): Array[Byte] = {
+        val base = if (seed % 5 == 4) seed - 1 else seed
+        val samples = Array.tabulate(130)(i =>
+          ((mix(base * 130 + i) % 2000L).toInt))
+        if (seed % 5 == 4) samples(64) += 900
+        val hdr = graft.operators.Media.AudioMagic ++ Array[Byte](
+          ((16000 >> 8) & 0xff).toByte, (16000 & 0xff).toByte, 1.toByte,
+          ((130 >> 8) & 0xff).toByte, (130 & 0xff).toByte)
+        hdr ++ samples.flatMap(v =>
+          Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte))
+      }
+      val clips = spark.read.parquet(s"$fixture/events.parquet")
+        .select(col("event_id").as("id")).filter(col("id") % 50 === 0)
+        .as[Long].map(id => (id, audOf(id / 200)))
+        .toDF("id", "payload")
+        .localCheckpoint()
+      val src = s"$work/au_src"; val idx = s"$work/au_idx"
+      val dest = s"$work/au_kept"; val ck = s"$work/au_ck"
+      for (w <- 0 until waves) {
+        clips.filter(pmod(col("id"), lit(waves * 50)) === w * 50)
+          .write.mode("append").parquet(src)
+        timed(s"wave_$w")(
+          Incremental.audioPhashDedupStream(spark, src, idx, dest, ck))
+      }
+      val kept = spark.read.parquet(dest).count()
+      println(s"""{"metric":"stream_state","scenario":"$label","kept":$kept,"input":${clips.count()},"index_bytes":${fsSize(spark, idx)}}""")
+    }
+
+    // ---- 10. videoPhashDedupStream over synthetic ×R clips --------
+    // the temporal firewall twin: 6-frame clips, frames mix-derived
+    // from (clip, frame); every 5th clip copies its predecessor's
+    // sampled frames 0 and 2 with a one-pixel nudge and keeps a
+    // unique frame 4 — a 2-of-3 ALIGNED near-dup across waves
+    label = "video_phash_dedup_stream"
+    if (wanted(label)) locally {
+      def mix(z0: Long): Long = {
+        var z = z0 * 0x9E3779B97F4A7C15L
+        z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+        z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      def frameOf(clipSeed: Long, f: Int): Array[Byte] = {
+        val dup = clipSeed % 5 == 4 && f < 3
+        val base = if (dup) clipSeed - 1 else clipSeed
+        val px = Array.tabulate(8 * 8 * 3)(i =>
+          (mix((base * 6 + f) * 192 + i) & 0xff).toByte)
+        if (dup) px(60) = ((px(60) & 0xff) + 120).toByte
+        graft.operators.Media.ImageMagic ++
+          Array[Byte](0, 8, 0, 8, 3) ++ px
+      }
+      def vidOf(seed: Long): Array[Byte] =
+        graft.operators.Media.VideoMagic ++ Array[Byte](0, 6) ++
+          (0 until 6).flatMap(f => frameOf(seed, f)).toArray
+      val clips = spark.read.parquet(s"$fixture/events.parquet")
+        .select(col("event_id").as("id")).filter(col("id") % 120 === 0)
+        .as[Long].map(id => (id, vidOf(id / 480)))
+        .toDF("id", "payload")
+        .localCheckpoint()
+      val src = s"$work/vi_src"; val idx = s"$work/vi_idx"
+      val dest = s"$work/vi_kept"; val ck = s"$work/vi_ck"
+      for (w <- 0 until waves) {
+        clips.filter(pmod(col("id"), lit(waves * 120)) === w * 120)
+          .write.mode("append").parquet(src)
+        timed(s"wave_$w")(
+          Incremental.videoPhashDedupStream(spark, src, idx, dest, ck))
+      }
+      val kept = spark.read.parquet(dest).select("doc_id").distinct().count()
+      println(s"""{"metric":"stream_state","scenario":"$label","kept":$kept,"input":${clips.count()},"index_bytes":${fsSize(spark, idx)}}""")
+    }
+
     // per-batch progress dump (the evidence table for BASELINE.md)
     import scala.jdk.CollectionConverters._
     recorded.asScala.toSeq.sortBy(b => (b.label, b.batchId)).foreach { b =>

@@ -293,6 +293,12 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_._1) == Set(101L, 102L, 103L),
       "exactly the planted ≤3-bit twins must surface")
 
+    // probeParts is plan-only: the widened probe returns the exact
+    // same matches (the pairParts width-invariance rule)
+    val widened = Dedup.hammingProbe(batchB, base, probeParts = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(widened == got, "probeParts must be plan-only")
+
     // the bands scan prunes by part (partition filter, not post-scan)
     val plan = Dedup.hammingProbe(batchB.limit(1), base)
       .queryExecution.executedPlan.toString
