@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.domain.{MerlStore, Top100}
+import graft.domain.{MerlStore, SchemaAdapter, Top100}
 import graft.functions.AmountFns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -188,6 +188,84 @@ object Domain {
       .orderBy(col("job_name"))
   }
 
+  /** The three destination-schema variants the adapter gate resolves
+    * against: the reference's own DDL (`schema.sql:71-82`), an
+    * all-alternate-names bytea destination, and a minimal mixed one
+    * (text contract, binary holder, no optional columns).
+    */
+  private[queries] val destVariants: Seq[(String, StructType)] = Seq(
+    "ref_ddl" -> StructType(Seq(
+      StructField("bucket_start_utc", TimestampType),
+      StructField("contract_address", StringType),
+      StructField("rnk", IntegerType),
+      StructField("holder_address", StringType),
+      StructField("token_decimal", ShortType),
+      StructField("balance_raw", StringType),
+      StructField("balance", DoubleType),
+      StructField("inserted_at", TimestampType))),
+    "alt_bytea" -> StructType(Seq(
+      StructField("asof", TimestampType),
+      StructField("token", BinaryType),
+      StructField("position", LongType),
+      StructField("owner_address", BinaryType),
+      StructField("token_decimals", IntegerType),
+      StructField("qty_raw", StringType),
+      StructField("qty", DoubleType))),
+    "minimal_mixed" -> StructType(Seq(
+      StructField("contract", StringType),
+      StructField("rank", LongType),
+      StructField("address", BinaryType),
+      StructField("decimals", IntegerType),
+      StructField("balance_base_units", StringType),
+      StructField("balance_decimal", DoubleType))))
+
+  /** M8: destination-schema introspection — resolve each variant's
+    * column mapping (candidate-name lists + bytea detection,
+    * `top100_from_latest_bucket.sql:46-103`) and emit the decision
+    * table. The oracle states the expected resolution literally (the
+    * job_audit pattern); precedence and abort paths are additionally
+    * spec-tested in SchemaAdapterSpec.
+    */
+  def schemaAdapt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = destVariants.flatMap { case (variant, st) =>
+      SchemaAdapter.resolve(st).map(m => (variant, m.field, m.destColumn, m.isBinary))
+    }
+    rows.toDF("variant", "field", "dest_column", "is_binary")
+      .orderBy(col("variant"), col("field"))
+  }
+
+  /** P20 + M8 end-to-end: the reference's bytea INSERT path
+    * (`top100_from_latest_bucket.sql:106-158`) — Top-100 over a
+    * hex-address holders fixture, adapted into the alt_bytea
+    * destination, with both address columns conditionally decoded
+    * `0x…`→bytes by [[SchemaAdapter.adaptedSelect]] (codegen'd
+    * `unhex`, zero extra exchanges on the Top-100 plan).
+    *
+    * Addresses are made hex-decodable by md5-ing the fixture's text
+    * addresses (md5 is identical and public on both engines). The
+    * gate projects the binary columns through base64 — a bijective
+    * encoding both engines state identically — because the driver's
+    * value-hash compares raw BLOBs engine-specifically; the bytes
+    * themselves are additionally asserted in SchemaAdapterSpec.
+    */
+  def hexDecode(s: SparkSession, dir: String): DataFrame = {
+    val hexFx = holdersFixture(s, dir)
+      .withColumn("contract_address", concat(lit("0x"), md5(col("contract_address"))))
+      .withColumn("holder_address", concat(lit("0x"), md5(col("holder_address"))))
+    val dest = destVariants.collectFirst { case ("alt_bytea", st) => st }.get
+    SchemaAdapter.adaptedSelect(Top100.compute(hexFx), dest)
+      .select(
+        base64(col("token")).as("token_b64"),
+        length(col("token")).as("token_len"),
+        col("position"),
+        base64(col("owner_address")).as("owner_b64"),
+        col("token_decimals"),
+        col("qty_raw"),
+        col("asof").cast(LongType).as("asof_unix"))
+      .orderBy(col("token_b64"), col("position"), col("owner_b64"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "top100_domain" -> (top100Domain _),
     "top100_holdings" -> (top100Holdings _),
@@ -195,7 +273,9 @@ object Domain {
     "holders_upsert" -> (holdersUpsert _),
     "tx_insert_ignore" -> (txInsertIgnore _),
     "cursor_store" -> (cursorStore _),
-    "job_audit" -> (jobAudit _))
+    "job_audit" -> (jobAudit _),
+    "schema_adapt" -> (schemaAdapt _),
+    "hex_decode" -> (hexDecode _))
 
   /** Shared oracle CTE: the holders fixture derivation in DuckDB SQL,
     * token-for-token with [[holdersFixture]].
@@ -301,6 +381,69 @@ object Domain {
         |       CASE WHEN b.stream IS NOT NULL THEN '{"v":2}' ELSE '{"v":1}' END AS metadata
         |FROM a FULL OUTER JOIN b USING (stream)
         |ORDER BY stream""".stripMargin,
+    "schema_adapt" ->
+      """SELECT * FROM (VALUES
+        |  ('ref_ddl', 'bucket', 'bucket_start_utc', FALSE),
+        |  ('ref_ddl', 'contract', 'contract_address', FALSE),
+        |  ('ref_ddl', 'holder', 'holder_address', FALSE),
+        |  ('ref_ddl', 'rank', 'rnk', FALSE),
+        |  ('ref_ddl', 'decimals', 'token_decimal', FALSE),
+        |  ('ref_ddl', 'balance_raw', 'balance_raw', FALSE),
+        |  ('ref_ddl', 'balance', 'balance', FALSE),
+        |  ('ref_ddl', 'inserted_at', 'inserted_at', FALSE),
+        |  ('alt_bytea', 'bucket', 'asof', FALSE),
+        |  ('alt_bytea', 'contract', 'token', TRUE),
+        |  ('alt_bytea', 'holder', 'owner_address', TRUE),
+        |  ('alt_bytea', 'rank', 'position', FALSE),
+        |  ('alt_bytea', 'decimals', 'token_decimals', FALSE),
+        |  ('alt_bytea', 'balance_raw', 'qty_raw', FALSE),
+        |  ('alt_bytea', 'balance', 'qty', FALSE),
+        |  ('minimal_mixed', 'contract', 'contract', FALSE),
+        |  ('minimal_mixed', 'holder', 'address', TRUE),
+        |  ('minimal_mixed', 'rank', 'rank', FALSE),
+        |  ('minimal_mixed', 'decimals', 'decimals', FALSE),
+        |  ('minimal_mixed', 'balance_raw', 'balance_base_units', FALSE),
+        |  ('minimal_mixed', 'balance', 'balance_decimal', FALSE))
+        |  AS t(variant, field, dest_column, is_binary)
+        |ORDER BY variant, field""".stripMargin,
+    "hex_decode" ->
+      """WITH base AS (
+        |  SELECT '0x' || md5('0x' || lower(c_mktsegment)) AS contract_address,
+        |         '0x' || md5('0xh' || CAST(c_custkey AS VARCHAR)) AS holder_address,
+        |         CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 6
+        |              WHEN 'FURNITURE' THEN 8 ELSE 18 END AS token_decimal,
+        |         21600 * (c_custkey % 4) AS bucket_unix,
+        |         CAST(CAST(floor(abs(c_acctbal) * 100) AS BIGINT) AS VARCHAR) AS cents
+        |  FROM customer),
+        |holders AS (
+        |  SELECT contract_address, holder_address, token_decimal, bucket_unix,
+        |         CASE WHEN ltrim(cents || repeat('0', token_decimal), '0') = ''
+        |              THEN '0' ELSE ltrim(cents || repeat('0', token_decimal), '0') END
+        |           AS quantity_raw
+        |  FROM base
+        |  UNION ALL
+        |  SELECT DISTINCT contract_address, '0x' || md5('0xwhale'), token_decimal,
+        |         64800, repeat('9', 40)
+        |  FROM base),
+        |latest AS (SELECT contract_address, MAX(bucket_unix) AS b
+        |           FROM holders GROUP BY contract_address),
+        |ranked AS (
+        |  SELECT h.*, RANK() OVER (
+        |           PARTITION BY h.contract_address, h.bucket_unix
+        |           ORDER BY length(h.quantity_raw) DESC, h.quantity_raw DESC,
+        |                    h.holder_address ASC) AS rnk
+        |  FROM holders h JOIN latest l
+        |    ON l.contract_address = h.contract_address AND l.b = h.bucket_unix)
+        |SELECT base64(unhex(substr(contract_address, 3))) AS token_b64,
+        |       CAST(octet_length(unhex(substr(contract_address, 3))) AS INTEGER)
+        |         AS token_len,
+        |       CAST(rnk AS BIGINT) AS position,
+        |       base64(unhex(substr(holder_address, 3))) AS owner_b64,
+        |       token_decimal AS token_decimals,
+        |       quantity_raw AS qty_raw,
+        |       CAST(bucket_unix AS BIGINT) AS asof_unix
+        |FROM ranked WHERE rnk <= 100
+        |ORDER BY token_b64, position, owner_b64""".stripMargin,
     "job_audit" ->
       """SELECT * FROM (VALUES
         |  ('alpha', 'success', '{"rows":42}', CAST(NULL AS VARCHAR), TRUE),
