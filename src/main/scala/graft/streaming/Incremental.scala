@@ -774,6 +774,193 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** COMPOSED streaming curation firewall — [[graft.pipelines.Corpus
+    * .prepare]]'s stage chain run at ingest time as ONE stream:
+    * exact dedup → MinHash near-dup firewall → quality floor →
+    * (opt-in) frozen-bigram perplexity ceiling → (opt-in) semantic
+    * benchmark decontamination, in the batch pipeline's stage order,
+    * with the batch pipeline's per-stage row accounting written per
+    * micro-batch. This is the 100 TB ingest shape: documents are
+    * judged ONCE, on arrival, against state that grows only with the
+    * ADMITTED corpus (an exact-fingerprint store and the MinHash band
+    * index, both on-disk, both partition-pruned probes) — never by
+    * re-sweeping the lake.
+    *
+    * Stage semantics are the batch stages' own, by shared code:
+    *  1. EXACT — within-batch [[graft.operators.Dedup.exactSurvivors]]
+    *     (keep-min per normalized-text fingerprint), then drop
+    *     arrivals whose fingerprint is already in the admitted store
+    *     (`indexDir/exact`, partitioned `part=pmod(fp,64)` — a probe
+    *     reads ≤64 pruned partitions, never the store). Fingerprints
+    *     of exact-stage SURVIVORS are recorded regardless of
+    *     later-stage fate — the batch pipeline's sequential-stage
+    *     semantics, where a dup of a later-dropped junk doc is still
+    *     a dup (stage 1 runs before quality there too).
+    *  2. NEAR-DUP — [[minhashDedupStream]]'s exact rule, inlined:
+    *     within-batch candidates → component min-id keeps, then the
+    *     band-index probe, then survivors join the index.
+    *  3. QUALITY — `TextFns.qualityScoreOf ≥ minQuality`, the batch
+    *     stage-3 rule, map-only.
+    *  4. PPL (opt-in, `pplModel`+`maxPpl`) — the frozen-model
+    *     [[perplexityFilterStream]] rule: <2-token docs carry no
+    *     perplexity and pass.
+    *  5. SEMANTIC (opt-in, `decontamHoldout`) — the frozen-holdout
+    *     [[semanticDecontamStream]] rule; null-embedding arrivals
+    *     pass this stage untouched (never silently lose data the
+    *     scorer cannot judge).
+    *
+    * The single tokenization pass is staged per batch and reused by
+    * shingling, quality, and perplexity — the batch pipeline's
+    * discipline. Replay safety: both state probes exclude
+    * `__batch = <current>` and all writes are dynamic partition
+    * overwrites, so a replayed micro-batch reproduces its original
+    * decisions exactly-once. Per-stage counts land under
+    * `destDir/_accounting/__batch=<n>/` (underscore-prefixed, so
+    * corpus readers of `destDir` never see it); disabled stages
+    * record -1, the [[graft.pipelines.Corpus.PrepareStats]]
+    * convention.
+    *
+    * Source schema: (doc_id long, text string, embedding
+    * array&lt;float&gt; nullable — may be entirely null when the
+    * semantic stage is off).
+    */
+  def curationFirewallStream(spark: SparkSession, srcDir: String,
+                             indexDir: String, destDir: String,
+                             checkpointDir: String,
+                             jaccard: Double = 0.5, minQuality: Double = 0.3,
+                             shingleLen: Int = 3, bands: Int = 16,
+                             rowsPerBand: Int = 8,
+                             pplModel: graft.operators.LanguageModel.BigramModel = null,
+                             maxPpl: Double = 0.0,
+                             decontamHoldout: DataFrame = null,
+                             decontamEps: Double = 0.8,
+                             withStats: Boolean = true): Unit = {
+    import graft.operators.Dedup
+    import graft.functions.TextFns
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val ExactParts = 64
+    // pin the frozen holdout once (the semanticDecontamStream lesson:
+    // a per-batch re-collect of an unchanging frame is waste)
+    val frozenHoldout =
+      if (decontamHoldout == null) null
+      else decontamHoldout.select(col("vec_id"), col("embedding")).localCheckpoint()
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val q = spark.readStream.schema(docsSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val hconf = s.sparkContext.hadoopConfiguration
+        def exists(p: String): Boolean = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(hconf).exists(hp)
+        }
+        val nInput = if (withStats) batch.count() else -1L
+
+        // single staged tokenization, reused by stages 2-4
+        val toks = batch.withColumn("__toks", TextFns.tokens(col("text")))
+
+        // ---- stage 1: exact -------------------------------------
+        val within = Dedup.exactSurvivors(toks, col("doc_id"), col("text"))
+          .withColumn("__fp", TextFns.fingerprint(col("text")))
+          .withColumn("__part", pmod(col("__fp"), lit(ExactParts)).cast("int"))
+        val exactStatePath = s"$indexDir/exact"
+        val exactKept = (
+          if (!exists(exactStatePath)) within
+          else {
+            val parts = within.select(col("__part")).distinct()
+              .collect().map(_.getInt(0)).toSeq
+            val seen = s.read.parquet(exactStatePath)
+              .filter(col("part").isin(parts: _*))
+              .filter(col("__batch") =!= batchId)
+              .select(col("fp").as("__fp"))
+            within.join(seen, Seq("__fp"), "left_anti")
+          }).localCheckpoint()
+        exactKept.select(col("__fp").as("fp"), col("__part").as("part"))
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("part", "__batch").parquet(exactStatePath)
+
+        // ---- stage 2: near-dup (the minhashDedupStream rule) ----
+        val pairs = Dedup.minhashCandidatesOfTokens(
+          exactKept.select(col("doc_id"), col("__toks")),
+          shingleLen, bands, rowsPerBand)
+          .filter(col("est_jaccard") >= jaccard)
+        val batchKept = exactKept.join(
+          Dedup.componentLosers(pairs).withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left_anti")
+        val bandsPath = s"$indexDir/bands"
+        val indexHits =
+          if (!exists(bandsPath)) batchKept.limit(0).select(col("doc_id"))
+          else Dedup.minhashProbe(
+            batchKept.select(col("doc_id"), col("__toks")), indexDir,
+            shingleLen, bands, rowsPerBand, excludeBatch = Some(batchId))
+            .filter(col("est_jaccard") >= jaccard)
+            .select(col("probe_id").as("doc_id")).distinct()
+        val nearKept = batchKept.join(indexHits, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        appendToMinhashIndex(nearKept.select(col("doc_id"), col("__toks")),
+          indexDir, batchId, shingleLen, bands, rowsPerBand)
+
+        // ---- stage 3: quality floor -----------------------------
+        val qualKept = nearKept.filter(
+          TextFns.qualityScoreOf(col("text"), col("__toks")) >= minQuality)
+
+        // ---- stage 4 (opt-in): frozen perplexity ceiling --------
+        val pplOn = pplModel != null && maxPpl > 0.0
+        val pplKept =
+          if (!pplOn) qualKept
+          else {
+            val dropped = graft.operators.LanguageModel.perplexityOf(
+              qualKept.select(col("doc_id"), col("__toks")), pplModel)
+              .filter(col("ppl") > maxPpl).select(col("doc_id"))
+            qualKept.join(dropped, Seq("doc_id"), "left_anti")
+          }
+
+        // ---- stage 5 (opt-in): semantic decontamination ---------
+        val semOn = frozenHoldout != null
+        val finalKept =
+          if (!semOn) pplKept
+          else {
+            val embedded = pplKept.filter(col("embedding").isNotNull)
+              .select(col("doc_id").as("vec_id"), col("embedding"))
+            val keptIds = graft.operators.Similarity.semanticDecontam(
+              embedded, frozenHoldout, decontamEps)
+              .filter(col("kept")).select(col("vec_id").as("doc_id"))
+            pplKept.filter(col("embedding").isNull)
+              .unionByName(pplKept.join(keptIds, Seq("doc_id"), "left_semi"))
+          }
+        val out = finalKept.localCheckpoint()
+
+        if (withStats) {
+          import s.implicits._
+          Seq((nInput, exactKept.count(), nearKept.count(), qualKept.count(),
+            if (pplOn) pplKept.count() else -1L,
+            if (semOn) out.count() else -1L,
+            out.count()))
+            .toDF("input", "after_exact", "after_neardup", "after_quality",
+              "after_ppl", "after_semantic", "kept")
+            .withColumn("__batch", lit(batchId))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch").parquet(s"$destDir/_accounting")
+        }
+        out.select(col("doc_id"), col("text"), col("embedding"))
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(destDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming perceptual-image near-dup firewall — the multimodal
     * twin of [[minhashDedupStream]], over the on-disk Hamming index
     * ([[graft.operators.Dedup.writeHammingIndex]]): arriving ENCODED

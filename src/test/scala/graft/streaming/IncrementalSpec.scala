@@ -1577,4 +1577,174 @@ class IncrementalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(got == want)
   }
+
+  test("curationFirewallStream: composed firewall equals the sequential stage-by-stage rule, unseeded start") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.Dedup
+    import graft.functions.TextFns
+    val base = Files.createTempDirectory("cur_fw").toString
+    val src = base + "/src"; val idx = base + "/idx"
+    val dest = base + "/kept"; val ck = base + "/ck"
+    val theta = 0.5; val minQ = 0.45
+
+    // three planted populations per wave: near-dup families (one tail
+    // token apart), EXACT copies (wave-independent text, so cross-wave
+    // arrivals are exact dups of wave-1 admissions), and junk docs
+    // (punct-heavy, quality < minQ) — each stage must fire
+    val body = (1 to 24).map(k => s"term$k").mkString(" ")
+    def mkDocs(ids: Range) = ids.map { i =>
+      val text = (i % 10) match {
+        case 0 => s"exact copy payload shared across waves group ${(i / 10) % 2}"
+        case 1 => s"junk$i !!!! ???? ;;;; **** @@@@ ####"
+        case 2 | 3 => s"family ${i % 3} $body tail $i"
+        case _ => s"unique standalone document $i " +
+          (1 to 10).map(k => s"only$i$k").mkString(" ")
+      }
+      (i.toLong, text, null.asInstanceOf[Array[Float]])
+    }.toDF("doc_id", "text", "embedding")
+
+    // the sequential twin: per wave, the IDENTICAL stage chain via the
+    // batch APIs against accumulated admitted state
+    var seenFps = Set.empty[Long]   // exact-stage survivors' fingerprints
+    var indexed = Set.empty[Long]   // near-dup-stage survivors (the band index)
+    var kept = Set.empty[Long]      // final admissions
+    var allIds = Set.empty[Long]
+    def applyWave(b: Range): Unit = {
+      allIds ++= b.map(_.toLong)
+      val docs = mkDocs(b)
+      // stage 1: within-wave exact keep-min, then drop already-seen fps
+      val withFp = Dedup.exactSurvivors(docs, col("doc_id"), col("text"))
+        .withColumn("__fp", TextFns.fingerprint(col("text")))
+        .select("doc_id", "__fp").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val s1 = withFp.filterNot { case (_, f) => seenFps.contains(f) }
+      seenFps ++= s1.map(_._2)
+      val s1Ids = s1.map(_._1).toSet
+      def toToks(ids: Set[Long]) = mkDocs(1 to allIds.max.toInt)
+        .filter(col("doc_id").isin(ids.toSeq: _*))
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+      // stage 2: within-wave candidates -> component min-id keeps,
+      // then cross-hit vs the indexed set (union-sweep trick — probe
+      // ≡ sweep is proven by DedupSpec)
+      val batchPairs = Dedup.minhashCandidatesOfTokens(toToks(s1Ids))
+        .filter(col("est_jaccard") >= theta).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val losers = Dedup.componentLosers(
+        batchPairs.toSeq.toDF("id_a", "id_b")).collect().map(_.getLong(0)).toSet
+      val batchKept = s1Ids -- losers
+      val crossHit =
+        if (indexed.isEmpty) Set.empty[Long]
+        else Dedup.minhashCandidatesOfTokens(toToks(batchKept ++ indexed))
+          .filter(col("est_jaccard") >= theta).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .flatMap { case (a, bId) =>
+            if (batchKept.contains(a) && indexed.contains(bId)) Some(a)
+            else if (batchKept.contains(bId) && indexed.contains(a)) Some(bId)
+            else None
+          }.toSet
+      val s2 = batchKept -- crossHit
+      indexed ++= s2
+      // stage 3: quality floor
+      val s3 = mkDocs(b)
+        .filter(col("doc_id").isin(s2.toSeq: _*))
+        .withColumn("__toks", TextFns.tokens(col("text")))
+        .filter(TextFns.qualityScoreOf(col("text"), col("__toks")) >= minQ)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      kept ++= s3
+    }
+
+    def keptOnDisk(): Set[Long] =
+      ss.read.parquet(dest).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // run 1: unseeded, waves as one availableNow pass
+    mkDocs(1 to 30).write.parquet(src)
+    Incremental.curationFirewallStream(ss, src, idx, dest, ck,
+      jaccard = theta, minQuality = minQ)
+    applyWave(1 to 30)
+    assert(keptOnDisk() == kept, s"run 1 diverged: ${keptOnDisk()} vs $kept")
+    assert(kept.size < 30, "run 1 must drop something")
+
+    // run 2: cross-wave exact dups (i%7==0 texts repeat), cross-wave
+    // near-dups (families continue), fresh junk — all three stages
+    // must fire against run-1 state
+    mkDocs(31 to 60).write.mode("append").parquet(src)
+    Incremental.curationFirewallStream(ss, src, idx, dest, ck,
+      jaccard = theta, minQuality = minQ)
+    applyWave(31 to 60)
+    assert(keptOnDisk() == kept, s"run 2 diverged: ${keptOnDisk()} vs $kept")
+    val wave2 = (31 to 60).map(_.toLong).toSet
+    assert(wave2.intersect(kept).nonEmpty, "run 2 must admit some docs")
+    assert((wave2 -- kept).nonEmpty, "run 2 must drop some docs")
+    // the cross-wave exact dups specifically: 40/50/60 repeat the
+    // group-0/1 texts wave 1's 10/20 already fingerprinted — all drop
+    assert(!kept.contains(40L) && !kept.contains(50L) && !kept.contains(60L),
+      "cross-wave exact dups must be stopped by the fingerprint store")
+
+    // per-stage accounting: monotone non-increasing chain per batch,
+    // disabled stages -1, kept column equals the final admissions
+    val acct = ss.read.parquet(dest + "/_accounting")
+      .orderBy("__batch").collect()
+    assert(acct.nonEmpty)
+    acct.foreach { r =>
+      val in = r.getAs[Long]("input"); val ex = r.getAs[Long]("after_exact")
+      val nd = r.getAs[Long]("after_neardup"); val ql = r.getAs[Long]("after_quality")
+      assert(in >= ex && ex >= nd && nd >= ql, s"non-monotone accounting: $r")
+      assert(r.getAs[Long]("after_ppl") == -1L && r.getAs[Long]("after_semantic") == -1L)
+      assert(r.getAs[Long]("kept") == ql)
+    }
+    assert(acct.map(_.getAs[Long]("kept")).sum == kept.size.toLong)
+  }
+
+  test("curationFirewallStream opt-in stages: ppl ceiling drops gibberish, holdout leak drops, null embedding passes") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.LanguageModel
+    val base = Files.createTempDirectory("cur_fw2").toString
+    val src = base + "/src"; val idx = base + "/idx"
+    val dest = base + "/kept"; val ck = base + "/ck"
+
+    // three mutually-DISSIMILAR fluent sentences (no shared trigram
+    // shingles — the near-dup stage must not fire here) and the
+    // frozen bigram LM trained on all three
+    val sentA = "the quick brown fox jumps over the lazy dog today"
+    val sentB = "a small red bird sings near the quiet river bank"
+    val sentC = "many children play happy games outside during warm summer days"
+    val gibber = "zxqv wkjp mnbt rqzx vvkk qqpp zzll mmnn bbvv ccxx"
+    val refDocs = Seq(sentA, sentB, sentC).zipWithIndex
+      .flatMap { case (t, j) => (1 to 5).map(r => ((j * 5 + r).toLong, t)) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("__toks"))
+    val model = LanguageModel.trainBigramModel(refDocs, v = 64)
+
+    def emb(x: Float): Array[Float] = Array(x, 1f - x, 0.5f)
+    val holdout = Seq((900L, emb(0.9f))).toDF("vec_id", "embedding")
+
+    // 1: fluent + embedding far from holdout -> admitted
+    // 2: fluent + embedding ≡ holdout -> semantic drop
+    // 3: fluent + null embedding -> passes semantic untouched
+    // 4: gibberish (unseen bigrams) + far embedding -> ppl drop
+    val docs = Seq(
+      (1L, sentA, emb(0.1f)),
+      (2L, sentB, emb(0.9f)),
+      (3L, sentC, null.asInstanceOf[Array[Float]]),
+      (4L, gibber, emb(0.1f)))
+      .toDF("doc_id", "text", "embedding")
+    docs.write.parquet(src)
+
+    // ppl ceiling between the fluent docs' ppl and the gibberish doc's
+    val probe = docs.select(col("doc_id"),
+      graft.functions.TextFns.tokens(col("text")).as("__toks"))
+    val ppls = LanguageModel.perplexityOf(probe, model)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    val ceiling = (Seq(1L, 2L, 3L).map(ppls).max + ppls(4L)) / 2.0
+    assert(ppls(4L) > ceiling)
+
+    Incremental.curationFirewallStream(ss, src, idx, dest, ck,
+      minQuality = 0.0, pplModel = model, maxPpl = ceiling,
+      decontamHoldout = holdout, decontamEps = 0.95)
+    val kept = ss.read.parquet(dest).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"expected {1,3}, got $kept")
+    val acct = ss.read.parquet(dest + "/_accounting").collect().head
+    assert(acct.getAs[Long]("after_ppl") == 3L)     // doc 4 dropped
+    assert(acct.getAs[Long]("after_semantic") == 2L) // doc 2 dropped
+    assert(acct.getAs[Long]("kept") == 2L)
+  }
 }
