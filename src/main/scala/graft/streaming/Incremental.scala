@@ -863,10 +863,16 @@ object Incremental {
           val hp = new org.apache.hadoop.fs.Path(p)
           hp.getFileSystem(hconf).exists(hp)
         }
-        val nInput = if (withStats) batch.count() else -1L
+        // pin the micro-batch once: the accounting count and the
+        // stage chain consume it several times, and an unbuffered
+        // batch frame re-reads the source files per consumer (the ×10
+        // rehearsal measured 2-3 source scans per trigger without it)
+        val staged = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nInput = if (withStats) staged.count() else -1L
 
         // single staged tokenization, reused by stages 2-4
-        val toks = batch.withColumn("__toks", TextFns.tokens(col("text")))
+        val toks = staged.withColumn("__toks", TextFns.tokens(col("text")))
 
         // ---- stage 1: exact -------------------------------------
         val within = Dedup.exactSurvivors(toks, col("doc_id"), col("text"))
@@ -956,6 +962,8 @@ object Incremental {
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("__batch").parquet(destDir)
+        staged.unpersist(blocking = false)
+        ()
       }
       .start()
     q.awaitTermination()

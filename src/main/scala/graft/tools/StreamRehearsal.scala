@@ -375,6 +375,50 @@ object StreamRehearsal {
       println(s"""{"metric":"stream_state","scenario":"$label","kept":$kept,"input":${clips.count()},"index_bytes":${fsSize(spark, idx)}}""")
     }
 
+    // ---- 10. curationFirewallStream over the ×R documents ---------
+    // the COMPOSED firewall (round-16): exact-fingerprint store +
+    // MinHash band index + quality floor + frozen-ppl ceiling +
+    // frozen-holdout semantic decontam as ONE stream. The scale
+    // claim: per-wave wall stays batch-bound (both state probes are
+    // partition-pruned; the frozen model/holdout are reused), and the
+    // per-batch accounting chain is monotone non-increasing.
+    label = "curation_firewall_stream"
+    if (wanted(label)) locally {
+      val docs = spark.read.parquet(s"$fixture/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val embs = spark.read.parquet(s"$fixture/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val corpus = docs.join(embs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"), col("embedding"))
+      // frozen side inputs, trained/pinned ONCE (the firewall setup
+      // cost a production deployment pays at model refresh, not per
+      // wave): a 10% reference slice for the bigram LM, a 64-vector
+      // pseudo-benchmark as the semantic holdout
+      val refToks = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"),
+          graft.functions.TextFns.tokens(col("text")).as("__toks"))
+      val model = graft.operators.LanguageModel.trainBigramModel(refToks, v = 1024)
+      val holdout = spark.read.parquet(s"$fixture/embeddings.parquet")
+        .filter(pmod(col("vec_id"), lit(997)) === 0).limit(64)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val src = s"$work/cf_src"; val idx = s"$work/cf_idx"
+      val dest = s"$work/cf_kept"; val ck = s"$work/cf_ck"
+      for (w <- 0 until waves) {
+        corpus.filter(pmod(col("doc_id"), lit(waves)) === w)
+          .write.mode("append").parquet(src)
+        timed(s"wave_$w")(
+          Incremental.curationFirewallStream(spark, src, idx, dest, ck,
+            pplModel = model, maxPpl = 1e5,
+            decontamHoldout = holdout, decontamEps = 0.8))
+      }
+      val kept = spark.read.parquet(dest).count()
+      println(s"""{"metric":"stream_state","scenario":"$label","kept":$kept,"input":${corpus.count()},"index_bytes":${fsSize(spark, idx)}}""")
+      spark.read.parquet(s"$dest/_accounting")
+        .orderBy(col("__batch")).collect().foreach { r =>
+          println(s"""{"metric":"stream_acct","scenario":"$label","batch":${r.get(r.fieldIndex("__batch"))},"input":${r.getAs[Long]("input")},"after_exact":${r.getAs[Long]("after_exact")},"after_neardup":${r.getAs[Long]("after_neardup")},"after_quality":${r.getAs[Long]("after_quality")},"after_ppl":${r.getAs[Long]("after_ppl")},"after_semantic":${r.getAs[Long]("after_semantic")},"kept":${r.getAs[Long]("kept")}}""")
+        }
+    }
+
     // per-batch progress dump (the evidence table for BASELINE.md)
     import scala.jdk.CollectionConverters._
     recorded.asScala.toSeq.sortBy(b => (b.label, b.batchId)).foreach { b =>

@@ -457,4 +457,23 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
       s"the argmax is the native expression, never an aggregate:\n$p")
   }
+
+  test("hex_decode: the schema adapter adds zero exchanges to the Top-100 plan") {
+    // adaptedSelect (conditional unhex + renames + casts) is a plain
+    // projection — the adapted plan must carry exactly the exchange
+    // set of the underlying Top-100 query (latest-bucket broadcast,
+    // rank window shuffle, presentation sort), nothing adapter-made
+    val adapted = plan("hex_decode")
+    val base = plan("top100_domain")
+    assert(count(adapted, "Exchange") <= count(base, "Exchange"),
+      s"adapter must not add exchanges:\nADAPTED:\n$adapted\nBASE:\n$base")
+    // and the decode stays inside whole-stage codegen (built-in
+    // unhex, never a UDF or interpreted projection on the hot path)
+    // the decode is the codegen'd built-in unhex — never a UDF or an
+    // interpreted projection on the hot path (AQE's pre-execution
+    // formatted plan doesn't print codegen spans, so the contract is
+    // the absence of codegen breakers, not the span marker)
+    assert(!adapted.contains("BatchEvalPython") && !adapted.contains("ScalaUDF"),
+      s"decode must be the codegen'd built-in:\n$adapted")
+  }
 }
