@@ -969,6 +969,122 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** COMPOSED streaming MEDIA firewall — [[graft.pipelines.MediaCorpus
+    * .prepare]]'s stage chain at ingest time as ONE stream: decode →
+    * perceptual dHash near-dup pruning (within-batch pigeonhole sweep
+    * + on-disk Hamming index probe) → brightness feature floor, with
+    * per-stage accounting per micro-batch — the multimodal sibling of
+    * [[curationFirewallStream]].
+    *
+    * Stage semantics are the batch pipeline's, by shared code:
+    *  1. DECODE — [[graft.operators.Media.decodeImages]], one codec
+    *     pass per batch staged for all downstream consumers;
+    *     undecodable payloads drop here (the 2_decoded account).
+    *  2. NEAR-DUP — the batch rule exactly: decoded survivors lose to
+    *     within-batch Hamming-component minima and to
+    *     already-admitted index matches; unlike [[phashDedupStream]]
+    *     (fingerprint-only firewall), rows that decode but carry NO
+    *     fingerprint pass this stage untouched — the
+    *     [[graft.pipelines.MediaCorpus.prepare]] anti-join semantics
+    *     (a doc the fingerprinter cannot judge is not evidence of
+    *     duplication), at the cost that such rows are also not
+    *     indexable against future arrivals.
+    *  3. FEATURE FLOOR — codegen'd brightness against [lo, hi].
+    *
+    * The admitted output is MANIFEST-shaped (`id, brightness,
+    * n_pixels`) — placement + features, never pixels; at 100 TB the
+    * pixels stay in the lake and only decisions leave the stream.
+    * Replay-safe like every firewall here: the index probe excludes
+    * the current `__batch`, all writes dynamic-overwrite.
+    */
+  def mediaFirewallStream(spark: SparkSession, srcDir: String,
+                          indexDir: String, destDir: String,
+                          checkpointDir: String, maxDist: Int = 3,
+                          minBrightness: Double = 0.0,
+                          maxBrightness: Double = 255.0,
+                          withStats: Boolean = true): Unit = {
+    val imgSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val q = spark.readStream.schema(imgSchema).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Dedup, Media}
+        val s = batch.sparkSession
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        // pin the raw batch once (the curationFirewallStream lesson:
+        // the accounting count and the decode would otherwise each
+        // scan the source files)
+        val staged = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nInput = if (withStats) staged.count() else -1L
+        // one codec pass per batch, three consumers (fingerprint,
+        // floor, manifest) — batch-sized, so localCheckpoint
+        val decoded = Media.decodeImages(staged).localCheckpoint()
+        val nDecoded = if (withStats) decoded.count() else -1L
+
+        val sig = Media.resizeImages(decoded, 9, 8)
+          .select(col("id").as("doc_id"),
+            call_function("graft_dhash64", col("pixels"), col("width"),
+              col("height"), col("channels")).as("sh"))
+          .filter(col("sh").isNotNull)
+        val pairs = Dedup.hammingPairsOfSignatures(sig, maxDist)
+        val losers = Dedup.componentLosers(pairs)
+          .select(col("node").as("id")).localCheckpoint()
+        val sigKept = sig.join(
+          losers.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
+        val bandsPath = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+        val indexExists = bandsPath
+          .getFileSystem(s.sparkContext.hadoopConfiguration).exists(bandsPath)
+        val indexHits = (
+          if (!indexExists) sigKept.limit(0).select(col("doc_id"))
+          else Dedup.hammingProbe(sigKept, indexDir, maxDist,
+            excludeBatch = Some(batchId))
+            .select(col("probe_id").as("doc_id")).distinct())
+          .localCheckpoint()
+        // admitted fingerprints join the index (decide once — same
+        // survivor set for append and output)
+        Dedup.hammingIndexRows(
+            sigKept.join(indexHits, Seq("doc_id"), "left_anti"),
+            maxDist, Dedup.HammingParts)
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("part", "__batch").parquet(s"$indexDir/bands")
+        // the batch pipeline's anti-join: decoded rows lose only by id
+        val deduped = decoded
+          .join(losers, Seq("id"), "left_anti")
+          .join(indexHits.withColumnRenamed("doc_id", "id"), Seq("id"), "left_anti")
+
+        val feats = Media.imageFeatures(deduped)
+        val kept = feats
+          .filter(col("brightness").between(minBrightness, maxBrightness))
+          .withColumn("n_pixels",
+            (col("width") * col("height") * col("channels")).cast("long"))
+          .select(col("id"), col("brightness"), col("n_pixels"))
+          .localCheckpoint()
+
+        if (withStats) {
+          import s.implicits._
+          Seq((nInput, nDecoded, deduped.count(), kept.count()))
+            .toDF("input", "decoded", "after_neardup", "after_feature")
+            .withColumn("__batch", lit(batchId))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch").parquet(s"$destDir/_accounting")
+        }
+        kept.withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(destDir)
+        staged.unpersist(blocking = false)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming perceptual-image near-dup firewall — the multimodal
     * twin of [[minhashDedupStream]], over the on-disk Hamming index
     * ([[graft.operators.Dedup.writeHammingIndex]]): arriving ENCODED

@@ -375,6 +375,52 @@ object StreamRehearsal {
       println(s"""{"metric":"stream_state","scenario":"$label","kept":$kept,"input":${clips.count()},"index_bytes":${fsSize(spark, idx)}}""")
     }
 
+    // ---- 10b. mediaFirewallStream over synthetic ×R images --------
+    // the COMPOSED multimodal firewall (round-16): decode → dHash
+    // near-dup (within + index) → brightness floor, with per-batch
+    // accounting. Same image generator as phash_dedup_stream plus a
+    // 1-in-11 corrupt payload (decode-stage drops) — the floor is set
+    // inside the generator's brightness band so it passes almost all,
+    // exercising the stage without fixture-specific tuning.
+    label = "media_firewall_stream"
+    if (wanted(label)) locally {
+      def mix(z0: Long): Long = {
+        var z = z0 * 0x9E3779B97F4A7C15L
+        z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+        z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      def imgOf(seed: Long): Array[Byte] = {
+        val base = if (seed % 5 == 4) seed - 1 else seed
+        val px = Array.tabulate(8 * 8 * 3)(i => (mix(base * 192 + i) & 0xff).toByte)
+        if (seed % 5 == 4) px(60) = ((px(60) & 0xff) + 120).toByte
+        graft.operators.Media.ImageMagic ++
+          Array[Byte](0, 8, 0, 8, 3) ++ px
+      }
+      val imgs = spark.read.parquet(s"$fixture/events.parquet")
+        .select(col("event_id").as("id")).filter(col("id") % 40 === 0)
+        .as[Long].map(id =>
+          (id, if (id % 440 == 0) "not an image".getBytes("UTF-8")
+               else imgOf(id / 160)))
+        .toDF("id", "payload")
+        .localCheckpoint()
+      val src = s"$work/mf_src"; val idx = s"$work/mf_idx"
+      val dest = s"$work/mf_kept"; val ck = s"$work/mf_ck"
+      for (w <- 0 until waves) {
+        imgs.filter(pmod(col("id"), lit(waves * 40)) === w * 40)
+          .write.mode("append").parquet(src)
+        timed(s"wave_$w")(
+          Incremental.mediaFirewallStream(spark, src, idx, dest, ck,
+            minBrightness = 16.0, maxBrightness = 240.0))
+      }
+      val kept = spark.read.parquet(dest).count()
+      println(s"""{"metric":"stream_state","scenario":"$label","kept":$kept,"input":${imgs.count()},"index_bytes":${fsSize(spark, idx)}}""")
+      spark.read.parquet(s"$dest/_accounting")
+        .orderBy(col("__batch")).collect().foreach { r =>
+          println(s"""{"metric":"stream_acct","scenario":"$label","batch":${r.get(r.fieldIndex("__batch"))},"input":${r.getAs[Long]("input")},"decoded":${r.getAs[Long]("decoded")},"after_neardup":${r.getAs[Long]("after_neardup")},"after_feature":${r.getAs[Long]("after_feature")}}""")
+        }
+    }
+
     // ---- 10. curationFirewallStream over the ×R documents ---------
     // the COMPOSED firewall (round-16): exact-fingerprint store +
     // MinHash band index + quality floor + frozen-ppl ceiling +

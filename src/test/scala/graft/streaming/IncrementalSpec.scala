@@ -1694,6 +1694,65 @@ class IncrementalSpec extends SparkSpec {
     assert(acct.map(_.getAs[Long]("kept")).sum == kept.size.toLong)
   }
 
+  test("mediaFirewallStream: decode drop, cross-wave near-dup via index, brightness floor, manifest output") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.Media
+    val base = Files.createTempDirectory("media_fw").toString
+    val src = base + "/src"; val idx = base + "/idx"
+    val dest = base + "/kept"; val ck = base + "/ck"
+
+    // wave 1: 1 anchors a family (9 is Hamming-2 away — within-wave
+    // loser), 5 is unique, 30 corrupt, 40 dark
+    Seq(
+      (1L, Media.stubImage(1)), (9L, Media.stubImage(9)),
+      (5L, Media.stubImage(5)),
+      (30L, "XXXX not an image container".getBytes("UTF-8")),
+      (40L, Media.ImageMagic ++ Array[Byte](0, 8, 0, 8, 3) ++
+        Array.fill[Byte](192)(0)))
+      .toDF("id", "payload").write.parquet(src)
+    Incremental.mediaFirewallStream(ss, src, idx, dest, ck,
+      minBrightness = 50.0)
+    def keptIds() = ss.read.parquet(dest).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds() == Set(1L, 5L),
+      s"wave 1: family keeps min id, corrupt + dark drop: ${keptIds()}")
+    val a1 = ss.read.parquet(dest + "/_accounting")
+      .filter(col("__batch") === 0).collect().head
+    assert((a1.getAs[Long]("input"), a1.getAs[Long]("decoded"),
+      a1.getAs[Long]("after_neardup"), a1.getAs[Long]("after_feature"))
+      == ((5L, 4L, 3L, 2L)), s"wave 1 accounting: $a1")
+
+    // wave 2: 20 repeats 1's exact payload and 21 repeats 9's
+    // (Hamming-2 from the INDEXED 1) — both must drop through the
+    // index, never a re-sweep; 13 is fresh and unique; 31 re-plants
+    // the decode drop. 41 re-plants wave 1's dark image — and drops
+    // at NEAR-DUP, not the floor: 40 was a near-dup-STAGE survivor in
+    // wave 1, so its fingerprint joined the index before the floor
+    // dropped it (the sequential-stage semantics shared with
+    // curationFirewallStream — a dup of a later-dropped doc is still
+    // a dup)
+    Seq(
+      (20L, Media.stubImage(1)), (21L, Media.stubImage(9)),
+      (13L, Media.stubImage(13)),
+      (31L, "XXXX not an image container".getBytes("UTF-8")),
+      (41L, Media.ImageMagic ++ Array[Byte](0, 8, 0, 8, 3) ++
+        Array.fill[Byte](192)(0)))
+      .toDF("id", "payload").write.mode("append").parquet(src)
+    Incremental.mediaFirewallStream(ss, src, idx, dest, ck,
+      minBrightness = 50.0)
+    assert(keptIds() == Set(1L, 5L, 13L),
+      s"wave 2: index stops the cross-wave dups: ${keptIds()}")
+    val a2 = ss.read.parquet(dest + "/_accounting")
+      .filter(col("__batch") === 1).collect().head
+    assert((a2.getAs[Long]("input"), a2.getAs[Long]("decoded"),
+      a2.getAs[Long]("after_neardup"), a2.getAs[Long]("after_feature"))
+      == ((5L, 4L, 1L, 1L)), s"wave 2 accounting: $a2")
+    // manifest shape: features + placement, never pixels
+    val row = ss.read.parquet(dest).filter(col("id") === 13L).collect().head
+    assert(row.getAs[Long]("n_pixels") == 192L)
+    assert(!ss.read.parquet(dest).columns.contains("payload"))
+  }
+
   test("curationFirewallStream opt-in stages: ppl ceiling drops gibberish, holdout leak drops, null embedding passes") {
     val ss = spark; import ss.implicits._
     import graft.operators.LanguageModel
