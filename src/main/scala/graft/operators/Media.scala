@@ -253,6 +253,33 @@ object Media {
     }.flatten
   }
 
+  /** Full-entropy synthetic clip (the ×R rehearsal generator,
+    * promoted to shared code round 16): samples are
+    * splitmix64-derived from (seed, i), so DISTINCT seeds give
+    * independent energy-envelope fingerprints — the realistic
+    * clustered-corpus entropy class, vs [[stubAudio]]'s sawtooth
+    * whose fingerprint space collapses at scale (the adversarial
+    * class the capped-sweep negative results document). Same seed =
+    * byte-identical clip; `perturbAt >= 0` nudges one sample,
+    * planting a ≤2-bit near-dup of the unperturbed seed's clip.
+    */
+  def mixAudio(seed: Long, n: Int = 130, rate: Int = 16000,
+               perturbAt: Int = -1, perturbBy: Int = 0): Array[Byte] = {
+    def mix(z0: Long): Long = {
+      var z = z0 * 0x9E3779B97F4A7C15L
+      z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val samples = Array.tabulate(n)(i => (mix(seed * n + i) % 2000L).toInt)
+    if (perturbAt >= 0) samples(perturbAt) += perturbBy
+    val hdr = AudioMagic ++ Array(
+      ((rate >> 8) & 0xff).toByte, (rate & 0xff).toByte, 1.toByte,
+      ((n >> 8) & 0xff).toByte, (n & 0xff).toByte)
+    hdr ++ samples.flatMap(v =>
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte))
+  }
+
   /** Audio codec seam — same per-partition `open()` lifecycle as
     * [[Codec]]; a real deployment swaps in an ffmpeg/libsndfile
     * decoder with this signature.

@@ -411,6 +411,43 @@ object MediaPipeline {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Capped acoustic sweep over the REALISTIC fingerprint-entropy
+    * class (round 16): clips are [[graft.operators.Media.mixAudio]]
+    * mix-derived — distinct seeds give independent fingerprints, so
+    * no band piece goes hot and the frequency cap should cost ZERO
+    * recall. One clip per 50th event id, seed = id/200 (4-clip exact
+    * families), every 5th seed perturbed one sample (≤2-bit planted
+    * near-dups) — the rehearsal fixture's family structure, shared
+    * by generator. Feeds the `audio_phash_capped_recall_mix` QUALITY
+    * floor: the [[audioPhashPairsOf]] stub metric quantifies the cap
+    * on ADVERSARIAL (collapsed-fingerprint) entropy; this one proves
+    * it free on the entropy class production corpora actually have.
+    */
+  private[graft] def audioMixPhashPairsOf(s: SparkSession, dir: String,
+                                          maxPieceFreq: Long): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    val clips = Tables.events(s, dir).select(col("event_id"))
+      .filter(col("event_id") % 50 === 0)
+      .as[Long].map { id =>
+        val seed = id / 200
+        val p = seed % 5 == 4
+        (id, graft.operators.Media.mixAudio(if (p) seed - 1 else seed,
+          n = 130, perturbAt = if (p) 64 else -1,
+          perturbBy = if (p) 900 else 0))
+      }.toDF("id", "payload")
+    val sig = graft.operators.Media.decodeAudio(clips)
+      .select(col("id").as("doc_id"),
+        call_function("graft_audiohash64", col("samples")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .localCheckpoint()
+    graft.operators.Dedup.hammingPairsOfSignatures(
+        sig, maxDist = 3, maxPieceFreq = maxPieceFreq,
+        pairParts = hammingWidth(s, sig, Some(s"$dir#audmix")))
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast(LongType).as("hamming"))
+  }
+
   /** Temporal perceptual video near-dup — the clip-level rollup that
     * completes the image ([[mediaPhashPairs]]) / audio
     * ([[mediaAudioPhash]]) / video fingerprint triple: frame-sample

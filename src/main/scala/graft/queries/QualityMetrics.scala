@@ -60,6 +60,7 @@ object QualityMetrics {
     "media_knn_ivf_auto_recall@5" -> 0.75,
     "semantic_dedup_auto_fit_ratio" -> 1.0,
     "audio_phash_capped_recall" -> 0.9,
+    "audio_phash_capped_recall_mix" -> 0.9,
     "token_hll_accuracy" -> 0.95,
     "bpe_compression" -> 1.5)
 
@@ -230,6 +231,19 @@ object QualityMetrics {
       recallOf("audio_phash_capped_recall",
         MediaPipeline.audioPhashPairsOf(s, dir, maxPieceFreq = 1000L),
         MediaPipeline.mediaAudioPhash(s, dir)),
+      // the same cap on the REALISTIC entropy class (round 16): the
+      // stub metric above quantifies the adversarial bound — on the
+      // sawtooth's collapsed fingerprint space every band piece goes
+      // hot and the cap necessarily sheds candidates (measured 0.21
+      // at ×10, the boundedness-over-completeness trade the ×30
+      // negative result documents). Mix-derived clips carry
+      // independent fingerprints per seed, so here the SAME cap at
+      // the SAME radius must cost nothing — the floor that holds at
+      // every scale on the corpus class production actually ingests.
+      recallOf("audio_phash_capped_recall_mix",
+        MediaPipeline.audioMixPhashPairsOf(s, dir, maxPieceFreq = 1000L),
+        MediaPipeline.audioMixPhashPairsOf(s, dir,
+          maxPieceFreq = Long.MaxValue)),
       hllAccuracy(s, dir))
     val all = rows.reduce(_ unionByName _)
     val floorCol = floors.foldLeft(lit(Double.NaN)) { case (acc, (m, f)) =>

@@ -299,22 +299,14 @@ object StreamRehearsal {
     // bits — a planted near-dup the index must catch across waves)
     label = "audio_phash_dedup_stream"
     if (wanted(label)) locally {
-      def mix(z0: Long): Long = {
-        var z = z0 * 0x9E3779B97F4A7C15L
-        z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
-        z ^= (z >>> 27); z *= 0x94D049BB133111EBL
-        z ^ (z >>> 31)
-      }
+      // shared generator ([[graft.operators.Media.mixAudio]], round
+      // 16) — byte-identical to the inline form this scenario used
+      // when the round-16 BASELINE numbers were recorded
       def audOf(seed: Long): Array[Byte] = {
-        val base = if (seed % 5 == 4) seed - 1 else seed
-        val samples = Array.tabulate(130)(i =>
-          ((mix(base * 130 + i) % 2000L).toInt))
-        if (seed % 5 == 4) samples(64) += 900
-        val hdr = graft.operators.Media.AudioMagic ++ Array[Byte](
-          ((16000 >> 8) & 0xff).toByte, (16000 & 0xff).toByte, 1.toByte,
-          ((130 >> 8) & 0xff).toByte, (130 & 0xff).toByte)
-        hdr ++ samples.flatMap(v =>
-          Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte))
+        val p = seed % 5 == 4
+        graft.operators.Media.mixAudio(if (p) seed - 1 else seed,
+          n = 130, perturbAt = if (p) 64 else -1,
+          perturbBy = if (p) 900 else 0)
       }
       val clips = spark.read.parquet(s"$fixture/events.parquet")
         .select(col("event_id").as("id")).filter(col("id") % 50 === 0)

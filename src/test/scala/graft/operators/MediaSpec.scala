@@ -527,4 +527,27 @@ class MediaSpec extends SparkSpec {
       s"expected identical clips at 3 matched frames, both 2-of-3 overlaps at 2, " +
         s"and no pair for the 1-of-3 combinations: $got")
   }
+
+  test("mixAudio: deterministic, seed-independent fingerprints, perturbation stays within the near-dup radius") {
+    val ss = spark; import ss.implicits._
+    // deterministic: same seed = byte-identical clip
+    assert(Media.mixAudio(7L).sameElements(Media.mixAudio(7L)))
+    // the entropy contract the capped-recall mix floor rests on:
+    // distinct seeds must give distinct fingerprints (no hot pieces),
+    // and the planted perturbation must stay within Hamming ≤ 2 of
+    // its base seed's fingerprint
+    val clips = ((0L until 40L).map(s => (s, Media.mixAudio(s))) :+
+      (1000L, Media.mixAudio(3L, perturbAt = 64, perturbBy = 900)))
+      .toDF("id", "payload")
+    val sh = Media.decodeAudio(clips)
+      .select(col("id"), call_function("graft_audiohash64", col("samples")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.size == 41)
+    assert(sh.values.toSet.size >= 40, "mix fingerprints must not collapse")
+    val d = java.lang.Long.bitCount(sh(1000L) ^ sh(3L))
+    assert(d <= 2, s"perturbed clip must stay a near-dup of its base: hamming $d")
+    assert((0L until 40L).forall(s => s == 3L ||
+      java.lang.Long.bitCount(sh(1000L) ^ sh(s)) > 3),
+      "perturbed clip must not collide with unrelated seeds at the sweep radius")
+  }
 }
