@@ -207,6 +207,49 @@ object Dedup {
     */
   val MinhashParts = 64
 
+  // ---- index-geometry sidecar (round 16) -------------------------
+  // Every on-disk index here prunes probes by partitions derived
+  // from its BUILD parameters (parts, band shape, radius). A probe
+  // run with different parameters prunes to the WRONG partitions and
+  // silently misses matches — the worst failure mode an
+  // exactness-gated index can have, surfaced by the ×30 large-batch
+  // profile. The build now writes its geometry to
+  // `<path>/_graft_geometry.json` (underscore-prefixed — invisible
+  // to parquet readers) and probes fail loud on any mismatch.
+  // Indexes built before the sidecar existed have no file; probes
+  // then trust the caller, the pre-round-16 contract.
+
+  private[graft] def writeIndexGeometry(spark: org.apache.spark.sql.SparkSession,
+                                        path: String,
+                                        geometry: Map[String, String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_geometry.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(geometry.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def requireIndexGeometry(spark: org.apache.spark.sql.SparkSession,
+                                          path: String,
+                                          expected: Map[String, String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_geometry.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      expected.foreach { case (k, v) =>
+        val stored = s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+        require(stored.forall(_ == v),
+          s"index at $path was built with $k=${stored.getOrElse("?")} but probed " +
+            s"with $k=$v — a geometry mismatch prunes to the wrong partitions and " +
+            "silently misses matches; probe with the build's parameters or rebuild")
+      }
+    }
+  }
+
   private def partOf(nParts: Int): Column =
     pmod(xxhash64(col("band"), col("bucket")), lit(nParts)).cast("int")
 
@@ -261,7 +304,15 @@ object Dedup {
       .sortWithinPartitions(col("doc_id"))
       .write.mode("overwrite").partitionBy("spart", "__batch")
       .parquet(s"$path/sigs")
+    writeIndexGeometry(toks.sparkSession, path,
+      minhashGeometry(shingleLen, bands, rowsPerBand, nParts))
   }
+
+  private[graft] def minhashGeometry(shingleLen: Int, bands: Int,
+                                     rowsPerBand: Int, nParts: Int): Map[String, String] =
+    Map("kind" -> "minhash", "shingleLen" -> shingleLen.toString,
+      "bands" -> bands.toString, "rowsPerBand" -> rowsPerBand.toString,
+      "parts" -> nParts.toString)
 
   /** Near-duplicate candidates of a NEW batch against an indexed
     * corpus: the batch's banded signatures (same derivation as the
@@ -285,10 +336,13 @@ object Dedup {
   private[graft] def minhashProbeCands(newToks: DataFrame, path: String,
                                        shingleLen: Int, bands: Int,
                                        rowsPerBand: Int, nParts: Int,
-                                       excludeBatch: Option[Long]): DataFrame =
+                                       excludeBatch: Option[Long]): DataFrame = {
+    requireIndexGeometry(newToks.sparkSession, path,
+      minhashGeometry(shingleLen, bands, rowsPerBand, nParts))
     minhashProbeCandsBanded(
       bandedSignatures(newToks, shingleLen, bands, rowsPerBand),
       path, nParts, excludeBatch)
+  }
 
   private def minhashProbeCandsBanded(banded: DataFrame, path: String,
                                       nParts: Int,
@@ -319,6 +373,8 @@ object Dedup {
                    bands: Int = 16, rowsPerBand: Int = 8,
                    nParts: Int = MinhashParts,
                    excludeBatch: Option[Long] = None): DataFrame = {
+    requireIndexGeometry(newToks.sparkSession, path,
+      minhashGeometry(shingleLen, bands, rowsPerBand, nParts))
     val numHashes = bands * rowsPerBand
     // the batch's signatures materialize ONCE (1 slim row per doc) and
     // feed BOTH the banded candidate join and the probe-side signature
@@ -1235,13 +1291,21 @@ object Dedup {
     */
   def writeHammingIndex(sigs: DataFrame, path: String, maxDist: Int = 3,
                         nParts: Int = HammingParts,
-                        alignCols: Seq[String] = Nil): Unit =
+                        alignCols: Seq[String] = Nil): Unit = {
     hammingIndexRows(sigs, maxDist, nParts, alignCols)
       .withColumn("__batch", lit(-1L))
       .repartition(col("part"))
       .sortWithinPartitions(col("chunk"), col("piece"))
       .write.mode("overwrite").partitionBy("part", "__batch")
       .parquet(s"$path/bands")
+    writeIndexGeometry(sigs.sparkSession, path,
+      hammingGeometry(maxDist, nParts, alignCols))
+  }
+
+  private[graft] def hammingGeometry(maxDist: Int, nParts: Int,
+                                     alignCols: Seq[String]): Map[String, String] =
+    Map("kind" -> "hamming", "maxDist" -> maxDist.toString,
+      "parts" -> nParts.toString, "align" -> alignCols.mkString(","))
 
   /** Hamming-≤maxDist matches of a NEW batch of signatures against an
     * indexed corpus: the batch's chunk/piece rows (same derivation as
@@ -1284,6 +1348,8 @@ object Dedup {
                    excludeBatch: Option[Long] = None,
                    alignCols: Seq[String] = Nil,
                    probeParts: Int = 0): DataFrame = {
+    requireIndexGeometry(sigs.sparkSession, path,
+      hammingGeometry(maxDist, nParts, alignCols))
     val jKeys = alignCols ++ Seq("chunk", "piece")
     val probe0 = hammingBanded(sigs, maxDist, alignCols)
       .select(alignCols.map(col) ++ Seq(col("doc_id").as("probe_id"),

@@ -646,10 +646,29 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, centroids: DataFrame, path: String,
                     nAssign: Int = 1,
                     corpusId: String = "neighbor_id",
-                    vecCol: String = "embedding"): Unit =
+                    vecCol: String = "embedding"): Unit = {
     ivfIndexRows(corpus, centroids, nAssign, corpusId, vecCol)
       .withColumn("__batch", lit(-1L))
       .write.mode("overwrite").partitionBy("centroid", "__batch").parquet(path)
+    graft.operators.Dedup.writeIndexGeometry(corpus.sparkSession, path,
+      ivfGeometry(centroids))
+  }
+
+  /** IVF geometry = WHICH quantizer partitioned the lists: a
+    * driver-side checksum of the (id, vector) centroid set. A probe
+    * whose centroid frame differs from the build's assigns queries
+    * to lists the index never populated — the silent-miss class the
+    * round-16 sidecars exist for.
+    */
+  private[graft] def ivfGeometry(centroids: DataFrame): Map[String, String] = {
+    val (ids, vecs) = collectQuantizer(centroids)
+    var h = 1125899906842597L
+    ids.zip(vecs).sortBy(_._1).foreach { case (id, v) =>
+      h = h * 31 + id
+      v.foreach(f => h = h * 31 + java.lang.Float.floatToIntBits(f))
+    }
+    Map("kind" -> "ivf", "quantizer" -> java.lang.Long.toHexString(h))
+  }
 
   /** The index-layout frame behind [[writeIvfIndex]]: one assigned
     * `centroid` row per (vector, assignment) — shared with the
@@ -690,6 +709,7 @@ object Similarity {
                     queryId: String = "query_id",
                     corpusId: String = "neighbor_id",
                     vecCol: String = "embedding"): DataFrame = {
+    graft.operators.Dedup.requireIndexGeometry(spark, path, ivfGeometry(centroids))
     val q = collectQuantizerHier(centroids)
     // materialized once: the frame feeds BOTH the partition-pruning
     // collect below and the scoring join — without pinning it, a

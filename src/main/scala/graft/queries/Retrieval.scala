@@ -218,7 +218,12 @@ object Retrieval {
       .write.mode("overwrite").partitionBy("bucket", "__batch")
       .parquet(s"$path/postings")
     writeBm25Stats(toks.sparkSession, path)
+    graft.operators.Dedup.writeIndexGeometry(toks.sparkSession, path,
+      bm25Geometry(nBuckets))
   }
+
+  private[graft] def bm25Geometry(nBuckets: Int): Map[String, String] =
+    Map("kind" -> "bm25", "buckets" -> nBuckets.toString)
 
   /** (Re)compute the df table and corpus stats FROM the postings
     * layout — the "segment merge" of this index. The streaming
@@ -255,6 +260,7 @@ object Retrieval {
   def bm25TopKIndexed(spark: SparkSession, path: String,
                       queryBatch: Seq[(Int, Seq[String])], k: Int = TopK,
                       nBuckets: Int = Bm25Buckets): DataFrame = {
+    graft.operators.Dedup.requireIndexGeometry(spark, path, bm25Geometry(nBuckets))
     val queryTerms = queryTermsDf(spark, queryBatch)
     val termSet = queryTerms.select("term").distinct()
     // the write side's hash, evaluated on the driver-bounded term

@@ -683,6 +683,31 @@ object Incremental {
     sigRows.withColumn("__batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("spart", "__batch").parquet(s"$indexDir/sigs")
+    // geometry sidecar (round 16): an unseeded firewall CREATES the
+    // index, so the appender declares the build parameters the same
+    // way writeMinhashIndex does — idempotent single-file overwrite
+    graft.operators.Dedup.writeIndexGeometry(toks.sparkSession, indexDir,
+      graft.operators.Dedup.minhashGeometry(shingleLen, bands, rowsPerBand,
+        graft.operators.Dedup.MinhashParts))
+  }
+
+  /** Shared Hamming-index micro-batch append: banded survivor rows
+    * under `part=/__batch=` dynamic overwrite plus the geometry
+    * sidecar — all four perceptual firewalls route here so an
+    * unseeded stream creates an index indistinguishable from a batch
+    * [[graft.operators.Dedup.writeHammingIndex]] build.
+    */
+  private def appendToHammingIndex(sigs: DataFrame, indexDir: String,
+                                   batchId: Long, maxDist: Int,
+                                   alignCols: Seq[String] = Nil): Unit = {
+    graft.operators.Dedup.hammingIndexRows(
+        sigs, maxDist, graft.operators.Dedup.HammingParts, alignCols)
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part", "__batch").parquet(s"$indexDir/bands")
+    graft.operators.Dedup.writeIndexGeometry(sigs.sparkSession, indexDir,
+      graft.operators.Dedup.hammingGeometry(maxDist,
+        graft.operators.Dedup.HammingParts, alignCols))
   }
 
   /** Streaming MinHash near-dup firewall — the production use of the
@@ -879,9 +904,12 @@ object Incremental {
           .withColumn("__fp", TextFns.fingerprint(col("text")))
           .withColumn("__part", pmod(col("__fp"), lit(ExactParts)).cast("int"))
         val exactStatePath = s"$indexDir/exact"
+        val exactGeometry = Map("kind" -> "exact_fp", "parts" -> ExactParts.toString)
         val exactKept = (
           if (!exists(exactStatePath)) within
           else {
+            graft.operators.Dedup.requireIndexGeometry(s, exactStatePath,
+              exactGeometry)
             val parts = within.select(col("__part")).distinct()
               .collect().map(_.getInt(0)).toSeq
             val seen = s.read.parquet(exactStatePath)
@@ -894,6 +922,7 @@ object Incremental {
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("part", "__batch").parquet(exactStatePath)
+        graft.operators.Dedup.writeIndexGeometry(s, exactStatePath, exactGeometry)
 
         // ---- stage 2: near-dup (the minhashDedupStream rule) ----
         val pairs = Dedup.minhashCandidatesOfTokens(
@@ -1048,12 +1077,9 @@ object Incremental {
           .localCheckpoint()
         // admitted fingerprints join the index (decide once — same
         // survivor set for append and output)
-        Dedup.hammingIndexRows(
-            sigKept.join(indexHits, Seq("doc_id"), "left_anti"),
-            maxDist, Dedup.HammingParts)
-          .withColumn("__batch", lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("part", "__batch").parquet(s"$indexDir/bands")
+        appendToHammingIndex(
+          sigKept.join(indexHits, Seq("doc_id"), "left_anti"),
+          indexDir, batchId, maxDist)
         // the batch pipeline's anti-join: decoded rows lose only by id
         val deduped = decoded
           .join(losers, Seq("id"), "left_anti")
@@ -1156,10 +1182,7 @@ object Incremental {
         // must see the SAME survivor set, not re-run the probe
         val survivors = batchKept.join(indexHits, Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        Dedup.hammingIndexRows(survivors, maxDist, Dedup.HammingParts)
-          .withColumn("__batch", lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("part", "__batch").parquet(s"$indexDir/bands")
+        appendToHammingIndex(survivors, indexDir, batchId, maxDist)
         survivors.withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("__batch").parquet(destDir)
@@ -1217,10 +1240,7 @@ object Incremental {
         // must see the SAME survivor set, not re-run the probe
         val survivors = batchKept.join(indexHits, Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        Dedup.hammingIndexRows(survivors, maxDist, Dedup.HammingParts)
-          .withColumn("__batch", lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("part", "__batch").parquet(s"$indexDir/bands")
+        appendToHammingIndex(survivors, indexDir, batchId, maxDist)
         survivors.withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("__batch").parquet(destDir)
@@ -1307,11 +1327,8 @@ object Incremental {
             .select(col("probe_id").as("doc_id")).distinct()
         val survivors = batchKept.join(indexHits, Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        Dedup.hammingIndexRows(survivors, maxDist, Dedup.HammingParts,
+        appendToHammingIndex(survivors, indexDir, batchId, maxDist,
           alignCols = Seq("frame"))
-          .withColumn("__batch", lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("part", "__batch").parquet(s"$indexDir/bands")
         survivors.withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("__batch").parquet(destDir)
@@ -1356,6 +1373,8 @@ object Incremental {
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("bucket", "__batch").parquet(s"$indexDir/postings")
+        graft.operators.Dedup.writeIndexGeometry(batch.sparkSession, indexDir,
+          graft.queries.Retrieval.bm25Geometry(nBuckets))
       }
       .start()
     q.awaitTermination()
@@ -1399,6 +1418,8 @@ object Incremental {
     // driver job, and (for a two-level frame) the same approximate
     // assignment as the batch builder
     val cq = Similarity.collectQuantizerHier(centroids)
+    // geometry sidecar computed once (driver-sized centroid frame)
+    val geometry = Similarity.ivfGeometry(centroids)
     val q = spark.readStream.schema(vecSchema).parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -1408,6 +1429,8 @@ object Incremental {
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("centroid", "__batch").parquet(destDir)
+        graft.operators.Dedup.writeIndexGeometry(batch.sparkSession, destDir,
+          geometry)
       }
       .start()
     q.awaitTermination()

@@ -490,4 +490,45 @@ class DedupSpec extends SparkSpec {
         s"pairParts=$w must be plan-only at cap=$cap")
     }
   }
+
+  test("index geometry sidecar: probes with mismatched build parameters fail loud, legacy indexes are trusted") {
+    val ss = spark; import ss.implicits._
+    def toToks(docs: org.apache.spark.sql.DataFrame) =
+      docs.select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("__toks"))
+    val docs = (1 to 20).map(i => (i.toLong, s"geometry probe fixture doc $i a b c"))
+      .toDF("doc_id", "text")
+
+    // minhash: built at nParts=32 — the default-parts probe would
+    // prune to the wrong partitions, so it must throw, naming the key
+    val mh = java.nio.file.Files.createTempDirectory("geo_mh").toString
+    Dedup.writeMinhashIndex(toToks(docs), mh, nParts = 32)
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.minhashProbe(toToks(docs.limit(2)), mh))
+    assert(e1.getMessage.contains("parts=32") && e1.getMessage.contains("parts=64"),
+      s"mismatch must name both geometries: ${e1.getMessage}")
+    // matching parameters probe fine (self-matches exist)
+    assert(Dedup.minhashProbe(toToks(docs.limit(2)), mh, nParts = 32).count() > 0)
+
+    // hamming: built at maxDist=3 — a radius-2 probe derives a
+    // DIFFERENT chunking, so it must throw even though parts agree
+    val sigs = (1 to 10).map(i => (i.toLong, i.toLong * 0x9E3779B97F4A7C15L))
+      .toDF("doc_id", "sh")
+    val hm = java.nio.file.Files.createTempDirectory("geo_hm").toString
+    Dedup.writeHammingIndex(sigs, hm, maxDist = 3)
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.hammingProbe(sigs.limit(1), hm, maxDist = 2))
+    assert(e2.getMessage.contains("maxDist"))
+    // align mismatch is the video-vs-image seam — also loud
+    val e3 = intercept[IllegalArgumentException](
+      Dedup.hammingProbe(sigs.limit(1).withColumn("frame", lit(0)), hm,
+        alignCols = Seq("frame")))
+    assert(e3.getMessage.contains("align"))
+
+    // legacy index (pre-sidecar layout): no file, caller is trusted —
+    // the pre-round-16 contract keeps old on-disk indexes probe-able
+    val fs = new org.apache.hadoop.fs.Path(s"$hm/_graft_geometry.json")
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$hm/_graft_geometry.json"), false)
+    assert(Dedup.hammingProbe(sigs.limit(1), hm, maxDist = 2).count() >= 0)
+  }
 }
