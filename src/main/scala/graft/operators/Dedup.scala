@@ -224,10 +224,16 @@ object Dedup {
                                         geometry: Map[String, String]): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_graft_geometry.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // real JSON writer (Jackson, already on the Spark classpath), not
+    // hand-rolled string assembly: a value containing a quote or
+    // comma (a Hamming alignCols column name, say) must round-trip
+    // exactly or the geometry check can spuriously fail — or worse,
+    // silently pass a real mismatch
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    geometry.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
     val out = fs.create(p, true)
-    try out.write(geometry.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":"$v"""" }
-      .mkString("{", ",", "}").getBytes("UTF-8"))
+    try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -240,14 +246,33 @@ object Dedup {
       val in = fs.open(p)
       val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
       expected.foreach { case (k, v) =>
-        val stored = s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+        val stored = Option(node.get(k)).map(_.asText())
         require(stored.forall(_ == v),
-          s"index at $path was built with $k=${stored.getOrElse("?")} but probed " +
-            s"with $k=$v — a geometry mismatch prunes to the wrong partitions and " +
-            "silently misses matches; probe with the build's parameters or rebuild")
+          s"index at $path was built with $k=${stored.getOrElse("?")} but probed/" +
+            s"appended with $k=$v — a geometry mismatch prunes to (or appends " +
+            "under) the wrong partitions and silently misses matches; use the " +
+            "build's parameters or rebuild")
       }
     }
+  }
+
+  /** Appender-side geometry declaration: validate against any
+    * existing sidecar FIRST, then (re)write it. A pure appender
+    * (streaming index maintenance) that skipped the check would
+    * append rows under the wrong partitioning AND rebrand the
+    * sidecar, so later probes with the new parameters pass the
+    * geometry check while silently missing every previously-indexed
+    * row — exactly the failure class the sidecars exist to prevent.
+    * An unseeded destination (no sidecar yet) declares freely, the
+    * create path.
+    */
+  private[graft] def declareIndexGeometry(spark: org.apache.spark.sql.SparkSession,
+                                          path: String,
+                                          geometry: Map[String, String]): Unit = {
+    requireIndexGeometry(spark, path, geometry)
+    writeIndexGeometry(spark, path, geometry)
   }
 
   private def partOf(nParts: Int): Column =

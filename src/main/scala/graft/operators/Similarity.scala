@@ -647,11 +647,15 @@ object Similarity {
                     nAssign: Int = 1,
                     corpusId: String = "neighbor_id",
                     vecCol: String = "embedding"): Unit = {
-    ivfIndexRows(corpus, centroids, nAssign, corpusId, vecCol)
+    // the quantizer collects ONCE and serves both the assignment and
+    // the geometry checksum (round-17 advisor fix: ivfGeometry used to
+    // re-collect the full centroid frame a second time)
+    val q = collectQuantizerHier(centroids)
+    ivfIndexRowsQ(corpus, q, nAssign, corpusId, vecCol)
       .withColumn("__batch", lit(-1L))
       .write.mode("overwrite").partitionBy("centroid", "__batch").parquet(path)
     graft.operators.Dedup.writeIndexGeometry(corpus.sparkSession, path,
-      ivfGeometry(centroids))
+      ivfGeometryOf(q.ids, q.vecs))
   }
 
   /** IVF geometry = WHICH quantizer partitioned the lists: a
@@ -660,8 +664,8 @@ object Similarity {
     * to lists the index never populated — the silent-miss class the
     * round-16 sidecars exist for.
     */
-  private[graft] def ivfGeometry(centroids: DataFrame): Map[String, String] = {
-    val (ids, vecs) = collectQuantizer(centroids)
+  private[graft] def ivfGeometryOf(ids: Array[Long],
+                                   vecs: Array[Array[Float]]): Map[String, String] = {
     var h = 1125899906842597L
     ids.zip(vecs).sortBy(_._1).foreach { case (id, v) =>
       h = h * 31 + id
@@ -709,8 +713,12 @@ object Similarity {
                     queryId: String = "query_id",
                     corpusId: String = "neighbor_id",
                     vecCol: String = "embedding"): DataFrame = {
-    graft.operators.Dedup.requireIndexGeometry(spark, path, ivfGeometry(centroids))
+    // one collect serves both the geometry check and the assignment
+    // (round-17 advisor fix: the checksum used to re-collect the full
+    // centroid frame on every probe)
     val q = collectQuantizerHier(centroids)
+    graft.operators.Dedup.requireIndexGeometry(spark, path,
+      ivfGeometryOf(q.ids, q.vecs))
     // materialized once: the frame feeds BOTH the partition-pruning
     // collect below and the scoring join — without pinning it, a
     // nondeterministic queries frame (sample, unordered limit) could

@@ -675,6 +675,15 @@ object Incremental {
   private def appendToMinhashIndex(toks: DataFrame, indexDir: String,
                                    batchId: Long, shingleLen: Int,
                                    bands: Int, rowsPerBand: Int): Unit = {
+    // geometry sidecar, declared BEFORE any rows land (round 17): an
+    // unseeded firewall CREATES the index (declares freely, the
+    // writeMinhashIndex parameters), but a mis-parameterized appender
+    // against an EXISTING index must fail loud here — appending under
+    // the wrong partitioning and relabeling the sidecar would make
+    // every later probe silently miss the previously-indexed rows
+    graft.operators.Dedup.declareIndexGeometry(toks.sparkSession, indexDir,
+      graft.operators.Dedup.minhashGeometry(shingleLen, bands, rowsPerBand,
+        graft.operators.Dedup.MinhashParts))
     val (bandRows, sigRows) = graft.operators.Dedup.minhashIndexFrames(
       toks, shingleLen, bands, rowsPerBand, graft.operators.Dedup.MinhashParts)
     bandRows.withColumn("__batch", lit(batchId))
@@ -683,12 +692,6 @@ object Incremental {
     sigRows.withColumn("__batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("spart", "__batch").parquet(s"$indexDir/sigs")
-    // geometry sidecar (round 16): an unseeded firewall CREATES the
-    // index, so the appender declares the build parameters the same
-    // way writeMinhashIndex does — idempotent single-file overwrite
-    graft.operators.Dedup.writeIndexGeometry(toks.sparkSession, indexDir,
-      graft.operators.Dedup.minhashGeometry(shingleLen, bands, rowsPerBand,
-        graft.operators.Dedup.MinhashParts))
   }
 
   /** Shared Hamming-index micro-batch append: banded survivor rows
@@ -700,14 +703,15 @@ object Incremental {
   private def appendToHammingIndex(sigs: DataFrame, indexDir: String,
                                    batchId: Long, maxDist: Int,
                                    alignCols: Seq[String] = Nil): Unit = {
+    // declared BEFORE the rows land — the appendToMinhashIndex rule
+    graft.operators.Dedup.declareIndexGeometry(sigs.sparkSession, indexDir,
+      graft.operators.Dedup.hammingGeometry(maxDist,
+        graft.operators.Dedup.HammingParts, alignCols))
     graft.operators.Dedup.hammingIndexRows(
         sigs, maxDist, graft.operators.Dedup.HammingParts, alignCols)
       .withColumn("__batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("part", "__batch").parquet(s"$indexDir/bands")
-    graft.operators.Dedup.writeIndexGeometry(sigs.sparkSession, indexDir,
-      graft.operators.Dedup.hammingGeometry(maxDist,
-        graft.operators.Dedup.HammingParts, alignCols))
   }
 
   /** Streaming MinHash near-dup firewall — the production use of the
@@ -900,24 +904,33 @@ object Incremental {
         val toks = staged.withColumn("__toks", TextFns.tokens(col("text")))
 
         // ---- stage 1: exact -------------------------------------
+        // localCheckpoint: the within-batch survivor frame feeds the
+        // partition-prune collect, the store anti-join, and (through
+        // exactKept) the fingerprint-store write — un-pinned, the
+        // fingerprint+window pipeline executed up to three times per
+        // micro-batch (round-16 advisor finding; only `staged` was
+        // cached, not this derived frame)
         val within = Dedup.exactSurvivors(toks, col("doc_id"), col("text"))
           .withColumn("__fp", TextFns.fingerprint(col("text")))
           .withColumn("__part", pmod(col("__fp"), lit(ExactParts)).cast("int"))
+          .localCheckpoint()
         val exactStatePath = s"$indexDir/exact"
         val exactGeometry = Map("kind" -> "exact_fp", "parts" -> ExactParts.toString)
-        val exactKept = (
-          if (!exists(exactStatePath)) within
+        val exactKept =
+          if (!exists(exactStatePath)) within // already pinned above
           else {
             graft.operators.Dedup.requireIndexGeometry(s, exactStatePath,
               exactGeometry)
+            // reads the pinned `within`, so the prune list costs one
+            // scan of the materialized frame, not a pipeline re-run
             val parts = within.select(col("__part")).distinct()
               .collect().map(_.getInt(0)).toSeq
             val seen = s.read.parquet(exactStatePath)
               .filter(col("part").isin(parts: _*))
               .filter(col("__batch") =!= batchId)
               .select(col("fp").as("__fp"))
-            within.join(seen, Seq("__fp"), "left_anti")
-          }).localCheckpoint()
+            within.join(seen, Seq("__fp"), "left_anti").localCheckpoint()
+          }
         exactKept.select(col("__fp").as("fp"), col("__part").as("part"))
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -1366,6 +1379,12 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // declare-before-append (round 17): an appender running with a
+        // different nBuckets against an existing index would bucket new
+        // postings under the wrong partitioning AND rebrand the sidecar
+        // — fail loud here, before any rows land
+        graft.operators.Dedup.declareIndexGeometry(batch.sparkSession, indexDir,
+          graft.queries.Retrieval.bm25Geometry(nBuckets))
         graft.queries.Retrieval.bm25PostingRows(
           batch.select(col("doc_id"),
             graft.functions.TextFns.tokens(col("text")).as("__toks")),
@@ -1373,8 +1392,6 @@ object Incremental {
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("bucket", "__batch").parquet(s"$indexDir/postings")
-        graft.operators.Dedup.writeIndexGeometry(batch.sparkSession, indexDir,
-          graft.queries.Retrieval.bm25Geometry(nBuckets))
       }
       .start()
     q.awaitTermination()
@@ -1418,19 +1435,25 @@ object Incremental {
     // driver job, and (for a two-level frame) the same approximate
     // assignment as the batch builder
     val cq = Similarity.collectQuantizerHier(centroids)
-    // geometry sidecar computed once (driver-sized centroid frame)
-    val geometry = Similarity.ivfGeometry(centroids)
+    // geometry sidecar computed once, from the SAME collected arrays
+    // (no second centroid collect — the round-17 advisor fix)
+    val geometry = Similarity.ivfGeometryOf(cq.ids, cq.vecs)
     val q = spark.readStream.schema(vecSchema).parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // declare-before-append (round 17): a re-trained/different
+        // quantizer re-keys the layout — that is a REBUILD
+        // (writeIvfIndex), never maintenance; appending under it and
+        // rebranding the sidecar would make every later probe pass the
+        // geometry check while missing the previously-indexed vectors
+        graft.operators.Dedup.declareIndexGeometry(batch.sparkSession, destDir,
+          geometry)
         Similarity.ivfIndexRowsQ(batch, cq, nAssign, corpusId, vecCol)
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("centroid", "__batch").parquet(destDir)
-        graft.operators.Dedup.writeIndexGeometry(batch.sparkSession, destDir,
-          geometry)
       }
       .start()
     q.awaitTermination()

@@ -531,4 +531,27 @@ class DedupSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(s"$hm/_graft_geometry.json"), false)
     assert(Dedup.hammingProbe(sigs.limit(1), hm, maxDist = 2).count() >= 0)
   }
+
+  test("geometry sidecar JSON round-trips exotic values; appender declaration fails loud before relabeling") {
+    val ss = spark
+    val dir = java.nio.file.Files.createTempDirectory("geo_json").toString
+    // a value carrying a quote, a comma, and a backslash — the
+    // hand-rolled writer of round 16 produced a sidecar that either
+    // spuriously failed or silently passed on these (round-16 advisor
+    // finding; the writer/parser are real-JSON now)
+    val geo = Map("kind" -> "hamming", "align" -> """a"b,c\d""", "parts" -> "64")
+    Dedup.writeIndexGeometry(ss, dir, geo)
+    Dedup.requireIndexGeometry(ss, dir, geo) // exact round-trip
+    val e = intercept[IllegalArgumentException](
+      Dedup.requireIndexGeometry(ss, dir, geo.updated("align", """a"b""")))
+    assert(e.getMessage.contains("align"))
+    // declare = require-then-write: a matching declaration is
+    // idempotent; a mismatched one throws BEFORE rebranding the
+    // sidecar (the round-17 streaming-appender contract)
+    Dedup.declareIndexGeometry(ss, dir, geo)
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.declareIndexGeometry(ss, dir, geo.updated("parts", "32")))
+    assert(e2.getMessage.contains("parts"))
+    Dedup.requireIndexGeometry(ss, dir, geo) // sidecar survived the failed declare
+  }
 }

@@ -1123,6 +1123,34 @@ class IncrementalSpec extends SparkSpec {
     assert(rows(probe2) != rows(probe1), "run 2 must actually add indexed docs")
   }
 
+  test("bm25IndexStream appender fails loud (before appending) on a bucket-count mismatch") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.queries.Retrieval
+    val base = Files.createTempDirectory("bm25_geo").toString
+    val src = base + "/src"; val idx = base + "/idx"; val ck = base + "/ck"
+    val docs = (1 to 10).map(i => (i.toLong, s"alpha beta w$i")).toDF("doc_id", "text")
+    def toToks(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("__toks"))
+    Retrieval.writeBm25Index(toToks(docs), idx) // default bucket count
+    val before = ss.read.parquet(s"$idx/postings").count()
+    docs.write.parquet(src)
+    // a mis-parameterized appender used to append rows under the wrong
+    // bucketing AND rebrand the sidecar, so later probes silently
+    // missed every previously-indexed row (round-16 advisor finding) —
+    // it must now throw before any posting lands
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      Incremental.bm25IndexStream(ss, src, idx, ck, nBuckets = 7))
+    assert(e.getCause.getMessage.contains("buckets"),
+      s"mismatch must name the bucket geometry: ${e.getCause.getMessage}")
+    assert(ss.read.parquet(s"$idx/postings").count() == before,
+      "the failed appender must not have landed any postings")
+    // the sidecar still records the ORIGINAL build, so a correctly-
+    // parameterized appender (fresh checkpoint) proceeds
+    Incremental.bm25IndexStream(ss, src, idx, base + "/ck2")
+    assert(ss.read.parquet(s"$idx/postings").count() > before)
+  }
+
   test("decontamStream equals batch decontamination across incremental runs") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
