@@ -275,6 +275,51 @@ object Dedup {
     writeIndexGeometry(spark, path, geometry)
   }
 
+  /** Corpus-scale probe strategy switch (round 17). The on-disk
+    * band indexes assume probes are BATCH-sized: the batch's band
+    * rows collect into a `part IN` predicate and the index scan
+    * prunes to those partitions. A corpus-scale batch (the ×30
+    * composed-firewall rehearsal: 37.5k docs ≈ 25% of the indexed
+    * corpus) hashes into EVERY partition, so the prune degenerates to
+    * a full index scan — and, worse, the probe's shuffle-hash join
+    * then EXCHANGES the whole grown index every wave (the measured
+    * 44→73 s wave drift). When that geometry is detected — prune
+    * covering ≥ half the partitions AND a batch big enough that the
+    * shuffle matters, yet small enough to broadcast — the probe
+    * switches to the sweep join: the batch side broadcasts into the
+    * (still part-pruned) index scan, so the corpus side is read in
+    * place with ZERO exchange, the only per-wave growth left being
+    * the unavoidable scan itself. Trickle batches (below
+    * `minBandRows`) keep their exact historical plans — spec-pinned
+    * in DedupSpec; batches too big to broadcast (above `MaxBandRows`,
+    * ~200 MB of slim band rows) keep the shuffle join, which is the
+    * honest cost of probing with a corpus-sized batch (at that point
+    * run the batch SWEEP over index ∪ batch instead).
+    */
+  private[graft] object ProbeSweep {
+    /** Band rows below which the batch is a trickle and keeps the
+      * historical pruned-shuffle plan. 2^18 rows ≈ 16k docs at 16
+      * bands — the ×10 rehearsal waves (200k rows) sit below, the
+      * ×30 corpus-scale waves (600k) above. `var` is a test seam
+      * (DedupSpec exercises the sweep path on a small fixture).
+      */
+    @volatile private[graft] var minBandRows: Long = 1L << 18
+    /** Broadcast budget: 2^23 slim band rows ≈ 200 MB hashed — above
+      * this the batch side must not broadcast to executors.
+      */
+    val MaxBandRows: Long = 1L << 23
+    private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+    def sweeps(partsCovered: Int, nParts: Int, bandRows: Long): Boolean =
+      2 * partsCovered >= nParts &&
+        bandRows >= minBandRows && bandRows <= MaxBandRows
+    def logDecision(kind: String, path: String, partsCovered: Int,
+                    nParts: Int, bandRows: Long): Unit =
+      log.info(s"$kind probe at $path: batch covers $partsCovered/$nParts index " +
+        s"partitions with $bandRows band rows — partition pruning is degenerate; " +
+        "switching to the broadcast-batch sweep join (index side scans in place, " +
+        "zero corpus-side exchange)")
+  }
+
   private def partOf(nParts: Int): Column =
     pmod(xxhash64(col("band"), col("bucket")), lit(nParts)).cast("int")
 
@@ -350,6 +395,9 @@ object Dedup {
     * fold as the batch sweep, bit-identical (DedupSpec asserts probe
     * ≡ sweep). Docs already in the index probe as their own trivial
     * match; `probe_id != index_id` filtering is left to the caller.
+    * Corpus-scale batches that degenerate the partition prune switch
+    * the candidate join to the broadcast-batch sweep automatically —
+    * see [[ProbeSweep]].
     */
   /** The probe's candidate stage, un-checkpointed — the (band,
     * bucket)-join of the batch's slim band rows against the pruned
@@ -375,9 +423,12 @@ object Dedup {
     val probe = banded
       .select(col("doc_id").as("probe_id"), col("band"), col("bucket"),
         partOf(nParts).as("part"))
-    // bounded by nParts (≤ 64) by construction — see [[MinhashParts]]
-    val parts = probe.select("part").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // ONE bounded job (≤ nParts rows — see [[MinhashParts]]) yields
+    // BOTH the partition-prune list and the batch's band-row count,
+    // the [[ProbeSweep]] strategy discriminator
+    val partCounts = probe.groupBy("part").count().collect()
+    val parts = partCounts.map(_.getInt(0)).toSeq
+    val bandRows = partCounts.map(_.getLong(1)).sum
     // excludeBatch: replay safety for the streaming firewall — a
     // replayed micro-batch must not see its own appended rows
     // (`__batch` is a partition level, so this prunes, not scans)
@@ -385,12 +436,19 @@ object Dedup {
       .filter(col("part").isin(parts: _*))
     val idxBands = excludeBatch.fold(scan)(b => scan.filter(col("__batch") =!= b))
       .select(col("band"), col("bucket"), col("doc_id").as("index_id"))
-    // pinned shuffle join for the same reason as the batch sweep: the
-    // index side is corpus-sized and must never broadcast; the probe
-    // side may be small, but correctness of the pin does not depend
-    // on it
-    probe.hint("shuffle_hash").join(idxBands, Seq("band", "bucket"))
-      .select(col("probe_id"), col("index_id"))
+    val joined =
+      if (ProbeSweep.sweeps(parts.length, nParts, bandRows)) {
+        // corpus-scale batch: pruning degenerated — broadcast the
+        // batch into the index scan so the corpus side never shuffles
+        ProbeSweep.logDecision("minhash", path, parts.length, nParts, bandRows)
+        idxBands.join(broadcast(probe.drop("part")), Seq("band", "bucket"))
+      } else
+        // trickle batch — the historical plan: pinned shuffle join,
+        // because the index side is corpus-sized and must never
+        // broadcast; the probe side may be small, but correctness of
+        // the pin does not depend on it
+        probe.hint("shuffle_hash").join(idxBands, Seq("band", "bucket"))
+    joined.select(col("probe_id"), col("index_id"))
       .dropDuplicates("probe_id", "index_id")
   }
 
@@ -1367,6 +1425,10 @@ object Dedup {
     * measured 15 GB peak execution memory through 32 tasks at the
     * default width). Plan-only — DedupSpec pins width-invariance of
     * the results; 0 keeps small batches' exact plans.
+    *
+    * Corpus-scale batches that degenerate the partition prune switch
+    * the band join to the broadcast-batch sweep automatically — see
+    * [[ProbeSweep]].
     */
   def hammingProbe(sigs: DataFrame, path: String, maxDist: Int = 3,
                    nParts: Int = HammingParts,
@@ -1380,19 +1442,32 @@ object Dedup {
       .select(alignCols.map(col) ++ Seq(col("doc_id").as("probe_id"),
         col("sh").as("__shp"), col("chunk"), col("piece"),
         hpartOf(nParts).as("part")): _*)
-    val probe = if (probeParts > 0)
-      probe0.repartition(probeParts, jKeys.map(col): _*) else probe0
-    // bounded by nParts (≤ 64) by construction — see [[HammingParts]]
-    val parts = probe0.select("part").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // ONE bounded job (≤ nParts rows — see [[HammingParts]]) yields
+    // BOTH the partition-prune list and the batch's banded-row count,
+    // the [[ProbeSweep]] strategy discriminator
+    val partCounts = probe0.groupBy("part").count().collect()
+    val parts = partCounts.map(_.getInt(0)).toSeq
+    val bandRows = partCounts.map(_.getLong(1)).sum
     val scan = sigs.sparkSession.read.parquet(s"$path/bands")
       .filter(col("part").isin(parts: _*))
     val idx = excludeBatch.fold(scan)(b => scan.filter(col("__batch") =!= b))
       .select(alignCols.map(col) ++ Seq(col("chunk"), col("piece"),
         col("doc_id").as("index_id"), col("sh").as("__shi")): _*)
-    // pinned shuffle join — the index side is corpus-sized and must
-    // never broadcast; see minhashProbeCandsBanded
-    val matches = probe.hint("shuffle_hash").join(idx, jKeys)
+    val joined =
+      if (ProbeSweep.sweeps(parts.length, nParts, bandRows)) {
+        // corpus-scale batch: pruning degenerated — broadcast the
+        // batch into the index scan so the corpus side never shuffles
+        ProbeSweep.logDecision("hamming", path, parts.length, nParts, bandRows)
+        idx.join(broadcast(probe0.drop("part")), jKeys)
+      } else {
+        // trickle batch — the historical plan: pinned shuffle join
+        // (the index side is corpus-sized and must never broadcast;
+        // see minhashProbeCandsBanded), at probeParts width if set
+        val probe = if (probeParts > 0)
+          probe0.repartition(probeParts, jKeys.map(col): _*) else probe0
+        probe.hint("shuffle_hash").join(idx, jKeys)
+      }
+    val matches = joined
       .select(alignCols.map(col) ++ Seq(col("probe_id"), col("index_id"),
         bit_count(col("__shp").bitwiseXOR(col("__shi"))).as("hamming")): _*)
       .filter(col("hamming") <= maxDist)

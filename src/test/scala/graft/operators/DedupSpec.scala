@@ -309,6 +309,83 @@ class DedupSpec extends SparkSpec {
       s"bands scan must prune by part:\n${pf.mkString("\n")}")
   }
 
+  test("corpus-scale probe sweep: thresholds pinned, results identical, trickle plans unchanged") {
+    val ss = spark; import ss.implicits._
+    def toToks(docs: org.apache.spark.sql.DataFrame) =
+      docs.select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("__toks"))
+
+    // 1. the strategy-switch thresholds ARE the contract (round 17):
+    //    sweep iff the prune covers ≥ half the index partitions AND
+    //    the batch is big enough that the index-side shuffle is the
+    //    drift (2^18 band rows) AND small enough to broadcast (2^23)
+    assert(!Dedup.ProbeSweep.sweeps(64, 64, (1L << 18) - 1),
+      "a trickle batch keeps the pruned-shuffle plan at any coverage")
+    assert(Dedup.ProbeSweep.sweeps(64, 64, 1L << 18))
+    assert(Dedup.ProbeSweep.sweeps(32, 64, 1L << 18),
+      "half coverage is already degenerate")
+    assert(!Dedup.ProbeSweep.sweeps(31, 64, 1L << 18),
+      "a well-pruned probe never sweeps")
+    assert(!Dedup.ProbeSweep.sweeps(64, 64, (1L << 23) + 1),
+      "a batch too big to broadcast pays the honest shuffle")
+
+    // minhash fixture: corpus + a batch with planted twins
+    val corpusA = (1 to 30).map { i =>
+      (i.toLong, s"shared prefix words for doc $i tail y z w v")
+    }.toDF("doc_id", "text")
+    val batchB = ((101 to 103).map { i =>
+      (i.toLong, s"shared prefix words for doc ${i - 100} tail y z w v")
+    } ++ (104 to 110).map { i =>
+      (i.toLong, s"totally novel content block number $i about nothing indexed")
+    }).toDF("doc_id", "text")
+    val mh = java.nio.file.Files.createTempDirectory("sweep_mh").toString
+    Dedup.writeMinhashIndex(toToks(corpusA), mh)
+
+    // hamming fixture: enough batch signatures to cover ≥ half the
+    // parts once the row threshold is lowered
+    val corpusH = (1 to 30).map(i => (i.toLong, i * 0x9E3779B97F4A7C15L))
+      .toDF("doc_id", "sh")
+    val batchH = ((101 to 103).map(i =>
+      (i.toLong, (i - 100) * 0x9E3779B97F4A7C15L ^ 0x1L)) ++
+      (200 to 400).map(i => (i.toLong, i * 0x517CC1B727220A95L)))
+      .toDF("doc_id", "sh")
+    val hm = java.nio.file.Files.createTempDirectory("sweep_hm").toString
+    Dedup.writeHammingIndex(corpusH, hm)
+
+    def mhPairs() = Dedup.minhashProbe(toToks(batchB), mh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def hmPairs() = Dedup.hammingProbe(batchH, hm).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def mhCandsPlan() = Dedup.minhashProbeCands(toToks(batchB), mh, 3, 16, 8,
+      Dedup.MinhashParts, None).queryExecution.executedPlan.toString
+    def hmPlan() = Dedup.hammingProbe(batchH, hm)
+      .queryExecution.executedPlan.toString
+
+    // 2. trickle path provably unchanged: below the row threshold no
+    //    broadcast appears anywhere in either probe's plan — the
+    //    corpus side is the pinned shuffle join, the scans prune
+    val mhShuffle = mhPairs(); val hmShuffle = hmPairs()
+    assert(!mhCandsPlan().contains("BroadcastExchange"),
+      "trickle minhash probe must keep the pinned-shuffle plan")
+    assert(!hmPlan().contains("BroadcastExchange"),
+      "trickle hamming probe must keep the pinned-shuffle plan")
+
+    // 3. sweep mode (row-threshold seam lowered): results are
+    //    bit-identical and the batch side broadcasts — the index side
+    //    is scanned in place with zero exchange
+    val saved = Dedup.ProbeSweep.minBandRows
+    try {
+      Dedup.ProbeSweep.minBandRows = 1L
+      assert(mhPairs() == mhShuffle, "sweep minhash probe diverged")
+      assert(hmPairs() == hmShuffle, "sweep hamming probe diverged")
+      assert(mhCandsPlan().contains("BroadcastHashJoin"),
+        "sweep minhash candidate join must broadcast the batch side")
+      assert(hmPlan().contains("BroadcastHashJoin"),
+        "sweep hamming band join must broadcast the batch side")
+      assert(hmShuffle.exists(_._1 <= 103L), "planted twins must surface")
+    } finally Dedup.ProbeSweep.minBandRows = saved
+  }
+
   test("null-token docs never enter minhash banding (no constant-bucket blowup)") {
     val ss = spark; import ss.implicits._
     // three docs with NULL token arrays + two real docs: the null docs
