@@ -828,6 +828,18 @@ object Incremental {
     *  2. NEAR-DUP — [[minhashDedupStream]]'s exact rule, inlined:
     *     within-batch candidates → component min-id keeps, then the
     *     band-index probe, then survivors join the index.
+    *  2b. SEMDEDUP (opt-in, `semanticEps`+`semanticCentroids`) — the
+    *     batch pipeline's stage-2b ([[graft.pipelines.Corpus.prepare]])
+    *     as [[semanticDedupStream]]'s per-batch rule: within-batch
+    *     SemDeDup under the FROZEN quantizer (same assignment, pair
+    *     blocking, components, least-prototypical keep), then drop
+    *     survivors within eps of an already-admitted keeper in their
+    *     cluster (keeper scan pruned to the batch's clusters),
+    *     survivors appending themselves to the keepers index at
+    *     `indexDir/semkeep` (the writeIvfIndex layout). The quantizer
+    *     MUST be frozen — retraining it re-keys the keeper layout,
+    *     which is a rebuild, not maintenance. Docs without an
+    *     embedding pass untouched (the stage-5 rule).
     *  3. QUALITY — `TextFns.qualityScoreOf ≥ minQuality`, the batch
     *     stage-3 rule, map-only.
     *  4. PPL (opt-in, `pplModel`+`maxPpl`) — the frozen-model
@@ -859,6 +871,8 @@ object Incremental {
                              jaccard: Double = 0.5, minQuality: Double = 0.3,
                              shingleLen: Int = 3, bands: Int = 16,
                              rowsPerBand: Int = 8,
+                             semanticEps: Double = 0.0,
+                             semanticCentroids: DataFrame = null,
                              pplModel: graft.operators.LanguageModel.BigramModel = null,
                              maxPpl: Double = 0.0,
                              decontamHoldout: DataFrame = null,
@@ -867,6 +881,10 @@ object Incremental {
     import graft.operators.Dedup
     import graft.functions.TextFns
     graft.plans.GraftExtensions.ensureRegistered(spark)
+    require(semanticEps <= 0.0 || semanticCentroids != null,
+      "curationFirewallStream: semanticEps > 0 needs a FROZEN semanticCentroids " +
+        "quantizer (train once outside the stream — retraining re-keys the " +
+        "keeper layout, which is a rebuild, not maintenance)")
     val ExactParts = 64
     // pin the frozen holdout once (the semanticDecontamStream lesson:
     // a per-batch re-collect of an unchanging frame is waste)
@@ -958,8 +976,70 @@ object Incremental {
         appendToMinhashIndex(nearKept.select(col("doc_id"), col("__toks")),
           indexDir, batchId, shingleLen, bands, rowsPerBand)
 
+        // ---- stage 2b (opt-in): SemDeDup firewall ---------------
+        // the batch pipeline's stage 2b as semanticDedupStream's
+        // per-batch rule; keepers live at indexDir/semkeep in the
+        // writeIvfIndex layout, probes prune to the batch's clusters
+        val semDedupOn = semanticEps > 0.0
+        val semKept =
+          if (!semDedupOn) nearKept
+          else {
+            val embedded = nearKept.filter(col("embedding").isNotNull)
+              .select(col("doc_id").as("vec_id"), col("embedding"))
+            // 1. within-batch dedup by the full batch rule (same
+            //    assignment, blocking, components, keep rule)
+            val (dec, releaseSem) = graft.operators.Similarity
+              .semanticDedupReleasable(embedded, semanticCentroids, semanticEps)
+            val surv = dec.filter(col("keep"))
+              .select(col("vec_id"), col("cluster"))
+              .join(embedded.select(col("vec_id"),
+                col("embedding").as("__v")), Seq("vec_id"))
+              .localCheckpoint() // micro-batch-sized; read thrice below
+            releaseSem() // scored pin served the eager checkpoint
+            // 2. drop survivors within eps of an existing keeper in
+            //    their cluster — pruned to the batch's clusters
+            //    (driver list bounded by nCentroids), replay-safe
+            val clusters = surv.select(col("cluster")).distinct()
+              .collect().map(_.getLong(0)).toSeq
+            val keepPath = s"$indexDir/semkeep"
+            val keeperDup =
+              if (!exists(keepPath) || clusters.isEmpty)
+                surv.limit(0).select(col("vec_id"))
+              else s.read.parquet(keepPath)
+                .filter(col("centroid").isin(clusters: _*) &&
+                  col("__batch") =!= batchId)
+                .select(col("centroid").cast("long").as("cluster"),
+                  col("embedding").as("__kv"))
+                .join(broadcast(surv), Seq("cluster"))
+                // round-6 comparison — the same quantization the
+                // batch pair rule applies (Similarity.cosinePairsBlocked)
+                .filter(round(graft.operators.Similarity.cosine(
+                  col("__v"), col("__kv")), 6) >= semanticEps)
+                .select(col("vec_id")).distinct()
+            // 3. the remainder join the keepers index themselves
+            val keepers = surv.join(keeperDup, Seq("vec_id"), "left_anti")
+              .localCheckpoint()
+            // skip the write when nothing survived: a partitioned
+            // empty write would create a schemaless parquet dir the
+            // next batch's exists()-guarded read cannot open (dynamic
+            // overwrite touches no partitions on empty data anyway)
+            if (!keepers.isEmpty)
+              keepers.select(col("vec_id"), col("__v").as("embedding"),
+                  col("cluster").as("centroid"))
+                .withColumn("__batch", lit(batchId))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("centroid", "__batch").parquet(keepPath)
+            // fingerprint-less docs pass untouched — never silently
+            // lose data the scorer cannot judge (the stage-5 rule)
+            nearKept.filter(col("embedding").isNull)
+              .unionByName(nearKept.join(
+                keepers.select(col("vec_id").as("doc_id")),
+                Seq("doc_id"), "left_semi"))
+          }
+
         // ---- stage 3: quality floor -----------------------------
-        val qualKept = nearKept.filter(
+        val qualKept = semKept.filter(
           TextFns.qualityScoreOf(col("text"), col("__toks")) >= minQuality)
 
         // ---- stage 4 (opt-in): frozen perplexity ceiling --------
@@ -990,12 +1070,14 @@ object Incremental {
 
         if (withStats) {
           import s.implicits._
-          Seq((nInput, exactKept.count(), nearKept.count(), qualKept.count(),
+          Seq((nInput, exactKept.count(), nearKept.count(),
+            if (semDedupOn) semKept.count() else -1L,
+            qualKept.count(),
             if (pplOn) pplKept.count() else -1L,
             if (semOn) out.count() else -1L,
             out.count()))
-            .toDF("input", "after_exact", "after_neardup", "after_quality",
-              "after_ppl", "after_semantic", "kept")
+            .toDF("input", "after_exact", "after_neardup", "after_semdedup",
+              "after_quality", "after_ppl", "after_semantic", "kept")
             .withColumn("__batch", lit(batchId))
             .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch").parquet(s"$destDir/_accounting")

@@ -414,12 +414,14 @@ object StreamRehearsal {
     }
 
     // ---- 10. curationFirewallStream over the ×R documents ---------
-    // the COMPOSED firewall (round-16): exact-fingerprint store +
-    // MinHash band index + quality floor + frozen-ppl ceiling +
-    // frozen-holdout semantic decontam as ONE stream. The scale
-    // claim: per-wave wall stays batch-bound (both state probes are
-    // partition-pruned; the frozen model/holdout are reused), and the
-    // per-batch accounting chain is monotone non-increasing.
+    // the COMPOSED firewall (round-16; round-17 adds the SemDeDup
+    // stage): exact-fingerprint store + MinHash band index + frozen-
+    // quantizer SemDeDup keepers + quality floor + frozen-ppl ceiling
+    // + frozen-holdout semantic decontam as ONE stream. The scale
+    // claim: per-wave wall stays batch-bound (state probes are
+    // partition-pruned, and at corpus-scale batch geometry the
+    // minhash probe auto-switches to the broadcast sweep — round 17),
+    // and the per-batch accounting chain is monotone non-increasing.
     label = "curation_firewall_stream"
     if (wanted(label)) locally {
       val docs = spark.read.parquet(s"$fixture/documents.parquet")
@@ -439,6 +441,11 @@ object StreamRehearsal {
       val holdout = spark.read.parquet(s"$fixture/embeddings.parquet")
         .filter(pmod(col("vec_id"), lit(997)) === 0).limit(64)
         .select(col("vec_id"), col("embedding")).localCheckpoint()
+      // frozen SemDeDup quantizer at the production auto size — the
+      // same train-once setup cost as the ppl model and the holdout
+      val semCents = graft.operators.Similarity.kmeansCentroidsAuto(
+        spark.read.parquet(s"$fixture/embeddings.parquet")
+          .select(col("embedding"))).localCheckpoint()
       val src = s"$work/cf_src"; val idx = s"$work/cf_idx"
       val dest = s"$work/cf_kept"; val ck = s"$work/cf_ck"
       for (w <- 0 until waves) {
@@ -446,6 +453,7 @@ object StreamRehearsal {
           .write.mode("append").parquet(src)
         timed(s"wave_$w")(
           Incremental.curationFirewallStream(spark, src, idx, dest, ck,
+            semanticEps = 0.4, semanticCentroids = semCents,
             pplModel = model, maxPpl = 1e5,
             decontamHoldout = holdout, decontamEps = 0.8))
       }
@@ -453,7 +461,7 @@ object StreamRehearsal {
       println(s"""{"metric":"stream_state","scenario":"$label","kept":$kept,"input":${corpus.count()},"index_bytes":${fsSize(spark, idx)}}""")
       spark.read.parquet(s"$dest/_accounting")
         .orderBy(col("__batch")).collect().foreach { r =>
-          println(s"""{"metric":"stream_acct","scenario":"$label","batch":${r.get(r.fieldIndex("__batch"))},"input":${r.getAs[Long]("input")},"after_exact":${r.getAs[Long]("after_exact")},"after_neardup":${r.getAs[Long]("after_neardup")},"after_quality":${r.getAs[Long]("after_quality")},"after_ppl":${r.getAs[Long]("after_ppl")},"after_semantic":${r.getAs[Long]("after_semantic")},"kept":${r.getAs[Long]("kept")}}""")
+          println(s"""{"metric":"stream_acct","scenario":"$label","batch":${r.get(r.fieldIndex("__batch"))},"input":${r.getAs[Long]("input")},"after_exact":${r.getAs[Long]("after_exact")},"after_neardup":${r.getAs[Long]("after_neardup")},"after_semdedup":${r.getAs[Long]("after_semdedup")},"after_quality":${r.getAs[Long]("after_quality")},"after_ppl":${r.getAs[Long]("after_ppl")},"after_semantic":${r.getAs[Long]("after_semantic")},"kept":${r.getAs[Long]("kept")}}""")
         }
     }
 

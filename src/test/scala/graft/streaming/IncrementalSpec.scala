@@ -1716,7 +1716,8 @@ class IncrementalSpec extends SparkSpec {
       val in = r.getAs[Long]("input"); val ex = r.getAs[Long]("after_exact")
       val nd = r.getAs[Long]("after_neardup"); val ql = r.getAs[Long]("after_quality")
       assert(in >= ex && ex >= nd && nd >= ql, s"non-monotone accounting: $r")
-      assert(r.getAs[Long]("after_ppl") == -1L && r.getAs[Long]("after_semantic") == -1L)
+      assert(r.getAs[Long]("after_semdedup") == -1L &&
+        r.getAs[Long]("after_ppl") == -1L && r.getAs[Long]("after_semantic") == -1L)
       assert(r.getAs[Long]("kept") == ql)
     }
     assert(acct.map(_.getAs[Long]("kept")).sum == kept.size.toLong)
@@ -1833,5 +1834,81 @@ class IncrementalSpec extends SparkSpec {
     assert(acct.getAs[Long]("after_ppl") == 3L)     // doc 4 dropped
     assert(acct.getAs[Long]("after_semantic") == 2L) // doc 2 dropped
     assert(acct.getAs[Long]("kept") == 2L)
+  }
+
+  test("curationFirewallStream SemDeDup stage: within-batch and cross-wave semantic dups drop, nulls pass") {
+    val ss = spark; import ss.implicits._
+    val base = Files.createTempDirectory("cur_fw_sem").toString
+    val src = base + "/src"; val idx = base + "/idx"
+    val dest = base + "/kept"; val ck = base + "/ck"
+    // frozen two-centroid quantizer (the stream contract: train once,
+    // outside the stream) and eps below every planted dup cosine
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("centroid_id", "centroid")
+    val eps = 0.9
+    // texts mutually dissimilar and quality-passing, so stages 1-3
+    // are transparent and the SemDeDup decisions are the only drops
+    def txt(i: Int) = s"unique standalone document $i " +
+      (1 to 10).map(k => s"only$i$k").mkString(" ")
+    // wave 1: d2/d3 are a WITHIN-BATCH semantic pair in cluster 1 —
+    // the batch keep rule retains the least-prototypical member (d3,
+    // whose centroid cosine is lower); d4 has no embedding and passes
+    val wave1 = Seq(
+      (1L, txt(1), Array(1.0f, 0.05f)),
+      (2L, txt(2), Array(0.05f, 1.0f)),
+      (3L, txt(3), Array(0.06f, 1.0f)),
+      (4L, txt(4), null.asInstanceOf[Array[Float]]))
+      .toDF("doc_id", "text", "embedding")
+    // wave 2: d11 is a CROSS-WAVE dup of keeper d1 (cluster 0), d14 of
+    // keeper d3 (cluster 1); d12 is same-cluster but below eps; d13
+    // has no embedding
+    val wave2 = Seq(
+      (11L, txt(11), Array(0.99f, 0.06f)),
+      (12L, txt(12), Array(0.6f, 0.8f)),
+      (13L, txt(13), null.asInstanceOf[Array[Float]]),
+      (14L, txt(14), Array(0.0f, 1.0f)))
+      .toDF("doc_id", "text", "embedding")
+
+    // the within-batch rule IS the batch operator's: SemDeDup over
+    // wave 1's embedded docs keeps exactly {1, 3}
+    val batchRule = graft.operators.Similarity.semanticDedup(
+      wave1.filter(col("embedding").isNotNull)
+        .select(col("doc_id").as("vec_id"), col("embedding")),
+      cents, eps)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(batchRule == Set(1L, 3L), s"fixture sanity: $batchRule")
+
+    def keptOnDisk() = ss.read.parquet(dest)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    wave1.write.parquet(src)
+    Incremental.curationFirewallStream(ss, src, idx, dest, ck,
+      semanticEps = eps, semanticCentroids = cents)
+    assert(keptOnDisk() == Set(1L, 3L, 4L),
+      s"wave 1: within-batch dup d2 must drop, null-embedding d4 must pass: ${keptOnDisk()}")
+
+    wave2.write.mode("append").parquet(src)
+    Incremental.curationFirewallStream(ss, src, idx, dest, ck,
+      semanticEps = eps, semanticCentroids = cents)
+    assert(keptOnDisk() == Set(1L, 3L, 4L, 12L, 13L),
+      s"wave 2: cross-wave dups d11/d14 must drop against the keeper index, " +
+        s"d12 (same cluster, below eps) and null-embedding d13 must pass: ${keptOnDisk()}")
+
+    // accounting: the new slot sits between near-dup and quality and
+    // records exactly the planted drops
+    val acct = ss.read.parquet(dest + "/_accounting")
+      .orderBy("__batch").collect()
+    assert(acct.map(_.getAs[Long]("after_semdedup")).toSeq == Seq(3L, 2L))
+    acct.foreach { r =>
+      assert(r.getAs[Long]("after_neardup") >= r.getAs[Long]("after_semdedup") &&
+        r.getAs[Long]("after_semdedup") >= r.getAs[Long]("after_quality"),
+        s"non-monotone accounting: $r")
+    }
+
+    // the keeper index carries exactly the embedded admissions, under
+    // their assigned clusters
+    val keepers = ss.read.parquet(s"$idx/semkeep")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keepers == Set(1L, 3L, 12L), s"keeper index diverged: $keepers")
   }
 }
