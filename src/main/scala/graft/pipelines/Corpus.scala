@@ -35,10 +35,15 @@ object Corpus {
     * @param budget     tokens per packed chunk
     * @param nShards    parallel packing streams
     * @param withStats  per-stage row accounting costs ONE extra action
-    *                   per stage — priceless in validation, four full
+    *                   per stage — priceless in validation, full
     *                   passes you don't want on a 100 TB production
-    *                   run (pass false → stats are -1, pipeline stays
-    *                   one lazy plan until the caller's write)
+    *                   run. Pass false → stats are -1 and ZERO
+    *                   accounting actions run: construction stays one
+    *                   lazy plan apart from the near-dup component
+    *                   closure (inherently iterative) and opt-in
+    *                   stage training (quantizer k-means, SemDeDup
+    *                   loser materialization) — the exact action
+    *                   delta is plan-contracted in CorpusSpec
     * @param holdoutGramK >0 enables verbatim-leak decontamination:
     *                   train docs sharing a k-gram with val/test are
     *                   dropped (Bloom-prefiltered exact filter)
@@ -143,7 +148,17 @@ object Corpus {
     // partition per ~1000 input docs keeps that state memory-sized at
     // any corpus; the session width is the floor, so small fixtures
     // keep their exact historical plans (pairParts = 0 path).
-    val nDocs = if (input >= 0) input else exact.count()
+    // Pair-stage width needs a document count. withStats already paid
+    // the input count; the LAZY path (withStats = false) must not
+    // spend a corpus pass here — the zero-accounting-actions contract
+    // (plan-contracted in CorpusSpec) — so it derives the width from
+    // the optimizer's size estimate at a conservative ~2 KB/doc.
+    // Overestimating nDocs only widens the pair exchange (smaller
+    // tasks), and the [session, 4096] clamp bounds both directions.
+    val nDocs =
+      if (input >= 0) input
+      else (docs.queryExecution.optimizedPlan.stats.sizeInBytes / 2048)
+        .min(BigInt(Long.MaxValue)).toLong
     val pairParts = {
       val derived = math.min(4096L, nDocs / 1000L).toInt
       val session = docs.sparkSession.sessionState.conf.numShufflePartitions

@@ -41,7 +41,11 @@ object MediaCorpus {
     * @param nShards     parallel manifest streams
     * @param withStats   per-stage accounting costs one extra action
     *                    per stage (the [[Corpus.prepare]] contract);
-    *                    false keeps the pipeline one lazy plan
+    *                    false runs ZERO accounting actions —
+    *                    construction stays one lazy plan apart from
+    *                    the near-dup component closure (the exact
+    *                    action delta is plan-contracted in
+    *                    MediaCorpusSpec)
     * @param maxPieceFreq piece-frequency cap for the Hamming band
     *                    join — MaxValue (default) is EXACT by the
     *                    pigeonhole theorem; production corpora with
@@ -79,13 +83,25 @@ object MediaCorpus {
     //    core read it (the mediaPhashPairs idiom); the exchange width
     //    follows the ~1-partition-per-250-signatures rule with the
     //    session width as floor.
+    // eager only when accounting already materializes the stages —
+    // the LAZY path defers the checkpoint to the caller's first
+    // action (the zero-accounting-actions contract, plan-contracted
+    // in MediaCorpusSpec; both pair-core sides still read the
+    // materialized frame once it lands)
     val sigs = Media.resizeImages(decoded, 9, 8)
       .select(col("id").as("doc_id"),
         call_function("graft_dhash64", col("pixels"), col("width"),
           col("height"), col("channels")).as("sh"))
       .filter(col("sh").isNotNull)
-      .localCheckpoint()
-    val nSigs = if (input >= 0) input else sigs.count()
+      .localCheckpoint(eager = withStats)
+    // pair-stage width: the lazy path estimates the corpus size from
+    // the optimizer instead of counting (~4 KB/payload; the
+    // [session, 4096] clamp bounds both directions — the
+    // Corpus.prepare rule)
+    val nSigs =
+      if (input >= 0) input
+      else (images.queryExecution.optimizedPlan.stats.sizeInBytes / 4096)
+        .min(BigInt(Long.MaxValue)).toLong
     val pairParts = {
       val derived = math.min(4096L, nSigs / 250L).toInt
       val session =

@@ -214,6 +214,39 @@ object ScaleRehearsal {
         graft.operators.Similarity.semanticDedup(emb,
           graft.operators.Similarity.kmeansCentroidsAuto(
             emb.select(col("embedding")), hierThreshold = 1), eps = 0.4)
+      }),
+      // round-17 (VERDICT r16 gap #4): the two batch COMPOSITIONS at
+      // ×R, withStats both ways. The gated entries
+      // (corpus_prepare_semantic, media_prepare) run the accounted
+      // form; these run the SAME pipelines with withStats=false, so
+      // each ×R pair measures the per-stage accounting overhead at
+      // scale — the production story rests on the lazy variant
+      // (plan-contracted in CorpusSpec/MediaCorpusSpec).
+      "corpus_prepare_semantic_lazy" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val emb = Tables.embeddings(s, dir)
+        val (prepared, _, release) = graft.pipelines.Corpus.prepare(docs,
+          withStats = false,
+          embeddings = emb, semanticEps = 0.4,
+          semanticCentroids = emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("centroid_id"),
+              col("embedding").as("centroid")),
+          decontamHoldout = emb.filter(col("vec_id") % 97 === 0),
+          decontamEps = 0.8)
+        val out = prepared.select("split", "shard", "n_tokens", "chunk_id")
+          .localCheckpoint()
+        release()
+        out
+      }),
+      "media_prepare_lazy" -> ((s, dir) => {
+        val (manifest, _, release) = graft.pipelines.MediaCorpus.prepare(
+          graft.queries.MediaPipeline.imageFixture(s, dir),
+          minBrightness = 127.0, pixelBudget = 1024, nShards = 4,
+          withStats = false)
+        val out = manifest.select("shard", "chunk_id", "n_pixels")
+          .localCheckpoint()
+        release()
+        out
       }))
     // Session-throughput probe (round-15, self-normalizing protocol):
     // the ~10 ms/job scheduler overhead barely moves between sessions,

@@ -54,6 +54,54 @@ class CorpusSpec extends SparkSpec {
       "release must drop the staged-token cache entries")
   }
 
+  test("prepare lazy contract: withStats=false adds ZERO accounting actions (the action delta IS the accounting)") {
+    val ss = spark; import ss.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and then naps all day long"
+    val docs = Seq(
+      (1L, good),
+      (2L, good.toUpperCase + "!!"),
+      (3L, good.replace("naps", "sleeps")),
+      (4L, "completely different words about spark engines processing data at scale"),
+      (5L, "zz zz zz zz zz zz zz zz zz zz zz zz")
+    ).toDF("doc_id", "text")
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = { counter.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    def drain(): Unit =
+      org.apache.spark.sql.graftbridge.CodegenPrewarm.drainListeners(ss.sparkContext)
+    ss.listenerManager.register(ql)
+    try {
+      def measure(withStats: Boolean): (Int, Corpus.PrepareStats, () => Unit) = {
+        drain(); counter.set(0)
+        val (_, stats, rel) = Corpus.prepare(docs, jaccard = 0.5,
+          minQuality = 0.4, budget = 32, nShards = 2, withStats = withStats)
+        drain()
+        (counter.get(), stats, rel)
+      }
+      // construction is deterministic: two lazy runs spend identical
+      // action counts (the near-dup component closure only)
+      val (lazy1, s1, r1) = measure(withStats = false)
+      val (lazy2, _, r2) = measure(withStats = false)
+      assert(lazy1 == lazy2, s"lazy construction must be deterministic: $lazy1 vs $lazy2")
+      assert(s1 == Corpus.PrepareStats(-1, -1, -1, -1), "lazy stats are sentinels")
+      // withStats adds EXACTLY the two accounting actions of the base
+      // pipeline — the input count and the fused stage aggregate —
+      // and nothing else differs (the production lazy-variant claim)
+      val (acct, s3, r3) = measure(withStats = true)
+      assert(s3.input == 5 && s3.afterQuality == 2, s"accounted stats: $s3")
+      assert(acct == lazy1 + 2,
+        s"withStats must add exactly the input count + the fused stage " +
+          s"aggregate: lazy=$lazy1 accounted=$acct")
+      r1(); r2(); r3()
+    } finally ss.listenerManager.unregister(ql)
+  }
+
   test("prepare full composition: decontam + mixture + shuffled packing") {
     val ss = spark; import ss.implicits._
     val quote = "alpha beta gamma delta epsilon zeta eta theta"

@@ -58,4 +58,45 @@ class MediaCorpusSpec extends SparkSpec {
     assert(lazyPrep.select("id").as[Long].collect().toSet == Set(1L, 5L, 13L))
     rel3()
   }
+
+  test("prepare lazy contract: withStats=false adds ZERO accounting actions") {
+    val ss = spark; import ss.implicits._
+    val images = plantedDocs.toDF("id", "payload")
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = { counter.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    def drain(): Unit =
+      org.apache.spark.sql.graftbridge.CodegenPrewarm.drainListeners(ss.sparkContext)
+    ss.listenerManager.register(ql)
+    try {
+      def measure(withStats: Boolean): (Int, MediaCorpus.MediaPrepareStats, () => Unit) = {
+        drain(); counter.set(0)
+        val (_, stats, rel) = MediaCorpus.prepare(images,
+          minBrightness = 50.0, pixelBudget = 256, nShards = 2,
+          withStats = withStats)
+        drain()
+        (counter.get(), stats, rel)
+      }
+      val (lazy1, s1, r1) = measure(withStats = false)
+      val (lazy2, _, r2) = measure(withStats = false)
+      assert(lazy1 == lazy2, s"lazy construction must be deterministic: $lazy1 vs $lazy2")
+      assert(s1 == MediaCorpus.MediaPrepareStats(-1, -1, -1, -1))
+      // withStats adds EXACTLY the three accounting actions — the
+      // input count, the decoded count, and the fused stage aggregate
+      // (the signature checkpoint fires its action wrapper in both
+      // modes; only its eagerness differs)
+      val (acct, s3, r3) = measure(withStats = true)
+      assert(s3 == MediaCorpus.MediaPrepareStats(7, 6, 4, 3), s"accounted stats: $s3")
+      assert(acct == lazy1 + 3,
+        s"withStats must add exactly the three accounting actions: " +
+          s"lazy=$lazy1 accounted=$acct")
+      r1(); r2(); r3()
+    } finally ss.listenerManager.unregister(ql)
+  }
 }
