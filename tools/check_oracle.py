@@ -4,7 +4,13 @@ dumped by graft.Verify, run the declared DuckDB oracle SQL over the same
 parquet tables and compare (schema-insensitively: columns sorted by
 name, rows sorted, exact value equality).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [emitJson]
+
+With `emitJson`, also writes the per-query verdicts in the driver's
+CORRECTNESS_rN.json schema (rows/schema/hash match, row counts, err;
+rows-only queries as "no_oracle") — the committed local artifact
+(CORRECTNESS_LOCAL_rN.json) that insures the round's correctness
+record against driver-side artifact plumbing failures.
 
 Dev tool only — the real gate is driver-side.
 """
@@ -26,7 +32,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, emit_path: str = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         # driver fixtures are single files; Spark-written xR rehearsal
@@ -55,12 +61,27 @@ def main(sf_dir: str, out_dir: str) -> int:
         finally:
             timer.cancel()
 
+    # per-query record in the DRIVER's CORRECTNESS_rN.json schema —
+    # emitted to `emit_path` when given, so every round carries a
+    # committed machine-readable correctness artifact even when the
+    # driver-side plumbing drops one (round 16: CORRECTNESS_r16.json
+    # arrived empty while the same session's bench ran 100/100 clean)
+    results = {}
+
+    def record(name, rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None):
+        results[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err}
+
     n_bad = 0
     skipped = []
     for name in sorted(oracle):
         qdir = Path(out_dir) / name
         if not qdir.exists():
             print(f"MISSING  {name} (no verify output)")
+            record(name, err="no verify output")
             n_bad += 1
             continue
         got = pd.read_parquet(qdir)
@@ -68,23 +89,32 @@ def main(sf_dir: str, out_dir: str) -> int:
             want = run_oracle(oracle[name])
         except duckdb.InterruptException:
             print(f"SKIPPED  {name} (oracle exceeded {timeout_s:.0f}s budget)")
+            record(name, spark_rows=len(got),
+                   err=f"oracle exceeded {timeout_s:.0f}s budget (skipped)")
             skipped.append(name)
             continue
         except Exception as e:
             if timeout_s > 0 and "INTERRUPT" in str(e).upper():
                 print(f"SKIPPED  {name} (oracle exceeded {timeout_s:.0f}s budget)")
+                record(name, spark_rows=len(got),
+                       err=f"oracle exceeded {timeout_s:.0f}s budget (skipped)")
                 skipped.append(name)
                 continue
             print(f"ORACLE-ERR {name}: {e}")
+            record(name, spark_rows=len(got), err=f"oracle error: {e}")
             n_bad += 1
             continue
         g, w = canon(got), canon(want)
         if list(g.columns) != list(w.columns):
             print(f"COLS     {name}: got {list(g.columns)} want {list(w.columns)}")
+            record(name, rows_match=len(g) == len(w), schema_match=False,
+                   hash_match=False, spark_rows=len(g), oracle_rows=len(w))
             n_bad += 1
             continue
         if len(g) != len(w):
             print(f"ROWS     {name}: got {len(g)} want {len(w)}")
+            record(name, rows_match=False, schema_match=True,
+                   hash_match=False, spark_rows=len(g), oracle_rows=len(w))
             n_bad += 1
             continue
         # The driver's hash gate is TYPE-strict (DuckDB SUM(BIGINT) ->
@@ -94,6 +124,8 @@ def main(sf_dir: str, out_dir: str) -> int:
                  for c in g.columns if g[c].dtype != w[c].dtype]
         if tmism:
             print(f"TYPES    {name}: {tmism}")
+            record(name, rows_match=True, schema_match=True,
+                   hash_match=False, spark_rows=len(g), oracle_rows=len(w))
             n_bad += 1
             continue
         mism = []
@@ -121,9 +153,26 @@ def main(sf_dir: str, out_dir: str) -> int:
                 idx = d.index[:3]
                 for i in idx:
                     print(f"    {c}[{i}]: got={g[c][i]!r} want={w[c][i]!r}")
+            record(name, rows_match=True, schema_match=True,
+                   hash_match=False, spark_rows=len(g), oracle_rows=len(w))
             n_bad += 1
         else:
             print(f"OK       {name} ({len(g)} rows)")
+            record(name, rows_match=True, schema_match=True,
+                   hash_match=True, spark_rows=len(g), oracle_rows=len(w))
+    # rows-only queries (no portable oracle SQL): the driver records a
+    # weaker rows-only check — mirror its "no_oracle" entries
+    for qdir in sorted(Path(out_dir).iterdir()):
+        if qdir.is_dir() and qdir.name not in oracle:
+            try:
+                n = len(pd.read_parquet(qdir))
+            except Exception as e:
+                record(qdir.name, err=f"unreadable verify output: {e}")
+                continue
+            record(qdir.name, spark_rows=n, err="no_oracle")
+    if emit_path:
+        Path(emit_path).write_text(json.dumps(results, indent=1, sort_keys=True))
+        print(f"wrote {emit_path} ({len(results)} queries)")
     n_run = len(oracle) - len(skipped)
     tail = f" ({len(skipped)} skipped on oracle budget: {', '.join(skipped)})" if skipped else ""
     print(f"\n{n_run - n_bad}/{n_run} queries match{tail}")
@@ -131,4 +180,5 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
