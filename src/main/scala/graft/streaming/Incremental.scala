@@ -686,10 +686,23 @@ object Incremental {
         graft.operators.Dedup.MinhashParts))
     val (bandRows, sigRows) = graft.operators.Dedup.minhashIndexFrames(
       toks, shingleLen, bands, rowsPerBand, graft.operators.Dedup.MinhashParts)
-    bandRows.withColumn("__batch", lit(batchId))
+    // repartition on the layout key before writing — the batch
+    // builder's discipline (writeMinhashIndex). Without it every
+    // session task writes into every `part=` directory, so each
+    // append lands up to tasks×parts files (the ×30 rehearsal
+    // measured 8,192 files for a 100 MB index after four waves —
+    // 12 KB/file) and every later probe pays listing + footer +
+    // tiny-split scheduling over all of them: at corpus scale the
+    // FILE COUNT, not the byte count, becomes the probe's wall.
+    // One batch-sized shuffle buys one file per partition per batch.
+    bandRows.repartition(col("part"))
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .withColumn("__batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("part", "__batch").parquet(s"$indexDir/bands")
-    sigRows.withColumn("__batch", lit(batchId))
+    sigRows.repartition(col("spart"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("__batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("spart", "__batch").parquet(s"$indexDir/sigs")
   }
@@ -709,6 +722,10 @@ object Incremental {
         graft.operators.Dedup.HammingParts, alignCols))
     graft.operators.Dedup.hammingIndexRows(
         sigs, maxDist, graft.operators.Dedup.HammingParts, alignCols)
+      // one file per partition per batch — the appendToMinhashIndex
+      // file-compaction rule (and writeHammingIndex's own layout)
+      .repartition(col("part"))
+      .sortWithinPartitions(col("chunk"), col("piece"))
       .withColumn("__batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("part", "__batch").parquet(s"$indexDir/bands")
@@ -885,6 +902,16 @@ object Incremental {
       "curationFirewallStream: semanticEps > 0 needs a FROZEN semanticCentroids " +
         "quantizer (train once outside the stream — retraining re-keys the " +
         "keeper layout, which is a rebuild, not maintenance)")
+    // keepers-index geometry (the semanticDedupStream rule): quantizer
+    // checksum + eps, computed once per stream call
+    val semKeeperGeo =
+      if (semanticEps <= 0.0) Map.empty[String, String]
+      else {
+        val (ids, vecs) =
+          graft.operators.Similarity.collectQuantizer(semanticCentroids)
+        graft.operators.Similarity.ivfGeometryOf(ids, vecs) +
+          ("eps" -> semanticEps.toString)
+      }
     val ExactParts = 64
     // pin the frozen holdout once (the semanticDecontamStream lesson:
     // a per-batch re-collect of an unchanging frame is waste)
@@ -950,6 +977,9 @@ object Incremental {
             within.join(seen, Seq("__fp"), "left_anti").localCheckpoint()
           }
         exactKept.select(col("__fp").as("fp"), col("__part").as("part"))
+          // one file per partition per batch — the appendToMinhashIndex
+          // file-compaction rule (this store is probed every batch)
+          .repartition(col("part"))
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("part", "__batch").parquet(exactStatePath)
@@ -1005,31 +1035,45 @@ object Incremental {
             val keeperDup =
               if (!exists(keepPath) || clusters.isEmpty)
                 surv.limit(0).select(col("vec_id"))
-              else s.read.parquet(keepPath)
-                .filter(col("centroid").isin(clusters: _*) &&
-                  col("__batch") =!= batchId)
-                .select(col("centroid").cast("long").as("cluster"),
-                  col("embedding").as("__kv"))
-                .join(broadcast(surv), Seq("cluster"))
-                // round-6 comparison — the same quantization the
-                // batch pair rule applies (Similarity.cosinePairsBlocked)
-                .filter(round(graft.operators.Similarity.cosine(
-                  col("__v"), col("__kv")), 6) >= semanticEps)
-                .select(col("vec_id")).distinct()
+              else {
+                // geometry check before the probe: a different frozen
+                // quantizer (or eps) prunes to clusters the keepers
+                // index never populated — fail loud (round 17)
+                graft.operators.Dedup.requireIndexGeometry(s, keepPath,
+                  semKeeperGeo)
+                s.read.parquet(keepPath)
+                  .filter(col("centroid").isin(clusters: _*) &&
+                    col("__batch") =!= batchId)
+                  .select(col("centroid").cast("long").as("cluster"),
+                    col("embedding").as("__kv"))
+                  .join(broadcast(surv), Seq("cluster"))
+                  // round-6 comparison — the same quantization the
+                  // batch pair rule applies (Similarity.cosinePairsBlocked)
+                  .filter(round(graft.operators.Similarity.cosine(
+                    col("__v"), col("__kv")), 6) >= semanticEps)
+                  .select(col("vec_id")).distinct()
+              }
             // 3. the remainder join the keepers index themselves
             val keepers = surv.join(keeperDup, Seq("vec_id"), "left_anti")
               .localCheckpoint()
             // skip the write when nothing survived: a partitioned
             // empty write would create a schemaless parquet dir the
             // next batch's exists()-guarded read cannot open (dynamic
-            // overwrite touches no partitions on empty data anyway)
-            if (!keepers.isEmpty)
+            // overwrite touches no partitions on empty data anyway).
+            // The sidecar declaration rides the same guard so an
+            // empty declare never creates a data-less directory.
+            if (!keepers.isEmpty) {
+              graft.operators.Dedup.declareIndexGeometry(s, keepPath,
+                semKeeperGeo)
               keepers.select(col("vec_id"), col("__v").as("embedding"),
                   col("cluster").as("centroid"))
+                // one file per cluster per batch (file-compaction rule)
+                .repartition(col("centroid"))
                 .withColumn("__batch", lit(batchId))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("centroid", "__batch").parquet(keepPath)
+            }
             // fingerprint-less docs pass untouched — never silently
             // lose data the scorer cannot judge (the stage-5 rule)
             nearKept.filter(col("embedding").isNull)
@@ -1471,6 +1515,10 @@ object Incremental {
           batch.select(col("doc_id"),
             graft.functions.TextFns.tokens(col("text")).as("__toks")),
           nBuckets)
+          // one term-sorted file per bucket per batch — the
+          // writeBm25Index layout (file-compaction rule)
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("term"), col("doc_id"))
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("bucket", "__batch").parquet(s"$indexDir/postings")
@@ -1533,6 +1581,8 @@ object Incremental {
         graft.operators.Dedup.declareIndexGeometry(batch.sparkSession, destDir,
           geometry)
         Similarity.ivfIndexRowsQ(batch, cq, nAssign, corpusId, vecCol)
+          // one file per centroid per batch (file-compaction rule)
+          .repartition(col("centroid"))
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("centroid", "__batch").parquet(destDir)
@@ -1586,6 +1636,20 @@ object Incremental {
                           corpusId: String = "vec_id",
                           vecCol: String = "embedding"): Unit = {
     import graft.operators.Similarity
+    // keeper-index geometry (round 17): the keepers layout is keyed by
+    // the frozen quantizer's assignment AND the admission eps — a
+    // probe/appender under a different quantizer prunes to clusters
+    // the index never populated (the silent-miss class), and a
+    // different eps breaks the pairwise-below-eps keeper invariant.
+    // Checksum computed ONCE per stream call from one driver collect.
+    // `kind` stays "ivf" — the keepers ARE a writeIvfIndex layout, and
+    // a batch-built IVF index seeds the stream directly (its sidecar
+    // carries no eps yet; the absent key is trusted and the stream's
+    // declaration adds it).
+    val keeperGeo = {
+      val (ids, vecs) = Similarity.collectQuantizer(centroids)
+      Similarity.ivfGeometryOf(ids, vecs) + ("eps" -> eps.toString)
+    }
     val vecSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(corpusId,
         org.apache.spark.sql.types.LongType),
@@ -1624,19 +1688,32 @@ object Incremental {
         val keeperDup =
           if (!keepersExist || clusters.isEmpty)
             survivors.limit(0).select(col("vec_id"))
-          else spark.read.parquet(keepersDir)
-            .filter(col("centroid").isin(clusters: _*) &&
-              col("__batch") =!= batchId)
-            .select(col("centroid").cast("long").as("cluster"),
-              col(vecCol).as("__kv"))
-            .join(broadcast(survivors), Seq("cluster"))
-            // round-6 comparison — the same quantization the batch
-            // pair rule applies (Similarity.cosinePairsBlocked)
-            .filter(round(Similarity.cosine(col("__v"), col("__kv")), 6) >= eps)
-            .select(col("vec_id")).distinct()
+          else {
+            // geometry check before the probe (round 17): a different
+            // quantizer prunes to clusters the index never populated
+            // — fail loud instead of silently admitting duplicates
+            graft.operators.Dedup.requireIndexGeometry(spark, keepersDir,
+              keeperGeo)
+            spark.read.parquet(keepersDir)
+              .filter(col("centroid").isin(clusters: _*) &&
+                col("__batch") =!= batchId)
+              .select(col("centroid").cast("long").as("cluster"),
+                col(vecCol).as("__kv"))
+              .join(broadcast(survivors), Seq("cluster"))
+              // round-6 comparison — the same quantization the batch
+              // pair rule applies (Similarity.cosinePairsBlocked)
+              .filter(round(Similarity.cosine(col("__v"), col("__kv")), 6) >= eps)
+              .select(col("vec_id")).distinct()
+          }
+        // declare-before-append: validates again (cheap, one FS read)
+        // then stamps the quantizer checksum + eps the keepers now
+        // carry
+        graft.operators.Dedup.declareIndexGeometry(spark, keepersDir, keeperGeo)
         survivors.join(keeperDup, Seq("vec_id"), "left_anti")
           .select(col("vec_id").as(corpusId), col("__v").as(vecCol),
             col("cluster").as("centroid"))
+          // one file per cluster per batch (file-compaction rule)
+          .repartition(col("centroid"))
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("centroid", "__batch").parquet(keepersDir)

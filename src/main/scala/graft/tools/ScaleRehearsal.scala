@@ -247,6 +247,33 @@ object ScaleRehearsal {
           .localCheckpoint()
         release()
         out
+      }),
+      // the CAPPED media composition (round-17): the ×10 image fixture
+      // collapses 25k stub payloads to 32 distinct dHash values (top
+      // family 785 members), so the UNCAPPED exact gate's pair stage
+      // is output-bound quadratic by construction — the audio-×30
+      // entropy-collapse class. This capped form is what a clustered
+      // corpus runs (boundedness over completeness; realistic-entropy
+      // recall is floor-gated per round).
+      "media_prepare_capped" -> ((s, dir) => {
+        val (manifest, _, release) = graft.pipelines.MediaCorpus.prepare(
+          graft.queries.MediaPipeline.imageFixture(s, dir),
+          minBrightness = 127.0, pixelBudget = 1024, nShards = 4,
+          maxPieceFreq = 250L)
+        val out = manifest.select("shard", "chunk_id", "n_pixels")
+          .localCheckpoint()
+        release()
+        out
+      }),
+      "media_prepare_capped_lazy" -> ((s, dir) => {
+        val (manifest, _, release) = graft.pipelines.MediaCorpus.prepare(
+          graft.queries.MediaPipeline.imageFixture(s, dir),
+          minBrightness = 127.0, pixelBudget = 1024, nShards = 4,
+          withStats = false, maxPieceFreq = 250L)
+        val out = manifest.select("shard", "chunk_id", "n_pixels")
+          .localCheckpoint()
+        release()
+        out
       }))
     // Session-throughput probe (round-15, self-normalizing protocol):
     // the ~10 ms/job scheduler overhead barely moves between sessions,

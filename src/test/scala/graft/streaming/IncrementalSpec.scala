@@ -1911,4 +1911,39 @@ class IncrementalSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(keepers == Set(1L, 3L, 12L), s"keeper index diverged: $keepers")
   }
+
+  test("SemDeDup keeper indexes fail loud on a quantizer or eps mismatch") {
+    val ss = spark; import ss.implicits._
+    val base = Files.createTempDirectory("sem_geo").toString
+    val centsA = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("centroid_id", "centroid")
+    val centsB = Seq((0L, Array(1.0f, 0.1f)), (1L, Array(0.1f, 1.0f)))
+      .toDF("centroid_id", "centroid")
+    // run 1 admits keepers under quantizer A at eps 0.9
+    Seq((1L, Array(1.0f, 0.05f)), (2L, Array(0.05f, 1.0f)))
+      .toDF("vec_id", "embedding").write.parquet(base + "/src")
+    Incremental.semanticDedupStream(ss, base + "/src", centsA,
+      base + "/keep", base + "/ck1", eps = 0.9)
+    Seq((3L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(base + "/src")
+    // a different quantizer assigns probes to clusters the keepers
+    // index never populated — the round-16 silent-miss class, now
+    // loud for the one index family that lacked a sidecar (round 17)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      Incremental.semanticDedupStream(ss, base + "/src", centsB,
+        base + "/keep", base + "/ck2", eps = 0.9))
+    assert(e.getCause.getMessage.contains("quantizer"),
+      s"mismatch must name the quantizer checksum: ${e.getCause.getMessage}")
+    // same quantizer, different eps: the pairwise-below-eps keeper
+    // invariant is eps-keyed, so reuse across eps is a rebuild
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      Incremental.semanticDedupStream(ss, base + "/src", centsA,
+        base + "/keep", base + "/ck3", eps = 0.5))
+    assert(e2.getCause.getMessage.contains("eps"),
+      s"mismatch must name eps: ${e2.getCause.getMessage}")
+    // matching parameters still run (fresh checkpoint, full replay)
+    Incremental.semanticDedupStream(ss, base + "/src", centsA,
+      base + "/keep", base + "/ck4", eps = 0.9)
+    assert(ss.read.parquet(base + "/keep").count() >= 2)
+  }
 }
