@@ -320,6 +320,90 @@ object Dedup {
         "zero corpus-side exchange)")
   }
 
+  /** Maintenance compaction for a streaming-maintained on-disk index
+    * layout (`<partCol>=<p>/__batch=<n>/` — the MinHash bands/sigs,
+    * Hamming bands, BM25 postings, IVF lists, exact-fingerprint
+    * store, and SemDeDup keepers all share it): merge the committed
+    * per-batch segments into the batch seed (`__batch=-1`), so a
+    * long-running firewall's per-probe listing cost stops growing
+    * with batch count. The round-17 appender fix bounds each batch to
+    * ONE file per partition; this bounds the TOTAL at one seed file
+    * per partition plus the recent uncompacted tail — the classic
+    * segment-merge an LSM index runs, as one partition-parallel
+    * rewrite.
+    *
+    * The HIGHEST batch id present is always left uncompacted: with
+    * `Trigger.AvailableNow` + checkpointing, only the latest batch
+    * can replay after a crash, and a replayed batch excludes exactly
+    * its own `__batch` partition from probes — folding it into the
+    * seed would let a replay see its own first attempt's rows and
+    * change its decisions. Everything below the tail is committed and
+    * merges safely. MUST run at a stream-quiescent point (between
+    * AvailableNow invocations — the natural maintenance window): the
+    * merged rows materialize fully in a sibling temp directory before
+    * any old segment is dropped (a crash mid-swap loses no data that
+    * isn't in the temp tree), but the swap itself is not atomic for
+    * concurrent readers. The geometry sidecar is untouched
+    * (compaction changes layout bookkeeping, not geometry).
+    *
+    * Returns the number of batch segments merged (0 = nothing to do).
+    */
+  def compactIndexSegments(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, partCol: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val df = spark.read.parquet(dir)
+    // partition values are path-inferred (int when they fit) — cast
+    val batches = df.select(col("__batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (batches.length <= 1) return 0
+    // keep the replay tail; everything else (including any existing
+    // seed) merges into the new seed
+    val tail = batches.max
+    val toMerge = batches.filter(_ != tail)
+    if (toMerge.sameElements(Array(-1L))) return 0 // already compact
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+    fs.delete(tmp, true)
+    df.filter(col("__batch").isin(toMerge: _*)).drop("__batch")
+      .repartition(col(partCol)) // one file per partition (the rule)
+      .withColumn("__batch", lit(-1L))
+      .write.mode("overwrite").partitionBy(partCol, "__batch")
+      .parquet(tmp.toString)
+    // swap per partition directory: drop the merged segments, then
+    // move the new seed in
+    val parts = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(s"$partCol="))
+    parts.foreach { p =>
+      fs.listStatus(p).map(_.getPath)
+        .filter { b =>
+          val n = b.getName
+          n.startsWith("__batch=") &&
+            toMerge.contains(n.stripPrefix("__batch=").toLong)
+        }
+        .foreach(b => fs.delete(b, true))
+    }
+    fs.listStatus(tmp).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(s"$partCol=")).foreach { p =>
+        val destPart = new org.apache.hadoop.fs.Path(root, p.getName)
+        if (!fs.exists(destPart)) fs.mkdirs(destPart)
+        val seed = new org.apache.hadoop.fs.Path(p, "__batch=-1")
+        fs.rename(seed, new org.apache.hadoop.fs.Path(destPart, "__batch=-1"))
+      }
+    fs.delete(tmp, true)
+    toMerge.length
+  }
+
+  /** [[compactIndexSegments]] over both tables of the two-table
+    * MinHash band-index layout.
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Int = {
+    val a = compactIndexSegments(spark, s"$path/bands", "part")
+    val b = compactIndexSegments(spark, s"$path/sigs", "spart")
+    math.max(a, b)
+  }
+
   private def partOf(nParts: Int): Column =
     pmod(xxhash64(col("band"), col("bucket")), lit(nParts)).cast("int")
 

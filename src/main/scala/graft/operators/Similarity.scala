@@ -652,6 +652,12 @@ object Similarity {
     // re-collect the full centroid frame a second time)
     val q = collectQuantizerHier(centroids)
     ivfIndexRowsQ(corpus, q, nAssign, corpusId, vecCol)
+      // one file per list: without the repartition every write task
+      // lands a file in every probed `centroid=` directory, so a
+      // probe of p lists reads p×tasks files instead of p (the
+      // round-17 file-compaction rule — at k=15k lists and a 1000-task
+      // cluster write, the difference is 15M files vs 15k)
+      .repartition(col("centroid"))
       .withColumn("__batch", lit(-1L))
       .write.mode("overwrite").partitionBy("centroid", "__batch").parquet(path)
     graft.operators.Dedup.writeIndexGeometry(corpus.sparkSession, path,

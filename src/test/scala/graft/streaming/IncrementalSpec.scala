@@ -760,6 +760,39 @@ class IncrementalSpec extends SparkSpec {
     assert(probe2 == crossSweep(1 to 40, 41 to 45),
       s"probe after append run 2 diverged: $probe2")
     assert(probe2.exists(_._2 > 30L), "run-2 probes must hit run-2-appended docs")
+
+    // ---- segment compaction (round 17) ----------------------------
+    // merge the committed segments into the seed, keep the replay
+    // tail: probes must be bit-identical, and the per-partition
+    // directory count must collapse to seed + tail
+    def files(sub: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$idx/$sub")
+      val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+      def walk(q: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+        fs.listStatus(q).toSeq.flatMap(st =>
+          if (st.isDirectory) walk(st.getPath) else Seq(st.getPath))
+      walk(p).filter(_.getName.endsWith(".parquet"))
+    }
+    def batchDirs(sub: String): Set[String] =
+      files(sub).map(_.getParent.getName).toSet
+    val filesBefore = files("bands").size
+    assert(batchDirs("bands") == Set("__batch=-1", "__batch=0", "__batch=1"),
+      s"fixture sanity: ${batchDirs("bands")}")
+    val merged = Dedup.compactMinhashIndex(ss, idx)
+    assert(merged == 2, s"seed + batch 0 must merge (batch 1 is the tail): $merged")
+    assert(batchDirs("bands") == Set("__batch=-1", "__batch=1"),
+      s"compaction must keep the replay tail: ${batchDirs("bands")}")
+    assert(batchDirs("sigs") == Set("__batch=-1", "__batch=1"))
+    assert(files("bands").size < filesBefore)
+    val probe2c = Dedup.minhashProbe(toToks(mkDocs(41 to 45)), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe2c == probe2, "compaction must not change probe results")
+    // idempotent: only {seed, tail} left → nothing to merge
+    assert(Dedup.compactMinhashIndex(ss, idx) == 0)
+    // geometry sidecar survives compaction (mismatch still loud)
+    val e = intercept[IllegalArgumentException](
+      Dedup.minhashProbe(toToks(mkDocs(41 to 45)), idx, bands = 8))
+    assert(e.getMessage.contains("bands"))
   }
 
   test("minhashDedupStream: streaming firewall equals the sequential batch-by-batch rule, unseeded start") {
