@@ -265,6 +265,25 @@ object ScaleRehearsal {
         release()
         out
       }),
+      // the PRODUCTION-shaped text composition: auto-sized quantizer
+      // (semanticCentroids = null trains kmeansCentroidsAuto on the
+      // survivors) instead of the gate's fixed first-8 quantizer,
+      // whose 8 giant clusters make the within-cluster pair stage
+      // quadratic at ×R (the documented fixed-quantizer artifact —
+      // r13 note; measured ~90× with spill at ×30)
+      "corpus_prepare_semantic_auto_lazy" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val emb = Tables.embeddings(s, dir)
+        val (prepared, _, release) = graft.pipelines.Corpus.prepare(docs,
+          withStats = false,
+          embeddings = emb, semanticEps = 0.4,
+          decontamHoldout = emb.filter(col("vec_id") % 97 === 0),
+          decontamEps = 0.8)
+        val out = prepared.select("split", "shard", "n_tokens", "chunk_id")
+          .localCheckpoint()
+        release()
+        out
+      }),
       "media_prepare_capped_lazy" -> ((s, dir) => {
         val (manifest, _, release) = graft.pipelines.MediaCorpus.prepare(
           graft.queries.MediaPipeline.imageFixture(s, dir),
