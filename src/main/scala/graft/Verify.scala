@@ -22,10 +22,15 @@ object Verify {
         s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
     def wanted(n: String): Boolean = only.forall(_.contains(n))
+    var dumped = 0; var failed = 0
+    val failedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumped += 1
+      } catch { case e: Throwable =>
+        failed += 1; failedNames += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -41,9 +46,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
+    val oracles = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // one machine-readable summary line on BOTH streams (round 18):
+    // the driver's CORRECTNESS artifact arrived empty two rounds in a
+    // row while the run itself was green — a second scrape path lets
+    // a parse failure be reconstructed from either log
+    val summary = s"""{"metric":"verify","dumped":$dumped,"failed":$failed,""" +
+      s""""oracles":${oracles.size},"failed_names":${failedNames
+        .map(q).mkString("[", ",", "]")}}"""
+    println(summary)
+    System.err.println(summary)
   }
 }

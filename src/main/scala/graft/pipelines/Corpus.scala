@@ -155,10 +155,20 @@ object Corpus {
     // the optimizer's size estimate at a conservative ~2 KB/doc.
     // Overestimating nDocs only widens the pair exchange (smaller
     // tasks), and the [session, 4096] clamp bounds both directions.
+    // Sources without stats (RDD-backed frames, some V2 sources)
+    // report the spark.sql.defaultSizeInBytes sentinel (Long.MaxValue
+    // by default) — treating that as a huge corpus would hand a tiny
+    // fixture a 4096-task pair shuffle, silently contradicting the
+    // "small fixtures keep their exact historical plans" contract.
+    // Unknown stats fall back to the session width (pairParts = 0).
     val nDocs =
       if (input >= 0) input
-      else (docs.queryExecution.optimizedPlan.stats.sizeInBytes / 2048)
-        .min(BigInt(Long.MaxValue)).toLong
+      else {
+        val size = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+        val sentinel = docs.sparkSession.sessionState.conf.defaultSizeInBytes
+        if (size >= BigInt(sentinel)) 0L
+        else (size / 2048).min(BigInt(Long.MaxValue)).toLong
+      }
     val pairParts = {
       val derived = math.min(4096L, nDocs / 1000L).toInt
       val session = docs.sparkSession.sessionState.conf.numShufflePartitions

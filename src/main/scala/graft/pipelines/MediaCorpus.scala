@@ -98,10 +98,15 @@ object MediaCorpus {
     // the optimizer instead of counting (~4 KB/payload; the
     // [session, 4096] clamp bounds both directions — the
     // Corpus.prepare rule)
+    // unknown-stats sentinel → session width (the Corpus.prepare rule)
     val nSigs =
       if (input >= 0) input
-      else (images.queryExecution.optimizedPlan.stats.sizeInBytes / 4096)
-        .min(BigInt(Long.MaxValue)).toLong
+      else {
+        val size = images.queryExecution.optimizedPlan.stats.sizeInBytes
+        val sentinel = images.sparkSession.sessionState.conf.defaultSizeInBytes
+        if (size >= BigInt(sentinel)) 0L
+        else (size / 4096).min(BigInt(Long.MaxValue)).toLong
+      }
     val pairParts = {
       val derived = math.min(4096L, nSigs / 250L).toInt
       val session =

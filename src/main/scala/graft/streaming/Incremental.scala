@@ -665,6 +665,11 @@ object Incremental {
       }
       .start()
     q.awaitTermination()
+    // post-invocation maintenance at the quiescent point (round 18):
+    // segment-merge once the committed batch count reaches the
+    // spark.graft.index.autoCompactSegments threshold, bounding the
+    // per-probe listing cost flat in stream lifetime
+    graft.operators.Dedup.autoCompactMinhashIndex(spark, indexDir)
   }
 
   /** One micro-batch's append into the two-table LSH index layout
@@ -818,6 +823,8 @@ object Incremental {
       }
       .start()
     q.awaitTermination()
+    // post-invocation maintenance at the quiescent point (round 18)
+    graft.operators.Dedup.autoCompactMinhashIndex(spark, indexDir)
   }
 
   /** COMPOSED streaming curation firewall — [[graft.pipelines.Corpus
@@ -1135,6 +1142,15 @@ object Incremental {
       }
       .start()
     q.awaitTermination()
+    // post-invocation maintenance at the quiescent point (round 18):
+    // every state store this firewall maintains gets the LSM
+    // segment-merge once its committed batch count reaches the
+    // spark.graft.index.autoCompactSegments threshold
+    graft.operators.Dedup.autoCompactIndexSegments(
+      spark, s"$indexDir/exact", "part")
+    graft.operators.Dedup.autoCompactMinhashIndex(spark, indexDir)
+    graft.operators.Dedup.autoCompactIndexSegments(
+      spark, s"$indexDir/semkeep", "centroid")
   }
 
   /** COMPOSED streaming MEDIA firewall — [[graft.pipelines.MediaCorpus
@@ -1248,6 +1264,9 @@ object Incremental {
       }
       .start()
     q.awaitTermination()
+    // post-invocation maintenance at the quiescent point (round 18)
+    graft.operators.Dedup.autoCompactIndexSegments(
+      spark, s"$indexDir/bands", "part")
   }
 
   /** Streaming perceptual-image near-dup firewall — the multimodal
@@ -1328,6 +1347,9 @@ object Incremental {
       }
       .start()
     q.awaitTermination()
+    // post-invocation maintenance at the quiescent point (round 18)
+    graft.operators.Dedup.autoCompactIndexSegments(
+      spark, s"$indexDir/bands", "part")
   }
 
   /** Streaming ACOUSTIC near-dup firewall — [[phashDedupStream]] with
@@ -1386,6 +1408,9 @@ object Incremental {
       }
       .start()
     q.awaitTermination()
+    // post-invocation maintenance at the quiescent point (round 18)
+    graft.operators.Dedup.autoCompactIndexSegments(
+      spark, s"$indexDir/bands", "part")
   }
 
   /** Streaming TEMPORAL VIDEO near-dup firewall — the clip-level twin
@@ -1474,6 +1499,9 @@ object Incremental {
       }
       .start()
     q.awaitTermination()
+    // post-invocation maintenance at the quiescent point (round 18)
+    graft.operators.Dedup.autoCompactIndexSegments(
+      spark, s"$indexDir/bands", "part")
   }
 
   /** Streaming BM25 index maintenance: new documents' postings append
@@ -1525,6 +1553,9 @@ object Incremental {
       }
       .start()
     q.awaitTermination()
+    // post-invocation maintenance at the quiescent point (round 18)
+    graft.operators.Dedup.autoCompactIndexSegments(
+      spark, s"$indexDir/postings", "bucket")
   }
 
   /** Streaming IVF index maintenance: new vectors append into the
@@ -1589,6 +1620,8 @@ object Incremental {
       }
       .start()
     q.awaitTermination()
+    // post-invocation maintenance at the quiescent point (round 18)
+    graft.operators.Dedup.autoCompactIndexSegments(spark, destDir, "centroid")
   }
 
   /** Streaming SemDeDup — the semantic twin of the exact/winnow/
@@ -1705,21 +1738,38 @@ object Incremental {
               .filter(round(Similarity.cosine(col("__v"), col("__kv")), 6) >= eps)
               .select(col("vec_id")).distinct()
           }
-        // declare-before-append: validates again (cheap, one FS read)
-        // then stamps the quantizer checksum + eps the keepers now
-        // carry
-        graft.operators.Dedup.declareIndexGeometry(spark, keepersDir, keeperGeo)
-        survivors.join(keeperDup, Seq("vec_id"), "left_anti")
+        val admitted = survivors.join(keeperDup, Seq("vec_id"), "left_anti")
           .select(col("vec_id").as(corpusId), col("__v").as(vecCol),
             col("cluster").as("centroid"))
-          // one file per cluster per batch (file-compaction rule)
-          .repartition(col("centroid"))
-          .withColumn("__batch", lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("centroid", "__batch").parquet(keepersDir)
+          .localCheckpoint() // micro-batch-sized; read twice below
+        // skip BOTH the declare and the write when the batch admits no
+        // keepers (the curationFirewallStream semkeep guard, round 18):
+        // an unconditional declare on an empty batch — e.g. an empty
+        // AvailableNow run against an unseeded stream — creates
+        // keepersDir containing only the geometry sidecar, the next
+        // batch's keepersExist guard then passes, and the data-less
+        // parquet read fails schema inference, wedging the stream.
+        // Dynamic overwrite touches no partitions on empty data anyway.
+        if (!admitted.isEmpty) {
+          // declare-before-append: validates again (cheap, one FS
+          // read) then stamps the quantizer checksum + eps the
+          // keepers now carry
+          graft.operators.Dedup.declareIndexGeometry(spark, keepersDir, keeperGeo)
+          admitted
+            // one file per cluster per batch (file-compaction rule)
+            .repartition(col("centroid"))
+            .withColumn("__batch", lit(batchId))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("centroid", "__batch").parquet(keepersDir)
+        } else if (keepersExist)
+          // validate-only: a mis-parameterized stream must still fail
+          // loud even when its batch happens to admit nothing
+          graft.operators.Dedup.requireIndexGeometry(spark, keepersDir, keeperGeo)
       }
       .start()
     q.awaitTermination()
+    // post-invocation maintenance at the quiescent point (round 18)
+    graft.operators.Dedup.autoCompactIndexSegments(spark, keepersDir, "centroid")
   }
 
   /** Continuously-maintained per-group heavy hitters: the

@@ -407,7 +407,7 @@ object StreamRehearsal {
       }
       val kept = spark.read.parquet(dest).count()
       println(s"""{"metric":"stream_state","scenario":"$label","kept":$kept,"input":${imgs.count()},"index_bytes":${fsSize(spark, idx)}}""")
-      spark.read.parquet(s"$dest/_accounting")
+      spark.read.option("mergeSchema", "true").parquet(s"$dest/_accounting")
         .orderBy(col("__batch")).collect().foreach { r =>
           println(s"""{"metric":"stream_acct","scenario":"$label","batch":${r.get(r.fieldIndex("__batch"))},"input":${r.getAs[Long]("input")},"decoded":${r.getAs[Long]("decoded")},"after_neardup":${r.getAs[Long]("after_neardup")},"after_feature":${r.getAs[Long]("after_feature")}}""")
         }
@@ -466,10 +466,61 @@ object StreamRehearsal {
       }
       val kept = spark.read.parquet(dest).count()
       println(s"""{"metric":"stream_state","scenario":"$label","kept":$kept,"input":${corpus.count()},"index_bytes":${fsSize(spark, idx)}}""")
-      spark.read.parquet(s"$dest/_accounting")
+      // mergeSchema: the accounting artifact gained `after_semdedup`
+      // mid-schema in round 17 — a destination written partly by the
+      // older firewall mixes parquet schemas across __batch
+      // partitions, and a plain read may infer an old file's schema
+      // and drop (or fail on) the new column. Old rows read as null
+      // → printed as -1, the "stage off" convention.
+      spark.read.option("mergeSchema", "true").parquet(s"$dest/_accounting")
         .orderBy(col("__batch")).collect().foreach { r =>
-          println(s"""{"metric":"stream_acct","scenario":"$label","batch":${r.get(r.fieldIndex("__batch"))},"input":${r.getAs[Long]("input")},"after_exact":${r.getAs[Long]("after_exact")},"after_neardup":${r.getAs[Long]("after_neardup")},"after_semdedup":${r.getAs[Long]("after_semdedup")},"after_quality":${r.getAs[Long]("after_quality")},"after_ppl":${r.getAs[Long]("after_ppl")},"after_semantic":${r.getAs[Long]("after_semantic")},"kept":${r.getAs[Long]("kept")}}""")
+          def lng(f: String): Long =
+            if (!r.schema.fieldNames.contains(f) ||
+              r.isNullAt(r.fieldIndex(f))) -1L
+            else r.getAs[Long](f)
+          println(s"""{"metric":"stream_acct","scenario":"$label","batch":${r.get(r.fieldIndex("__batch"))},"input":${lng("input")},"after_exact":${lng("after_exact")},"after_neardup":${lng("after_neardup")},"after_semdedup":${lng("after_semdedup")},"after_quality":${lng("after_quality")},"after_ppl":${lng("after_ppl")},"after_semantic":${lng("after_semantic")},"kept":${lng("kept")}}""")
         }
+    }
+
+    // ---- 11. auto-compaction soak (round 18) ----------------------
+    // MANY small AvailableNow invocations of minhashDedupStream — the
+    // long-running-deployment shape the per-wave rehearsals above
+    // don't exercise. The claim under test: with the firewalls'
+    // post-invocation auto-compaction (spark.graft.index.
+    // autoCompactSegments, default 16), per-wave wall and index FILE
+    // COUNT stay flat vs committed batch count, instead of the probe
+    // paying listing+footer+tiny-split cost over an ever-growing
+    // segment set. Segment count saw-tooths at the threshold; the
+    // wave wall after each merge returns to the baseline band.
+    label = "compaction_soak"
+    if (wanted(label)) locally {
+      val soakWaves = sys.env.get("SPARK_GRAFT_SOAK_WAVES")
+        .map(_.toInt).getOrElse(40)
+      val docs = spark.read.parquet(s"$fixture/documents.parquet")
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val src = s"$work/soak_src"; val idx = s"$work/soak_idx"
+      val dest = s"$work/soak_kept"; val ck = s"$work/soak_ck"
+      def indexFiles(sub: String): (Int, Int) = {
+        val p = new org.apache.hadoop.fs.Path(s"$idx/$sub")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) return (0, 0)
+        def walk(q: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+          fs.listStatus(q).toSeq.flatMap(st =>
+            if (st.isDirectory) walk(st.getPath) else Seq(st.getPath))
+        val files = walk(p).filter(_.getName.endsWith(".parquet"))
+        (files.size, files.map(_.getParent.getName).toSet.size)
+      }
+      for (w <- 0 until soakWaves) {
+        docs.filter(pmod(col("doc_id"), lit(soakWaves)) === w)
+          .write.mode("append").parquet(src)
+        val t0 = System.nanoTime()
+        Incremental.minhashDedupStream(spark, src, idx, dest, ck)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (bandFiles, bandSegs) = indexFiles("bands")
+        println(f"""{"metric":"soak","scenario":"$label","wave":$w,"wall_sec":$wall%.2f,"bands_files":$bandFiles,"bands_segments":$bandSegs}""")
+      }
+      val kept = spark.read.parquet(dest).count()
+      println(s"""{"metric":"stream_state","scenario":"$label","kept":$kept,"input":${docs.count()},"index_bytes":${fsSize(spark, idx)}}""")
     }
 
     // per-batch progress dump (the evidence table for BASELINE.md)

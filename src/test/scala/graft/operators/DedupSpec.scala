@@ -315,19 +315,45 @@ class DedupSpec extends SparkSpec {
       docs.select(col("doc_id"),
         graft.functions.TextFns.tokens(col("text")).as("__toks"))
 
-    // 1. the strategy-switch thresholds ARE the contract (round 17):
-    //    sweep iff the prune covers ≥ half the index partitions AND
-    //    the batch is big enough that the index-side shuffle is the
-    //    drift (2^18 band rows) AND small enough to broadcast (2^23)
-    assert(!Dedup.ProbeSweep.sweeps(64, 64, (1L << 18) - 1),
+    // 1. the strategy-switch thresholds ARE the contract (round 17;
+    //    round 18 sizes the broadcast bound in BYTES): sweep iff the
+    //    prune covers ≥ half the index partitions AND the batch is
+    //    big enough that the index-side shuffle is the drift (2^18
+    //    band rows) AND its rows × width fit the broadcast budget
+    val slim = 36L // the slim minhash band-row width (3 cols + overhead)
+    val budget = Dedup.ProbeSweep.DefaultMaxBroadcastBytes
+    assert(!Dedup.ProbeSweep.sweeps(ss, 64, 64, (1L << 18) - 1, slim),
       "a trickle batch keeps the pruned-shuffle plan at any coverage")
-    assert(Dedup.ProbeSweep.sweeps(64, 64, 1L << 18))
-    assert(Dedup.ProbeSweep.sweeps(32, 64, 1L << 18),
+    assert(Dedup.ProbeSweep.sweeps(ss, 64, 64, 1L << 18, slim))
+    assert(Dedup.ProbeSweep.sweeps(ss, 32, 64, 1L << 18, slim),
       "half coverage is already degenerate")
-    assert(!Dedup.ProbeSweep.sweeps(31, 64, 1L << 18),
+    assert(!Dedup.ProbeSweep.sweeps(ss, 31, 64, 1L << 18, slim),
       "a well-pruned probe never sweeps")
-    assert(!Dedup.ProbeSweep.sweeps(64, 64, (1L << 23) + 1),
+    assert(!Dedup.ProbeSweep.sweeps(ss, 64, 64, budget / slim + 1, slim),
       "a batch too big to broadcast pays the honest shuffle")
+    assert(Dedup.ProbeSweep.sweeps(ss, 64, 64, budget / slim - 1, slim))
+    assert(!Dedup.ProbeSweep.sweeps(ss, 64, 64, budget / slim - 1, slim * 4),
+      "the same row count at 4× the row width (hamming alignCols) " +
+        "must NOT broadcast — the budget is bytes, not rows")
+    // the width estimate tracks the projected schema: a string
+    // alignCol widens the hamming broadcast row
+    val slimFrame = Seq((1L, 0, 1L)).toDF("probe_id", "band", "bucket")
+    val wideFrame = Seq((1L, "src", 1L, 0, 1L))
+      .toDF("probe_id", "source", "sh", "chunk", "piece")
+    assert(Dedup.ProbeSweep.rowBytesOf(wideFrame) >
+      Dedup.ProbeSweep.rowBytesOf(slimFrame))
+    // config-driven switchover boundary (the round-17 @volatile seam,
+    // promoted to session conf): both knobs live, exact boundary
+    ss.conf.set(Dedup.ProbeSweep.MinBandRowsKey, "1")
+    ss.conf.set(Dedup.ProbeSweep.MaxBroadcastBytesKey, (slim * 100).toString)
+    try {
+      assert(Dedup.ProbeSweep.sweeps(ss, 64, 64, 100, slim))
+      assert(!Dedup.ProbeSweep.sweeps(ss, 64, 64, 101, slim),
+        "config-driven byte budget must gate the switchover exactly")
+    } finally {
+      ss.conf.unset(Dedup.ProbeSweep.MinBandRowsKey)
+      ss.conf.unset(Dedup.ProbeSweep.MaxBroadcastBytesKey)
+    }
 
     // minhash fixture: corpus + a batch with planted twins
     val corpusA = (1 to 30).map { i =>
@@ -370,12 +396,11 @@ class DedupSpec extends SparkSpec {
     assert(!hmPlan().contains("BroadcastExchange"),
       "trickle hamming probe must keep the pinned-shuffle plan")
 
-    // 3. sweep mode (row-threshold seam lowered): results are
-    //    bit-identical and the batch side broadcasts — the index side
-    //    is scanned in place with zero exchange
-    val saved = Dedup.ProbeSweep.minBandRows
+    // 3. sweep mode (row threshold lowered through the config seam):
+    //    results are bit-identical and the batch side broadcasts —
+    //    the index side is scanned in place with zero exchange
+    ss.conf.set(Dedup.ProbeSweep.MinBandRowsKey, "1")
     try {
-      Dedup.ProbeSweep.minBandRows = 1L
       assert(mhPairs() == mhShuffle, "sweep minhash probe diverged")
       assert(hmPairs() == hmShuffle, "sweep hamming probe diverged")
       assert(mhCandsPlan().contains("BroadcastHashJoin"),
@@ -383,7 +408,7 @@ class DedupSpec extends SparkSpec {
       assert(hmPlan().contains("BroadcastHashJoin"),
         "sweep hamming band join must broadcast the batch side")
       assert(hmShuffle.exists(_._1 <= 103L), "planted twins must surface")
-    } finally Dedup.ProbeSweep.minBandRows = saved
+    } finally ss.conf.unset(Dedup.ProbeSweep.MinBandRowsKey)
   }
 
   test("null-token docs never enter minhash banding (no constant-bucket blowup)") {
@@ -630,5 +655,37 @@ class DedupSpec extends SparkSpec {
       Dedup.declareIndexGeometry(ss, dir, geo.updated("parts", "32")))
     assert(e2.getMessage.contains("parts"))
     Dedup.requireIndexGeometry(ss, dir, geo) // sidecar survived the failed declare
+  }
+
+  test("entropy guard: uncapped pigeonhole fails loud on fingerprint collapse, silent on healthy entropy (round 18)") {
+    val ss = spark; import ss.implicits._
+    // entropy-collapsed: 1000 rows over 4 distinct signatures → the
+    // Hamming-0 floor alone is 4·C(250,2) ≈ 124k pairs ≈ 124/row
+    val collapsed = (1 to 1000).map(i => (i.toLong, (i % 4).toLong))
+      .toDF("doc_id", "sh")
+    ss.conf.set(Dedup.EntropyGuardMinRowsKey, "100")
+    try {
+      val e = intercept[IllegalStateException](
+        Dedup.hammingPairsOfSignatures(collapsed, maxPieceFreq = Long.MaxValue))
+      assert(e.getMessage.contains("entropy guard"))
+      assert(e.getMessage.contains("maxPieceFreq"),
+        "the guard must recommend the capped production config")
+      // healthy entropy: distinct signatures with small duplicate
+      // clusters sit far under the per-row budget — silent
+      val healthy = (1 to 1000).map(i =>
+        ((i.toLong, (i / 2).toLong * 0x9E3779B97F4A7C15L)))
+        .toDF("doc_id", "sh")
+      val n = Dedup.hammingPairsOfSignatures(healthy,
+        maxPieceFreq = Long.MaxValue).count()
+      assert(n >= 499L, s"healthy sweep must run to completion: $n")
+      // the CAPPED production config is never guard-probed (its
+      // hot-bucket cap already bounds the output)
+      Dedup.hammingPairsOfSignatures(collapsed).queryExecution.optimizedPlan
+      // below the min-rows floor the exact sweep runs even on
+      // collapsed fixtures (unit-spec scale)
+      ss.conf.set(Dedup.EntropyGuardMinRowsKey, "8192")
+      Dedup.hammingPairsOfSignatures(collapsed,
+        maxPieceFreq = Long.MaxValue).queryExecution.optimizedPlan
+    } finally ss.conf.unset(Dedup.EntropyGuardMinRowsKey)
   }
 }

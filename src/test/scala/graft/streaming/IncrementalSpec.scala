@@ -795,6 +795,161 @@ class IncrementalSpec extends SparkSpec {
     assert(e.getMessage.contains("bands"))
   }
 
+  test("auto-compaction: the firewall segment-merges at the configured threshold, probes unchanged (round 18)") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val base = Files.createTempDirectory("auto_compact").toString
+    val src = base + "/src"; val idx = base + "/idx"; val ck = base + "/ck"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    def batchDirs(table: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(table)
+      def walk(q: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+        fs.listStatus(q).toSeq.flatMap(st =>
+          if (st.isDirectory) walk(st.getPath) else Seq(st.getPath))
+      walk(p).filter(_.getName.endsWith(".parquet"))
+        .map(_.getParent.getName).toSet
+    }
+    val body = (1 to 24).map(k => s"word$k").mkString(" ")
+    def mkDocs(ids: Range) = ids.map { i =>
+      (i.toLong, s"family ${i % 4} $body tail $i")
+    }.toDF("doc_id", "text")
+    def toToks(docs: org.apache.spark.sql.DataFrame) =
+      docs.select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("__toks"))
+
+    ss.conf.set(Dedup.AutoCompactSegmentsKey, "3")
+    try {
+      Dedup.writeMinhashIndex(toToks(mkDocs(1 to 20)), idx)
+      // invocation 1: segments {-1, 0} = 2 < 3 → untouched
+      mkDocs(21 to 25).write.parquet(src)
+      Incremental.minhashIndexStream(ss, src, idx, ck)
+      assert(batchDirs(s"$idx/bands") == Set("__batch=-1", "__batch=0"),
+        s"below threshold must not compact: ${batchDirs(s"$idx/bands")}")
+      // invocation 2: {-1, 0, 1} = 3 ≥ 3 → merge below the replay tail
+      mkDocs(26 to 30).write.mode("append").parquet(src)
+      Incremental.minhashIndexStream(ss, src, idx, ck)
+      assert(batchDirs(s"$idx/bands") == Set("__batch=-1", "__batch=1"),
+        s"at threshold the firewall must auto-compact: ${batchDirs(s"$idx/bands")}")
+      assert(batchDirs(s"$idx/sigs") == Set("__batch=-1", "__batch=1"))
+      // invocation 3: saw-tooth repeats, and the probe over the
+      // auto-compacted index equals the full batch cross sweep
+      mkDocs(31 to 35).write.mode("append").parquet(src)
+      Incremental.minhashIndexStream(ss, src, idx, ck)
+      assert(batchDirs(s"$idx/bands") == Set("__batch=-1", "__batch=2"))
+      val probe = Dedup.minhashProbe(toToks(mkDocs(36 to 40)), idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sweep = Dedup.minhashCandidatesOfTokens(toToks(mkDocs(1 to 40)))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => (b >= 36L) != (a >= 36L) }
+        .map { case (a, b) => if (a >= 36L) (a, b) else (b, a) }.toSet
+      assert(probe == sweep,
+        s"probe over the auto-compacted index diverged: $probe vs $sweep")
+    } finally ss.conf.unset(Dedup.AutoCompactSegmentsKey)
+  }
+
+  test("compaction crash-recovery: a rerun after a crash in the swap window restores the merged rows (minhash two-table + BM25 single-table)") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    import graft.queries.Retrieval
+    val base = Files.createTempDirectory("compact_crash").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    def batchDirs(table: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(table)
+      def walk(q: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+        fs.listStatus(q).toSeq.flatMap(st =>
+          if (st.isDirectory) walk(st.getPath) else Seq(st.getPath))
+      walk(p).filter(_.getName.endsWith(".parquet"))
+        .map(_.getParent.getName).toSet
+    }
+
+    // ---- minhash two-table layout --------------------------------
+    val src = base + "/src"; val idx = base + "/idx"; val ck = base + "/ck"
+    val body = (1 to 24).map(k => s"word$k").mkString(" ")
+    def mkDocs(ids: Range) = ids.map { i =>
+      (i.toLong, s"family ${i % 4} $body tail $i")
+    }.toDF("doc_id", "text")
+    def toToks(docs: org.apache.spark.sql.DataFrame) =
+      docs.select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("__toks"))
+    def probe(ids: Range): Set[(Long, Long)] =
+      Dedup.minhashProbe(toToks(mkDocs(ids)), idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    Dedup.writeMinhashIndex(toToks(mkDocs(1 to 20)), idx)
+    mkDocs(21 to 30).write.parquet(src)
+    Incremental.minhashIndexStream(ss, src, idx, ck)
+    mkDocs(31 to 40).write.mode("append").parquet(src)
+    Incremental.minhashIndexStream(ss, src, idx, ck)
+    val before = probe(41 to 45)
+    assert(before.nonEmpty, "fixture must produce cross-batch collisions")
+
+    // crash in the data-loss window: the superseded segments are
+    // already deleted from the live tree and the merged seed has NOT
+    // been renamed in — the temp tree holds the only copy
+    val e1 = intercept[IllegalStateException](
+      Dedup.compactIndexSegmentsImpl(ss, s"$idx/bands", "part",
+        failpoint = "mid-swap"))
+    assert(e1.getMessage.contains("mid-swap"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/bands__compacting")),
+      "crashed swap must leave the temp tree in place")
+    assert(!batchDirs(s"$idx/bands").exists(
+      d => d == "__batch=-1" || d == "__batch=0"),
+      s"crash must land AFTER the segment deletes: ${batchDirs(s"$idx/bands")}")
+    // the natural operator response — rerun the maintenance op — must
+    // COMPLETE the pending swap (the round-17 cut deleted the temp
+    // tree on entry here, permanently destroying the merged rows)
+    Dedup.compactMinhashIndex(ss, idx)
+    assert(batchDirs(s"$idx/bands") == Set("__batch=-1", "__batch=1"),
+      s"recovered bands layout: ${batchDirs(s"$idx/bands")}")
+    assert(batchDirs(s"$idx/sigs") == Set("__batch=-1", "__batch=1"))
+    assert(probe(41 to 45) == before,
+      "probe after crash+rerun must equal the pre-compaction probe")
+
+    // crash BEFORE any live mutation (markers down, live segments
+    // intact): the rerun completes that swap too, same end state
+    mkDocs(41 to 45).write.mode("append").parquet(src)
+    Incremental.minhashIndexStream(ss, src, idx, ck)
+    val before2 = probe(46 to 50)
+    val e2 = intercept[IllegalStateException](
+      Dedup.compactIndexSegmentsImpl(ss, s"$idx/bands", "part",
+        failpoint = "before-swap"))
+    assert(e2.getMessage.contains("before-swap"))
+    Dedup.compactMinhashIndex(ss, idx)
+    assert(batchDirs(s"$idx/bands") == Set("__batch=-1", "__batch=2"))
+    assert(probe(46 to 50) == before2)
+
+    // ---- BM25 single-table layout (postings, partCol=bucket) -----
+    val bsrc = base + "/bsrc"; val bidx = base + "/bidx"; val bck = base + "/bck"
+    def mkB(ids: Range) = ids.map { i =>
+      (i.toLong, s"alpha beta ${if (i % 3 == 0) "gamma gamma" else "delta"} w$i")
+    }.toDF("doc_id", "text")
+    val queries = Seq(1 -> Seq("gamma"), 2 -> Seq("alpha", "delta"))
+    def brows(): Set[(Long, Long, Long, Long)] =
+      Retrieval.bm25TopKIndexed(ss, bidx, queries, k = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    Retrieval.writeBm25Index(toToks(mkB(1 to 20)), bidx)
+    mkB(21 to 30).write.parquet(bsrc)
+    Incremental.bm25IndexStream(ss, bsrc, bidx, bck)
+    mkB(31 to 40).write.mode("append").parquet(bsrc)
+    Incremental.bm25IndexStream(ss, bsrc, bidx, bck)
+    Retrieval.writeBm25Stats(ss, bidx)
+    val bBefore = brows()
+    assert(bBefore.nonEmpty)
+    val e3 = intercept[IllegalStateException](
+      Dedup.compactIndexSegmentsImpl(ss, s"$bidx/postings", "bucket",
+        failpoint = "mid-swap"))
+    assert(e3.getMessage.contains("mid-swap"))
+    assert(Dedup.compactIndexSegments(ss, s"$bidx/postings", "bucket") == 0,
+      "rerun recovers the crashed swap; the recovered tree is already compact")
+    assert(brows() == bBefore,
+      "BM25 probe after crash+rerun must equal the pre-compaction probe")
+  }
+
   test("minhashDedupStream: streaming firewall equals the sequential batch-by-batch rule, unseeded start") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions._
@@ -1259,6 +1414,42 @@ class IncrementalSpec extends SparkSpec {
       col("text"), k = 8, w = 10, minShared = 2)
       .select("doc_id").as[Long].collect().toSet
     assert(batchFlags == Set(4L, 19L), s"batch flags: $batchFlags")
+  }
+
+  test("semanticDedupStream: an empty batch on an unseeded stream never creates a data-less keepers dir (round 18)") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("semdedup_empty").toString
+    val src = base + "/src"; val keep = base + "/keepers"; val ck = base + "/ck"
+    val rnd = new scala.util.Random(7)
+    val centers = (0 until 2).map { _ =>
+      val v = Array.tabulate(8)(_ => (rnd.nextFloat() - 0.5f) * 2f)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val cents = centers.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("centroid_id", "centroid")
+    // an AvailableNow run over a 0-row source: the round-17 cut
+    // declared the geometry sidecar unconditionally, creating a
+    // keepers dir holding ONLY _graft_geometry.json — the next run's
+    // exists() guard then passed and the data-less parquet read
+    // failed schema inference, wedging the stream
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      .write.parquet(src)
+    Incremental.semanticDedupStream(ss, src, cents, keep, ck, eps = 0.9)
+    val fs = new org.apache.hadoop.fs.Path(keep)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(keep)),
+      "an empty batch must not create the keepers dir at all")
+    // the stream is NOT wedged: a later run with real vectors admits
+    // them as keepers
+    (0L until 6L).map(i =>
+      (i, centers((i % 2).toInt).map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(src)
+    Incremental.semanticDedupStream(ss, src, cents, keep, ck, eps = 0.9)
+    val kept = ss.read.parquet(keep).count()
+    assert(kept >= 2L && kept <= 6L,
+      s"post-empty-batch run must admit keepers normally: $kept")
   }
 
   test("semanticDedupStream: eps-separated keepers, sound drops, across checkpointed runs") {
