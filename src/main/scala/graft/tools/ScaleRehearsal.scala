@@ -322,27 +322,40 @@ object ScaleRehearsal {
     // conclusion is then conservative, never flattered by warm-up.
     for (dir <- Seq(out, base); name <- qs) {
       val fn = extraQueries.getOrElse(name, graft.SparkEntry.queries(name))
-      val t0 = System.nanoTime()
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
-      val first = (System.nanoTime() - t0) / 1e9
-      mem.reset() // attribute memory to the steady (second) run only
-      val t1 = System.nanoTime()
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
-      val second = (System.nanoTime() - t1) / 1e9
-      // listener events drain asynchronously; let the heartbeat-polled
-      // stage metrics land before reading the peaks
-      org.apache.spark.sql.graftbridge.CodegenPrewarm.drainListeners(spark.sparkContext)
-      results((dir, name)) = first
-      steady((dir, name)) = second
-      val mb = 1024.0 * 1024.0
-      println(f"""{"metric":"scale_rehearsal","dir":"$dir","query":"$name","first_sec":$first%.2f,"second_sec":$second%.2f,"peak_exec_mb":${mem.peakExec.get / mb}%.0f,"peak_heap_mb":${mem.peakHeap.get / mb}%.0f,"peak_task_mb":${mem.peakTask.get / mb}%.0f,"spill_mem_mb":${mem.spill.get / mb}%.0f,"spill_disk_mb":${mem.spillDisk.get / mb}%.0f}""")
+      // per-query isolation (round 18): a query that REFUSES at scale
+      // — the hamming entropy guard failing loud on a collapsed
+      // fingerprint fixture is the designed case — becomes a reported
+      // row, not a crashed rehearsal; the remaining queries still
+      // produce their ×R evidence.
+      try {
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val first = (System.nanoTime() - t0) / 1e9
+        mem.reset() // attribute memory to the steady (second) run only
+        val t1 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val second = (System.nanoTime() - t1) / 1e9
+        // listener events drain asynchronously; let the heartbeat-polled
+        // stage metrics land before reading the peaks
+        org.apache.spark.sql.graftbridge.CodegenPrewarm.drainListeners(spark.sparkContext)
+        results((dir, name)) = first
+        steady((dir, name)) = second
+        val mb = 1024.0 * 1024.0
+        println(f"""{"metric":"scale_rehearsal","dir":"$dir","query":"$name","first_sec":$first%.2f,"second_sec":$second%.2f,"peak_exec_mb":${mem.peakExec.get / mb}%.0f,"peak_heap_mb":${mem.peakHeap.get / mb}%.0f,"peak_task_mb":${mem.peakTask.get / mb}%.0f,"spill_mem_mb":${mem.spill.get / mb}%.0f,"spill_disk_mb":${mem.spillDisk.get / mb}%.0f}""")
+      } catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+          .replaceAll("[\\n\\r\\t]", " ").take(300)
+        println(s"""{"metric":"scale_rehearsal","dir":"$dir","query":"$name","error":"$msg"}""")
+      }
     }
     val overheadPostMs = probeOverheadMs()
     // the self-contained summary: every ×R wall ships WITH its
     // same-session sf0.1 anchor and both ratios (first-run: includes
     // per-scale one-time costs; steady: pure compute). Cross-round
     // tables diff `ratio_steady` — anchors absorb the session band.
-    val summary = qs.map { name =>
+    val summary = qs.filter(n =>
+      results.contains((out, n)) && results.contains((base, n))).map { name =>
       val ratioFirst = results((out, name)) / results((base, name))
       val ratioSteady = steady((out, name)) / steady((base, name))
       f""""$name":{"anchor_sf01_sec":${results((base, name))}%.2f,"anchor_sf01_steady_sec":${steady((base, name))}%.2f,"x${r}_sec":${results((out, name))}%.2f,"x${r}_steady_sec":${steady((out, name))}%.2f,"ratio":$ratioFirst%.2f,"ratio_steady":$ratioSteady%.2f}"""
