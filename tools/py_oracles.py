@@ -400,9 +400,125 @@ def knn_lsh(con, sf_dir):
                       "cos": "float64", "rank": "int64"})
 
 
+# ---- learned BPE (bpe_tokens) ---------------------------------------
+# Java \s is ASCII-only; Python's is Unicode — spell the class out so
+# the pre-tokenizer matches Bpe.PreTokenRegex exactly.
+_JWS = " \\t\\n\\x0b\\f\\r"
+_PRETOKEN = re.compile(f"[A-Za-z]+|[0-9]|[^A-Za-z0-9{_JWS}]")
+_EOW = "</w>"
+
+
+def _train_merges(word_counts, num_merges=256):
+    """Bpe.trainMerges: Sennrich merges, ties (-count, a, b), stop
+    when no pair occurs twice."""
+    words = [list(w) + [_EOW] for w, _ in word_counts]
+    counts = [c for _, c in word_counts]
+    pair_counts = {}
+    pair_words = {}
+
+    def tally(i, sign):
+        sym = words[i]
+        for j in range(len(sym) - 1):
+            p = (sym[j], sym[j + 1])
+            c = pair_counts.get(p, 0) + sign * counts[i]
+            if c <= 0:
+                pair_counts.pop(p, None)
+                pair_words.get(p, set()).discard(i)
+            else:
+                pair_counts[p] = c
+                if sign > 0:
+                    pair_words.setdefault(p, set()).add(i)
+                else:
+                    pair_words.get(p, set()).discard(i)
+
+    for i in range(len(words)):
+        tally(i, 1)
+    merges = []
+    step = 0
+    while step < num_merges and pair_counts:
+        best, best_count = min(pair_counts.items(),
+                               key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if best_count < 2:
+            break
+        merges.append(best)
+        a, b = best
+        for i in sorted(pair_words.get(best, set())):
+            tally(i, -1)
+            sym, out, j = words[i], [], 0
+            while j < len(sym):
+                if j < len(sym) - 1 and sym[j] == a and sym[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            words[i] = out
+            tally(i, 1)
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
+        step += 1
+    return merges
+
+
+def _encode_word(w, ranks):
+    """BpeEncoder.encodeWord: lowest rank first, all occurrences."""
+    sym = list(w) + [_EOW]
+    while len(sym) > 1:
+        best_rank, best_at = None, -1
+        for j in range(len(sym) - 1):
+            r = ranks.get((sym[j], sym[j + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_at = r, j
+        if best_at < 0:
+            break
+        a, b = sym[best_at], sym[best_at + 1]
+        out, i = [], 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_tokens(con, sf_dir):
+    """Oracle for `bpe_tokens`: learned-BPE token counts under the
+    corpus-trained 256-merge table (Bpe.train + BpeEncoder)."""
+    docs = con.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id").fetchdf()
+    wc = {}
+    for text in docs["text"]:
+        if text is None:
+            continue
+        for w in _PRETOKEN.findall(text):
+            wc[w] = wc.get(w, 0) + 1
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:65536]
+    ranks = {p: i for i, p in enumerate(_train_merges(top))}
+    memo = {}
+
+    def count_word(w):
+        if w not in memo:
+            memo[w] = len(_encode_word(w, ranks))
+        return memo[w]
+
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        pre = _PRETOKEN.findall(text) if text is not None else []
+        rows.append((int(doc_id), sum(count_word(w) for w in pre),
+                     len(pre), len(text) if text is not None else None))
+    df = pd.DataFrame(rows, columns=["doc_id", "n_bpe_learned",
+                                     "n_pretokens", "n_chars"])
+    return df.astype({"doc_id": "int64", "n_bpe_learned": "int64",
+                      "n_pretokens": "int64", "n_chars": "int64"})
+
+
 REGISTRY = {
     "minhash_pairs": minhash_pairs,
     "minhash_indexed": minhash_indexed,
     "simhash_pairs": simhash_pairs,
     "knn_lsh": knn_lsh,
+    "bpe_tokens": bpe_tokens,
 }
