@@ -36,6 +36,9 @@ object LazyAttribution {
     val dir = args.headOption.getOrElse("target/sf1")
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B hook for the round-18 eager-staging knob
+    sys.env.get("SPARK_GRAFT_EAGER_STAGE").foreach(v =>
+      spark.conf.set(graft.pipelines.Corpus.EagerStageKey, v))
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
