@@ -561,6 +561,41 @@ object Dedup {
     math.max(a, b)
   }
 
+  /** Complete a pending crashed compaction swap WITHOUT starting a
+    * new merge. The firewalls call this BEFORE each stream invocation
+    * (round 18): post-invocation auto-compaction alone would let a
+    * REPLAYED micro-batch probe a live tree that is missing the
+    * merged segments (the crash left them only in the temp tree), so
+    * its decisions could silently differ from the pre-crash attempt —
+    * the exactly-once-net-effect contract requires the index restored
+    * before any probe runs. A ready-marked temp tree completes its
+    * swap; a partial (unmarked) temp tree is discarded (the live tree
+    * is untouched in that case). Returns true iff a swap completed.
+    */
+  def recoverPendingSwap(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, partCol: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+    if (!fs.exists(tmp)) return false
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, SwapReadyMarker))) {
+      if (!fs.exists(root)) fs.mkdirs(root) // swap can recreate partitions
+      completeSegmentSwap(fs, root, tmp, partCol, failpoint = "")
+      true
+    } else {
+      fs.delete(tmp, true)
+      false
+    }
+  }
+
+  /** [[recoverPendingSwap]] over the two-table MinHash layout. */
+  def recoverPendingMinhashSwap(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Boolean = {
+    val a = recoverPendingSwap(spark, s"$path/bands", "part")
+    val b = recoverPendingSwap(spark, s"$path/sigs", "spart")
+    a || b
+  }
+
   private def partOf(nParts: Int): Column =
     pmod(xxhash64(col("band"), col("bucket")), lit(nParts)).cast("int")
 

@@ -653,6 +653,10 @@ object Incremental {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
+    // complete any crashed compaction swap BEFORE the stream starts:
+    // a replayed batch must never probe a live tree missing merged
+    // segments (round 18 — see Dedup.recoverPendingSwap)
+    graft.operators.Dedup.recoverPendingMinhashSwap(spark, indexDir)
     val q = spark.readStream.schema(docsSchema).parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -779,6 +783,10 @@ object Incremental {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
+    // complete any crashed compaction swap BEFORE the stream starts:
+    // a replayed batch must never probe a live tree missing merged
+    // segments (round 18 — see Dedup.recoverPendingSwap)
+    graft.operators.Dedup.recoverPendingMinhashSwap(spark, indexDir)
     val q = spark.readStream.schema(docsSchema).parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -933,6 +941,12 @@ object Incremental {
       org.apache.spark.sql.types.StructField("embedding",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))))
+    // complete any crashed compaction swap BEFORE the stream starts:
+    // a replayed batch must never probe a live tree missing merged
+    // segments (round 18 — see Dedup.recoverPendingSwap)
+    graft.operators.Dedup.recoverPendingSwap(spark, s"$indexDir/exact", "part")
+    graft.operators.Dedup.recoverPendingMinhashSwap(spark, indexDir)
+    graft.operators.Dedup.recoverPendingSwap(spark, s"$indexDir/semkeep", "centroid")
     val q = spark.readStream.schema(docsSchema).parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -1192,6 +1206,10 @@ object Incremental {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("payload",
         org.apache.spark.sql.types.BinaryType)))
+    // complete any crashed compaction swap BEFORE the stream starts:
+    // a replayed batch must never probe a live tree missing merged
+    // segments (round 18 — see Dedup.recoverPendingSwap)
+    graft.operators.Dedup.recoverPendingSwap(spark, s"$indexDir/bands", "part")
     val q = spark.readStream.schema(imgSchema).parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -1310,6 +1328,10 @@ object Incremental {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("payload",
         org.apache.spark.sql.types.BinaryType)))
+    // complete any crashed compaction swap BEFORE the stream starts:
+    // a replayed batch must never probe a live tree missing merged
+    // segments (round 18 — see Dedup.recoverPendingSwap)
+    graft.operators.Dedup.recoverPendingSwap(spark, s"$indexDir/bands", "part")
     val q = spark.readStream.schema(imgSchema).parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -1372,6 +1394,10 @@ object Incremental {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("payload",
         org.apache.spark.sql.types.BinaryType)))
+    // complete any crashed compaction swap BEFORE the stream starts:
+    // a replayed batch must never probe a live tree missing merged
+    // segments (round 18 — see Dedup.recoverPendingSwap)
+    graft.operators.Dedup.recoverPendingSwap(spark, s"$indexDir/bands", "part")
     val q = spark.readStream.schema(clipSchema).parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -1439,6 +1465,10 @@ object Incremental {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("payload",
         org.apache.spark.sql.types.BinaryType)))
+    // complete any crashed compaction swap BEFORE the stream starts:
+    // a replayed batch must never probe a live tree missing merged
+    // segments (round 18 — see Dedup.recoverPendingSwap)
+    graft.operators.Dedup.recoverPendingSwap(spark, s"$indexDir/bands", "part")
     val q = spark.readStream.schema(clipSchema).parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -1528,6 +1558,10 @@ object Incremental {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
+    // complete any crashed compaction swap BEFORE the stream starts:
+    // a replayed batch must never probe a live tree missing merged
+    // segments (round 18 — see Dedup.recoverPendingSwap)
+    graft.operators.Dedup.recoverPendingSwap(spark, s"$indexDir/postings", "bucket")
     val q = spark.readStream.schema(docsSchema).parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -1599,6 +1633,10 @@ object Incremental {
     // geometry sidecar computed once, from the SAME collected arrays
     // (no second centroid collect — the round-17 advisor fix)
     val geometry = Similarity.ivfGeometryOf(cq.ids, cq.vecs)
+    // complete any crashed compaction swap BEFORE the stream starts:
+    // a replayed batch must never probe a live tree missing merged
+    // segments (round 18 — see Dedup.recoverPendingSwap)
+    graft.operators.Dedup.recoverPendingSwap(spark, destDir, "centroid")
     val q = spark.readStream.schema(vecSchema).parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -1689,6 +1727,10 @@ object Incremental {
       org.apache.spark.sql.types.StructField(vecCol,
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))))
+    // complete any crashed compaction swap BEFORE the stream starts:
+    // a replayed batch must never probe a live tree missing merged
+    // segments (round 18 — see Dedup.recoverPendingSwap)
+    graft.operators.Dedup.recoverPendingSwap(spark, keepersDir, "centroid")
     val q = spark.readStream.schema(vecSchema).parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())

@@ -948,6 +948,29 @@ class IncrementalSpec extends SparkSpec {
       "rerun recovers the crashed swap; the recovered tree is already compact")
     assert(brows() == bBefore,
       "BM25 probe after crash+rerun must equal the pre-compaction probe")
+
+    // ---- pre-invocation recovery in the firewalls (round 18) ------
+    // crash mid-swap, then invoke the STREAM (not compaction): the
+    // entry-point recovery must restore the merged rows BEFORE any
+    // probe runs — a replayed/new batch probing the mutilated tree
+    // would silently miss every merged indexed row
+    mkDocs(46 to 50).write.mode("append").parquet(src)
+    Incremental.minhashIndexStream(ss, src, idx, ck) // batch 3
+    val e4 = intercept[IllegalStateException](
+      Dedup.compactIndexSegmentsImpl(ss, s"$idx/bands", "part",
+        failpoint = "mid-swap"))
+    assert(e4.getMessage.contains("mid-swap"))
+    mkDocs(51 to 55).write.mode("append").parquet(src)
+    Incremental.minhashIndexStream(ss, src, idx, ck) // batch 4, recovers first
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/bands__compacting")),
+      "stream entry must have completed the pending swap")
+    val probeAfter = probe(56 to 60)
+    val sweepAfter = Dedup.minhashCandidatesOfTokens(toToks(mkDocs(1 to 60)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (b >= 56L) != (a >= 56L) }
+      .map { case (a, b) => if (a >= 56L) (a, b) else (b, a) }.toSet
+    assert(probeAfter == sweepAfter,
+      "post-recovery probe must equal the batch cross sweep over ALL indexed docs")
   }
 
   test("minhashDedupStream: streaming firewall equals the sequential batch-by-batch rule, unseeded start") {
