@@ -236,21 +236,20 @@ def minhash_indexed(con, sf_dir):
 
 # ---- SimHash + capped pigeonhole (simhash_pairs) --------------------
 
+_BITS64 = np.arange(64, dtype=np.uint64)
+
+
 def simhash64(toks):
-    """graft_simhash64: per-occurrence xxh64 bit votes, majority."""
-    ones = [0] * 64
-    cnt = 0
-    for t in toks:
-        h = xxh64_bytes(t.encode("utf-8"))
-        for k in range(64):
-            ones[k] += (h >> k) & 1
-        cnt += 1
-    if cnt == 0:
+    """graft_simhash64: per-occurrence xxh64 bit votes, majority
+    (bit unpack + vote vectorized — the x10/x30 sweeps run this over
+    10M+ token occurrences)."""
+    if not toks:
         return None
-    sh = 0
-    for k in range(64):
-        if 2 * ones[k] > cnt:
-            sh |= 1 << k
+    hs = np.array([xxh64_bytes(t.encode("utf-8")) for t in toks],
+                  dtype=np.uint64)
+    ones = ((hs[:, None] >> _BITS64[None, :]) & np.uint64(1)).sum(axis=0)
+    sh = int(((2 * ones > len(toks)).astype(np.uint64)
+              << _BITS64).sum(dtype=np.uint64))
     return sh - (1 << 64) if sh >= (1 << 63) else sh  # signed long
 
 
