@@ -1198,7 +1198,15 @@ object Dedup {
                       idA: String = "id_a", idB: String = "id_b",
                       maxRounds: Int = 20,
                       smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
-    val p = pairs.select(col(idA).as("a"), col(idB).as("b")).localCheckpoint()
+    // NO pair checkpoint here (round-18 measurement): unlike
+    // [[connectedComponents]], whose pair frame feeds TWO consumers
+    // (the all-nodes enumeration and the edge orientation), this
+    // path's pair frame is consumed exactly once — by the oriented
+    // distinct-edge checkpoint inside [[loserLabels]]. Checkpointing
+    // it first materialized the full pair stream a second time (one
+    // extra eager job + a pair-stream-sized block-storage copy) for
+    // no reuse.
+    val p = pairs.select(col(idA).as("a"), col(idB).as("b"))
     loserLabels(p, maxRounds, smallGraphMaxEdges).select(col("node"))
   }
 

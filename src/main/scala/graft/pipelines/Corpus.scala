@@ -135,8 +135,16 @@ object Corpus {
     // bounds memory. The small frames elsewhere (holdout grams, MG
     // summaries, edge frames) keep localCheckpoint — there eager
     // truncation is the point and loss exposure is trivial.
+    // __q staged INTO the pin (round-18 measurement): the quality
+    // score — interpreted higher-order filters over the token array
+    // plus two regex ratios over text — was being re-evaluated by
+    // every consumer of the staged frame (the survivor filter, the
+    // fused stage tally, and each opt-in stage's downstream pass),
+    // 2-3 full evaluations per prepare() call. Eight staged bytes per
+    // row buy each later pass an attribute read instead.
     val exact = Dedup.exactSurvivors(docs, col("doc_id"), col("text"))
       .withColumn("__toks", TextFns.tokens(col("text")))
+      .withColumn("__q", TextFns.qualityScoreOf(col("text"), col("__toks")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     pinned += exact
     // Opt-in eager staging for the LAZY path (round 18): the ×10
@@ -232,9 +240,9 @@ object Corpus {
     val semDeduped = semLost.fold(nearDeduped)(l =>
       nearDeduped.join(l, Seq("doc_id"), "left_anti"))
 
-    // 3. quality floor over the staged tokens
+    // 3. quality floor over the staged (pin-resident) score
     val scored = semDeduped
-      .withColumn("quality", TextFns.qualityScoreOf(col("text"), col("__toks")))
+      .withColumn("quality", col("__q"))
       .filter(col("quality") >= minQuality)
 
     // Stage tallies 1-3 fused into ONE action over the staged pin
@@ -253,8 +261,7 @@ object Corpus {
         val r = flagged
           .select(coalesce(col("__lost"), lit(false)).as("__lost"),
             coalesce(col("__slost"), lit(false)).as("__slost"),
-            (TextFns.qualityScoreOf(col("text"), col("__toks")) >= minQuality)
-              .as("__q"))
+            (col("__q") >= minQuality).as("__q"))
           .agg(count(lit(1)).as("a"),
             count(when(!col("__lost"), 1)).as("b"),
             count(when(!col("__lost") && !col("__slost"), 1)).as("c"),
@@ -363,7 +370,7 @@ object Corpus {
       Packing.packSharded(
         Packing.deterministicShuffle(mixed, col("doc_id"), nShards, shuffleSeed),
         col("pos"), size(col("__toks")), budget))
-      .drop("__toks")
+      .drop("__toks").drop("__q")
 
     (prepared, PrepareStats(input, nExact, nNearDup, nQuality,
       nModel, nPpl, nSemantic, nDecontam),

