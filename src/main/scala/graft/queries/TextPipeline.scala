@@ -236,6 +236,16 @@ object TextPipeline {
     * cores, not sit in one small-file task.
     */
   def textStats(s: SparkSession, dir: String): DataFrame =
+    // Checkpoint BEFORE the presentation sort (round-18 measurement):
+    // a final orderBy plans as a range exchange whose partitioner
+    // SAMPLES its child, so the expensive projection (regex ratios,
+    // BPE count, interpreted HOF folds) below the sort executed twice
+    // — once for the sampling job, once for the real shuffle (two
+    // ~2 s-cpu stages at sf0.1). Materializing the doc-count-sized
+    // NARROW stats frame first computes it exactly once at full scan
+    // parallelism, and both the sample and the range shuffle then
+    // move 7 numeric columns instead of re-deriving them (shuffle
+    // stats, not text — guide §2.3/§8).
     tokenizedDocs(s, dir)
       .select(
         col("doc_id"),
@@ -245,6 +255,7 @@ object TextPipeline {
         round(TextFns.avgWordLenOf(col("__toks")), 6).as("avg_word_len"),
         round(TextFns.stopwordRatioOf(col("__toks")), 6).as("stop_ratio"),
         TextFns.qualityScoreOf(col("text"), col("__toks")).as("quality"))
+      .localCheckpoint()
       .orderBy(col("doc_id"))
 
   /** BPE merge table trained ONCE per (session, dir) — a tokenizer

@@ -45,8 +45,14 @@ object QueryStages {
             new java.util.concurrent.atomic.AtomicLong(0)))
         val wall = (for (a <- si.completionTime; b <- si.submissionTime)
           yield a - b).getOrElse(0L)
-        stages.add(Rec(si.stageId, si.name.takeWhile(_ != '\n').take(100),
-          si.numTasks, wall, e._1.get, e._2.get / (1024 * 1024)))
+        // attribute to the first graft frame in the callsite stack —
+        // the short name is usually an anonymous future frame
+        val where = si.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("QueryStages"))
+          .map(_.trim.stripPrefix("at ").take(90))
+          .getOrElse(si.name.takeWhile(_ != '\n').take(90))
+        stages.add(Rec(si.stageId, where, si.numTasks, wall,
+          e._1.get, e._2.get / (1024 * 1024)))
       }
     })
 
