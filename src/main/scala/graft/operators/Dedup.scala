@@ -863,11 +863,26 @@ object Dedup {
     freq.unpersist(blocking = false) // both consumers were eager
     import spark.implicits._
     val stopDf = stopGrams.toDF("gram")
-    // kept universe (sizes denominator): exact stop-set anti-join,
-    // map-side (the stop list is tiny by construction), then a
-    // partial-agged per-doc count — no full-stream join anywhere
+    // kept universe: exact stop-set anti-join, map-side (the stop
+    // list is tiny by construction)
     val kept = grams.join(broadcast(stopDf), Seq("gram"), "left_anti")
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // sizes denominator computed MAP-SIDE from the token array
+    // (round-18 measurement): the former explode → anti-join →
+    // per-doc count was a full third pass over the gram-occurrence
+    // stream plus a doc-keyed shuffle; per doc, |kept grams| =
+    // |distinct grams| − |distinct grams whose hash is a stop gram|,
+    // both computable in one projection with no explode and no
+    // exchange. Value-identical including hash-collision corners:
+    // the anti-join dropped every STRING whose hash was hot, and the
+    // filter counts exactly those strings. Docs with zero kept grams
+    // gain a (doc_id, 0) row the aggregate form lacked — invisible
+    // through the inner join below (a paired doc has ≥ 1 kept gram).
+    val shingles = array_distinct(TextFns.wordShinglesOf(col("__toks"), n))
+    val sizes = toks.select(col("doc_id"),
+      (if (stopGrams.isEmpty) size(shingles)
+       else size(shingles) -
+         size(filter(shingles, g => xxhash64(g).isInCollection(stopGrams))))
+        .cast("long").as("sz"))
     // pair stream: Bloom-pruned map-side BEFORE any exchange
     val pairSrc = bloom match {
       case None => kept.limit(0)
