@@ -245,52 +245,38 @@ object Corpus {
       .withColumn("quality", col("__q"))
       .filter(col("quality") >= minQuality)
 
-    // Stage tallies 1-3 fused into ONE action over the staged pin
-    // (round-11 profile: three separate counts were three jobs, each
-    // re-reading the pin — the accounting is a single conditional
-    // aggregate once the loser sets are known; the semantic loser
-    // frame joins in as one more flag, still one action)
-    val (nExact, nNearDup, nSemantic, nQuality) =
-      if (!withStats) (-1L, -1L, -1L, -1L)
-      else {
-        val flagged0 = exact
-          .join(losers.withColumn("__lost", lit(true)), Seq("doc_id"), "left")
-        val flagged = semLost.fold(flagged0.withColumn("__slost", lit(false)))(
-          l => flagged0.join(
-            l.withColumn("__slost", lit(true)), Seq("doc_id"), "left"))
-        val r = flagged
-          .select(coalesce(col("__lost"), lit(false)).as("__lost"),
-            coalesce(col("__slost"), lit(false)).as("__slost"),
-            (col("__q") >= minQuality).as("__q"))
-          .agg(count(lit(1)).as("a"),
-            count(when(!col("__lost"), 1)).as("b"),
-            count(when(!col("__lost") && !col("__slost"), 1)).as("c"),
-            count(when(!col("__lost") && !col("__slost") && col("__q"), 1))
-              .as("d"))
-          .head()
-        (r.getLong(0), r.getLong(1),
-          if (semLost.isEmpty) -1L else r.getLong(2), r.getLong(3))
-      }
+    // Drop-set staging for the fused tally (round-18): when accounting
+    // is ON, each opt-in stage's NARROW drop-id frame materializes
+    // once (localCheckpoint — result-sized, the leak/tail sets) so the
+    // pipeline anti-join and the fused stage aggregate below both read
+    // it without re-running the stage; the lazy path keeps the pure
+    // single-consumer lazy chain (nothing to reuse, zero extra
+    // actions — the CorpusSpec contract).
+    def stagedIds(ids: DataFrame): DataFrame =
+      if (withStats) ids.localCheckpoint() else ids
 
     // 3b (opt-in). learned quality filter: Pareto-threshold
     //     acceptance on the frozen-model score — the GPT-3 App. A
     //     stage layered over the heuristic floor. Per-row expressions
-    //     over the staged tokens; no new shuffle.
-    val modelKept =
-      if (modelWeights == null) scored
-      else scored.filter(graft.operators.QualityClassifier.paretoKeep(
+    //     over the staged tokens; no new shuffle. The keep expression
+    //     is shared with the fused tally (same codegen'd pass, no
+    //     separate count job — round-18).
+    val modelKeepExpr =
+      if (modelWeights == null) lit(true)
+      else graft.operators.QualityClassifier.paretoKeep(
         col("text"),
         graft.operators.QualityClassifier.score(
           col("__toks"), modelWeights, modelBias),
-        paretoAlpha))
-    val nModel = if (modelWeights == null) -1L else tally(modelKept)
+        paretoAlpha)
+    val modelKept =
+      if (modelWeights == null) scored else scored.filter(modelKeepExpr)
 
     // 3c (opt-in). fluency ceiling: drop the high-perplexity tail
     //     under the vocab-capped bigram LM trained on the survivors
     //     themselves (CCNet trains on a trusted corpus; the wiring is
     //     the same). The LM derivation rides the `exact` persist.
-    val fluent =
-      if (maxPpl <= 0.0) modelKept
+    val pplDropped: Option[DataFrame] =
+      if (maxPpl <= 0.0) None
       else {
         // releasable form: the staged bigram frame is LARGER than the
         // corpus (one row per bigram occurrence) — thread its release
@@ -301,11 +287,11 @@ object Corpus {
           .selfPerplexityReleasable(
             modelKept.select(col("doc_id"), col("__toks")), pplVocab)
         releasers += releasePpl
-        modelKept.join(
-          ppl.filter(col("ppl") > maxPpl).select(col("doc_id")),
-          Seq("doc_id"), "left_anti")
+        Some(stagedIds(
+          ppl.filter(col("ppl") > maxPpl).select(col("doc_id"))))
       }
-    val nPpl = if (maxPpl <= 0.0) -1L else tally(fluent)
+    val fluent = pplDropped.fold(modelKept)(d =>
+      modelKept.join(d, Seq("doc_id"), "left_anti"))
 
     // 4. stable split
     val withSplit = fluent.withColumn("split", TextFns.stableSplit(col("text")))
@@ -313,8 +299,8 @@ object Corpus {
     // 4b (opt-in). verbatim-leak decontamination: drop train docs
     //     sharing a k-gram with the val/test splits (the Bloom-
     //     prefiltered exact filter; see Decontam.leakedGrams).
-    val cleaned =
-      if (holdoutGramK <= 0) withSplit
+    val gramLeaked: Option[DataFrame] =
+      if (holdoutGramK <= 0) None
       else {
         // leakedGrams runs eager jobs (holdout count, Bloom build) and
         // a train-side scan against its input — persist the narrow
@@ -326,11 +312,12 @@ object Corpus {
           .select(col("doc_id"), col("__toks"), col("split"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         pinned += tokSplit
-        withSplit.join(
+        Some(stagedIds(
           graft.operators.Decontam.leakedGrams(tokSplit, k = holdoutGramK)
-            .select(col("doc_id")),
-          Seq("doc_id"), "left_anti")
+            .select(col("doc_id"))))
       }
+    val cleaned = gramLeaked.fold(withSplit)(l =>
+      withSplit.join(l, Seq("doc_id"), "left_anti"))
 
     // 4c (opt-in). semantic benchmark decontamination: drop docs
     //     whose embedding reaches cosine `decontamEps` of ANY holdout
@@ -339,19 +326,58 @@ object Corpus {
     //     (driver-resident holdout + one broadcast join — zero
     //     corpus-side exchanges), so no pin is needed; docs without
     //     an embedding row never reach the scorer and pass through.
-    val semClean =
-      if (decontamHoldout == null) cleaned
+    val semLeaked: Option[DataFrame] =
+      if (decontamHoldout == null) None
       else {
         require(embeddings != null,
           "prepare: decontamHoldout needs an `embeddings` frame")
         val survVecs = embeddings.join(
           cleaned.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-        val leaked = Similarity
+        Some(stagedIds(Similarity
           .semanticDecontam(survVecs, decontamHoldout, decontamEps)
-          .filter(!col("kept")).select(col("vec_id").as("doc_id"))
-        cleaned.join(leaked, Seq("doc_id"), "left_anti")
+          .filter(!col("kept")).select(col("vec_id").as("doc_id"))))
       }
-    val nDecontam = if (decontamHoldout == null) -1L else tally(semClean)
+    val semClean = semLeaked.fold(cleaned)(l =>
+      cleaned.join(l, Seq("doc_id"), "left_anti"))
+
+    // ALL stage tallies fused into ONE action over the staged pin
+    // (round-11 fused stages 1-3; round-18 folds the opt-in model /
+    // ppl / decontam tallies in too — each was a separate count job
+    // re-running the whole downstream chain). Every opt-in stage's
+    // decision is either a per-row expression over pin columns (the
+    // model keep) or a checkpointed narrow drop-set joined in as a
+    // flag, so one conditional aggregate reproduces every stage's
+    // row count exactly: each drop-set is a subset of the rows that
+    // survive the stages above it, so the conjunction chain counts
+    // precisely the rows the sequential anti-joins keep.
+    val (nExact, nNearDup, nSemantic, nQuality, nModel, nPpl, nDecontam) =
+      if (!withStats) (-1L, -1L, -1L, -1L, -1L, -1L, -1L)
+      else {
+        def flag(base: DataFrame, ids: Option[DataFrame], name: String) =
+          ids.fold(base.withColumn(name, lit(false)))(l =>
+            base.join(l.withColumn(name, lit(true)), Seq("doc_id"), "left"))
+        val flagged = flag(flag(flag(flag(
+          exact.join(losers.withColumn("__lost", lit(true)), Seq("doc_id"), "left"),
+          semLost, "__slost"), pplDropped, "__pdrop"),
+          gramLeaked, "__gleak"), semLeaked, "__sleak")
+        val surv2 = !coalesce(col("__lost"), lit(false))
+        val surv3 = surv2 && !coalesce(col("__slost"), lit(false))
+        val survQ = surv3 && col("__q") >= minQuality
+        val survM = survQ && modelKeepExpr
+        val survP = survM && !coalesce(col("__pdrop"), lit(false))
+        val survD = survP && !coalesce(col("__gleak"), lit(false)) &&
+          !coalesce(col("__sleak"), lit(false))
+        val r = flagged
+          .agg(count(lit(1)), count(when(surv2, 1)), count(when(surv3, 1)),
+            count(when(survQ, 1)), count(when(survM, 1)),
+            count(when(survP, 1)), count(when(survD, 1)))
+          .head()
+        (r.getLong(0), r.getLong(1),
+          if (semLost.isEmpty) -1L else r.getLong(2), r.getLong(3),
+          if (modelWeights == null) -1L else r.getLong(4),
+          if (maxPpl <= 0.0) -1L else r.getLong(5),
+          if (decontamHoldout == null) -1L else r.getLong(6))
+      }
 
     // 4d (opt-in). temperature mixture sampling toward a token budget
     //     (requires a `source` column; keeps the per-source `rate`).
