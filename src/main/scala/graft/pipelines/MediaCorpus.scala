@@ -74,7 +74,11 @@ object MediaCorpus {
     //    accounts for.
     val decoded = Media.decodeImages(images)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nDecoded = tally(decoded)
+    // nDecoded rides the fused stage aggregate below (round-18): the
+    // feature projection is row-preserving over `decoded`, so its
+    // count(*) IS the decoded count — the separate pin-filling count
+    // job was redundant (the signature checkpoint fills the pin in
+    // the accounted path anyway).
 
     // 2. perceptual near-dup pruning: canonical 9×8 resize → native
     //    codegen'd dHash → pigeonhole-banded Hamming pairs →
@@ -131,17 +135,18 @@ object MediaCorpus {
     // Stage tallies 2-3 fused into ONE action over the staged pin
     // (the Corpus.prepare accounting shape: conditional aggregate
     // once the loser set is known).
-    val (nNearDup, nFeature) =
-      if (!withStats) (-1L, -1L)
+    val (nDecoded, nNearDup, nFeature) =
+      if (!withStats) (-1L, -1L, -1L)
       else {
         val r = Media.imageFeatures(decoded)
           .join(losers.withColumn("__lost", lit(true)), Seq("id"), "left")
           .select(coalesce(col("__lost"), lit(false)).as("__lost"),
             col("brightness").between(minBrightness, maxBrightness).as("__b"))
-          .agg(count(when(!col("__lost"), 1)).as("a"),
+          .agg(count(lit(1)).as("n"),
+            count(when(!col("__lost"), 1)).as("a"),
             count(when(!col("__lost") && col("__b"), 1)).as("b"))
           .head()
-        (r.getLong(0), r.getLong(1))
+        (r.getLong(0), r.getLong(1), r.getLong(2))
       }
 
     // 4. manifest packing: shard by id, per-shard cumulative pixel

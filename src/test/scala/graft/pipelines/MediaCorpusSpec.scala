@@ -87,14 +87,16 @@ class MediaCorpusSpec extends SparkSpec {
       val (lazy2, _, r2) = measure(withStats = false)
       assert(lazy1 == lazy2, s"lazy construction must be deterministic: $lazy1 vs $lazy2")
       assert(s1 == MediaCorpus.MediaPrepareStats(-1, -1, -1, -1))
-      // withStats adds EXACTLY the three accounting actions — the
-      // input count, the decoded count, and the fused stage aggregate
-      // (the signature checkpoint fires its action wrapper in both
-      // modes; only its eagerness differs)
+      // withStats adds EXACTLY the two accounting actions — the
+      // input count and the fused stage aggregate (which carries the
+      // decoded count since round 18; the signature checkpoint fires
+      // its action wrapper in both modes; only its eagerness differs)
       val (acct, s3, r3) = measure(withStats = true)
       assert(s3 == MediaCorpus.MediaPrepareStats(7, 6, 4, 3), s"accounted stats: $s3")
-      assert(acct == lazy1 + 3,
-        s"withStats must add exactly the three accounting actions: " +
+      assert(acct == lazy1 + 2,
+        s"withStats must add exactly the two accounting actions " +
+          s"(input count + the fused stage aggregate; the decoded " +
+          s"count rides the fused aggregate since round 18): " +
           s"lazy=$lazy1 accounted=$acct")
       r1(); r2(); r3()
     } finally ss.listenerManager.unregister(ql)
