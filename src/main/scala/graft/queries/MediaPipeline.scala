@@ -248,9 +248,11 @@ object MediaPipeline {
     * (the simhash recall-seam trade, same knob).
     */
   def mediaPhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // 8 bytes/doc; feeds both self-join sides of the pair core — the
-    // simhashPairsOfTokens materialization rationale, same idiom
-    val sig = phashSigs(s, dir).localCheckpoint()
+    // 8 bytes/doc; feeds both self-join sides of the pair core. The
+    // memoized pin (see [[phashSigs]]) is the materialization — the
+    // former per-call localCheckpoint re-ran decode/resize/dHash on
+    // every invocation (round-18 measurement).
+    val sig = phashSigs(s, dir)
     graft.operators.Dedup.hammingPairsOfSignatures(
         sig, maxDist = 3, maxPieceFreq = Long.MaxValue,
         pairParts = hammingWidth(s, sig, Some(s"$dir#img")))
@@ -291,16 +293,26 @@ object MediaPipeline {
   /** The shared decode → 9×8 resize → native dHash fingerprint frame
     * `(doc_id, sh)` behind the perceptual family — one derivation, so
     * the pair sweep, the on-disk index build, and the probe can never
-    * diverge on the fingerprint math.
+    * diverge on the fingerprint math. Memoized per (session, dir)
+    * since round 18 — the [[mediaVecs]] rationale: the decode/resize
+    * codec chain is the family's expensive map and the fingerprint
+    * frame is 8 bytes per image, yet the pair sweep re-derived it on
+    * every invocation (its per-call localCheckpoint materialized the
+    * chain each time). persist, not localCheckpoint: memoized
+    * corpus-sized-class frame with a real release seam (SessionCache
+    * eviction), lineage kept for executor-loss recovery.
     */
-  private def phashSigs(s: SparkSession, dir: String): DataFrame = {
-    graft.plans.GraftExtensions.ensureRegistered(s)
-    Media.resizeImages(Media.decodeImages(imageFixture(s, dir)), 9, 8)
-      .select(col("id").as("doc_id"),
-        call_function("graft_dhash64", col("pixels"), col("width"),
-          col("height"), col("channels")).as("sh"))
-      .filter(col("sh").isNotNull)
-  }
+  private val phashSigsCache = new graft.SessionCache[String]
+  private def phashSigs(s: SparkSession, dir: String): DataFrame =
+    phashSigsCache.getOrElseUpdate(s, dir) {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      Media.resizeImages(Media.decodeImages(imageFixture(s, dir)), 9, 8)
+        .select(col("id").as("doc_id"),
+          call_function("graft_dhash64", col("pixels"), col("width"),
+            col("height"), col("channels")).as("sh"))
+        .filter(col("sh").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   // On-disk Hamming index for media_phash_indexed, built once per
   // (session, dir) over "the already-ingested corpus" (ids with
