@@ -164,10 +164,18 @@ object TextPipeline {
     * choice, both directions measured.
     */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    // result-set checkpoint before the presentation sort (round 18,
+    // the text_stats finding): the final orderBy's range partitioner
+    // SAMPLES its child, and while shuffle reuse covers the map
+    // sides, the post-exchange pair aggregate AND the interpreted
+    // signature-agreement fold re-ran once per distinct pair in the
+    // sampling job. The surviving pair set is result-sized — one
+    // cheap checkpoint halves the fold work.
     Dedup.minhashCandidates(
       Tables.documents(s, dir), col("doc_id"), col("text"),
       shingleLen = 3, bands = 32, rowsPerBand = 4)
       .filter(col("est_jaccard") >= 0.25)
+      .localCheckpoint()
       .orderBy(col("id_a"), col("id_b"))
 
   // Temp LSH index dirs, one per (session, sfDir), deleted at JVM
@@ -207,11 +215,15 @@ object TextPipeline {
     * QualityMetrics).
     */
   def minhashIndexed(s: SparkSession, dir: String): DataFrame =
+    // same result-set checkpoint as [[minhashPairs]]: the probe's
+    // signature-fetch joins + est fold re-ran in the sort's sampling
+    // job otherwise
     Dedup.minhashProbe(
       tokenizedDocs(s, dir).select(col("doc_id"), col("__toks"))
         .filter(col("doc_id") % 10 === 0),
       minhashIndexFor(s, dir), shingleLen = 3, bands = 32, rowsPerBand = 4)
       .filter(col("est_jaccard") >= 0.25)
+      .localCheckpoint()
       .orderBy(col("probe_id"), col("index_id"))
 
   /** SimHash Hamming-≤6 near-dup pairs via pigeonhole chunking
@@ -223,9 +235,14 @@ object TextPipeline {
     * agrees on (typically 4-6 of 7) is that hot.
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    // result-set checkpoint before the presentation sort — the
+    // [[minhashPairs]] rationale (here the re-run was the pair
+    // aggregate + bit_count distance filter over the candidate
+    // stream)
     Dedup.simhashPairsOfTokens(
       tokenizedDocs(s, dir).select(col("doc_id"), col("__toks")),
       maxDist = 6, maxPieceFreq = 200L)
+      .localCheckpoint()
       .orderBy(col("id_a"), col("id_b"))
 
   // ---- text analysis ----------------------------------------------
